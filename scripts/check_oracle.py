@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <name> parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = views over the sf
+dir), sorts columns by name, and compares values exactly.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_path = Path(out_dir) / name
+        if not res_path.exists():
+            print(f"FAIL {name}: no result parquet")
+            n_fail += 1
+            continue
+        got = norm(con.sql(f"SELECT * FROM '{res_path}/*.parquet'").df())
+        want = norm(con.sql(oracle[name]).df())
+        if got.shape != want.shape:
+            print(f"FAIL {name}: shape {got.shape} != {want.shape}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        diffs = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                eq = (a == b) | (a.isna() & b.isna())
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                bad = (~eq).idxmax()
+                diffs.append(f"{c}[row {bad}]: {a[bad]!r} != {b[bad]!r} "
+                             f"(dtype {a.dtype}/{b.dtype}, {int((~eq).sum())} rows differ)")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs[:3]))
+            n_fail += 1
+        else:
+            n_pass += 1
+            print(f"ok   {name} ({got.shape[0]} rows)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the test corpus (TPC-H-ish star schema + events/documents/
+  * embeddings). Parquet scans: Catalyst pushes filters and prunes columns at
+  * the source, so callers just declare plans — no manual IO tuning here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as LongType —
+    * normalize to a micros TimestampType column (lossless: generator emits
+    * micro-precision values).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = raw(s, d, "events")
+    df.schema("ts").dataType match {
+      // integer DIV: ns values (~1.7e18) overflow double-precision division
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

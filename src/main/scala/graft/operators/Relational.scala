@@ -1,0 +1,502 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.GQuery._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / query core (SURVEY.md §2.A).
+  *
+  * The reference's query surface is registry lookup + selection
+  * (/root/reference/marda_extractors_api/__init__.py:96-123); a general
+  * analytics engine needs the full relational algebra underneath, expressed
+  * declaratively so Catalyst plans pushdown / broadcast / partial
+  * aggregation. Every query here is scale-oblivious: no collect(), no
+  * driver-side loops, dims broadcast, facts shuffled at most once.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── q01: TPC-H Q1 shape — multi-aggregate with map-side partial agg. ──
+    GQuery("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-09-02"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumd(d2($"l_quantity")).as("sum_qty"),
+            sumd(d2($"l_extendedprice")).as("sum_base_price"),
+            sumd(d2($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - r2($"l_discount"))).as("sum_disc_price"),
+            sumd(d2($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - r2($"l_discount"))
+              * (lit(1).cast(DecimalType(3, 2)) + r2($"l_tax"))).as("sum_charge"),
+            (sum(d2($"l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+            (sum(d2($"l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+            (sum(r2($"l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ── q02: filter + projection pushdown — scan reads 5 of 11 columns, ──
+    // predicates reach the parquet reader (PushedFilters in explain).
+    GQuery("q02_filter_pushdown",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1997-02-01")
+            && $"l_discount" >= 0.05 && $"l_quantity" > 45)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            (d2($"l_extendedprice") * r2($"l_discount")).cast(DoubleType).as("disc_value"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc_value
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+          AND l_discount >= 0.05 AND l_quantity > 45
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── q03: dim joins broadcast — fact side never shuffles. ──
+    GQuery("q03_broadcast_join",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("order_count"), sumd(d2($"o_totalprice")).as("total_spend"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ── q04: large⋈large shuffle join (lineitem⋈orders on orderkey), ──
+    // sort-merge under AQE; aggregation after the join is partial-agg'd.
+    GQuery("q04_shuffle_join",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority", year($"o_orderdate").as("order_year"))
+          .agg(count(lit(1)).as("n_lines"),
+            sumd(d2($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - r2($"l_discount"))).as("revenue"))
+          .orderBy($"o_orderpriority", $"order_year")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority, order_year
+        ORDER BY o_orderpriority, order_year""")),
+
+    // ── q05: 5-way star join (Q5 shape): one fact shuffle, all dims ──
+    // broadcast; supplier-nation = customer-nation equi-constraint.
+    GQuery("q05_star_join",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "supplier")),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+          .groupBy($"r_name", $"n_name")
+          .agg(sumd(d2($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - r2($"l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ── q06: semi join (EXISTS) — no duplication, no payload columns ──
+    // moved for the probe side.
+    GQuery("q06_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val urgent = t(s, d, "orders").filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        t(s, d, "customer")
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ── q07: anti join (NOT EXISTS). ──
+    GQuery("q07_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val urgent = t(s, d, "orders").filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        t(s, d, "customer")
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ── q08: outer join + two-level aggregation (Q13 shape): customer ──
+    // order-count distribution including zero-order customers.
+    GQuery("q08_outer_join_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"c_count")
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY c_count""")),
+
+    // ── q09: top-N per group via ranking window (single shuffle on the ──
+    // partition key; deterministic orderkey tiebreak).
+    GQuery("q09_window_topk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderpriority", $"rn")
+      },
+      Some("""
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+
+    // ── q10: running-total window frame (exact decimal running sum so ──
+    // both engines' frame evaluation orders agree bit-for-bit).
+    GQuery("q10_window_running",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").filter($"o_custkey" < 50)
+          .select($"o_custkey", $"o_orderkey",
+            sum(d2($"o_totalprice")).over(w).cast(DoubleType).as("running_spend"),
+            lag($"o_orderkey", 1).over(
+              Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)).as("prev_orderkey"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+        FROM orders WHERE o_custkey < 50
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── q11: exact distinct aggregation (expand+2-phase partial agg). ──
+    GQuery("q11_distinct_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("n_customers"), count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q12: global top-k — TakeOrderedAndProject (per-partition top-k ──
+    // then driver merge of k×partitions rows, never a full sort).
+    GQuery("q12_topk_orderby",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")),
+
+    // ── q13: pivot with pre-listed values — single shuffle, no extra ──
+    // pass to discover the pivot domain.
+    GQuery("q13_pivot",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY day ORDER BY day""")),
+
+    // ── q14: union + distinct (shuffle-dedup). ──
+    GQuery("q14_union_dedup",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer").select($"c_nationkey".as("nationkey"))
+          .union(t(s, d, "supplier").select($"s_nationkey".as("nationkey")))
+          .distinct()
+          .orderBy($"nationkey")
+      },
+      Some("""
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+        ORDER BY nationkey""")),
+
+    // ── q15: HAVING — post-aggregation filter. ──
+    GQuery("q15_having_group",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            (sum($"p_size").cast(DoubleType) / count(lit(1))).as("avg_size"))
+          .filter($"n_parts" >= 5)
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(CAST(SUM(p_size) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_size
+        FROM part GROUP BY p_brand HAVING COUNT(*) >= 5 ORDER BY p_brand""")),
+
+    // ── q16: rollup / grouping sets (nulls folded to 'ALL' sentinel so ──
+    // cross-engine null ordering can't diverge).
+    GQuery("q16_rollup",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sumd(d2($"o_totalprice")).as("total_spend"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n_orders", $"total_spend")
+          .orderBy($"status", $"priority")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ── q17: string functions (all codegen'd, no UDFs). ──
+    GQuery("q17_string_funcs",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select($"p_partkey",
+            upper($"p_name").as("name_upper"),
+            length($"p_name").as("name_len"),
+            substring($"p_type", 1, 3).as("type_prefix"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+            regexp_replace($"p_name", "[aeiou]", "").as("name_novowels"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, UPPER(p_name) AS name_upper,
+               CAST(LENGTH(p_name) AS INT) AS name_len,
+               SUBSTRING(p_type, 1, 3) AS type_prefix,
+               CONCAT(p_brand, '|', p_type) AS brand_type,
+               REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowels
+        FROM part ORDER BY p_partkey""")),
+
+    // ── q18: calendar bucketing (month granularity, string-keyed for ──
+    // cross-engine temporal parity).
+    GQuery("q18_date_trunc_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"))
+          .agg(count(lit(1)).as("n_orders"), sumd(d2($"o_totalprice")).as("total_spend"))
+          .orderBy($"order_month")
+      },
+      Some("""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY order_month ORDER BY order_month""")),
+
+    // ── q19: semi-structured JSON extraction from the events stream. ──
+    GQuery("q19_json_extract",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select($"event_type", get_json_object($"props", "$.k").cast(IntegerType).as("k"),
+            $"value")
+          .groupBy($"event_type", ($"k" % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sumd(d2($"value")).as("value_sum"))
+          .orderBy($"event_type", $"k_bucket")
+      },
+      Some("""
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket""")),
+
+    // ── q20: array explode: corpus word frequencies (partial agg keeps ──
+    // the exploded shuffle small).
+    GQuery("q20_explode_tokens",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .filter($"word" =!= "")
+          .groupBy($"word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"word")
+      },
+      Some("""
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word ORDER BY word""")),
+
+    // ── q21: exact interpolated percentiles per group. ──
+    GQuery("q21_percentile",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── q22: SQL API over temp views, multi-CTE (top spender per ──
+    // nation via windowed CTE chain).
+    GQuery("q22_sql_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders")
+        t(s, d, "customer").createOrReplaceTempView("g_customer")
+        t(s, d, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""
+          WITH spend AS (
+            SELECT c_nationkey, c_custkey, c_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+            FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, c_custkey, c_name),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY total_spend DESC, c_custkey ASC) AS rn
+            FROM spend)
+          SELECT n_name, c_custkey, c_name, total_spend
+          FROM ranked JOIN g_nation ON c_nationkey = n_nationkey
+          WHERE rn = 1 ORDER BY n_name""")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT c_nationkey, c_custkey, c_name,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey, c_custkey, c_name),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                     ORDER BY total_spend DESC, c_custkey ASC) AS rn
+          FROM spend)
+        SELECT n_name, c_custkey, c_name, total_spend
+        FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        WHERE rn = 1 ORDER BY n_name""")),
+
+    // ── q23: scalar subquery threshold (exact-decimal mean so the ──
+    // comparison boundary is identical across engines); the 1-row agg is
+    // broadcast, not recomputed per row.
+    GQuery("q23_scalar_subquery",
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+        val thr = orders.agg(
+          (sum(d2($"o_totalprice")).cast(DoubleType) / count(lit(1)) * 1.5).as("thr"))
+        orders.join(broadcast(thr))
+          .filter($"o_totalprice" > $"thr")
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) * 1.5 FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // ── q24: HLL approximate distinct — sketch-based, constant memory ──
+    // at any scale (no SQL oracle: estimator is engine-specific).
+    GQuery("q24_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      None)
+  )
+}
