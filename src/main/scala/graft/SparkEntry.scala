@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All engine queries, in SURVEY §2 order. */
   def allQueries: Seq[GQuery] =
-    Relational.all
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

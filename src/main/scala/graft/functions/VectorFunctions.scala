@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Vector similarity primitives (SURVEY.md §2.D/E).
+  *
+  * `CosineSim` is a native Catalyst expression with whole-stage codegen: the
+  * inner product loops over the two arrays in one pass of primitive doubles
+  * — no boxing, no UDF serialization — so a brute-force scan stays
+  * memory-bandwidth-bound. Accumulation is sequential (element 0 → n-1),
+  * matching DuckDB's list_sum over a list_transform for oracle parity.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Embedding column (array<float> on disk) as array<double> for exact
+    * cross-engine arithmetic (float→double widening is lossless).
+    */
+  def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Cosine similarity via the codegen'd Catalyst expression. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(
+      Bridge.expression(asDouble(a)),
+      Bridge.expression(asDouble(b))))
+
+  /** Sign-LSH bucket over the first `nBits` coordinates (axis-aligned
+    * hyperplanes — deterministic and portable to the SQL oracle; a real
+    * deployment would use seeded random hyperplanes, same plumbing).
+    */
+  def signBucket(v: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { b =>
+      when(element_at(v, b + 1) > 0f, 1 << b).otherwise(0)
+    }.reduce(_ + _)
+}

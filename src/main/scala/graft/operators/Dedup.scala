@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication suite for LLM-training-data pipelines (SURVEY.md §2.D).
+  *
+  * Scale discipline (the 100 TB contract): NOTHING here is globally
+  * quadratic. Exact dedup is a hash groupBy (uniform keys, no skew).
+  * MinHash/LSH shuffles one row per (doc, band) and compares only
+  * bucket-mates. SimHash compares only docs sharing one of 4 byte-chunks
+  * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal). The only pairwise work
+  * happens inside candidate buckets, whose size LSH parameters bound.
+  *
+  * Hash discipline: the portable md5-derived hash64 (SURVEY.md §6) so the
+  * DuckDB oracle reproduces every signature bit-for-bit.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  // MinHash parameters: 8 permutations, 2 bands × 4 rows.
+  // P(candidate | jaccard j) = 1-(1-j^4)^2: ~0 below j=0.3, ~1 above j=0.95 —
+  // matched to the corpus (planted near-dups sit at j≈0.99, background <0.3).
+  private val NumPerms = 8
+  private val NumBands = 2
+  private val RowsPerBand = 4
+
+  /** Per-doc minhash signature columns m0..m7 + band keys b0..b1 (pure
+    * expressions — signatures never shuffle; only (doc, band-key) rows do).
+    */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = array_distinct(shingles(tokens($"text"), 3))
+    val withSig = (0 until NumPerms).foldLeft(docs(s, d).select($"doc_id", sh.as("sh"))) {
+      case (df, p) => df.withColumn(s"m$p", array_min(transform($"sh", x => hash64(concat(lit(s"s$p:"), x)))))
+    }
+    (0 until NumBands).foldLeft(withSig) { case (df, b) =>
+      df.withColumn(s"b$b", concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
+    }.drop("sh")
+  }
+
+  /** DuckDB mirror of the signature pipeline (shared by d02/d04 oracles). */
+  private val sigSql = """
+    ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+            FROM ts),
+    exp AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+    mh AS (SELECT doc_id, p.p AS p,
+                  min(CAST(('0x' || substr(md5('s' || p.p || ':' || sh), 1, 15)) AS BIGINT)) AS m
+           FROM exp, (SELECT unnest(range(8)) AS p) p
+           GROUP BY doc_id, p.p),
+    sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id)"""
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── d01: exact dedup — canonicalized-content hash groupBy; winner = ──
+    // min doc_id per group. Uniform 128-bit keys: no skew at any scale.
+    GQuery("d01_exact_dedup",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id", setFingerprint(tokens($"text")).as("fp"))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+          .orderBy($"fp")
+      },
+      Some("""
+        SELECT fp, min(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+          FROM documents)
+        GROUP BY fp ORDER BY fp""")),
+
+    // ── d02: MinHash + banded LSH — candidates from band-bucket join, ──
+    // then signature-estimated jaccard ≥ 0.5. Shuffle volume: one row per
+    // (doc, band), never all-pairs.
+    GQuery("d02_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d).cache()
+        val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val si = sig.select($"doc_id".as("i"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_i"))
+        val sj = sig.select($"doc_id".as("j"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_j"))
+        cand.join(si, "i").join(sj, "j")
+          .withColumn("est_jaccard",
+            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b), x => x)).cast(DoubleType) / NumPerms)
+          .filter($"est_jaccard" >= 0.5)
+          .select($"i", $"j", $"est_jaccard")
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH $sigSql,
+        bands AS (
+          SELECT doc_id, b.b AS band,
+                 sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
+          FROM sig, (SELECT unnest(range(2)) AS b) b),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        SELECT i, j,
+               CAST(len(list_filter(range(1, 9), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 8 AS est_jaccard
+        FROM cand JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
+        WHERE len(list_filter(range(1, 9), k -> si.sig[k] = sj.sig[k])) >= 4
+        ORDER BY i, j""")),
+
+    // ── d03: SimHash — 32-bit fingerprint from per-shingle hash bit votes; ──
+    // near-dup pairs = hamming ≤ 3, found via 4×8-bit chunk blocking
+    // (pigeonhole guarantees recall; only chunk-mates are compared).
+    GQuery("d03_simhash",
+      (s, d) => {
+        import s.implicits._
+        val sh = explode(array_distinct(shingles(tokens($"text"), 3)))
+        val hashed = docs(s, d).select($"doc_id", sh.as("sh"))
+          .withColumn("h", hash64($"sh"))
+        val votes = (0 until 32).map(b =>
+          sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+        val simhash = hashed.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+          .select($"doc_id",
+            (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
+        val chunks = simhash.select($"doc_id", $"simhash",
+          posexplode(array((0 until 4).map(c => shiftright($"simhash", c * 8).bitwiseAND(255)): _*)))
+          .toDF("doc_id", "simhash", "chunk", "ckey")
+        chunks.as("x").join(chunks.as("y"),
+            $"x.chunk" === $"y.chunk" && $"x.ckey" === $"y.ckey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
+            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 3)
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        shl AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+                FROM ts),
+        exp AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h FROM shl),
+        votes AS (SELECT doc_id, b.b AS b,
+                         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM exp, (SELECT unnest(range(32)) AS b) b
+                  GROUP BY doc_id, b.b),
+        sh2 AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c*8)) & 255 AS ckey
+                   FROM sh2, (SELECT unnest(range(4)) AS c) c),
+        pairs AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j, x.simhash AS si, y.simhash AS sj
+                  FROM chunks x JOIN chunks y
+                    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+        SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(si, sj)) <= 3
+        ORDER BY i, j""")),
+
+    // ── d04: exact n-gram Jaccard on minhash-blocked candidates: block on ──
+    // the global min shingle-hash (P(share block | j) = j), verify exactly
+    // with array_intersect/union, threshold 0.8.
+    GQuery("d04_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).select($"doc_id",
+          array_distinct(shingles(tokens($"text"), 3)).as("sh"))
+          .withColumn("blk", array_min(transform($"sh", x => hash64(concat(lit("s0:"), x)))))
+        base.as("x").join(base.as("y"), $"x.blk" === $"y.blk" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
+            (size(array_intersect($"x.sh", $"y.sh")).cast(DoubleType) /
+              size(array_union($"x.sh", $"y.sh"))).as("jaccard"))
+          .filter($"jaccard" >= 0.8)
+          .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        shl AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+                FROM ts),
+        blk AS (SELECT doc_id, sh,
+                       list_min(list_transform(sh, x -> CAST(('0x' || substr(md5('s0:' || x), 1, 15)) AS BIGINT))) AS blk
+                FROM shl)
+        SELECT x.doc_id AS i, y.doc_id AS j,
+               ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        FROM blk x JOIN blk y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+        ORDER BY i, j""")),
+
+    // ── d05: embedding-cosine near-dup pairs (codegen CosineSim). The ──
+    // corpus has no planted vector dups, so the threshold (0.45) documents
+    // the thresholded-pair operator; at scale the same verify runs inside
+    // s02's LSH buckets instead of all-pairs.
+    GQuery("d05_embed_dupes",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+        e.as("x").join(e.as("y"), $"x.vec_id" < $"y.vec_id")
+          .select($"x.vec_id".as("i"), $"y.vec_id".as("j"),
+            cosineSim($"x.embedding", $"y.embedding").as("cos"))
+          .filter($"cos" >= 0.45)
+          .select($"i", $"j", round($"cos", 4).as("cos"))
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT x.vec_id AS i, y.vec_id AS j,
+                     list_sum(list_transform(range(1, 65), k -> x.v[k] * y.v[k]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), k -> x.v[k] * x.v[k])))
+                          * sqrt(list_sum(list_transform(range(1, 65), k -> y.v[k] * y.v[k])))) AS cos
+              FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j"""))
+  )
+}

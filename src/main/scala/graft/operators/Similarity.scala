@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md §2.E).
+  *
+  * Brute-force top-k is the exact baseline: one scan with the codegen'd
+  * CosineSim and a TakeOrdered (per-partition top-k, then a k-row merge —
+  * never a global sort). The scale paths are s02 (sign-LSH bucketing: scan
+  * only the query's bucket) and s04 (IVF-style: nearest-centroid cells).
+  * Queries broadcast; the corpus never re-shuffles.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  /** DuckDB cosine mirror (identical formula/order as CosineSim codegen). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), k -> $a[k] * $b[k]))
+       / (sqrt(list_sum(list_transform(range(1, 65), k -> $a[k] * $a[k])))
+          * sqrt(list_sum(list_transform(range(1, 65), k -> $b[k] * $b[k]))))"""
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── s01: brute-force cosine top-k for one query vector (vec_id 0): ──
+    // exact ANN baseline; broadcast 1-row query, TakeOrdered merge.
+    GQuery("s01_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        e.filter($"vec_id" =!= 0)
+          .join(broadcast(q))
+          .select($"vec_id", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
+        FROM e, q WHERE vec_id <> 0
+        ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
+
+    // ── s02: sign-LSH bucketed ANN: 4 axis-aligned hyperplane bits → 16 ──
+    // buckets; search only the query's bucket (1/16 of the corpus scanned;
+    // same plumbing as seeded random hyperplanes at production bit-widths).
+    GQuery("s02_lsh_ann",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d).withColumn("bucket", signBucket($"embedding", 4))
+        val q = e.filter($"vec_id" === 0)
+          .select($"embedding".as("qv"), $"bucket".as("qbucket"))
+        e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= 0)
+          .select($"vec_id", $"bucket", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                           + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                           + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+        SELECT vec_id, bucket, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
+        FROM e, q WHERE bucket = qbucket AND vec_id <> 0
+        ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
+
+    // ── s03: k-NN join — small query set (vec_id < 5) broadcast against ──
+    // the corpus; per-query top-3 via ranking window on the query key.
+    GQuery("s03_knn_join",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+        e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"rn", $"vec_id", $"cos")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ${cosSql("e.v", "q.qv")} DESC, vec_id ASC) AS rn
+                   FROM e, q WHERE vec_id <> query_id)
+        SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
+        ORDER BY query_id, rn""")),
+
+    // ── s04: IVF-style partitioning: centroids = per-label element-wise ──
+    // means (2-stage agg over exploded coords, then re-assembled in pos
+    // order), broadcast; every vector assigned to its nearest centroid.
+    GQuery("s04_centroid_assign",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val cent = e.select($"label", posexplode(asDouble($"embedding")))
+          .groupBy($"label".as("c_label"), $"pos")
+          .agg((sum($"col") / count(lit(1))).as("m"))
+          .groupBy($"c_label")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"c_label", transform($"pm", x => x.getField("m")).as("centroid"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        e.join(broadcast(cent))
+          .select($"vec_id", $"label", $"c_label",
+            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"label", $"c_label".as("assigned_label"), $"cos")
+          .orderBy($"vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        coords AS (SELECT label AS c_label, p.p AS pos, sum(v[p.p]) / count(*) AS m
+                   FROM e, (SELECT unnest(range(1, 65)) AS p) p
+                   GROUP BY c_label, pos),
+        cent AS (SELECT c_label, list(m ORDER BY pos) AS centroid FROM coords GROUP BY c_label),
+        scored AS (SELECT vec_id, label, c_label,
+                          ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ${cosSql("e.v", "cent.centroid")} DESC, c_label ASC) AS rn
+                   FROM e, cent)
+        SELECT vec_id, label, c_label AS assigned_label, cos
+        FROM scored WHERE rn = 1 ORDER BY vec_id"""))
+  )
+}

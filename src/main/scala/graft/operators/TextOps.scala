@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for LLM-training-data pipelines (SURVEY.md §2.C):
+  * token counting, language ID, quality scoring, fingerprinting, shingling,
+  * corpus statistics. All single-scan, codegen'd, embarrassingly parallel —
+  * at 100 TB these are the cheap map-side passes before dedup's shuffles.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  // Stopword-ish high-frequency function words of the corpus.
+  private val stopwords = Seq("the", "a")
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── t01: token counting — whitespace tokens and a regex ("BPE-ish" ──
+    // word/punct split) tokenizer; both pure column expressions.
+    GQuery("t01_token_count",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id",
+            size(tokens($"text")).as("n_ws_tokens"),
+            size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_re_tokens"),
+            length($"text").as("text_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_re_tokens,
+               CAST(length(text) AS INT) AS text_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ── t02: language ID — deterministic marker-word scoring (the classic ──
+    // n-gram-profile heuristic, reduced to a codegen'd expression), compared
+    // against the labeled lang to give a confusion summary.
+    GQuery("t02_langid",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nStop = countIn(toks, stopwords)
+        val nTok = size(toks)
+        val ratio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+        val pred = when(ratio >= 0.08, lit("en"))
+          .when(ratio >= 0.04, lit("mixed"))
+          .otherwise(lit("other"))
+        docs(s, d)
+          .select($"lang", pred.as("pred_lang"))
+          .groupBy($"lang", $"pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"pred_lang")
+      },
+      Some("""
+        SELECT lang, pred_lang, COUNT(*) AS n FROM (
+          SELECT lang,
+                 CASE WHEN ratio >= 0.08 THEN 'en'
+                      WHEN ratio >= 0.04 THEN 'mixed'
+                      ELSE 'other' END AS pred_lang
+          FROM (SELECT lang,
+                       CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
+                         / len(string_split(text,' ')) AS ratio
+                FROM documents))
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
+
+    // ── t03: quality scoring — length, stopword-ratio, lexical-diversity ──
+    // components combined in a fixed-order double expression (bit-identical
+    // across engines).
+    GQuery("t03_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nTok = size(toks).cast(DoubleType)
+        val lenScore = least($"n_chars".cast(DoubleType) / 500.0, lit(1.0))
+        val stopRatio = countIn(toks, stopwords).cast(DoubleType) / nTok
+        val divRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
+        docs(s, d)
+          .select($"doc_id",
+            round(lenScore, 6).as("len_score"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(divRatio, 6).as("diversity"),
+            round(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.3 + divRatio * 0.3, 6).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               ROUND(len_score, 6) AS len_score,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(diversity, 6) AS diversity,
+               ROUND(len_score * 0.4 + (1.0 - stop_ratio) * 0.3 + diversity * 0.3, 6) AS quality
+        FROM (
+          SELECT doc_id,
+                 least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
+                   / len(string_split(text,' ')) AS stop_ratio,
+                 CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')) AS diversity
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ── t04: document fingerprinting — full-content md5, canonicalized ──
+    // (sorted distinct token set) md5, and the portable 64-bit hash used by
+    // the dedup/minhash pipeline.
+    GQuery("t04_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id",
+            md5($"text").as("content_md5"),
+            setFingerprint(tokens($"text")).as("set_md5"),
+            hash64($"text").as("content_h64"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS set_md5,
+               CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) AS content_h64
+        FROM documents ORDER BY doc_id""")),
+
+    // ── t05: 3-token shingles (the minhash input): totals and distinct ──
+    // counts per document via higher-order array functions.
+    GQuery("t05_shingles",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(tokens($"text"), 3)
+        docs(s, d)
+          .select($"doc_id",
+            size(sh).as("n_shingles"),
+            size(array_distinct(sh)).as("n_distinct_shingles"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(sh) AS INT) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS INT) AS n_distinct_shingles
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+        ORDER BY doc_id""")),
+
+    // ── t06: corpus word frequencies, top-k — partial agg then ──
+    // TakeOrdered; the shuffle carries one row per distinct word, not per
+    // token occurrence.
+    GQuery("t06_word_topk",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(explode(tokens($"text")).as("word"))
+          .groupBy($"word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"word".asc)
+          .limit(10)
+      },
+      Some("""
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 10"""))
+  )
+}
