@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All engine queries, in SURVEY §2 order. */
   def allQueries: Seq[GQuery] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
+      RegistryOps.all ++ EventOps.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

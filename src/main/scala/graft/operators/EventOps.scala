@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.GQuery._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics (SURVEY.md §2.F): the batch forms. The same
+  * logical plans run under Structured Streaming in
+  * [[graft.streaming.EventStreams]] (windowed agg ≡ e01 with watermarking;
+  * sessionization ≡ e02 via flatMapGroupsWithState instead of a global
+  * window, because an unbounded ORDER BY per user is exactly what a
+  * streaming engine replaces with per-key state).
+  *
+  * Temporal outputs surface as epoch-micros longs or formatted strings —
+  * exact integers / text on both engines, no tz ambiguity.
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── e01: tumbling-window aggregation (hour buckets). ──
+    GQuery("e01_tumbling_window",
+      (s, d) => {
+        import s.implicits._
+        ev(s, d)
+          .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"), sumd(d2($"value")).as("value_sum"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY hour, event_type ORDER BY hour, event_type""")),
+
+    // ── e02: gap-based sessionization (30-min inactivity): lag + ──
+    // cumulative-sum session ids, then per-session rollup. One shuffle on
+    // user_id; at scale this is the window-function form of what
+    // flatMapGroupsWithState does incrementally.
+    GQuery("e02_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)
+        ev(s, d)
+          .withColumn("new_sess", when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min($"ts")).as("start_us"),
+            unix_micros(max($"ts")).as("end_us"))
+          .withColumn("duration_us", $"end_us" - $"start_us")
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        y AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM x)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ── e03: funnel — signup → first later purchase, per user, rolled ──
+    // into one conversion row (single exact double division).
+    GQuery("e03_funnel",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val signups = events.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("su_ts"))
+        val converted = signups.join(events.filter($"event_type" === "purchase"), Seq("user_id"))
+          .filter($"ts" > $"su_ts")
+          .select($"user_id").distinct()
+        val n_su = signups.agg(count(lit(1)).as("n_signup_users"))
+        val n_cv = converted.agg(count(lit(1)).as("n_converted"))
+        n_su.join(n_cv)
+          .select($"n_signup_users", $"n_converted",
+            round($"n_converted".cast(DoubleType) / $"n_signup_users", 6).as("conversion_rate"))
+      },
+      Some("""
+        WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (SELECT DISTINCT su.user_id
+                 FROM su JOIN events e ON e.user_id = su.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > su.su_ts)
+        SELECT (SELECT COUNT(*) FROM su) AS n_signup_users,
+               (SELECT COUNT(*) FROM conv) AS n_converted,
+               ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM su), 6) AS conversion_rate""")),
+
+    // ── e04: retention cohorts — first-seen day × day-offset distinct ──
+    // actives for the first week.
+    GQuery("e04_retention",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val first = events.groupBy($"user_id").agg(min(to_date($"ts")).as("d0"))
+        val act = events.select($"user_id", to_date($"ts").as("d")).distinct()
+        act.join(first, Seq("user_id"))
+          .withColumn("offset_days", datediff($"d", $"d0"))
+          .filter($"offset_days" <= 7)
+          .groupBy(date_format($"d0", "yyyy-MM-dd").as("cohort_day"), $"offset_days")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_day", $"offset_days")
+      },
+      Some("""
+        WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        SELECT strftime(first.d0, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', first.d0, act.d) AS INT) AS offset_days,
+               CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        FROM act JOIN first ON act.user_id = first.user_id
+        WHERE date_diff('day', first.d0, act.d) <= 7
+        GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"""))
+  )
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.registry.Registry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's own surface, Spark-first (SURVEY.md §2.B).
+  *
+  * `extract(input_path, input_type)` in the reference
+  * (`/root/reference/marda_extractors_api/__init__.py:45-148`) is, as
+  * dataflow: file catalog ⋈ registry → pick extractor[0] → resolve usage by
+  * preferred mode → template the command → execute per file. Here every
+  * step is a declarative plan over broadcast registry dims, so the same
+  * pipeline runs unchanged over 10 files or 10^10: the file catalog is the
+  * only big table and it streams map-side through every stage.
+  *
+  * The file catalog derives deterministically from `documents` (id → path +
+  * filetype + preferred mode) so the DuckDB oracle reproduces it.
+  */
+object RegistryOps {
+
+  /** File catalog columns over documents: path, filetype, preferred mode. */
+  private def catalog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents").select(
+      $"doc_id",
+      concat(lit("/data/files/doc_"), $"doc_id", lit("."),
+        element_at(array(lit("mpr"), lit("xy"), lit("h5"), lit("csv")), ($"doc_id" % 4 + 1).cast(IntegerType))).as("input_path"),
+      element_at(array(lit("biologic-mpr"), lit("example-xy"), lit("nexus-hdf5"), lit("csv")),
+        ($"doc_id" % 4 + 1).cast(IntegerType)).as("filetype_id"),
+      when($"doc_id" % 2 === 0, "python").otherwise("cli").as("preferred_mode"))
+  }
+
+  private val catalogSql: String = """
+    (SELECT doc_id,
+            '/data/files/doc_' || doc_id || '.' ||
+              (['mpr','xy','h5','csv'])[CAST(doc_id % 4 + 1 AS INT)] AS input_path,
+            (['biologic-mpr','example-xy','nexus-hdf5','csv'])[CAST(doc_id % 4 + 1 AS INT)] AS filetype_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'cli' END AS preferred_mode
+     FROM documents)"""
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── r01: normalize the registry — filetype × ranked extractors ──
+    // (the JSON `registered_extractors` array → relational rows).
+    GQuery("r01_registry_explode",
+      (s, d) => {
+        import s.implicits._
+        Registry.filetypes(s)
+          .select($"filetype_id", posexplode($"registered_extractors"))
+          .select($"filetype_id", ($"pos" + 1).cast(IntegerType).as("rank"), $"col".as("extractor_id"))
+          .orderBy($"filetype_id", $"rank")
+      },
+      Some(s"""
+        SELECT filetype_id,
+               CAST(unnest(range(1, len(registered_extractors) + 1)) AS INT) AS rank,
+               unnest(registered_extractors) AS extractor_id
+        FROM ${Registry.filetypesSql}
+        ORDER BY filetype_id, rank""")),
+
+    // ── r02: extractor selection — the reference's `extractors[0]` rule ──
+    // (__init__.py:110-115) + how many alternatives were discovered.
+    GQuery("r02_extractor_select",
+      (s, d) => {
+        import s.implicits._
+        Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id",
+            element_at($"registered_extractors", 1).as("chosen_extractor"),
+            size($"registered_extractors").as("n_alternatives"))
+          .orderBy($"filetype_id")
+      },
+      Some(s"""
+        SELECT filetype_id,
+               registered_extractors[1] AS chosen_extractor,
+               CAST(len(registered_extractors) AS INT) AS n_alternatives
+        FROM ${Registry.filetypesSql}
+        WHERE len(registered_extractors) > 0
+        ORDER BY filetype_id""")),
+
+    // ── r03: usage resolution — parse_usage semantics (__init__.py: ──
+    // 443-456): first usage matching the preferred mode, else the LAST
+    // usage block (the reference's loop falls through to the final one).
+    GQuery("r03_usage_resolution",
+      (s, d) => {
+        import s.implicits._
+        val u = Registry.usages(s)
+        val modes = s.createDataFrame(Seq(Tuple1("python"), Tuple1("cli"))).toDF("preferred_mode")
+        val joined = u.join(modes)
+          .withColumn("is_pref", ($"method" === $"preferred_mode").cast(IntegerType))
+        joined.groupBy($"extractor_id", $"preferred_mode")
+          .agg(
+            max($"is_pref").as("has_pref"),
+            min(when($"is_pref" === 1, $"idx")).as("pref_idx"),
+            max($"idx").as("last_idx"))
+          .withColumn("use_idx", when($"has_pref" === 1, $"pref_idx").otherwise($"last_idx"))
+          .join(u.select($"extractor_id", $"idx", $"method", $"command"),
+            Seq("extractor_id"))
+          .filter($"idx" === $"use_idx")
+          .select($"extractor_id", $"preferred_mode", $"method".as("resolved_method"), $"command")
+          .orderBy($"extractor_id", $"preferred_mode")
+      },
+      Some(s"""
+        WITH u AS (SELECT * FROM ${Registry.usagesSql}),
+        modes AS (SELECT unnest(['python', 'cli']) AS preferred_mode),
+        rs AS (
+          SELECT extractor_id, preferred_mode,
+                 max(CASE WHEN method = preferred_mode THEN 1 ELSE 0 END) AS has_pref,
+                 min(CASE WHEN method = preferred_mode THEN idx END) AS pref_idx,
+                 max(idx) AS last_idx
+          FROM u, modes GROUP BY extractor_id, preferred_mode)
+        SELECT rs.extractor_id, rs.preferred_mode,
+               u.method AS resolved_method, u.command
+        FROM rs JOIN u ON rs.extractor_id = u.extractor_id
+               AND u.idx = (CASE WHEN rs.has_pref = 1 THEN rs.pref_idx ELSE rs.last_idx END)
+        ORDER BY rs.extractor_id, rs.preferred_mode""")),
+
+    // ── r04: command templating — apply_template_args (__init__.py: ──
+    // 401-441): `{{ field }}` → value; python mode repr-quotes the value,
+    // cli mode substitutes raw; output_path defaults to input_path with a
+    // .json suffix (__init__.py:249-250).
+    GQuery("r04_template_apply",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d).filter($"doc_id" < 40)
+        val cmd = lit("extract({{ input_type }}, {{ input_path }}) -> {{ output_path }}")
+        val outPath = regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")
+        def fmt(v: org.apache.spark.sql.Column) =
+          when($"preferred_mode" === "python", concat(lit("'"), v, lit("'"))).otherwise(v)
+        files.select($"doc_id", $"preferred_mode",
+          replace(replace(replace(cmd,
+            lit("{{ input_type }}"), fmt($"filetype_id")),
+            lit("{{ input_path }}"), fmt($"input_path")),
+            lit("{{ output_path }}"), fmt(outPath)).as("templated"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql WHERE doc_id < 40),
+        f AS (SELECT doc_id, preferred_mode, filetype_id, input_path,
+                     regexp_replace(input_path, '\\.[a-z0-9]+$$', '.json') AS output_path,
+                     CASE WHEN preferred_mode = 'python' THEN '''' ELSE '' END AS q
+              FROM files)
+        SELECT doc_id, preferred_mode,
+               replace(replace(replace('extract({{ input_type }}, {{ input_path }}) -> {{ output_path }}',
+                 '{{ input_type }}', q || filetype_id || q),
+                 '{{ input_path }}', q || input_path || q),
+                 '{{ output_path }}', q || output_path || q) AS templated
+        FROM f ORDER BY doc_id""")),
+
+    // ── r05: full dispatch — extract() end-to-end as one declarative ──
+    // plan: catalog ⋈ broadcast registry ⋈ usage resolution ⋈ templating;
+    // filetypes with no registered extractor surface status='no_extractor'
+    // (the reference's RuntimeError path, __init__.py:106-109).
+    GQuery("r05_file_dispatch",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d)
+        val chosen = Registry.filetypes(s)
+          .select($"filetype_id",
+            when(size($"registered_extractors") > 0, element_at($"registered_extractors", 1)).as("extractor_id"))
+        val u = Registry.usages(s)
+        val resolved = u.join(
+            s.createDataFrame(Seq(Tuple1("python"), Tuple1("cli"))).toDF("preferred_mode"))
+          .withColumn("is_pref", ($"method" === $"preferred_mode").cast(IntegerType))
+          .groupBy($"extractor_id", $"preferred_mode")
+          .agg(max($"is_pref").as("has_pref"),
+            min(when($"is_pref" === 1, $"idx")).as("pref_idx"), max($"idx").as("last_idx"))
+          .withColumn("use_idx", when($"has_pref" === 1, $"pref_idx").otherwise($"last_idx"))
+          .join(u.select($"extractor_id", $"idx", $"method", $"command"), Seq("extractor_id"))
+          .filter($"idx" === $"use_idx")
+          .select($"extractor_id", $"preferred_mode", $"method", $"command")
+        def fmt(v: org.apache.spark.sql.Column) =
+          when($"method" === "python", concat(lit("'"), v, lit("'"))).otherwise(v)
+        val outPath = regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")
+        files
+          .join(broadcast(chosen), Seq("filetype_id"), "left_outer")
+          .join(broadcast(resolved), Seq("extractor_id", "preferred_mode"), "left_outer")
+          .select($"doc_id", $"filetype_id",
+            coalesce($"extractor_id", lit("NONE")).as("extractor_id"),
+            coalesce($"method", lit("none")).as("method"),
+            when($"extractor_id".isNull, lit("no_extractor")).otherwise(lit("ok")).as("status"),
+            coalesce(replace(replace(replace($"command",
+              lit("{{ input_type }}"), fmt($"filetype_id")),
+              lit("{{ input_path }}"), fmt($"input_path")),
+              lit("{{ output_path }}"), fmt(outPath)), lit("")).as("exec_command"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql),
+        chosen AS (
+          SELECT filetype_id,
+                 CASE WHEN len(registered_extractors) > 0 THEN registered_extractors[1] END AS extractor_id
+          FROM ${Registry.filetypesSql}),
+        u AS (SELECT * FROM ${Registry.usagesSql}),
+        rs AS (
+          SELECT extractor_id, m.preferred_mode,
+                 max(CASE WHEN method = m.preferred_mode THEN 1 ELSE 0 END) AS has_pref,
+                 min(CASE WHEN method = m.preferred_mode THEN idx END) AS pref_idx,
+                 max(idx) AS last_idx
+          FROM u, (SELECT unnest(['python', 'cli']) AS preferred_mode) m
+          GROUP BY extractor_id, m.preferred_mode),
+        resolved AS (
+          SELECT rs.extractor_id, rs.preferred_mode, u.method, u.command
+          FROM rs JOIN u ON rs.extractor_id = u.extractor_id
+                 AND u.idx = (CASE WHEN rs.has_pref = 1 THEN rs.pref_idx ELSE rs.last_idx END))
+        SELECT f.doc_id, f.filetype_id,
+               COALESCE(c.extractor_id, 'NONE') AS extractor_id,
+               COALESCE(r.method, 'none') AS method,
+               CASE WHEN c.extractor_id IS NULL THEN 'no_extractor' ELSE 'ok' END AS status,
+               COALESCE(replace(replace(replace(r.command,
+                 '{{ input_type }}',
+                 CASE WHEN r.method = 'python' THEN '''' || f.filetype_id || '''' ELSE f.filetype_id END),
+                 '{{ input_path }}',
+                 CASE WHEN r.method = 'python' THEN '''' || f.input_path || '''' ELSE f.input_path END),
+                 '{{ output_path }}',
+                 CASE WHEN r.method = 'python'
+                      THEN '''' || regexp_replace(f.input_path, '\\.[a-z0-9]+$$', '.json') || ''''
+                      ELSE regexp_replace(f.input_path, '\\.[a-z0-9]+$$', '.json') END), '') AS exec_command
+        FROM files f
+          LEFT JOIN chosen c ON f.filetype_id = c.filetype_id
+          LEFT JOIN resolved r ON c.extractor_id = r.extractor_id AND f.preferred_mode = r.preferred_mode
+        ORDER BY f.doc_id""")),
+
+    // ── r06: distributed batch extraction — the README "parallel ──
+    // processing" plan: every dispatched file yields a structured metadata
+    // row (deterministic stub decode: token stats + content checksum; the
+    // real per-format decode plugs into Extraction.extractPartition).
+    GQuery("r06_batch_extract",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d)
+        val meta = Tables.load(s, d, "documents")
+          .select($"doc_id", $"text")
+          .join(files, Seq("doc_id"))
+          .filter($"filetype_id" =!= "csv")
+        meta.select($"doc_id", $"filetype_id",
+            size(split($"text", " ")).as("n_tokens"),
+            length($"text").as("n_bytes"),
+            md5($"text").as("checksum"),
+            split($"text", " ").getItem(0).as("first_token"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql)
+        SELECT d.doc_id, f.filetype_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               CAST(length(d.text) AS INT) AS n_bytes,
+               md5(d.text) AS checksum,
+               string_split(d.text, ' ')[1] AS first_token
+        FROM documents d JOIN files f ON d.doc_id = f.doc_id
+        WHERE f.filetype_id <> 'csv'
+        ORDER BY d.doc_id"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's registry data model, as Spark dimension tables.
+  *
+  * The reference fetches JSON from a remote registry
+  * (`/root/reference/marda_extractors_api/__init__.py:96-123`:
+  * GET /filetypes/{id} → registered_extractors, GET /extractors/{id} →
+  * usage/installation blocks). Re-expressed Spark-first, the registry is a
+  * set of small dimension tables that broadcast to every executor — at
+  * 100 TB of files the registry stays a few KB, so file→extractor matching
+  * is a map-side broadcast join, never a shuffle of the file catalog.
+  *
+  * The rows mirror the reference's test fixture
+  * (`/root/reference/tests/test_mpr.py:77-95`: the `yadg` extractor
+  * definition) plus representative entries exercising every dispatch path
+  * (multi-extractor filetype, cli-only, python-only, no-extractor).
+  */
+object Registry {
+
+  /** filetype → ordered registered extractors (order = registry rank; the
+    * reference picks index 0, `__init__.py:110-115`).
+    */
+  def filetypes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("biologic-mpr", Seq("yadg", "galvani")),
+      ("example-xy", Seq("yadg")),
+      ("nexus-hdf5", Seq("h5grove")),
+      ("pdf", Seq("pdfplumber-cli")),
+      ("csv", Seq.empty[String])
+    ).toDF("filetype_id", "registered_extractors")
+  }
+
+  /** DuckDB VALUES mirror of [[filetypes]] (oracle side). */
+  val filetypesSql: String = """
+    (SELECT * FROM (VALUES
+       ('biologic-mpr', ['yadg', 'galvani']),
+       ('example-xy',   ['yadg']),
+       ('nexus-hdf5',   ['h5grove']),
+       ('pdf',          ['pdfplumber-cli']),
+       ('csv',          []::VARCHAR[])
+     ) AS t(filetype_id, registered_extractors))"""
+
+  /** Usage blocks: (extractor, idx, method, setup, command) — idx is the
+    * JSON array position `parse_usage` iterates (`__init__.py:443-456`).
+    */
+  def usages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
+      ("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }}"),
+      ("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
+      ("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
+      ("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}")
+    ).toDF("extractor_id", "idx", "method", "setup", "command")
+  }
+
+  /** DuckDB VALUES mirror of [[usages]]. */
+  val usagesSql: String = """
+    (SELECT * FROM (VALUES
+       ('yadg', 0, 'python', 'yadg', 'yadg.extractors.extract({{ input_type }}, {{ input_path }})'),
+       ('yadg', 1, 'cli', '', 'yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }}'),
+       ('galvani', 0, 'python', 'galvani', 'galvani.MPRfile({{ input_path }})'),
+       ('h5grove', 0, 'cli', '', 'h5dump {{ input_path }} > {{ output_path }}'),
+       ('pdfplumber-cli', 0, 'cli', '', 'pdfplumber {{ input_path }} --out {{ output_path }}')
+     ) AS t(extractor_id, idx, method, setup, command))"""
+
+  /** Installation instructions (`MardaExtractor.install`,
+    * `__init__.py:179-217`): pip packages per extractor.
+    */
+  def installations(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("yadg", "pip", "yadg~=5.0"),
+      ("galvani", "pip", "galvani>=0.4"),
+      ("h5grove", "pip", "h5grove"),
+      ("pdfplumber-cli", "pip", "pdfplumber")
+    ).toDF("extractor_id", "method", "package")
+  }
+
+  /** DuckDB VALUES mirror of [[installations]]. */
+  val installationsSql: String = """
+    (SELECT * FROM (VALUES
+       ('yadg', 'pip', 'yadg~=5.0'),
+       ('galvani', 'pip', 'galvani>=0.4'),
+       ('h5grove', 'pip', 'h5grove'),
+       ('pdfplumber-cli', 'pip', 'pdfplumber')
+     ) AS t(extractor_id, method, package))"""
+}

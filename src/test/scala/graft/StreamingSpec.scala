@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** e05_stream_stateful (SURVEY.md §2.F): streaming twins equal their batch
+  * forms — windowed agg via a real Structured Streaming query (file source →
+  * memory sink), sessionization via flatMapGroupsWithState vs the e02
+  * window-function sessionization.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming windowed counts equal the batch plan") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batch.write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Append-mode only emits windows the watermark has passed; the final
+    // (max-event-time) window stays pending — compare on the closed set.
+    val got = spark.table("win_out")
+      .select($"window_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val wantAll = EventStreams.windowedCounts(batch)
+      .select($"window_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "streaming emitted no closed windows")
+    assert(got.subsetOf(wantAll), "streaming windows disagree with batch plan")
+  }
+
+  test("flatMapGroupsWithState sessionization equals windowed sessionization (e02)") {
+    import spark.implicits._
+    val evs = Tables.load(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val got = EventStreams.sessionize(evs)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events, s.start_us, s.end_us)).toSet
+    val want = SparkEntry.queries("e02_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("partition-local extraction produces per-file metadata") {
+    import spark.implicits._
+    val tasks = Tables.load(spark, sf, "documents")
+      .select($"doc_id", lit("biologic-mpr").as("filetype_id"),
+        concat(lit("/data/files/doc_"), $"doc_id", lit(".mpr")).as("input_path"),
+        $"text".as("payload"))
+      .as[graft.registry.Extraction.FileTask]
+    val out = graft.registry.Extraction.extractAll(tasks).cache()
+    assert(out.filter($"status" === "ok").count() == tasks.count())
+    // checksum parity with the relational md5 (r06 uses the same stub)
+    val viaSql = Tables.load(spark, sf, "documents").select($"doc_id", md5($"text").as("m"))
+    val joined = out.join(viaSql, "doc_id").filter($"checksum" =!= $"m").count()
+    assert(joined == 0)
+  }
+}
