@@ -23,20 +23,39 @@ object TextFunctions {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Seeded variant for independent hash families (minhash). Seed is mixed
-    * into the input, so each seed is an independent md5 draw.
+  /** Seeded variant for independent hash families. Seed is mixed into the
+    * input, so each seed is an independent md5 draw. (One md5 per seed —
+    * for minhash-style families prefer one [[hash64]] + [[permHash]].)
     */
   def hash64Seeded(c: Column, seed: Int): Column =
     hash64(concat(lit(s"s$seed:"), c))
 
-  /** k-token shingles ("n-grams of tokens") as an array column.
-    * 1-based element_at arithmetic matches DuckDB's 1-based list indexing.
+  /** Universal-hash permutation family over a base [[hash64]] value:
+    * h_p = (a_p·(h mod P1) + b_p) mod P1 with P1 prime < 2^30, a true
+    * affine permutation of Z_P1. The product stays < 2^60, so every
+    * intermediate fits in a signed 64-bit integer — identical arithmetic
+    * in Spark and DuckDB (whose BIGINT overflow errors instead of
+    * wrapping). The reduction MUST be mod P1: an earlier mod-2^61 variant
+    * never wrapped, making every "permutation" monotonic in the same value
+    * — all minhashes picked the same shingle and LSH recall collapsed to a
+    * single hash function's. One md5 feeds any number of permutations.
     */
-  def shingles(toks: Column, k: Int = 3): Column = {
-    val idx = sequence(lit(1), greatest(size(toks) - (k - 1), lit(0)))
-    val mk = (i: Column) => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)
-    when(size(toks) >= k, transform(idx, mk)).otherwise(array())
-  }
+  val PermP1 = 1073741789L
+  def permA(p: Int): Long = (1103515245L * (p + 1) + 12345L) % PermP1
+  def permB(p: Int): Long = (694367L * (p + 1) + 99991L) % PermP1
+  def permHash(h: Column, p: Int): Column =
+    (lit(permA(p)) * (h % PermP1) + lit(permB(p))) % PermP1
+
+  /** DuckDB mirror of [[permHash]] with `h`/`p` spliced as SQL text. */
+  def permHashSql(h: String, p: String): String =
+    s"(((1103515245*($p+1)+12345) % 1073741789) * ($h % 1073741789) + ((694367*($p+1)+99991) % 1073741789)) % 1073741789"
+
+  /** k-token shingles ("n-grams of tokens") as an array column, via the
+    * codegen'd [[ShingleExpr]] (the higher-order-function formulation runs
+    * the lambda interpreted and is ~20× slower).
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    ShingleExpr.shinglesFast(toks, k)
 
   /** Count of tokens drawn from a fixed word list. */
   def countIn(toks: Column, words: Seq[String]): Column = {

@@ -23,39 +23,48 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
-  // MinHash parameters: 8 permutations, 2 bands × 4 rows.
-  // P(candidate | jaccard j) = 1-(1-j^4)^2: ~0 below j=0.3, ~1 above j=0.95 —
-  // matched to the corpus (planted near-dups sit at j≈0.99, background <0.3).
-  private val NumPerms = 8
-  private val NumBands = 2
+  // MinHash parameters: 16 permutations, 4 bands × 4 rows.
+  // P(candidate | jaccard j) = 1-(1-j^4)^4: ≈0 for background pairs,
+  // 0.9988 at j=0.95 (an 8-perm/2-band family measurably missed ~8% of
+  // planted j≈0.95 pairs — classic LSH variance, fixed with more bands).
+  private val NumPerms = 16
+  private val NumBands = 4
   private val RowsPerBand = 4
 
-  /** Per-doc minhash signature columns m0..m7 + band keys b0..b1 (pure
-    * expressions — signatures never shuffle; only (doc, band-key) rows do).
+  /** Per-doc minhash signature columns m0..m7 + band keys b0..b1.
+    *
+    * Shape chosen for codegen + shuffle volume: explode shingles, ONE md5
+    * per shingle, derive all 8 permutations arithmetically ([[permHash]]),
+    * and take the 8 mins in a single hash aggregate — map-side partial agg
+    * collapses each doc to one row before the (tiny) shuffle. The previous
+    * array-lambda form ran 8 interpreted md5 passes per document
+    * (higher-order lambdas don't codegen) and was 7× slower at sf0.1.
     */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = array_distinct(shingles(tokens($"text"), 3))
-    val withSig = (0 until NumPerms).foldLeft(docs(s, d).select($"doc_id", sh.as("sh"))) {
-      case (df, p) => df.withColumn(s"m$p", array_min(transform($"sh", x => hash64(concat(lit(s"s$p:"), x)))))
-    }
-    (0 until NumBands).foldLeft(withSig) { case (df, b) =>
+    val sh = shingles(tokens($"text"), 3)
+    val hashed = docs(s, d).select($"doc_id", explode(sh).as("sh"))
+      .select($"doc_id", hash64($"sh").as("h"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(min(permHash($"h", 0)).as("m0"),
+        (1 until NumPerms).map(p => min(permHash($"h", p)).as(s"m$p")): _*)
+    (0 until NumBands).foldLeft(sig) { case (df, b) =>
       df.withColumn(s"b$b", concat_ws("_",
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
-    }.drop("sh")
+    }
   }
 
   /** DuckDB mirror of the signature pipeline (shared by d02/d04 oracles). */
-  private val sigSql = """
+  private val sigSql = s"""
     ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     shl AS (SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(ts) - 1),
-                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+                   list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS sh
             FROM ts),
-    exp AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+    hs AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h FROM shl),
     mh AS (SELECT doc_id, p.p AS p,
-                  min(CAST(('0x' || substr(md5('s' || p.p || ':' || sh), 1, 15)) AS BIGINT)) AS m
-           FROM exp, (SELECT unnest(range(8)) AS p) p
+                  min(${permHashSql("h", "p.p")}) AS m
+           FROM hs, (SELECT unnest(range(16)) AS p) p
            GROUP BY doc_id, p.p),
     sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id)"""
 
@@ -106,14 +115,14 @@ object Dedup {
         bands AS (
           SELECT doc_id, b.b AS band,
                  sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
-          FROM sig, (SELECT unnest(range(2)) AS b) b),
+          FROM sig, (SELECT unnest(range(4)) AS b) b),
         cand AS (
           SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
           FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         SELECT i, j,
-               CAST(len(list_filter(range(1, 9), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 8 AS est_jaccard
+               CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16 AS est_jaccard
         FROM cand JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
-        WHERE len(list_filter(range(1, 9), k -> si.sig[k] = sj.sig[k])) >= 4
+        WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8
         ORDER BY i, j""")),
 
     // ── d03: SimHash — 32-bit fingerprint from per-shingle hash bit votes; ──
@@ -163,38 +172,49 @@ object Dedup {
         FROM pairs WHERE bit_count(xor(si, sj)) <= 3
         ORDER BY i, j""")),
 
-    // ── d04: exact n-gram Jaccard on minhash-blocked candidates: block on ──
-    // the global min shingle-hash (P(share block | j) = j), verify exactly
-    // with array_intersect/union, threshold 0.8.
+    // ── d04: the canonical near-dup pipeline: MinHash-LSH candidate ──
+    // generation (d02's band buckets — r=4 rows keep unrelated docs from
+    // co-bucketing; blocking on 1-2 raw min-hashes formed corpus-scale
+    // groups whenever a common shingle drew the global min) followed by
+    // EXACT shingle-Jaccard verification at 0.8.
     GQuery("d04_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        val base = docs(s, d).select($"doc_id",
+        val sig = signatures(s, d)
+        val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val sets = docs(s, d).select($"doc_id",
           array_distinct(shingles(tokens($"text"), 3)).as("sh"))
-          .withColumn("blk", array_min(transform($"sh", x => hash64(concat(lit("s0:"), x)))))
-        base.as("x").join(base.as("y"), $"x.blk" === $"y.blk" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
-            (size(array_intersect($"x.sh", $"y.sh")).cast(DoubleType) /
-              size(array_union($"x.sh", $"y.sh"))).as("jaccard"))
+        cand
+          .join(sets.select($"doc_id".as("i"), $"sh".as("sh_i")), "i")
+          .join(sets.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
+          .select($"i", $"j",
+            (size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType) /
+              size(array_union($"sh_i", $"sh_j"))).as("jaccard"))
           .filter($"jaccard" >= 0.8)
           .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
           .orderBy($"i", $"j")
       },
-      Some("""
-        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        shl AS (SELECT doc_id,
-                       list_distinct(list_transform(range(1, len(ts) - 1),
-                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
-                FROM ts),
-        blk AS (SELECT doc_id, sh,
-                       list_min(list_transform(sh, x -> CAST(('0x' || substr(md5('s0:' || x), 1, 15)) AS BIGINT))) AS blk
-                FROM shl)
-        SELECT x.doc_id AS i, y.doc_id AS j,
-               ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-        FROM blk x JOIN blk y ON x.blk = y.blk AND x.doc_id < y.doc_id
-        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+      Some(s"""
+        WITH $sigSql,
+        bands AS (
+          SELECT doc_id, b.b AS band,
+                 sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
+          FROM sig, (SELECT unnest(range(4)) AS b) b),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl)
+        SELECT i, j,
+               ROUND(CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(si.sh, sj.sh))), 6) AS jaccard
+        FROM cand JOIN sets si ON cand.i = si.doc_id JOIN sets sj ON cand.j = sj.doc_id
+        WHERE CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(si.sh, sj.sh))) >= 0.8
         ORDER BY i, j""")),
 
     // ── d05: embedding-cosine near-dup pairs (codegen CosineSim). The ──
@@ -204,10 +224,13 @@ object Dedup {
     GQuery("d05_embed_dupes",
       (s, d) => {
         import s.implicits._
-        val e = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+        // Cast float→double ONCE per row before the pair join — a cast in
+        // the pair projection would re-materialize a 64-double array per
+        // PAIR (O(n²) allocations, measured 10× slower).
+        val e = Tables.load(s, d, "embeddings").select($"vec_id", asDouble($"embedding").as("v"))
         e.as("x").join(e.as("y"), $"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("i"), $"y.vec_id".as("j"),
-            cosineSim($"x.embedding", $"y.embedding").as("cos"))
+            cosineSim($"x.v", $"y.v").as("cos"))
           .filter($"cos" >= 0.45)
           .select($"i", $"j", round($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
