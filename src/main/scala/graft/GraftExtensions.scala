@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{CosineSim, ShingleExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions wiring: the engine's custom Catalyst expressions
+  * exposed as SQL functions, so `spark.sql` users get them too:
+  *
+  *   SELECT cosine_sim(a, b)          -- codegen'd cosine over array<double>
+  *   SELECT shingles(tokens, 3)       -- codegen'd k-token shingles
+  *
+  * Registered via injectFunction (not a runtime UDF): the planner sees the
+  * real expression nodes, so codegen and null-semantics match the Column
+  * DSL exactly. Activated by GraftSession.builder().withExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("shingles"),
+      info("shingles", "shingles(tokens, k) - space-joined consecutive k-grams of array<string>"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(k: Int, _) => ShingleExpr(exprs(0), k)
+        case other => throw new IllegalArgumentException(
+          s"shingles(tokens, k): k must be an integer literal, got $other")
+      }))
+  }
+}

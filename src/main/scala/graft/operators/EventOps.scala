@@ -126,6 +126,31 @@ object EventOps {
                CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
         FROM act JOIN first ON act.user_id = first.user_id
         WHERE date_diff('day', first.d0, act.d) <= 7
-        GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"""))
+        GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days""")),
+
+    // ── e06: as-of join — for every error event, the user's most recent ──
+    // strictly-earlier purchase. Expressed as a carry-forward window (max
+    // over preceding rows) instead of a per-row range probe: one shuffle
+    // on user_id, no custom operator needed.
+    GQuery("e06_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .withColumn("last_purchase_us",
+            max(when($"event_type" === "purchase", unix_micros($"ts"))).over(w))
+          .filter($"event_type" === "error")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("error_us"),
+            coalesce($"last_purchase_us", lit(-1L)).as("last_purchase_us"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS error_us,
+               COALESCE(max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_purchase_us
+        FROM events QUALIFY event_type = 'error'
+        ORDER BY event_id"""))
   )
 }

@@ -497,6 +497,72 @@ object Relational {
             count(lit(1)).as("n"))
           .orderBy($"l_returnflag")
       },
-      None)
+      None),
+
+    // ── q25: set operations — INTERSECT / EXCEPT as shuffle-dedup set ──
+    // algebra over nation keys.
+    GQuery("q25_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val cn = t(s, d, "customer").select($"c_nationkey".as("nationkey"))
+        val sn = t(s, d, "supplier").select($"s_nationkey".as("nationkey"))
+        cn.intersect(sn).withColumn("tag", lit("both"))
+          .union(cn.except(sn).withColumn("tag", lit("cust_only")))
+          .orderBy($"tag", $"nationkey")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT nationkey, 'both' AS tag FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT nationkey, 'cust_only' AS tag FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             EXCEPT SELECT s_nationkey FROM supplier))
+        ORDER BY tag, nationkey""")),
+
+    // ── q26: string-similarity self-join — Levenshtein ≤ 8 within brand ──
+    // blocks (blocking bounds the pairwise work, same discipline as the
+    // LSH dedup family).
+    GQuery("q26_string_similarity",
+      (s, d) => {
+        import s.implicits._
+        val p = t(s, d, "part").filter($"p_partkey" < 300)
+          .select($"p_partkey", $"p_brand", $"p_name")
+        p.as("x").join(p.as("y"),
+            $"x.p_brand" === $"y.p_brand" && $"x.p_partkey" < $"y.p_partkey")
+          .select($"x.p_partkey".as("i"), $"y.p_partkey".as("j"),
+            levenshtein($"x.p_name", $"y.p_name").as("lev"))
+          .filter($"lev" <= 8)
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        SELECT x.p_partkey AS i, y.p_partkey AS j,
+               CAST(levenshtein(x.p_name, y.p_name) AS INT) AS lev
+        FROM (SELECT * FROM part WHERE p_partkey < 300) x
+        JOIN (SELECT * FROM part WHERE p_partkey < 300) y
+          ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+        WHERE levenshtein(x.p_name, y.p_name) <= 8
+        ORDER BY i, j""")),
+
+    // ── q27: FILTER-clause aggregates (conditional aggregation in one ──
+    // pass, no self-joins).
+    GQuery("q27_filtered_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+            count(when($"o_orderstatus" === "O", 1)).as("n_open"),
+            sumd(when($"o_orderstatus" === "F", d2($"o_totalprice"))).as("spend_finished"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS spend_finished
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

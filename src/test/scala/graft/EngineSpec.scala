@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-component specs (SURVEY.md §2.H): SQL-registered custom
+  * expressions, plan quality (pushdown / broadcast / partial agg), and
+  * source/sink round-trips.
+  */
+class EngineSpec extends AnyFunSuite with SparkTestBase {
+
+  test("custom expressions are SQL-callable via SparkSessionExtensions") {
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS c").head().getDouble(0)
+    assert(math.abs(cos - 0.9922778767136677) < 1e-12)
+    val sh = spark.sql(
+      "SELECT shingles(array('a','b','c','d'), 3) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("filter and projection push down to the parquet scan (q02)") {
+    val plan = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_shipdate"), "shipdate predicate not pushed")
+    // column pruning: the 11-column lineitem scan must read only what q02 needs
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (q03) and big joins shuffle (q04)") {
+    val p3 = SparkEntry.queries("q03_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "q03 dims not broadcast")
+    val p4 = SparkEntry.queries("q04_shuffle_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("Join"), "q04 lost its join")
+  }
+
+  test("aggregations are two-phase (map-side partial agg)") {
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("sources round-trip: parquet, csv, json, partitioned write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val df = Tables.load(spark, sf, "nation")
+    df.write.mode("overwrite").parquet(s"$dir/p")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    df.write.mode("overwrite").json(s"$dir/j")
+    df.write.mode("overwrite").partitionBy("n_regionkey").parquet(s"$dir/part")
+    assert(spark.read.parquet(s"$dir/p").count() == 25)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 25)
+    assert(spark.read.json(s"$dir/j").count() == 25)
+    val parted = spark.read.parquet(s"$dir/part")
+    assert(parted.count() == 25)
+    // partition pruning: reading one region touches one directory
+    val pruned = parted.filter(col("n_regionkey") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 5)
+    assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), s"no partition pruning: $scan")
+  }
+}
