@@ -563,6 +563,34 @@ object Relational {
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS spend_finished
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q28: salted two-stage aggregation — the skew-mitigation pattern ──
+    // for hot keys: stage 1 aggregates on (key, salt) so a hot key's rows
+    // spread over 8 reducers, stage 2 merges the partials. Result is
+    // salt-independent (decimal addition is associative/exact), so the
+    // oracle is the plain GROUP BY. l_returnflag has 3 values over 600k
+    // rows at sf0.1 — exactly the shape that melts a single reducer at
+    // 100 TB without salting.
+    GQuery("q28_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .withColumn("salt", pmod(hash($"l_orderkey"), lit(8)))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(d2($"l_quantity")).as("pq"),
+            sum(d2($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - r2($"l_discount"))).as("pr"))
+          .groupBy($"l_returnflag")
+          .agg(sum($"pn").as("n"),
+            sum($"pq").cast(DoubleType).as("sum_qty"),
+            sum($"pr").cast(DoubleType).as("revenue"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -48,6 +48,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming dedup drops replayed events (dropDuplicates + watermark)") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
+    // replay the same events twice — an at-least-once source
+    batch.write.mode("overwrite").parquet(s"$inDir/a")
+    batch.write.mode("overwrite").parquet(s"$inDir/b")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$inDir/*")
+    val q = stream.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").head().getLong(0)
+    assert(got == batch.count(), s"streaming dedup kept $got of ${batch.count()} unique events")
+  }
+
+  test("foreachBatch sink writes queryable parquet") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_feb_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    batch.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.groupBy($"event_type").count()
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val types = spark.read.parquet(s"$outDir/batch_0").count()
+    assert(types == 5, s"expected 5 event types, got $types")
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
