@@ -591,6 +591,71 @@ object Relational {
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q29: correlated subquery — orders above their own customer's ──
+    // average, decorrelated into a window (one shuffle on the correlation
+    // key; the exact-decimal mean makes the comparison boundary identical
+    // across engines).
+    GQuery("q29_correlated_subquery",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+        t(s, d, "orders")
+          .withColumn("cust_avg",
+            sum(d2($"o_totalprice")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+          .filter($"o_totalprice" > $"cust_avg")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"cust_avg")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders)
+        WHERE o_totalprice > cust_avg
+        ORDER BY o_orderkey""")),
+
+    // ── q30: dispersion statistics from exact decimal moments — mean, ──
+    // sample variance, stddev derived from Σx and Σx² (exact decimal sums,
+    // then a fixed-order double formula: bit-identical across engines,
+    // unlike streaming variance accumulators whose merge order varies).
+    GQuery("q30_dispersion",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(d2($"o_totalprice")).as("sx"),
+            sum(d2($"o_totalprice") * d2($"o_totalprice")).as("sx2"))
+          // Decimal→double via STRING: decimal→text is exact and
+          // text→double is correctly rounded in both engines, so the
+          // doubles are bit-identical — DuckDB's direct decimal→double
+          // (scaled multiply) drifts 1-3 ulp on 19-digit moments, and
+          // round() can't paper over that (it disagrees cross-engine at
+          // .xxxx5 boundaries, which 2-dp money hits in practice).
+          .select($"o_orderpriority", $"n",
+            ($"sx".cast(StringType).cast(DoubleType) / $"n").as("mean"),
+            (($"sx2".cast(StringType).cast(DoubleType)
+              - $"sx".cast(StringType).cast(DoubleType) * $"sx".cast(StringType).cast(DoubleType) / $"n")
+              / ($"n" - 1)).as("var_samp"),
+            sqrt(($"sx2".cast(StringType).cast(DoubleType)
+              - $"sx".cast(StringType).cast(DoubleType) * $"sx".cast(StringType).cast(DoubleType) / $"n")
+              / ($"n" - 1)).as("stddev"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, n,
+               sx / n AS mean,
+               (sx2 - sx * sx / n) / (n - 1) AS var_samp,
+               sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev
+        FROM (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx2
+          FROM orders GROUP BY o_orderpriority)
+        ORDER BY o_orderpriority"""))
   )
 }

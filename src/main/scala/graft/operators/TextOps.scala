@@ -164,6 +164,49 @@ object TextOps {
       Some("""
         SELECT word, COUNT(*) AS n FROM (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        GROUP BY word ORDER BY n DESC, word ASC LIMIT 10"""))
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""")),
+
+    // ── t07: TF-IDF — term counts × inverse document frequency, top-3 ──
+    // terms per document. Two partial-agg'd passes (term counts, doc
+    // freqs) + a broadcast of the tiny df table; ordering on the ROUNDED
+    // score so libm ln() ulp noise can't reorder ties across engines.
+    GQuery("t07_tfidf",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docsDf = docs(s, d)
+        val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
+        val terms = docsDf.filter($"doc_id" < 50)
+          .select($"doc_id", explode(tokens($"text")).as("word"))
+          .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        val df = docsDf
+          .select($"doc_id", explode(array_distinct(tokens($"text"))).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word".asc)
+        terms.join(broadcast(df), "word").join(broadcast(nDocs))
+          .withColumn("tfidf", round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"doc_id", $"rn", $"word", $"tf", $"tfidf")
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 50),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word),
+        dfreq AS (
+          SELECT word, COUNT(*) AS df FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents)
+          GROUP BY word),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, word, tf,
+                 ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (word), n),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+          FROM scored)
+        SELECT doc_id, rn, word, tf, tfidf FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn"""))
   )
 }
