@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(types == 5, s"expected 5 event types, got $types")
   }
 
+  test("incremental streaming minhash dedup finds the batch LSH pairs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    // two arrival waves: state must carry wave-1 signatures into wave 2
+    docs.filter($"doc_id" < 250).write.mode("overwrite").parquet(s"$inDir/w1")
+    docs.filter($"doc_id" >= 250).write.mode("overwrite").parquet(s"$inDir/w2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val pairs = graft.streaming.StreamingDedup.incrementalPairs(
+      graft.streaming.StreamingDedup.bandedSignatures(stream))
+    val q = pairs.writeStream.outputMode("append").format("memory").queryName("sdedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sdedup_out")
+      .select($"i", $"j", $"est_jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.subsetOf(got),
+      s"streaming missed ${(want -- got).size} of ${want.size} batch pairs")
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
