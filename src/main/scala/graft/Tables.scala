@@ -33,6 +33,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // Defensive for sessions not built by GraftSession: without this
+    // session conf Spark 4 refuses to read the TIMESTAMP(NANOS) column.
+    // Deliberately NOT restored after the read — the lazy plan re-reads
+    // the conf at execution time, so save/restore would re-break the scan.
+    // Scope of the documented leak: other TIMESTAMP(NANOS) parquet columns
+    // surface as LongType for this session instead of erroring.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = raw(s, d, "events")
     df.schema("ts").dataType match {
       // integer DIV: ns values (~1.7e18) overflow double-precision division

@@ -68,4 +68,15 @@ object TextFunctions {
     */
   def setFingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Shared MinHash-LSH parameters — the batch (operators.Dedup) and
+    * streaming (streaming.StreamingDedup) pipelines must agree bit-for-bit
+    * or the streaming-equals-batch spec fails with a confusing recall
+    * message instead of a compile error.
+    */
+  object MinHashParams {
+    val NumPerms = 16
+    val NumBands = 4
+    val RowsPerBand = 4
+  }
 }

@@ -23,13 +23,14 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
-  // MinHash parameters: 16 permutations, 4 bands × 4 rows.
-  // P(candidate | jaccard j) = 1-(1-j^4)^4: ≈0 for background pairs,
-  // 0.9988 at j=0.95 (an 8-perm/2-band family measurably missed ~8% of
-  // planted j≈0.95 pairs — classic LSH variance, fixed with more bands).
-  private val NumPerms = 16
-  private val NumBands = 4
-  private val RowsPerBand = 4
+  // MinHash parameters (shared with StreamingDedup): 16 permutations,
+  // 4 bands × 4 rows. P(candidate | jaccard j) = 1-(1-j^4)^4: ≈0 for
+  // background pairs, 0.9988 at j=0.95 (an 8-perm/2-band family measurably
+  // missed ~8% of planted j≈0.95 pairs — classic LSH variance, fixed with
+  // more bands). The SQL oracles hard-code these (range(16), range(4)).
+  private val NumPerms = MinHashParams.NumPerms
+  private val NumBands = MinHashParams.NumBands
+  private val RowsPerBand = MinHashParams.RowsPerBand
 
   /** Per-doc minhash signature columns m0..m7 + band keys b0..b1.
     *

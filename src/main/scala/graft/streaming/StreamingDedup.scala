@@ -22,9 +22,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  val NumPerms = 16
-  val NumBands = 4
-  val RowsPerBand = 4
+  val NumPerms: Int = MinHashParams.NumPerms
+  val NumBands: Int = MinHashParams.NumBands
+  val RowsPerBand: Int = MinHashParams.RowsPerBand
 
   case class BandedDoc(doc_id: Long, band: Int, bkey: String, sig: Seq[Long])
   case class DupPair(i: Long, j: Long, est_jaccard: Double)
@@ -34,16 +34,28 @@ object StreamingDedup {
   // (parallel Seqs, sigs strided by NumPerms) for a compact state row.
   case class BucketState(ids: Seq[Long], flatSigs: Seq[Long])
 
-  /** doc_id+text frame → one row per (doc, band) with the full signature. */
+  /** doc_id+text frame → one row per (doc, band) with the full signature.
+    *
+    * The hashed-shingle array is projected ONCE before the 16 permutation
+    * mins reference it — lambda subtrees are excluded from Spark's
+    * common-subexpression elimination, so inlining `hs` into each term
+    * would re-run tokenize+shingle+md5 16× per row. Docs with fewer than
+    * 3 tokens have no shingles and are dropped (array_min of an empty
+    * array is null, which would kill the query at Dataset deserialization;
+    * the batch pipeline drops them implicitly via explode).
+    */
   def bandedSignatures(docs: DataFrame): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
-    val hs = transform(shingles(tokens(col("text")), 3), x => hash64(x))
-    val sig = array((0 until NumPerms).map(p => array_min(transform(hs, h => permHash(h, p)))): _*)
+    val sig = array((0 until NumPerms).map(p =>
+      array_min(transform(col("hs"), h => permHash(h, p)))): _*)
     val bands = array((0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bkey"))
     }: _*)
-    docs.select(col("doc_id"), sig.as("sig"))
+    docs.select(col("doc_id"),
+        transform(shingles(tokens(col("text")), 3), x => hash64(x)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("sig"))
       .as[BandedDoc]
