@@ -62,4 +62,32 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 5)
     assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), s"no partition pruning: $scan")
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // co-locate fact tables on the join key at write time: at 100 TB this
+    // is the difference between a one-off layout cost and re-shuffling
+    // both sides on every join
+    Tables.load(spark, sf, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.load(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    // merge hint: at test scale Spark would broadcast the small side and
+    // skip bucketing entirely; the sort-merge path is the one bucketing
+    // optimizes (at 100 TB neither side broadcasts)
+    val joined = spark.table("li_bucketed").hint("merge")
+      .join(spark.table("o_bucketed"),
+        org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join over buckets")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
 }
