@@ -251,6 +251,37 @@ object RegistryOps {
                string_split(d.text, ' ')[1] AS first_token
         FROM documents d JOIN files f ON d.doc_id = f.doc_id
         WHERE f.filetype_id <> 'csv'
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ── r07: installation rollout plan — which pip packages a cluster ──
+    // needs for the catalog's dispatched extractors, weighted by file
+    // count (MardaExtractor.install, __init__.py:179-217: one venv+pip
+    // per extractor; distributed, that's one env per executor image).
+    GQuery("r07_install_plan",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d)
+        val chosen = Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id", element_at($"registered_extractors", 1).as("extractor_id"))
+        files.join(broadcast(chosen), Seq("filetype_id"))
+          .groupBy($"extractor_id").agg(count(lit(1)).as("n_files"))
+          .join(broadcast(Registry.installations(s)), Seq("extractor_id"))
+          .select($"extractor_id", $"method", $"package", $"n_files")
+          .orderBy($"extractor_id")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql),
+        chosen AS (
+          SELECT filetype_id, registered_extractors[1] AS extractor_id
+          FROM ${Registry.filetypesSql}
+          WHERE len(registered_extractors) > 0),
+        counts AS (
+          SELECT extractor_id, COUNT(*) AS n_files
+          FROM files JOIN chosen ON files.filetype_id = chosen.filetype_id
+          GROUP BY extractor_id)
+        SELECT i.extractor_id, i.method, i.package, c.n_files
+        FROM counts c JOIN ${Registry.installationsSql} i ON c.extractor_id = i.extractor_id
+        ORDER BY i.extractor_id"""))
   )
 }

@@ -207,6 +207,25 @@ object TextOps {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
           FROM scored)
         SELECT doc_id, rn, word, tf, tfidf FROM ranked WHERE rn <= 3
-        ORDER BY doc_id, rn"""))
+        ORDER BY doc_id, rn""")),
+
+    // ── t08: feature extraction — fixed-vocabulary bag-of-words rates ──
+    // per document (the text analogue of the multimodal feature-extract
+    // stub: fixed-width numeric features from raw content, single scan).
+    GQuery("t08_feature_vector",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val vocab = Seq("join", "hash", "scan", "filter", "sort", "merge", "the", "dup")
+        val feats = vocab.zipWithIndex.map { case (w, i) =>
+          round(size(filter(toks, t => t === w)).cast(DoubleType) / size(toks), 6).as(s"f_$w")
+        }
+        docs(s, d).select(($"doc_id" +: feats): _*).orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               ${Seq("join", "hash", "scan", "filter", "sort", "merge", "the", "dup").map(w =>
+          s"ROUND(CAST(len(list_filter(string_split(text,' '), t -> t = '$w')) AS DOUBLE) / len(string_split(text,' ')), 6) AS f_$w").mkString(",\n               ")}
+        FROM documents ORDER BY doc_id"""))
   )
 }
