@@ -243,6 +243,39 @@ object Dedup {
                        / (sqrt(list_sum(list_transform(range(1, 65), k -> x.v[k] * x.v[k])))
                           * sqrt(list_sum(list_transform(range(1, 65), k -> y.v[k] * y.v[k])))) AS cos
               FROM e x JOIN e y ON x.vec_id < y.vec_id)
-        SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j"""))
+        SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j""")),
+
+    // ── d06: the scale path for embedding near-dup: sign-LSH bucket join ──
+    // (equality join on 4-bit bucket → 16× fewer pairs; multi-table/
+    // multi-probe raises recall in production) + cosine verify within
+    // buckets. Trades d05's exact recall for a hash-join shape that
+    // survives a 100× corpus.
+    GQuery("d06_embed_lsh_dupes",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+          .select($"vec_id", asDouble($"embedding").as("v"),
+            signBucket($"embedding", 4).as("bucket"))
+        e.as("x").join(e.as("y"),
+            $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+          .select($"x.vec_id".as("i"), $"y.vec_id".as("j"), $"x.bucket".as("bucket"),
+            cosineSim($"x.v", $"y.v").as("cos"))
+          .filter($"cos" >= 0.4)
+          .select($"i", $"j", $"bucket", round($"cos", 4).as("cos"))
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                           + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                           + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.bucket AS bucket,
+                     list_sum(list_transform(range(1, 65), k -> x.v[k] * y.v[k]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), k -> x.v[k] * x.v[k])))
+                          * sqrt(list_sum(list_transform(range(1, 65), k -> y.v[k] * y.v[k])))) AS cos
+              FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT i, j, bucket, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j"""))
   )
 }

@@ -151,6 +151,45 @@ object EventOps {
                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_purchase_us
         FROM events QUALIFY event_type = 'error'
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── e07: event-rate anomaly detection — hourly counts z-scored ──
+    // against the per-type mean/stddev (exact integer moments, so the
+    // z-formula is bit-identical cross-engine); |z| ≥ 2 flags anomalous
+    // hours. Two partial-agg passes + a broadcast of per-type stats.
+    GQuery("e07_rate_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val hourly = ev(s, d)
+          .groupBy($"event_type", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy($"event_type".as("t2"))
+          .agg(count(lit(1)).as("n_hours"), sum($"n").as("sx"), sum($"n" * $"n").as("sx2"))
+          .select($"t2",
+            ($"sx".cast(DoubleType) / $"n_hours").as("mean"),
+            sqrt(($"sx2".cast(DoubleType) - $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n_hours")
+              / ($"n_hours" - 1)).as("sd"))
+        hourly.join(broadcast(stats), $"event_type" === $"t2")
+          .withColumn("z", ($"n" - $"mean") / $"sd")
+          .filter(abs($"z") >= 2.0)
+          .select($"event_type", $"hour", $"n", round($"z", 4).as("z"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, hour),
+        stats AS (
+          SELECT event_type AS t2,
+                 CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean,
+                 sqrt((CAST(CAST(SUM(n*n) AS BIGINT) AS DOUBLE)
+                       - CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*))
+                      / (COUNT(*) - 1)) AS sd
+          FROM hourly GROUP BY event_type)
+        SELECT event_type, hour, n, ROUND((n - mean) / sd, 4) AS z
+        FROM hourly JOIN stats ON event_type = t2
+        WHERE abs((n - mean) / sd) >= 2.0
+        ORDER BY event_type, hour"""))
   )
 }

@@ -656,6 +656,33 @@ object Relational {
                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx2
           FROM orders GROUP BY o_orderpriority)
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ── q31: value-based (RANGE) window frame — 7-day trailing spend per ──
+    // customer. Range frames are peer-inclusive, so duplicate order dates
+    // stay deterministic without a tiebreak; exact decimal running sums.
+    GQuery("q31_range_frame",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val day = datediff($"o_orderdate", lit("1995-01-01"))
+        val w = Window.partitionBy($"o_custkey").orderBy(day)
+          .rangeBetween(-6, Window.currentRow)
+        t(s, d, "orders").filter($"o_custkey" < 200)
+          .select($"o_orderkey", $"o_custkey", day.as("day"),
+            sum(d2($"o_totalprice")).over(w).cast(DoubleType).as("trailing_7d_spend"),
+            count(lit(1)).over(w).as("trailing_7d_orders"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS trailing_7d_spend,
+               COUNT(*) OVER w AS trailing_7d_orders
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""))
   )
 }
