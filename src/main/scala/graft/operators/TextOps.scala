@@ -226,6 +226,37 @@ object TextOps {
         SELECT doc_id,
                ${Seq("join", "hash", "scan", "filter", "sort", "merge", "the", "dup").map(w =>
           s"ROUND(CAST(len(list_filter(string_split(text,' '), t -> t = '$w')) AS DOUBLE) / len(string_split(text,' ')), 6) AS f_$w").mkString(",\n               ")}
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── t09: order-sensitive document fingerprint — positional token ──
+    // hashes summed under a modulus (t04's set-fingerprint is order-
+    // insensitive; this one distinguishes permutations). The modular sum
+    // accumulates in DECIMAL(38,0) on the Spark side and HUGEINT in
+    // DuckDB — both exact — because a long sum of 2^60-scale terms would
+    // wrap silently.
+    GQuery("t09_positional_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val term = hash64(concat_ws(":", $"word", $"pos")) % 1073741789L
+        docs(s, d)
+          .select($"doc_id", posexplode(tokens($"text")))
+          .toDF("doc_id", "pos", "word")
+          .select($"doc_id", term.cast(DecimalType(38, 0)).as("term"))
+          .groupBy($"doc_id")
+          .agg((sum($"term") % 1073741789L).cast(LongType).as("fingerprint"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(ts) AS word, unnest(range(0, len(ts))) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        terms AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word || ':' || pos), 1, 15)) AS BIGINT) % 1073741789 AS term
+          FROM toks)
+        SELECT doc_id, CAST(SUM(term) % 1073741789 AS BIGINT) AS fingerprint,
+               COUNT(*) AS n_tokens
+        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
