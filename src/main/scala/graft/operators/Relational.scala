@@ -683,6 +683,28 @@ object Relational {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── q32: multiple distinct aggregates in one pass — Catalyst's ──
+    // Expand-based rewrite computes all three distinct sets in a single
+    // shuffle instead of three self-joins.
+    GQuery("q32_multi_distinct",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("n_orders"),
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -94,7 +94,7 @@ object Similarity {
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
         scored AS (SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY ${cosSql("e.v", "q.qv")} DESC, vec_id ASC) AS rn
+                            ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
                    FROM e, q WHERE vec_id <> query_id)
         SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
         ORDER BY query_id, rn""")),
@@ -131,9 +131,37 @@ object Similarity {
         scored AS (SELECT vec_id, label, c_label,
                           ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY ${cosSql("e.v", "cent.centroid")} DESC, c_label ASC) AS rn
+                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
                    FROM e, cent)
         SELECT vec_id, label, c_label AS assigned_label, cos
-        FROM scored WHERE rn = 1 ORDER BY vec_id"""))
+        FROM scored WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ── s05: k-NN graph — every vector's top-2 neighbors (the input ──
+    // structure for graph clustering / connected-component dedup).
+    // Exact all-pairs here; at corpus scale the candidate generation
+    // swaps to s02's buckets while the ranking window stays identical.
+    GQuery("s05_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+        val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        e.as("x").join(e.as("y"), $"x.vec_id" =!= $"y.vec_id")
+          .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
+            round(cosineSim($"x.v", $"y.v"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+          .select($"src", $"rn", $"dst", $"cos")
+          .orderBy($"src", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+                          ROUND(${cosSql("x.v", "y.v")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                            ORDER BY ROUND(${cosSql("x.v", "y.v")}, 4) DESC, y.vec_id ASC) AS rn
+                   FROM e x JOIN e y ON x.vec_id <> y.vec_id)
+        SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
+        ORDER BY src, rn"""))
   )
 }
