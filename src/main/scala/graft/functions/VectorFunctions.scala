@@ -87,6 +87,15 @@ object VectorFunctions {
       Bridge.expression(asDouble(a)),
       Bridge.expression(asDouble(b))))
 
+  /** DuckDB SQL mirror of [[CosineSim]] (same formula and sequential
+    * accumulation order) over 64-dim DOUBLE[] columns `a`/`b` — shared by
+    * every vector-query oracle so the two sides can't drift.
+    */
+  def cosineSimSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), k -> $a[k] * $b[k]))
+       / (sqrt(list_sum(list_transform(range(1, 65), k -> $a[k] * $a[k])))
+          * sqrt(list_sum(list_transform(range(1, 65), k -> $b[k] * $b[k]))))"""
+
   /** Sign-LSH bucket over the first `nBits` coordinates (axis-aligned
     * hyperplanes — deterministic and portable to the SQL oracle; a real
     * deployment would use seeded random hyperplanes, same plumbing).

@@ -236,12 +236,10 @@ object Dedup {
           .select($"i", $"j", round($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         p AS (SELECT x.vec_id AS i, y.vec_id AS j,
-                     list_sum(list_transform(range(1, 65), k -> x.v[k] * y.v[k]))
-                       / (sqrt(list_sum(list_transform(range(1, 65), k -> x.v[k] * x.v[k])))
-                          * sqrt(list_sum(list_transform(range(1, 65), k -> y.v[k] * y.v[k])))) AS cos
+                     ${cosineSimSql("x.v", "y.v")} AS cos
               FROM e x JOIN e y ON x.vec_id < y.vec_id)
         SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j""")),
 
@@ -264,7 +262,7 @@ object Dedup {
           .select($"i", $"j", $"bucket", round($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
@@ -272,9 +270,7 @@ object Dedup {
                            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
                    FROM embeddings),
         p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.bucket AS bucket,
-                     list_sum(list_transform(range(1, 65), k -> x.v[k] * y.v[k]))
-                       / (sqrt(list_sum(list_transform(range(1, 65), k -> x.v[k] * x.v[k])))
-                          * sqrt(list_sum(list_transform(range(1, 65), k -> y.v[k] * y.v[k])))) AS cos
+                     ${cosineSimSql("x.v", "y.v")} AS cos
               FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT i, j, bucket, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j"""))
   )

@@ -160,9 +160,11 @@ object EventOps {
     GQuery("e07_rate_anomaly",
       (s, d) => {
         import s.implicits._
+        // consumed twice (stats + join) — cache so events scans once
         val hourly = ev(s, d)
           .groupBy($"event_type", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
           .agg(count(lit(1)).as("n"))
+          .cache()
         val stats = hourly.groupBy($"event_type".as("t2"))
           .agg(count(lit(1)).as("n_hours"), sum($"n").as("sx"), sum($"n" * $"n").as("sx2"))
           .select($"t2",

@@ -41,6 +41,24 @@ object RegistryOps {
             CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'cli' END AS preferred_mode
      FROM documents)"""
 
+  /** parse_usage semantics (__init__.py:443-456) for both preferred modes:
+    * (extractor_id, preferred_mode, method, command) — first usage matching
+    * the preferred mode, else the LAST usage block. Shared by r03 and r05.
+    */
+  private def resolvedUsages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val u = Registry.usages(s)
+    u.join(s.createDataFrame(Seq(Tuple1("python"), Tuple1("cli"))).toDF("preferred_mode"))
+      .withColumn("is_pref", ($"method" === $"preferred_mode").cast(IntegerType))
+      .groupBy($"extractor_id", $"preferred_mode")
+      .agg(max($"is_pref").as("has_pref"),
+        min(when($"is_pref" === 1, $"idx")).as("pref_idx"), max($"idx").as("last_idx"))
+      .withColumn("use_idx", when($"has_pref" === 1, $"pref_idx").otherwise($"last_idx"))
+      .join(u.select($"extractor_id", $"idx", $"method", $"command"), Seq("extractor_id"))
+      .filter($"idx" === $"use_idx")
+      .select($"extractor_id", $"preferred_mode", $"method", $"command")
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ── r01: normalize the registry — filetype × ranked extractors ──
@@ -86,19 +104,7 @@ object RegistryOps {
     GQuery("r03_usage_resolution",
       (s, d) => {
         import s.implicits._
-        val u = Registry.usages(s)
-        val modes = s.createDataFrame(Seq(Tuple1("python"), Tuple1("cli"))).toDF("preferred_mode")
-        val joined = u.join(modes)
-          .withColumn("is_pref", ($"method" === $"preferred_mode").cast(IntegerType))
-        joined.groupBy($"extractor_id", $"preferred_mode")
-          .agg(
-            max($"is_pref").as("has_pref"),
-            min(when($"is_pref" === 1, $"idx")).as("pref_idx"),
-            max($"idx").as("last_idx"))
-          .withColumn("use_idx", when($"has_pref" === 1, $"pref_idx").otherwise($"last_idx"))
-          .join(u.select($"extractor_id", $"idx", $"method", $"command"),
-            Seq("extractor_id"))
-          .filter($"idx" === $"use_idx")
+        resolvedUsages(s)
           .select($"extractor_id", $"preferred_mode", $"method".as("resolved_method"), $"command")
           .orderBy($"extractor_id", $"preferred_mode")
       },
@@ -160,17 +166,7 @@ object RegistryOps {
         val chosen = Registry.filetypes(s)
           .select($"filetype_id",
             when(size($"registered_extractors") > 0, element_at($"registered_extractors", 1)).as("extractor_id"))
-        val u = Registry.usages(s)
-        val resolved = u.join(
-            s.createDataFrame(Seq(Tuple1("python"), Tuple1("cli"))).toDF("preferred_mode"))
-          .withColumn("is_pref", ($"method" === $"preferred_mode").cast(IntegerType))
-          .groupBy($"extractor_id", $"preferred_mode")
-          .agg(max($"is_pref").as("has_pref"),
-            min(when($"is_pref" === 1, $"idx")).as("pref_idx"), max($"idx").as("last_idx"))
-          .withColumn("use_idx", when($"has_pref" === 1, $"pref_idx").otherwise($"last_idx"))
-          .join(u.select($"extractor_id", $"idx", $"method", $"command"), Seq("extractor_id"))
-          .filter($"idx" === $"use_idx")
-          .select($"extractor_id", $"preferred_mode", $"method", $"command")
+        val resolved = resolvedUsages(s)
         def fmt(v: org.apache.spark.sql.Column) =
           when($"method" === "python", concat(lit("'"), v, lit("'"))).otherwise(v)
         val outPath = regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")

@@ -636,14 +636,12 @@ object Relational {
           // (scaled multiply) drifts 1-3 ulp on 19-digit moments, and
           // round() can't paper over that (it disagrees cross-engine at
           // .xxxx5 boundaries, which 2-dp money hits in practice).
-          .select($"o_orderpriority", $"n",
-            ($"sx".cast(StringType).cast(DoubleType) / $"n").as("mean"),
-            (($"sx2".cast(StringType).cast(DoubleType)
-              - $"sx".cast(StringType).cast(DoubleType) * $"sx".cast(StringType).cast(DoubleType) / $"n")
-              / ($"n" - 1)).as("var_samp"),
-            sqrt(($"sx2".cast(StringType).cast(DoubleType)
-              - $"sx".cast(StringType).cast(DoubleType) * $"sx".cast(StringType).cast(DoubleType) / $"n")
-              / ($"n" - 1)).as("stddev"))
+          .select(Seq($"o_orderpriority", $"n") ++ {
+            val sxd = $"sx".cast(StringType).cast(DoubleType)
+            val sx2d = $"sx2".cast(StringType).cast(DoubleType)
+            val variance = (sx2d - sxd * sxd / $"n") / ($"n" - 1)
+            Seq((sxd / $"n").as("mean"), variance.as("var_samp"), sqrt(variance).as("stddev"))
+          }: _*)
           .orderBy($"o_orderpriority")
       },
       Some("""

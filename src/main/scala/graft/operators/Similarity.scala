@@ -19,11 +19,7 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
-  /** DuckDB cosine mirror (identical formula/order as CosineSim codegen). */
-  private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), k -> $a[k] * $b[k]))
-       / (sqrt(list_sum(list_transform(range(1, 65), k -> $a[k] * $a[k])))
-          * sqrt(list_sum(list_transform(range(1, 65), k -> $b[k] * $b[k]))))"""
+  private def cosSql(a: String, b: String): String = cosineSimSql(a, b)
 
   val all: Seq[GQuery] = Seq(
 

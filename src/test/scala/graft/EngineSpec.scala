@@ -77,9 +77,8 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     // skip bucketing entirely; the sort-merge path is the one bucketing
     // optimizes (at 100 TB neither side broadcasts)
     val joined = spark.table("li_bucketed").hint("merge")
-      .join(spark.table("o_bucketed"),
-        org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
-      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
     try {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
