@@ -63,6 +63,18 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), s"no partition pruning: $scan")
   }
 
+  test("registry round-trips through JSON with schema-on-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_registry_json").toString
+    val ft = graft.registry.Registry.filetypes(spark)
+    ft.write.mode("overwrite").json(s"$dir/filetypes")
+    // schema-on-read: explicit schema (no inference pass), as a registry
+    // sync job would consume the remote API's JSON dump
+    val back = spark.read.schema(ft.schema).json(s"$dir/filetypes")
+    assert(back.count() == ft.count())
+    val diff = back.exceptAll(ft).count() + ft.exceptAll(back).count()
+    assert(diff == 0, "registry JSON round-trip changed rows")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // co-locate fact tables on the join key at write time: at 100 TB this
     // is the difference between a one-off layout cost and re-shuffling
