@@ -18,24 +18,36 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      graft.operators.Dedup.releaseSignatures()
     }
     // min of 2 timed runs per query + an explicit GC boundary: a stray
     // full-GC pause otherwise lands inside some unlucky query and reports
-    // a 20× outlier for code that runs in a second.
+    // a 20× outlier for code that runs in a second. Cache (including the
+    // memoized dedup signature frame) cleared between queries so each
+    // timing stands alone.
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        graft.operators.Dedup.releaseSignatures()
         (System.nanoTime() - t0) / 1e9
       }
       System.gc()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal values keep the line a few KB: the full double repr made
+    // the round-1 line long enough that the capture truncated the tail
+    // and dropped five queries' timings. Also mirrored to a file so the
+    // numbers survive any stdout mangling.
+    def fmt(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

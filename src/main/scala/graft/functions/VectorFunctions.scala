@@ -104,4 +104,12 @@ object VectorFunctions {
     (0 until nBits).map { b =>
       when(element_at(v, b + 1) > 0f, 1 << b).otherwise(0)
     }.reduce(_ + _)
+
+  /** DuckDB mirror of [[signBucket]] over a float-list column `v`
+    * (1-indexed), shared by every bucketed-vector oracle.
+    */
+  def signBucketSql(v: String, nBits: Int): String =
+    (0 until nBits).map { b =>
+      s"CASE WHEN $v[${b + 1}] > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
 }

@@ -52,10 +52,13 @@ object Multimodal {
     GQuery("m02_chunk_frames",
       (s, d) => {
         import s.implicits._
+        // Frame count capped at 2000 on BOTH sides (≈512 KB/payload): the
+        // oracle enumerates frames from range(0, 2000), so an uncapped
+        // sequence() here would silently diverge on longer payloads.
         Tables.load(s, d, "documents")
           .filter($"doc_id" < 100)
           .select($"doc_id", $"text",
-            posexplode(expr("sequence(0L, (length(text) + 255) DIV 256 - 1)")))
+            posexplode(expr("sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
           .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
             expr("substring(text, pos * 256 + 1, 256)").as("frame"))
           .select($"doc_id", $"frame_idx",

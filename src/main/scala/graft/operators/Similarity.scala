@@ -134,29 +134,48 @@ object Similarity {
 
     // ── s05: k-NN graph — every vector's top-2 neighbors (the input ──
     // structure for graph clustering / connected-component dedup).
-    // Exact all-pairs here; at corpus scale the candidate generation
-    // swaps to s02's buckets while the ranking window stays identical.
+    // Candidates come from 6-bit sign-LSH with multi-probe (own bucket +
+    // each 1-bit flip = 7 of 64 buckets ≈ 11% of the corpus per vector)
+    // instead of all-pairs: the probe side explodes to 7 rows per vector
+    // and equality-joins the corpus on bucket — a hash join whose volume
+    // is corpus × probes/buckets, never corpus². Probe buckets are
+    // pairwise distinct, so no candidate pair is generated twice and no
+    // dedup pass is needed. The ranking window is unchanged; Spark's
+    // WindowGroupLimit keeps the rn<=2 filter partial (map-side top-2).
+    // Recall is pinned by PropertySpec's brute-force probe against the
+    // analytic hyperplane-LSH bound (the oracle mirrors the algorithm and
+    // cannot see recall loss — SURVEY §6).
     GQuery("s05_knn_graph",
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
+          signBucket($"embedding", 6).as("bucket"))
+        val probes = e.select($"vec_id".as("src"), $"v".as("xv"),
+          explode(array(($"bucket" +:
+            (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
         val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
-        e.as("x").join(e.as("y"), $"x.vec_id" =!= $"y.vec_id")
-          .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
-            round(cosineSim($"x.v", $"y.v"), 4).as("cos"))
+        probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
+            $"probe" === $"bucket" && $"src" =!= $"dst")
+          .select($"src", $"dst", round(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 2)
           .select($"src", $"rn", $"dst", $"cos")
           .orderBy($"src", $"rn")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        scored AS (SELECT x.vec_id AS src, y.vec_id AS dst,
-                          ROUND(${cosSql("x.v", "y.v")}, 4) AS cos,
-                          ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                            ORDER BY ROUND(${cosSql("x.v", "y.v")}, 4) DESC, y.vec_id ASC) AS rn
-                   FROM e x JOIN e y ON x.vec_id <> y.vec_id)
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (${signBucketSql("embedding", 6)}) AS bucket
+                   FROM embeddings),
+        probes AS (SELECT vec_id AS src, v AS xv,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                  xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
+                   FROM e),
+        scored AS (SELECT src, e.vec_id AS dst,
+                          ROUND(${cosSql("xv", "e.v")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY ROUND(${cosSql("xv", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+                   FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id)
         SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
         ORDER BY src, rn"""))
   )

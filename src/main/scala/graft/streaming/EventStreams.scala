@@ -13,13 +13,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState instead of a global sort-window, which is the
   * form that survives an unbounded stream.
   */
-object EventStreams {
+// Serializable: the flatMapGroupsWithState closures call the shared
+// `advance` state machine, which lifts to a module-capturing lambda.
+object EventStreams extends Serializable {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionSummary(user_id: Long, session_id: Long, n_events: Long,
                             start_us: Long, end_us: Long)
-  private case class SessState(sessionId: Long, nEvents: Long, startUs: Long, lastUs: Long)
+  // State class must be PUBLIC (see StreamingDedup.BucketState note).
+  case class SessState(sessionId: Long, nEvents: Long, startUs: Long, lastUs: Long)
+
+  private val GapUs = 30L * 60 * 1000000
+  private val GapMs = 30L * 60 * 1000
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000 + t.getNanos / 1000
 
   /** Watermarked tumbling-window counts over a (possibly streaming) event
     * frame: identical logical plan batch vs stream.
@@ -31,37 +40,85 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 
-  /** Gap-based sessionization (30 min) as incremental per-user state.
-    * Works identically on batch Datasets (state machine runs per group) and
-    * streams (with timeouts). Events must arrive in event-time order per
-    * user for batch parity, so the caller sorts within partitions.
+  /** Advance the session state machine over one key's sorted events,
+    * appending every CLOSED session (gap exceeded) and returning the still-
+    * open state — shared by the batch and streaming forms so they cannot
+    * drift.
+    */
+  private def advance(userId: Long, st0: SessState, evs: Seq[Event],
+                      out: scala.collection.mutable.ArrayBuffer[SessionSummary]): SessState = {
+    var st = st0
+    evs.foreach { e =>
+      val us = micros(e.ts)
+      if (st == null) st = SessState(1L, 1L, us, us)
+      else if (us - st.lastUs > GapUs) {
+        out += SessionSummary(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs)
+        st = SessState(st.sessionId + 1, 1L, us, us)
+      } else st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
+    }
+    st
+  }
+
+  /** Gap-based sessionization (30 min) as incremental per-user state, BATCH
+    * form: the state machine runs once per user over the complete history,
+    * so end-of-data is end-of-stream and the final open session flushes.
+    * For an unbounded stream use [[sessionizeStream]] — flushing at the end
+    * of every invocation would split sessions at micro-batch boundaries.
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    val gapUs = 30L * 60 * 1000000
 
     def fn(userId: Long, evs: Iterator[Event], state: GroupState[SessState]): Iterator[SessionSummary] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-      var st = state.getOption.orNull
-      def micros(t: java.sql.Timestamp): Long =
-        (t.getTime / 1000) * 1000000 + t.getNanos / 1000
-      evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-        val us = micros(e.ts)
-        if (st == null) st = SessState(1L, 1L, us, us)
-        else if (us - st.lastUs > gapUs) {
-          out += SessionSummary(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs)
-          st = SessState(st.sessionId + 1, 1L, us, us)
-        } else st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
-      }
-      if (st != null) {
-        out += SessionSummary(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs)
-        state.remove()
-      }
+      val st = advance(userId, null, evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)), out)
+      if (st != null) out += SessionSummary(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs)
       out.iterator
     }
 
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Gap-based sessionization, STREAMING form: open sessions persist in
+    * per-user state across micro-batches and close only when (a) a later
+    * event exceeds the 30-min gap, or (b) the event-time watermark passes
+    * the session's gap deadline (EventTimeTimeout) — no event can extend
+    * the session anymore, so it is final. State is therefore bounded by
+    * the number of users active within one watermark horizon, not by
+    * stream length. Input must carry `withWatermark("ts", ...)`.
+    *
+    * Within-batch ordering: events sort by event time per user; cross-batch
+    * ordering is the source's responsibility (same contract as any
+    * event-time stateful operator — late events beyond the watermark are
+    * dropped by the watermark itself).
+    */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[Event], state: GroupState[SessState]): Iterator[SessionSummary] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+      if (state.hasTimedOut) {
+        // Watermark passed lastUs + gap: the open session can never gain
+        // another event — emit it and clear.
+        val st = state.get
+        out += SessionSummary(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs)
+        state.remove()
+      } else {
+        val st = advance(userId, state.getOption.orNull,
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)), out)
+        if (st != null) {
+          state.update(st)
+          // Event-time deadline: fires once the watermark passes the gap
+          // horizon of the last event seen for this user.
+          state.setTimeoutTimestamp(st.lastUs / 1000 + GapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -12,8 +12,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * each arriving document's minhash signature is compared against the
   * signatures already seen in its band buckets, emitting pairs
   * incrementally. State is sharded by band key — the same bound as batch
-  * LSH candidate buckets — so per-key state stays small at any corpus
-  * size (and would be expired by timeout/TTL in production).
+  * LSH candidate buckets — and bounded in TIME by an event-time TTL:
+  * bucket signatures older than the dedup horizon expire when the
+  * watermark passes, so total state is O(docs within one horizon), not
+  * O(stream length). Replayed doc_ids (an at-least-once source) are
+  * skipped — no duplicate state entries, no re-emitted pairs.
   *
   * Signatures are computed per-row (array expressions over the codegen'd
   * shingles) rather than via explode+groupBy, because chaining a streaming
@@ -26,7 +29,8 @@ object StreamingDedup {
   val NumBands: Int = MinHashParams.NumBands
   val RowsPerBand: Int = MinHashParams.RowsPerBand
 
-  case class BandedDoc(doc_id: Long, band: Int, bkey: String, sig: Seq[Long])
+  case class BandedDoc(doc_id: Long, ts: java.sql.Timestamp, band: Int,
+                       bkey: String, sig: Seq[Long])
   case class DupPair(i: Long, j: Long, est_jaccard: Double)
   // State class must be PUBLIC: `private case class` emits package-private
   // JVM access flags, and the state encoder's Janino-generated code (in a
@@ -34,7 +38,10 @@ object StreamingDedup {
   // (parallel Seqs, sigs strided by NumPerms) for a compact state row.
   case class BucketState(ids: Seq[Long], flatSigs: Seq[Long])
 
-  /** doc_id+text frame → one row per (doc, band) with the full signature.
+  /** doc_id+text(+ts) frame → one row per (doc, band) with the full
+    * signature. When the input has no event-time column a constant epoch
+    * stands in (batch parity tests); real streams pass their ingest time
+    * so the TTL in [[incrementalPairs]] can expire state.
     *
     * The hashed-shingle array is projected ONCE before the 16 permutation
     * mins reference it — lambda subtrees are excluded from Spark's
@@ -46,38 +53,60 @@ object StreamingDedup {
     */
   def bandedSignatures(docs: DataFrame): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
+    val ts: Column =
+      if (docs.columns.contains("ts")) col("ts")
+      else lit(new java.sql.Timestamp(0L))
     val sig = array((0 until NumPerms).map(p =>
       array_min(transform(col("hs"), h => permHash(h, p)))): _*)
     val bands = array((0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bkey"))
     }: _*)
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), ts.as("ts"),
         transform(shingles(tokens(col("text")), 3), x => hash64(x)).as("hs"))
       .where(size(col("hs")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), col("sig"), explode(bands).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("sig"))
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("ts"), col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("sig"))
       .as[BandedDoc]
   }
 
   /** Stateful pair emission: compare each arriving doc against its
     * bucket's remembered signatures. Pairs estimated ≥ minEst are emitted
     * once per bucket (downstream dedups across bands).
+    *
+    * `ttl`: event-time state horizon. When set (and the input carries a
+    * watermark), a bucket whose newest signature is `ttl` older than the
+    * watermark is dropped wholesale — dup pairs are only detected within
+    * the horizon, which is the explicit contract that keeps state bounded
+    * on an unbounded stream. When None (batch parity tests, bounded
+    * replays) state lives for the run.
     */
-  def incrementalPairs(banded: Dataset[BandedDoc], minEst: Double = 0.5): Dataset[DupPair] = {
+  def incrementalPairs(banded: Dataset[BandedDoc], minEst: Double = 0.5,
+                       ttl: Option[java.time.Duration] = None): Dataset[DupPair] = {
     import banded.sparkSession.implicits._
+    val ttlMs = ttl.map(_.toMillis)
 
     def fn(key: (Int, String), rows: Iterator[BandedDoc],
            state: GroupState[BucketState]): Iterator[DupPair] = {
+      if (state.hasTimedOut) {
+        // Horizon passed with no new arrivals: every remembered signature
+        // is too old to pair with anything in-watermark — drop the bucket.
+        state.remove()
+        return Iterator.empty
+      }
       val st = state.getOption.getOrElse(BucketState(Seq.empty, Seq.empty))
       var ids = st.ids.toVector
       var sigs = st.flatSigs.toVector
       val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+      var maxTsMs = Long.MinValue
       rows.toSeq.sortBy(_.doc_id).foreach { d =>
-        var k = 0
-        while (k < ids.length) {
-          if (ids(k) != d.doc_id) {
+        if (d.ts != null) maxTsMs = math.max(maxTsMs, d.ts.getTime)
+        // At-least-once sources replay doc_ids: a doc already in the
+        // bucket re-emits nothing and must not duplicate state.
+        if (!ids.contains(d.doc_id)) {
+          var k = 0
+          while (k < ids.length) {
             var matches = 0
             var p = 0
             while (p < NumPerms) {
@@ -87,18 +116,27 @@ object StreamingDedup {
             val est = matches.toDouble / NumPerms
             if (est >= minEst)
               out += DupPair(math.min(ids(k), d.doc_id), math.max(ids(k), d.doc_id), est)
+            k += 1
           }
-          k += 1
+          ids = ids :+ d.doc_id
+          sigs = sigs ++ d.sig
         }
-        ids = ids :+ d.doc_id
-        sigs = sigs ++ d.sig
       }
       state.update(BucketState(ids, sigs))
+      ttlMs.foreach { t =>
+        // Expire `ttl` after the newest activity, clamped above the
+        // current watermark (setTimeoutTimestamp rejects the past).
+        val base = math.max(maxTsMs, state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(base + t)
+      }
       out.iterator
     }
 
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(d => (d.band, d.bkey))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 }

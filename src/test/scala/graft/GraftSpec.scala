@@ -33,6 +33,9 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
   test("oracleSql covers every query or is declared rows-only") {
     val missing = SparkEntry.allQueries.filter(q => q.oracle.isEmpty)
     // rows-only queries are the deliberate exceptions (approx sketches etc.)
-    assert(missing.forall(q => Set("q24_approx_distinct").contains(q.name) || q.oracle.isEmpty))
+    // — any new oracle-less query must be added here consciously.
+    val allowed = Set("q24_approx_distinct")
+    assert(missing.forall(q => allowed.contains(q.name)),
+      s"queries without an oracle beyond the allowlist: ${missing.map(_.name).filterNot(allowed).mkString(",")}")
   }
 }

@@ -84,6 +84,98 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(types == 5, s"expected 5 event types, got $types")
   }
 
+  test("streaming sessionization keeps sessions open across micro-batches") {
+    import spark.implicits._
+    // One user's session spans THREE micro-batches; it must emerge as ONE
+    // session, closed by the 30-min gap. A second user's session closes by
+    // event-time TIMEOUT (watermark passes its gap horizon with no more
+    // events). Open sessions are never emitted.
+    def ev(id: Long, t: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), u, "click", 1.0)
+    val waves = Seq(
+      Seq(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:10:00", 1)),
+      Seq(ev(3, "2024-01-01 10:20:00", 1), ev(4, "2024-01-01 13:00:00", 9)),
+      Seq(ev(5, "2024-01-01 14:00:00", 9)))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/w$i")
+    }
+    val schema = spark.read.parquet(s"$inDir/w0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .withWatermark("ts", "10 minutes")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sess_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+    // user 1: one session of 3 events spanning batches 0-1, closed by gap
+    // at the 13:00 event... but that event belongs to user 9, so user 1
+    // closes via the event-time timeout once the watermark (12:50 after
+    // batch 1) passes its 10:50 gap horizon — fired during batch 2.
+    // user 9: 13:00 session closed by the 14:00 gap; 14:00 stays open.
+    val want = Set(
+      (1L, 1L, 3L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00")),
+      (9L, 1L, 1L, us("2024-01-01 13:00:00"), us("2024-01-01 13:00:00")))
+    assert(got == want,
+      s"streaming sessions across batches:\n got  $got\n want $want")
+  }
+
+  test("streaming dedup TTL bounds state; replays neither grow state nor re-emit") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdedup_ttl").toString
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", lit(java.sql.Timestamp.valueOf(t)))
+    // waves 0-2 inside one TTL horizon (wave 2 REPLAYS wave 0); waves 3-4
+    // two days later — their arrival advances the watermark past every old
+    // bucket's horizon, so wave-4's batch expires the old state.
+    val waves = Seq(
+      stamped(docs.filter($"doc_id" < 250), "2024-01-01 10:00:00"),
+      stamped(docs.filter($"doc_id" >= 250), "2024-01-01 10:05:00"),
+      stamped(docs.filter($"doc_id" < 250), "2024-01-01 10:06:00"),
+      stamped(Seq((100001L, "future marker document padding text one")).toDF("doc_id", "text"), "2024-01-03 10:00:00"),
+      stamped(Seq((100002L, "future marker document padding text two")).toDF("doc_id", "text"), "2024-01-03 10:01:00"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.coalesce(1).write.mode("overwrite").parquet(s"$inDir/w$i")
+    }
+    val schema = spark.read.parquet(s"$inDir/w0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .withWatermark("ts", "1 minute")
+    val pairs = graft.streaming.StreamingDedup.incrementalPairs(
+      graft.streaming.StreamingDedup.bandedSignatures(stream),
+      ttl = Some(java.time.Duration.ofHours(1)))
+    val q = pairs.writeStream.outputMode("append").format("memory").queryName("sdedup_ttl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // every batch-d02 pair emerges (all real docs arrive within one horizon)
+    val got = spark.table("sdedup_ttl_out")
+      .select($"i", $"j", $"est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.subsetOf(got.toSet),
+      s"streaming missed ${(want -- got.toSet).size} of ${want.size} batch pairs")
+    // a pair can emit once per co-bucketed band, never more — a replayed
+    // doc re-appending state would double this
+    val maxMult = got.groupBy(identity).map(_._2.size).max
+    assert(maxMult <= graft.streaming.StreamingDedup.NumBands,
+      s"pair emitted $maxMult times (> NumBands): replay re-appended state")
+    // TTL: the final batch's state (old buckets expired) is far below peak
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty, "no state metrics reported")
+    val peak = stateRows.max
+    val fin = stateRows.last
+    assert(fin < peak / 10,
+      s"state not expired by TTL: peak=$peak final=$fin (${stateRows.mkString(",")})")
+  }
+
   test("incremental streaming minhash dedup finds the batch LSH pairs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
