@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.registry.Registry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   */
 object RegistryOps {
 
-  /** File catalog columns over documents: path, filetype, preferred mode. */
+  /** File catalog columns over documents: path, filetype, preferred mode,
+    * and the caller-requested output_type (null = unspecified, like the
+    * reference's `output_type=None` default — its placeholder then stays
+    * un-substituted).
+    */
   private def catalog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.load(s, d, "documents").select(
@@ -30,7 +34,12 @@ object RegistryOps {
         element_at(array(lit("mpr"), lit("xy"), lit("h5"), lit("csv")), ($"doc_id" % 4 + 1).cast(IntegerType))).as("input_path"),
       element_at(array(lit("biologic-mpr"), lit("example-xy"), lit("nexus-hdf5"), lit("csv")),
         ($"doc_id" % 4 + 1).cast(IntegerType)).as("filetype_id"),
-      when($"doc_id" % 2 === 0, "python").otherwise("cli").as("preferred_mode"))
+      // mode varies on a modulus coprime to the filetype's so every
+      // (filetype, mode) pair occurs — the mode-2 variant never exercised
+      // the cli path of %4-aligned filetypes, hiding the None-skip
+      // templating branch entirely
+      when($"doc_id" % 3 === 0, "python").otherwise("cli").as("preferred_mode"),
+      when($"doc_id" % 5 === 0, "json-ld").otherwise(lit(null).cast(StringType)).as("output_type"))
   }
 
   private val catalogSql: String = """
@@ -38,8 +47,69 @@ object RegistryOps {
             '/data/files/doc_' || doc_id || '.' ||
               (['mpr','xy','h5','csv'])[CAST(doc_id % 4 + 1 AS INT)] AS input_path,
             (['biologic-mpr','example-xy','nexus-hdf5','csv'])[CAST(doc_id % 4 + 1 AS INT)] AS filetype_id,
-            CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'cli' END AS preferred_mode
+            CASE WHEN doc_id % 3 = 0 THEN 'python' ELSE 'cli' END AS preferred_mode,
+            CASE WHEN doc_id % 5 = 0 THEN 'json-ld' END AS output_type
      FROM documents)"""
+
+  /** apply_template_args (`__init__.py:401-441`), column form: substitute
+    * each `{{ field }}` with its override-merged value — python mode
+    * repr-quotes, cli substitutes raw — and leave the placeholder in place
+    * when the merged value is null (the reference `continue`s on None).
+    * The merge itself (`additional_template.get(field) or default`,
+    * `__init__.py:429-433`) is the caller's coalesce in `fields`.
+    */
+  private def applyTemplate(cmd: Column, method: Column,
+                            fields: Seq[(String, Column)]): Column =
+    fields.foldLeft(cmd) { case (c, (f, v)) =>
+      when(v.isNull, c).otherwise(replace(c, lit(s"{{ $f }}"),
+        when(method === "python", concat(lit("'"), v, lit("'"))).otherwise(v)))
+    }
+
+  /** The four default template fields with per-filetype overrides merged
+    * over them; expects columns filetype_id, input_path, output_type and
+    * the t_* override columns of [[Registry.templates]] in scope.
+    */
+  private def defaultFields(s: SparkSession): Seq[(String, Column)] = {
+    import s.implicits._
+    Seq(
+      "input_type" -> coalesce($"t_input_type", $"filetype_id"),
+      "input_path" -> coalesce($"t_input_path", $"input_path"),
+      "output_type" -> coalesce($"t_output_type", $"output_type"),
+      "output_path" -> coalesce($"t_output_path",
+        regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")))
+  }
+
+  /** DuckDB mirror of one [[applyTemplate]] fold step. */
+  private def tmplFieldSql(cmd: String, field: String, value: String): String =
+    s"""(CASE WHEN $value IS NULL THEN $cmd
+         ELSE replace($cmd, '{{ $field }}',
+           CASE WHEN method = 'python' THEN chr(39) || $value || chr(39) ELSE $value END) END)"""
+
+  /** DuckDB mirror of the full 4-field template chain over a CTE exposing
+    * method, command, filetype_id, input_path, output_type, t_*.
+    */
+  private def applyTemplateSql(cmd: String): String = {
+    val f1 = tmplFieldSql(cmd, "input_type", "COALESCE(t_input_type, filetype_id)")
+    val f2 = tmplFieldSql(f1, "input_path", "COALESCE(t_input_path, input_path)")
+    val f3 = tmplFieldSql(f2, "output_type", "COALESCE(t_output_type, output_type)")
+    tmplFieldSql(f3, "output_path",
+      "COALESCE(t_output_path, regexp_replace(input_path, '\\.[a-z0-9]+$', '.json'))")
+  }
+
+  /** Shared resolved-usage CTE chain (r04/r05 oracles). */
+  private val resolvedSqlCtes: String = s"""
+        u AS (SELECT * FROM ${Registry.usagesSql}),
+        rs AS (
+          SELECT extractor_id, m.preferred_mode,
+                 max(CASE WHEN method = m.preferred_mode THEN 1 ELSE 0 END) AS has_pref,
+                 min(CASE WHEN method = m.preferred_mode THEN idx END) AS pref_idx,
+                 max(idx) AS last_idx
+          FROM u, (SELECT unnest(['python', 'cli']) AS preferred_mode) m
+          GROUP BY extractor_id, m.preferred_mode),
+        resolved AS (
+          SELECT rs.extractor_id, rs.preferred_mode, u.method, u.command
+          FROM rs JOIN u ON rs.extractor_id = u.extractor_id
+                 AND u.idx = (CASE WHEN rs.has_pref = 1 THEN rs.pref_idx ELSE rs.last_idx END))"""
 
   /** parse_usage semantics (__init__.py:443-456) for both preferred modes:
     * (extractor_id, preferred_mode, method, command) — first usage matching
@@ -124,36 +194,48 @@ object RegistryOps {
         ORDER BY rs.extractor_id, rs.preferred_mode""")),
 
     // ── r04: command templating — apply_template_args (__init__.py: ──
-    // 401-441): `{{ field }}` → value; python mode repr-quotes the value,
-    // cli mode substitutes raw; output_path defaults to input_path with a
-    // .json suffix (__init__.py:249-250).
+    // 401-441) at full fidelity: the resolved usage command, the four
+    // default fields MERGED UNDER the per-filetype template override
+    // (__init__.py:236-243,429-433), python repr vs cli raw substitution,
+    // output_path defaulting to input_path with a .json suffix
+    // (__init__.py:249-250), and null values leaving their placeholder
+    // un-substituted ({{ output_type }} survives when the caller passed
+    // no output_type and no override exists).
     GQuery("r04_template_apply",
       (s, d) => {
         import s.implicits._
         val files = catalog(s, d).filter($"doc_id" < 40)
-        val cmd = lit("extract({{ input_type }}, {{ input_path }}) -> {{ output_path }}")
-        val outPath = regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")
-        def fmt(v: org.apache.spark.sql.Column) =
-          when($"preferred_mode" === "python", concat(lit("'"), v, lit("'"))).otherwise(v)
-        files.select($"doc_id", $"preferred_mode",
-          replace(replace(replace(cmd,
-            lit("{{ input_type }}"), fmt($"filetype_id")),
-            lit("{{ input_path }}"), fmt($"input_path")),
-            lit("{{ output_path }}"), fmt(outPath)).as("templated"))
+        val chosen = Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id", element_at($"registered_extractors", 1).as("extractor_id"))
+        files
+          .join(broadcast(chosen), Seq("filetype_id"))
+          .join(broadcast(resolvedUsages(s)), Seq("extractor_id", "preferred_mode"))
+          .join(broadcast(Registry.templates(s)), Seq("extractor_id", "filetype_id"), "left_outer")
+          .select($"doc_id", $"extractor_id", $"method",
+            applyTemplate($"command", $"method", defaultFields(s)).as("templated"))
           .orderBy($"doc_id")
       },
       Some(s"""
         WITH files AS (SELECT * FROM $catalogSql WHERE doc_id < 40),
-        f AS (SELECT doc_id, preferred_mode, filetype_id, input_path,
-                     regexp_replace(input_path, '\\.[a-z0-9]+$$', '.json') AS output_path,
-                     CASE WHEN preferred_mode = 'python' THEN '''' ELSE '' END AS q
-              FROM files)
-        SELECT doc_id, preferred_mode,
-               replace(replace(replace('extract({{ input_type }}, {{ input_path }}) -> {{ output_path }}',
-                 '{{ input_type }}', q || filetype_id || q),
-                 '{{ input_path }}', q || input_path || q),
-                 '{{ output_path }}', q || output_path || q) AS templated
-        FROM f ORDER BY doc_id""")),
+        chosen AS (
+          SELECT filetype_id, registered_extractors[1] AS extractor_id
+          FROM ${Registry.filetypesSql}
+          WHERE len(registered_extractors) > 0),
+        $resolvedSqlCtes,
+        j AS (
+          SELECT f.doc_id, c.extractor_id, r.method, r.command,
+                 f.filetype_id, f.input_path, f.output_type,
+                 t.t_input_type, t.t_input_path, t.t_output_type, t.t_output_path
+          FROM files f
+            JOIN chosen c ON f.filetype_id = c.filetype_id
+            JOIN resolved r ON c.extractor_id = r.extractor_id
+                 AND f.preferred_mode = r.preferred_mode
+            LEFT JOIN ${Registry.templatesSql} t
+                 ON t.extractor_id = c.extractor_id AND t.filetype_id = f.filetype_id)
+        SELECT doc_id, extractor_id, method,
+               ${applyTemplateSql("command")} AS templated
+        FROM j ORDER BY doc_id""")),
 
     // ── r05: full dispatch — extract() end-to-end as one declarative ──
     // plan: catalog ⋈ broadcast registry ⋈ usage resolution ⋈ templating;
@@ -166,21 +248,15 @@ object RegistryOps {
         val chosen = Registry.filetypes(s)
           .select($"filetype_id",
             when(size($"registered_extractors") > 0, element_at($"registered_extractors", 1)).as("extractor_id"))
-        val resolved = resolvedUsages(s)
-        def fmt(v: org.apache.spark.sql.Column) =
-          when($"method" === "python", concat(lit("'"), v, lit("'"))).otherwise(v)
-        val outPath = regexp_replace($"input_path", "\\.[a-z0-9]+$", ".json")
         files
           .join(broadcast(chosen), Seq("filetype_id"), "left_outer")
-          .join(broadcast(resolved), Seq("extractor_id", "preferred_mode"), "left_outer")
+          .join(broadcast(resolvedUsages(s)), Seq("extractor_id", "preferred_mode"), "left_outer")
+          .join(broadcast(Registry.templates(s)), Seq("extractor_id", "filetype_id"), "left_outer")
           .select($"doc_id", $"filetype_id",
             coalesce($"extractor_id", lit("NONE")).as("extractor_id"),
             coalesce($"method", lit("none")).as("method"),
             when($"extractor_id".isNull, lit("no_extractor")).otherwise(lit("ok")).as("status"),
-            coalesce(replace(replace(replace($"command",
-              lit("{{ input_type }}"), fmt($"filetype_id")),
-              lit("{{ input_path }}"), fmt($"input_path")),
-              lit("{{ output_path }}"), fmt(outPath)), lit("")).as("exec_command"))
+            coalesce(applyTemplate($"command", $"method", defaultFields(s)), lit("")).as("exec_command"))
           .orderBy($"doc_id")
       },
       Some(s"""
@@ -189,35 +265,23 @@ object RegistryOps {
           SELECT filetype_id,
                  CASE WHEN len(registered_extractors) > 0 THEN registered_extractors[1] END AS extractor_id
           FROM ${Registry.filetypesSql}),
-        u AS (SELECT * FROM ${Registry.usagesSql}),
-        rs AS (
-          SELECT extractor_id, m.preferred_mode,
-                 max(CASE WHEN method = m.preferred_mode THEN 1 ELSE 0 END) AS has_pref,
-                 min(CASE WHEN method = m.preferred_mode THEN idx END) AS pref_idx,
-                 max(idx) AS last_idx
-          FROM u, (SELECT unnest(['python', 'cli']) AS preferred_mode) m
-          GROUP BY extractor_id, m.preferred_mode),
-        resolved AS (
-          SELECT rs.extractor_id, rs.preferred_mode, u.method, u.command
-          FROM rs JOIN u ON rs.extractor_id = u.extractor_id
-                 AND u.idx = (CASE WHEN rs.has_pref = 1 THEN rs.pref_idx ELSE rs.last_idx END))
-        SELECT f.doc_id, f.filetype_id,
-               COALESCE(c.extractor_id, 'NONE') AS extractor_id,
-               COALESCE(r.method, 'none') AS method,
-               CASE WHEN c.extractor_id IS NULL THEN 'no_extractor' ELSE 'ok' END AS status,
-               COALESCE(replace(replace(replace(r.command,
-                 '{{ input_type }}',
-                 CASE WHEN r.method = 'python' THEN '''' || f.filetype_id || '''' ELSE f.filetype_id END),
-                 '{{ input_path }}',
-                 CASE WHEN r.method = 'python' THEN '''' || f.input_path || '''' ELSE f.input_path END),
-                 '{{ output_path }}',
-                 CASE WHEN r.method = 'python'
-                      THEN '''' || regexp_replace(f.input_path, '\\.[a-z0-9]+$$', '.json') || ''''
-                      ELSE regexp_replace(f.input_path, '\\.[a-z0-9]+$$', '.json') END), '') AS exec_command
-        FROM files f
-          LEFT JOIN chosen c ON f.filetype_id = c.filetype_id
-          LEFT JOIN resolved r ON c.extractor_id = r.extractor_id AND f.preferred_mode = r.preferred_mode
-        ORDER BY f.doc_id""")),
+        $resolvedSqlCtes,
+        j AS (
+          SELECT f.doc_id, f.filetype_id AS filetype_id, c.extractor_id, r.method, r.command,
+                 f.input_path, f.output_type,
+                 t.t_input_type, t.t_input_path, t.t_output_type, t.t_output_path
+          FROM files f
+            LEFT JOIN chosen c ON f.filetype_id = c.filetype_id
+            LEFT JOIN resolved r ON c.extractor_id = r.extractor_id
+                 AND f.preferred_mode = r.preferred_mode
+            LEFT JOIN ${Registry.templatesSql} t
+                 ON t.extractor_id = c.extractor_id AND t.filetype_id = f.filetype_id)
+        SELECT doc_id, filetype_id,
+               COALESCE(extractor_id, 'NONE') AS extractor_id,
+               COALESCE(method, 'none') AS method,
+               CASE WHEN extractor_id IS NULL THEN 'no_extractor' ELSE 'ok' END AS status,
+               COALESCE(${applyTemplateSql("command")}, '') AS exec_command
+        FROM j ORDER BY doc_id""")),
 
     // ── r06: distributed batch extraction — the README "parallel ──
     // processing" plan: every dispatched file yields a structured metadata
@@ -278,6 +342,61 @@ object RegistryOps {
           GROUP BY extractor_id)
         SELECT i.extractor_id, i.method, i.package, c.n_files
         FROM counts c JOIN ${Registry.installationsSql} i ON c.extractor_id = i.extractor_id
-        ORDER BY i.extractor_id"""))
+        ORDER BY i.extractor_id""")),
+
+    // ── r08: URL inputs + inline extractor definitions — the two extract() ──
+    // entry paths the registry lookup doesn't cover: http(s) input paths
+    // are fetched to a local tmp file before dispatch (__init__.py:81-84 —
+    // here a 'download' stage marker on the plan row), and a caller-supplied
+    // `extractor_definition` bypasses the registry entirely
+    // (__init__.py:53,132-138 — here an inline row unioned into the
+    // broadcast registry dim, covering the csv filetype the registry
+    // lacks).
+    GQuery("r08_url_inline_dispatch",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d).filter($"doc_id" < 100)
+          .withColumn("input_path",
+            when($"doc_id" % 10 === 7,
+              concat(lit("https://files.example.org/doc_"), $"doc_id", lit(".dat")))
+              .otherwise($"input_path"))
+        val registryChosen = Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id", element_at($"registered_extractors", 1).as("extractor_id"),
+            lit("registry").as("source"))
+        val inline = Seq(("csv", "user-inline-csv", "inline"))
+          .toDF("filetype_id", "extractor_id", "source")
+        files
+          .join(broadcast(registryChosen.unionByName(inline)), Seq("filetype_id"), "left_outer")
+          .select($"doc_id", $"input_path",
+            when($"input_path".startsWith("https://"), "download").otherwise("local").as("fetch_stage"),
+            coalesce($"extractor_id", lit("NONE")).as("extractor_id"),
+            coalesce($"source", lit("none")).as("source"),
+            when($"extractor_id".isNull, lit("no_extractor")).otherwise(lit("ok")).as("status"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH files AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 7
+                      THEN 'https://files.example.org/doc_' || doc_id || '.dat'
+                      ELSE input_path END AS input_path,
+                 filetype_id
+          FROM $catalogSql WHERE doc_id < 100),
+        chosen AS (
+          SELECT filetype_id, registered_extractors[1] AS extractor_id, 'registry' AS source
+          FROM ${Registry.filetypesSql}
+          WHERE len(registered_extractors) > 0
+          UNION ALL
+          SELECT 'csv', 'user-inline-csv', 'inline'),
+        j AS (
+          SELECT f.doc_id, f.input_path, c.extractor_id, c.source
+          FROM files f LEFT JOIN chosen c ON f.filetype_id = c.filetype_id)
+        SELECT doc_id, input_path,
+               CASE WHEN input_path LIKE 'https://%' THEN 'download' ELSE 'local' END AS fetch_stage,
+               COALESCE(extractor_id, 'NONE') AS extractor_id,
+               COALESCE(source, 'none') AS source,
+               CASE WHEN extractor_id IS NULL THEN 'no_extractor' ELSE 'ok' END AS status
+        FROM j ORDER BY doc_id"""))
   )
 }

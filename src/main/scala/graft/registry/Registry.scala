@@ -50,7 +50,7 @@ object Registry {
     import s.implicits._
     Seq(
       ("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
-      ("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }}"),
+      ("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
       ("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
       ("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
       ("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}")
@@ -61,11 +61,36 @@ object Registry {
   val usagesSql: String = """
     (SELECT * FROM (VALUES
        ('yadg', 0, 'python', 'yadg', 'yadg.extractors.extract({{ input_type }}, {{ input_path }})'),
-       ('yadg', 1, 'cli', '', 'yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }}'),
+       ('yadg', 1, 'cli', '', 'yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}'),
        ('galvani', 0, 'python', 'galvani', 'galvani.MPRfile({{ input_path }})'),
        ('h5grove', 0, 'cli', '', 'h5dump {{ input_path }} > {{ output_path }}'),
        ('pdfplumber-cli', 0, 'cli', '', 'pdfplumber {{ input_path }} --out {{ output_path }}')
      ) AS t(extractor_id, idx, method, setup, command))"""
+
+  /** Per-(extractor, filetype) template overrides: the reference merges a
+    * supported-filetype's `template` dict OVER the default fields before
+    * substitution (`__init__.py:236-243` selects it, `:429-441` applies it
+    * via `additional_template.get(field) or default`). Pre-pivoted to one
+    * nullable column per overridable field; null = no override.
+    */
+  def templates(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      // yadg handles example-xy under its registry type name and forces
+      // netcdf output regardless of what the caller asked for
+      ("yadg", "example-xy", Some("marda:example-xy"), Option.empty[String], Some("netcdf"), Option.empty[String]),
+      // h5grove dumps every nexus file to a fixed staging path
+      ("h5grove", "nexus-hdf5", Option.empty[String], Option.empty[String], Option.empty[String], Some("/scratch/nexus/dump.json"))
+    ).toDF("extractor_id", "filetype_id",
+      "t_input_type", "t_input_path", "t_output_type", "t_output_path")
+  }
+
+  /** DuckDB VALUES mirror of [[templates]]. */
+  val templatesSql: String = """
+    (SELECT * FROM (VALUES
+       ('yadg', 'example-xy', 'marda:example-xy', NULL, 'netcdf', NULL),
+       ('h5grove', 'nexus-hdf5', NULL, NULL, NULL, '/scratch/nexus/dump.json')
+     ) AS t(extractor_id, filetype_id, t_input_type, t_input_path, t_output_type, t_output_path))"""
 
   /** Installation instructions (`MardaExtractor.install`,
     * `__init__.py:179-217`): pip packages per extractor.

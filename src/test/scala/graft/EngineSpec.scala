@@ -75,6 +75,34 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(diff == 0, "registry JSON round-trip changed rows")
   }
 
+  test("salting spreads a generated hot key across reducers (q28 pattern)") {
+    import spark.implicits._
+    // 60% of rows share one key — the shape where one reducer melts at
+    // 100 TB. Deterministic partition-occupancy assertion, not timing.
+    val skewed = spark.range(100000).select($"id",
+      when($"id" % 5 < 3, "HOT").otherwise(concat(lit("k"), $"id" % 1000)).as("key"),
+      ($"id" % 97).cast("double").as("v"))
+    def maxPartFrac(df: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = df.groupBy(spark_partition_id()).count()
+        .collect().map(_.getLong(1).toDouble)
+      sizes.max / sizes.sum
+    }
+    val naive = maxPartFrac(skewed.repartition(16, $"key"))
+    val salted = maxPartFrac(skewed.repartition(16, $"key", pmod(hash($"id"), lit(8))))
+    assert(naive >= 0.6, s"hot key not concentrated under naive hashing: $naive")
+    assert(salted <= naive / 3,
+      f"salting did not spread the hot key: naive=$naive%.3f salted=$salted%.3f")
+    // and the two-stage salted aggregation is value-identical to the
+    // one-stage plan it replaces
+    val plain = skewed.groupBy($"key").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val twoStage = skewed
+      .withColumn("salt", pmod(hash($"id"), lit(8)))
+      .groupBy($"key", $"salt").agg(count(lit(1)).as("pn"), sum($"v").as("ps"))
+      .groupBy($"key").agg(sum($"pn").as("n"), sum($"ps").as("s"))
+    assert(twoStage.exceptAll(plain).isEmpty && plain.exceptAll(twoStage).isEmpty,
+      "salted two-stage aggregation drifted from the plain aggregate")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // co-locate fact tables on the join key at write time: at 100 TB this
     // is the difference between a one-off layout cost and re-shuffling

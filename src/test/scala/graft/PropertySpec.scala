@@ -55,6 +55,98 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.forall(r => r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9))
   }
 
+  // ── Recall probes for the approximate vector operators. ──
+  // The DuckDB oracle mirrors each LSH algorithm, so it can never see
+  // recall collapse (SURVEY §6's minhash lesson). These probes compare
+  // against driver-side brute force and against the ANALYTIC hyperplane-
+  // LSH bound at the data's own neighbor angles: for a pair at angle θ,
+  // P(one sign bit agrees) = 1 − θ/π, so P(candidate) is a polynomial in
+  // p per scheme. A degenerate bucket function (e.g. all bits from one
+  // coordinate) would crater measured recall far below the bound.
+
+  /** (ids, vectors) collected once — 500×64 floats, test-only. */
+  private lazy val embCollected: Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+  }
+
+  /** Cosine with CosineSim's exact sequential accumulation order. */
+  private def cosine(x: Array[Double], y: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < x.length) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  /** Brute-force top-k neighbor ids per vector (query-order ties: rounded
+    * cos desc, id asc — identical to the ranking windows).
+    */
+  private def bruteTopK(k: Int): Map[Long, Seq[(Long, Double)]] =
+    embCollected.map { case (i, x) =>
+      i -> embCollected.filter(_._1 != i)
+        .map { case (j, y) => (j, cosine(x, y)) }
+        .sortBy { case (j, c) => (-math.rint(c * 10000) / 10000, j) }
+        .take(k).toSeq
+    }.toMap
+
+  /** P(bit agrees) for a pair at cosine c under hyperplane LSH. */
+  private def pAgree(c: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  private def bucketOf(v: Array[Double], nBits: Int): Int =
+    (0 until nBits).map(b => if (v(b) > 0) 1 << b else 0).sum
+
+  test("s05 kNN-graph recall: LSH multi-probe candidates vs brute force >= analytic bound") {
+    import spark.implicits._
+    val n = embCollected.length
+    val truth = bruteTopK(2)
+    val got = SparkEntry.queries("s05_knn_graph")(spark, sf)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == 2 * n, s"expected 2 edges per vector, got ${got.size} for $n")
+    val truePairs = truth.toSeq.flatMap { case (i, nns) => nns.map(nn => (i, nn._1)) }
+    val measured = truePairs.count(got.contains).toDouble / truePairs.size
+    // P(hamming(bucket_i, bucket_j) <= 1) over 6 bits = p^6 + 6 p^5 (1-p),
+    // averaged over the true neighbor pairs' own angles.
+    val bound = truth.values.flatten.map { case (_, c) =>
+      val p = pAgree(c); math.pow(p, 6) + 6 * math.pow(p, 5) * (1 - p)
+    }.sum / truePairs.size
+    assert(measured >= 0.85 * bound,
+      f"s05 recall collapsed: measured=$measured%.4f analytic=$bound%.4f")
+  }
+
+  test("s02-scheme ANN recall over all queries >= analytic bound") {
+    // s02 itself serves one query; probe its scheme (4-bit own-bucket
+    // candidates, top-5) over every vector as the query.
+    val truth = bruteTopK(5)
+    val buckets = embCollected.map { case (i, v) => i -> bucketOf(v, 4) }.toMap
+    val hits = truth.toSeq.flatMap { case (i, nns) =>
+      nns.map { case (j, c) => (buckets(i) == buckets(j), pAgree(c)) }
+    }
+    val measured = hits.count(_._1).toDouble / hits.size
+    val bound = hits.map(h => math.pow(h._2, 4)).sum / hits.size
+    assert(measured >= 0.85 * bound,
+      f"s02 scheme recall collapsed: measured=$measured%.4f analytic=$bound%.4f")
+  }
+
+  test("d06 near-dup recall vs d05 exact ground truth >= analytic bound") {
+    import spark.implicits._
+    // ground truth from the exact baseline operator itself (d05, cos>=0.45
+    // threshold); d06 finds the subset co-located in a 4-bit sign bucket.
+    val truth = SparkEntry.queries("d05_embed_dupes")(spark, sf)
+      .select($"i", $"j", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(truth.nonEmpty, "no ground-truth near-dup pairs at this sf")
+    val got = SparkEntry.queries("d06_embed_lsh_dupes")(spark, sf)
+      .select($"i", $"j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val measured = truth.count(t => got.contains((t._1, t._2))).toDouble / truth.size
+    val bound = truth.map(t => math.pow(pAgree(t._3), 4)).sum / truth.size
+    assert(measured >= 0.85 * bound,
+      f"d06 recall collapsed: measured=$measured%.4f analytic=$bound%.4f")
+  }
+
   test("sessionization invariants: in-session gaps <= 30min, sessions ordered") {
     import spark.implicits._
     val sess = SparkEntry.queries("e02_sessionize")(spark, sf)
