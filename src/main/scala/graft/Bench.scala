@@ -40,7 +40,7 @@ object Bench {
     // the round-1 line long enough that the capture truncated the tail
     // and dropped five queries' timings. Also mirrored to a file so the
     // numbers survive any stdout mangling.
-    def fmt(v: Double): String = "%.4f".format(v)
+    def fmt(v: Double): String = "%.3f".format(v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -310,6 +310,44 @@ object Dedup {
         p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.bucket AS bucket,
                      ${cosineSimSql("x.v", "y.v")} AS cos
               FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-        SELECT i, j, bucket, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j"""))
+        SELECT i, j, bucket, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j""")),
+
+    // ── d07: inter-document duplicated-shingle coverage (the MassiveText- ──
+    // style "fraction of this doc that also appears elsewhere" signal used
+    // to drop near-boilerplate). Per doc: the share of its DISTINCT
+    // 3-shingles found in ≥2 documents. Shuffle rows = distinct (doc,
+    // shingle) pairs carried as 64-bit hashes — linear in corpus size; the
+    // doc-frequency aggregate partial-aggs map-side, and the join back is
+    // co-partitioned on the hash.
+    GQuery("d07_dup_shingle_coverage",
+      (s, d) => {
+        import s.implicits._
+        val ds = docs(s, d)
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 3))).as("sh"))
+          .select($"doc_id", hash64($"sh").as("h"))
+        val dfreq = ds.groupBy($"h").agg(count(lit(1)).as("df"))
+        ds.join(dfreq, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup"),
+            round(sum(when($"df" > 1, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
+              .as("dup_frac"))
+          .withColumn("flagged", $"dup_frac" >= 0.5)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        shl AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+                FROM ts),
+        hs AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM shl),
+        dfq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
+        per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                       ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+                FROM hs JOIN dfq USING (h) GROUP BY doc_id)
+        SELECT doc_id, n_shingles, n_dup, dup_frac, (dup_frac >= 0.5) AS flagged
+        FROM per ORDER BY doc_id"""))
   )
 }

@@ -72,5 +72,68 @@ object Multimodal {
         FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
         WHERE doc_id < 100 AND f.f <= (length(text) + 255) // 256 - 1
         ORDER BY doc_id, frame_idx"""))
+    ,
+
+    // ── m03: frame embedding + pooling — the decode→embed→pool pipeline ──
+    // shape: each frame (m02's chunker) maps to an embedding through a
+    // deterministic codebook lookup (stub for a real image/audio encoder;
+    // the encoder drops in at the key expression), then per-document
+    // MAX-pooling over frame vectors. Max is order-independent, so the
+    // pooled vector is exact regardless of partitioning — no fp-summation
+    // drift (mean-pooling would need the DECIMAL trick). The codebook
+    // joins by key (broadcast here; a 100 TB corpus joins against a
+    // bucketed codebook table the same way).
+    GQuery("m03_frame_embed_pool",
+      (s, d) => {
+        import s.implicits._
+        val frames = Tables.load(s, d, "documents")
+          .filter($"doc_id" < 100)
+          .select($"doc_id", $"text", posexplode(expr(
+            "sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
+          .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
+            expr("substring(text, pos * 256 + 1, 256)").as("frame"))
+        val nv = Tables.load(s, d, "embeddings").agg(count(lit(1)).as("nv"))
+        val code = Tables.load(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("v"))
+        val fv = frames.join(broadcast(nv))
+          .select($"doc_id", $"frame_idx",
+            (graft.functions.TextFunctions.hash64($"frame") % $"nv").as("key"))
+          .join(broadcast(code), $"key" === $"vec_id")
+        val pooled = fv
+          .select($"doc_id", posexplode($"v"))
+          .groupBy($"doc_id", $"pos")
+          .agg(max($"col").as("m"))
+          .groupBy($"doc_id")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"doc_id",
+            round(sqrt(aggregate(transform($"pm", x => x.getField("m")),
+              lit(0.0), (acc, x) => acc + x * x)), 6).as("pooled_norm"))
+        fv.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+          .join(pooled, "doc_id")
+          .select($"doc_id", $"n_frames", $"pooled_norm")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH fr AS (
+          SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+                 substr(text, CAST(f.f AS INT) * 256 + 1, 256) AS frame
+          FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
+          WHERE doc_id < 100 AND f.f <= (length(text) + 255) // 256 - 1),
+        n AS (SELECT COUNT(*) AS nv FROM embeddings),
+        fv AS (SELECT doc_id, frame_idx, CAST(e.embedding AS DOUBLE[]) AS v
+               FROM fr CROSS JOIN n
+               JOIN embeddings e
+                 ON e.vec_id = CAST(('0x' || substr(md5(frame), 1, 15)) AS BIGINT) % n.nv),
+        coords AS (SELECT doc_id, p.p AS pos, MAX(v[p.p]) AS m
+                   FROM fv, (SELECT unnest(range(1, 65)) AS p) p
+                   GROUP BY doc_id, pos),
+        pooled AS (SELECT doc_id,
+                          ROUND(sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))), 6)
+                            AS pooled_norm
+                   FROM coords GROUP BY doc_id),
+        stats AS (SELECT doc_id, COUNT(*) AS n_frames FROM fv GROUP BY doc_id)
+        SELECT doc_id, n_frames, pooled_norm
+        FROM stats JOIN pooled USING (doc_id) ORDER BY doc_id""")
+    )
   )
 }

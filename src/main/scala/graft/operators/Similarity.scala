@@ -21,6 +21,27 @@ object Similarity {
 
   private def cosSql(a: String, b: String): String = cosineSimSql(a, b)
 
+  /** IVF centroids: per-label element-wise means (2-stage agg over exploded
+    * coords, re-assembled in pos order) — k×d doubles, always broadcast-able.
+    * Shared by s04 (assignment) and s06 (probe search).
+    */
+  private def centroids(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"label", posexplode(asDouble($"embedding")))
+      .groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"col") / count(lit(1))).as("m"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"c_label", transform($"pm", x => x.getField("m")).as("centroid"))
+  }
+
+  /** DuckDB mirror of [[centroids]] (expects a CTE `e(vec_id, label, v)`). */
+  private val centSql = """
+        coords AS (SELECT label AS c_label, p.p AS pos, sum(v[p.p]) / count(*) AS m
+                   FROM e, (SELECT unnest(range(1, 65)) AS p) p
+                   GROUP BY c_label, pos),
+        cent AS (SELECT c_label, list(m ORDER BY pos) AS centroid FROM coords GROUP BY c_label)"""
+
   val all: Seq[GQuery] = Seq(
 
     // ── s01: brute-force cosine top-k for one query vector (vec_id 0): ──
@@ -103,12 +124,7 @@ object Similarity {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val e = emb(s, d)
-        val cent = e.select($"label", posexplode(asDouble($"embedding")))
-          .groupBy($"label".as("c_label"), $"pos")
-          .agg((sum($"col") / count(lit(1))).as("m"))
-          .groupBy($"c_label")
-          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"c_label", transform($"pm", x => x.getField("m")).as("centroid"))
+        val cent = centroids(e)
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         e.join(broadcast(cent))
           .select($"vec_id", $"label", $"c_label",
@@ -120,10 +136,7 @@ object Similarity {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        coords AS (SELECT label AS c_label, p.p AS pos, sum(v[p.p]) / count(*) AS m
-                   FROM e, (SELECT unnest(range(1, 65)) AS p) p
-                   GROUP BY c_label, pos),
-        cent AS (SELECT c_label, list(m ORDER BY pos) AS centroid FROM coords GROUP BY c_label),
+        $centSql,
         scored AS (SELECT vec_id, label, c_label,
                           ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -177,6 +190,53 @@ object Similarity {
                             ORDER BY ROUND(${cosSql("xv", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
                    FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id)
         SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
-        ORDER BY src, rn"""))
+        ORDER BY src, rn""")),
+
+    // ── s06: IVF probe search — the inverted-file ANN path: corpus ──
+    // vectors partition into centroid cells (s04's assignment); a query
+    // scores only the nprobe=2 cells whose centroids are nearest, never
+    // the full corpus. Centroids and the probe list broadcast (k×d
+    // doubles); at scale the assignment is precomputed once and the
+    // corpus written partitioned by cell, so a probe search is a
+    // partition-pruned scan of nprobe/k of the data.
+    GQuery("s06_ivf_ann",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val cent = centroids(e)
+        val q = e.filter($"vec_id" === 0).select(asDouble($"embedding").as("qv"))
+        val probes = cent.join(broadcast(q))
+          .select($"c_label", round(cosineSim($"centroid", $"qv"), 4).as("qcos"))
+          .orderBy($"qcos".desc, $"c_label".asc).limit(2)
+          .select($"c_label".as("cell"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        val assign = e.filter($"vec_id" =!= 0).join(broadcast(cent))
+          .select($"vec_id", $"embedding", $"c_label",
+            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"vec_id", $"embedding", $"c_label".as("cell"))
+        assign.join(broadcast(probes), "cell")
+          .join(broadcast(q))
+          .select($"vec_id", $"cell", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $centSql,
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probes AS (SELECT c_label AS cell FROM cent, q
+                   ORDER BY ROUND(${cosSql("cent.centroid", "q.qv")}, 4) DESC, c_label ASC
+                   LIMIT 2),
+        scored AS (SELECT vec_id, v, c_label,
+                          ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                   FROM e, cent WHERE vec_id <> 0),
+        assign AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1)
+        SELECT a.vec_id, a.cell, ROUND(${cosSql("a.v", "q.qv")}, 4) AS cos
+        FROM assign a JOIN probes USING (cell), q
+        ORDER BY cos DESC, vec_id ASC LIMIT 5"""))
   )
 }

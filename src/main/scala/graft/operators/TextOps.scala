@@ -257,6 +257,85 @@ object TextOps {
           FROM toks)
         SELECT doc_id, CAST(SUM(term) % 1073741789 AS BIGINT) AS fingerprint,
                COUNT(*) AS n_tokens
-        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── t10: repetition signals (the Gopher-style repetition filters): ──
+    // top-bigram fraction (share of 2-gram occurrences taken by the most
+    // frequent 2-gram) and duplicate-token fraction. Shuffle carries one
+    // row per distinct (doc, bigram) after map-side partial agg; both
+    // per-doc aggregates then co-partition on doc_id — linear at any
+    // corpus size.
+    GQuery("t10_repetition",
+      (s, d) => {
+        import s.implicits._
+        val bg = docs(s, d).select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        val rep = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id")
+          .agg(max($"n").as("top_n"), sum($"n").cast(LongType).as("n_bigrams"))
+        val tok = docs(s, d).select($"doc_id",
+          size(tokens($"text")).as("n_tokens"),
+          size(array_distinct(tokens($"text"))).as("n_distinct"))
+        rep.join(tok, "doc_id")
+          .select($"doc_id",
+            round($"top_n".cast(DoubleType) / $"n_bigrams", 6).as("top_bigram_frac"),
+            round(lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_tokens", 6).as("dup_token_frac"),
+            ($"top_n".cast(DoubleType) / $"n_bigrams" > 0.04).as("repetitive"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+               FROM ts),
+        counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg),
+        rep AS (SELECT doc_id, MAX(n) AS top_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
+                FROM counts GROUP BY doc_id),
+        tok AS (SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct FROM ts)
+        SELECT doc_id,
+               ROUND(CAST(top_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               (CAST(top_n AS DOUBLE) / n_bigrams > 0.04) AS repetitive
+        FROM rep JOIN tok USING (doc_id) ORDER BY doc_id""")),
+
+    // ── t11: bigram language-model scoring (the perplexity-filter shape): ──
+    // corpus bigram model P(w2|w1) = c(w1 w2)/c(w1·), per-doc mean log-
+    // likelihood. Model counts are two partial-agg passes (one row per
+    // distinct bigram in the shuffle); the scoring join broadcasts the
+    // model — at 100 TB a production model keeps the top-K bigrams with a
+    // backoff constant, which is exactly what makes it broadcast-able.
+    // Per-bigram logp rounds to 6dp then sums in DECIMAL(18,6) (exact,
+    // order-free) before the single double division — bit-identical across
+    // engines (SURVEY §6).
+    GQuery("t11_bigram_lm",
+      (s, d) => {
+        import s.implicits._
+        val bg = docs(s, d).select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        val cbg = bg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+          .withColumn("w1", split($"bg", " ").getItem(0))
+        val model = cbg.join(
+          cbg.groupBy($"w1").agg(sum($"c_bg").as("c_w1")), "w1")
+          .select($"bg", $"c_bg", $"c_w1")
+        bg.join(broadcast(model), "bg")
+          .select($"doc_id",
+            round(log($"c_bg".cast(DoubleType) / $"c_w1"), 6).cast(DecimalType(18, 6)).as("logp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round((sum($"logp").cast(DoubleType) / count(lit(1))), 6).as("avg_logp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+               FROM ts),
+        cbg AS (SELECT bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        cw1 AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY w1),
+        model AS (SELECT bg, c_bg, c_w1 FROM cbg JOIN cw1 USING (w1)),
+        scored AS (
+          SELECT doc_id, CAST(ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) AS DECIMAL(18,6)) AS logp
+          FROM bg JOIN model USING (bg))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -121,4 +121,26 @@ object EventStreams extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Watermarked stream-stream INNER join: each purchase matched to the
+    * same user's signups in the preceding hour. Both inputs carry
+    * watermarks and the join condition bounds the event-time distance
+    * between the sides, which is what lets Spark expire buffered join
+    * state — without the time bound the buffers grow with stream length.
+    * The same plan runs in batch (watermarks are no-ops there), so the
+    * spec pins streaming ≡ batch across multi-batch arrival.
+    */
+  def purchasesWithinHourOfSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val su = signups
+      .select(col("user_id").as("su_user"), col("ts").as("su_ts"))
+      .withWatermark("su_ts", "1 hour")
+    val pu = purchases
+      .select(col("user_id").as("pu_user"), col("event_id"), col("ts").as("pu_ts"),
+        col("value"))
+      .withWatermark("pu_ts", "1 hour")
+    pu.join(su, expr(
+        "pu_user = su_user AND pu_ts >= su_ts AND pu_ts <= su_ts + INTERVAL 1 HOUR"))
+      .select(col("pu_user").as("user_id"), col("event_id"),
+        col("su_ts"), col("pu_ts"), col("value"))
+  }
 }

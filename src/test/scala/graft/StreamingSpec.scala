@@ -199,6 +199,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"streaming missed ${(want -- got).size} of ${want.size} batch pairs")
   }
 
+  test("stream-stream join matches batch across multi-batch arrival") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ssj_in").toString
+    // two arrival waves: signup/purchase pairs split across micro-batches
+    // exercise the buffered join state
+    batch.filter($"event_id" % 2 === 0).write.mode("overwrite").parquet(s"$inDir/a")
+    batch.filter($"event_id" % 2 === 1).write.mode("overwrite").parquet(s"$inDir/b")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val joined = EventStreams.purchasesWithinHourOfSignup(
+      stream.filter($"event_type" === "signup"),
+      stream.filter($"event_type" === "purchase"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)
+    val got = spark.table("ssj_out").collect().map(key).toSet
+    val want = EventStreams.purchasesWithinHourOfSignup(
+      batch.filter($"event_type" === "signup"),
+      batch.filter($"event_type" === "purchase"))
+      .collect().map(key).toSet
+    assert(want.nonEmpty, "batch join produced no pairs — test data unusable")
+    assert(got == want,
+      s"stream-stream join: got ${got.size} pairs, want ${want.size}")
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
