@@ -57,22 +57,32 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def signatures(s: SparkSession, d: String): DataFrame = synchronized {
-    import s.implicits._
     sigCache.get((s, d)) match {
       case Some(df) if df.storageLevel.useMemory => df
       case _ =>
-        val sh = shingles(tokens($"text"), 3)
-        val hashed = docs(s, d).select($"doc_id", explode(sh).as("sh"))
-          .select($"doc_id", hash64($"sh").as("h"))
-        val sig = hashed.groupBy($"doc_id")
-          .agg(min(permHash($"h", 0)).as("m0"),
-            (1 until NumPerms).map(p => min(permHash($"h", p)).as(s"m$p")): _*)
-        val banded = (0 until NumBands).foldLeft(sig) { case (df, b) =>
-          df.withColumn(s"b$b", concat_ws("_",
-            (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
-        }.cache()
+        val banded = signatureFrame(docs(s, d)).cache()
         sigCache.put((s, d), banded)
         banded
+    }
+  }
+
+  /** The banded-signature pipeline over an arbitrary (doc_id, text) frame:
+    * m0..m15 minhash columns + b0..b3 band keys, one row per document.
+    * Signatures are per-document (corpus-independent), which is what makes
+    * the incremental form ([[IncrementalDedup]]) exactly equal to the
+    * batch form — a document's signature never changes as the corpus grows.
+    */
+  def signatureFrame(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    val sh = shingles(tokens($"text"), 3)
+    val hashed = docsDf.select($"doc_id", explode(sh).as("sh"))
+      .select($"doc_id", hash64($"sh").as("h"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(min(permHash($"h", 0)).as("m0"),
+        (1 until NumPerms).map(p => min(permHash($"h", p)).as(s"m$p")): _*)
+    (0 until NumBands).foldLeft(sig) { case (df, b) =>
+      df.withColumn(s"b$b", concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
     }
   }
 

@@ -147,6 +147,37 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       f"d06 recall collapsed: measured=$measured%.4f analytic=$bound%.4f")
   }
 
+  test("s06 IVF scheme recall: nprobe=2 of 10 cells beats the random-cell baseline") {
+    import spark.implicits._
+    // Driver-side mirror of Similarity.centroids: per-label coordinate
+    // means; assignment/probing replicate the operator's exact ordering
+    // (cos rounded to 4dp desc, label asc).
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = embCollected.groupBy { case (id, _) => labels(id) }
+      .map { case (l, vs) =>
+        l -> Array.tabulate(64)(k => vs.map(_._2(k)).sum / vs.length)
+      }
+    val cellIds = cents.keys.toSeq.sorted
+    def nearestCells(v: Array[Double], k: Int): Seq[Int] =
+      cellIds.map(l => (l, math.rint(cosine(v, cents(l)) * 10000) / 10000))
+        .sortBy { case (l, c) => (-c, l) }.take(k).map(_._1)
+    val vecs = embCollected.toMap
+    val assign = embCollected.map { case (i, v) => i -> nearestCells(v, 1).head }.toMap
+    val truth = bruteTopK(5)
+    val hits = truth.toSeq.flatMap { case (i, nns) =>
+      val probes = nearestCells(vecs(i), 2).toSet
+      nns.map { case (j, _) => probes.contains(assign(j)) }
+    }
+    val measured = hits.count(identity).toDouble / hits.size
+    // Random-cell baseline = nprobe/k = 0.20; the label structure lifts
+    // this data to ~0.40. A degenerate index (all vectors in one cell,
+    // broken tie order, wrong centroid math) collapses to the baseline.
+    assert(measured >= 0.30,
+      f"s06 IVF recall degenerate: measured=$measured%.4f vs random-cell 0.20")
+  }
+
   test("sessionization invariants: in-session gaps <= 30min, sessions ordered") {
     import spark.implicits._
     val sess = SparkEntry.queries("e02_sessionize")(spark, sf)
