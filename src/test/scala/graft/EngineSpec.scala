@@ -44,6 +44,28 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("no unbounded cartesian in the vector pipelines (s05/s06/d06)") {
+    // s05 regressed-to-all-pairs was round 1's one scale-killer: pin that
+    // every corpus-sized vector join is an EQUALITY join (hash-joinable),
+    // with nested-loop joins only against broadcast singletons (the 1-row
+    // query / k-row centroid sides, whose build side is O(k)).
+    Seq("s05_knn_graph", "s06_ivf_ann", "d06_embed_lsh_dupes").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val hashJoins = "HashJoin".r.findAllIn(plan).size
+      assert(hashJoins >= 1, s"$name: bucket/cell equality join disappeared:\n$plan")
+      val allowedNested = name match {
+        case "s05_knn_graph" => 0         // pure bucket equality, no singleton side
+        case "d06_embed_lsh_dupes" => 0   // pure bucket equality
+        case _ => 3                       // s06: 1-row query (probe + final) and the
+                                          // intentional corpus × k-centroid cross
+      }
+      assert(nested <= allowedNested,
+        s"$name: ${nested} nested-loop joins (allowed $allowedNested) — all-pairs regression?\n$plan")
+    }
+  }
+
   test("sources round-trip: parquet, csv, json, partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Tables.load(spark, sf, "nation")
