@@ -108,6 +108,45 @@ object Dedup {
            GROUP BY doc_id, p.p),
     sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id)"""
 
+  /** d02's near-dup pair pipeline (band-bucket candidates → estimated
+    * jaccard ≥ 0.5), shared with the component clustering (d08).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, d)
+    val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+      .distinct()
+    val si = sig.select($"doc_id".as("i"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_i"))
+    val sj = sig.select($"doc_id".as("j"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_j"))
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b), x => x)).cast(DoubleType) / NumPerms)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"i", $"j", $"est_jaccard")
+  }
+
+  /** DuckDB mirror of [[minhashPairs]]: CTEs ending in p(i, j) (appends to
+    * [[sigSql]]; shared by the d02 and d08 oracles).
+    */
+  private val pairSql = s"""
+    $sigSql,
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
+      FROM sig, (SELECT unnest(range(4)) AS b) b),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    p AS (
+      SELECT i, j,
+             CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16 AS est_jaccard
+      FROM cand JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
+      WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8)"""
+
   val all: Seq[GQuery] = Seq(
 
     // ── d01: exact dedup — canonicalized-content hash groupBy; winner = ──
@@ -132,38 +171,10 @@ object Dedup {
     // then signature-estimated jaccard ≥ 0.5. Shuffle volume: one row per
     // (doc, band), never all-pairs.
     GQuery("d02_minhash_lsh",
-      (s, d) => {
-        import s.implicits._
-        val sig = signatures(s, d)
-        val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
-          .toDF("doc_id", "band", "bkey")
-        val cand = bands.as("x").join(bands.as("y"),
-            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
-          .distinct()
-        val si = sig.select($"doc_id".as("i"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_i"))
-        val sj = sig.select($"doc_id".as("j"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_j"))
-        cand.join(si, "i").join(sj, "j")
-          .withColumn("est_jaccard",
-            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b), x => x)).cast(DoubleType) / NumPerms)
-          .filter($"est_jaccard" >= 0.5)
-          .select($"i", $"j", $"est_jaccard")
-          .orderBy($"i", $"j")
-      },
+      (s, d) => minhashPairs(s, d).orderBy(col("i"), col("j")),
       Some(s"""
-        WITH $sigSql,
-        bands AS (
-          SELECT doc_id, b.b AS band,
-                 sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
-          FROM sig, (SELECT unnest(range(4)) AS b) b),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-        SELECT i, j,
-               CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16 AS est_jaccard
-        FROM cand JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
-        WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8
-        ORDER BY i, j""")),
+        WITH $pairSql
+        SELECT i, j, est_jaccard FROM p ORDER BY i, j""")),
 
     // ── d03: SimHash — 32-bit fingerprint from per-shingle hash bit votes; ──
     // near-dup pairs = hamming ≤ 3, found via 4×8-bit chunk blocking
@@ -358,6 +369,54 @@ object Dedup {
                        ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
                 FROM hs JOIN dfq USING (h) GROUP BY doc_id)
         SELECT doc_id, n_shingles, n_dup, dup_frac, (dup_frac >= 0.5) AS flagged
-        FROM per ORDER BY doc_id"""))
+        FROM per ORDER BY doc_id""")),
+
+    // ── d08: duplicate-cluster assembly — connected components over the ──
+    // d02 near-dup pairs, the last step of every dedup pipeline (pairs →
+    // clusters → keep min-id per cluster). Iterative min-label
+    // propagation: each round every node takes the min label among itself
+    // and its neighbors — one equality join + one aggregate per round,
+    // O(diameter) rounds (near-dup clusters are shallow; at web scale
+    // this is the standard alternating large-star/small-star shape, same
+    // per-round plan). The driver loop only orchestrates; all data work
+    // is distributed, and labels localCheckpoint per round so lineage
+    // doesn't snowball.
+    GQuery("d08_dup_components",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(s, d).select($"i", $"j")
+        val edges = pairs.union(pairs.select($"j", $"i")).toDF("src", "dst")
+          .localCheckpoint()
+        val nodes = edges.select($"src".as("node")).distinct()
+        var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges.join(labels, $"src" === $"node")
+            .select($"dst".as("node"), $"label")
+            .union(labels)
+            .groupBy($"node").agg(min($"label").as("label"))
+            .localCheckpoint()
+          changed = prop.as("n").join(labels.as("o"), $"n.node" === $"o.node")
+            .filter($"n.label" < $"o.label").count()
+          labels = prop
+        }
+        labels
+          .select($"node".as("doc_id"), $"label".as("component"),
+            ($"node" === $"label").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $pairSql,
+        edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j, i FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges)
+        SELECT node AS doc_id,
+               LEAST(node, MIN(r.dst)) AS component,
+               (node = LEAST(node, MIN(r.dst))) AS keep
+        FROM nodes JOIN reach r ON r.src = node
+        GROUP BY node ORDER BY doc_id"""))
   )
 }
