@@ -380,7 +380,10 @@ object Dedup {
     // this is the standard alternating large-star/small-star shape, same
     // per-round plan). The driver loop only orchestrates; all data work
     // is distributed, and labels localCheckpoint per round so lineage
-    // doesn't snowball.
+    // doesn't snowball. Convergence check: labels are monotonically
+    // non-increasing over a fixed node set, so sum(label) strictly
+    // decreases iff any label moved — a single scan of the fresh
+    // checkpoint, no join against the previous round.
     GQuery("d08_dup_components",
       (s, d) => {
         import s.implicits._
@@ -389,15 +392,19 @@ object Dedup {
           .localCheckpoint()
         val nodes = edges.select($"src".as("node")).distinct()
         var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
+        def labelSum(df: DataFrame): Long =
+          Option(df.agg(sum($"label")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+        var prevSum = labelSum(labels)
+        var converged = false
+        while (!converged) {
           val prop = edges.join(labels, $"src" === $"node")
             .select($"dst".as("node"), $"label")
             .union(labels)
             .groupBy($"node").agg(min($"label").as("label"))
             .localCheckpoint()
-          changed = prop.as("n").join(labels.as("o"), $"n.node" === $"o.node")
-            .filter($"n.label" < $"o.label").count()
+          val newSum = labelSum(prop)
+          converged = newSum == prevSum
+          prevSum = newSum
           labels = prop
         }
         labels
