@@ -13,7 +13,7 @@ object SparkEntry {
   /** All engine queries, in SURVEY §2 order. */
   def allQueries: Seq[GQuery] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      RegistryOps.all ++ EventOps.all ++ Multimodal.all
+      RegistryOps.all ++ EventOps.all ++ Multimodal.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

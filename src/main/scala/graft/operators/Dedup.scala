@@ -424,6 +424,59 @@ object Dedup {
                LEAST(node, MIN(r.dst)) AS component,
                (node = LEAST(node, MIN(r.dst))) AS keep
         FROM nodes JOIN reach r ON r.src = node
-        GROUP BY node ORDER BY doc_id"""))
+        GROUP BY node ORDER BY doc_id""")),
+
+    // ── d09: segment-level exact dedup (C4/RefinedWeb line-dedup shape) ──
+    // — split each doc into consecutive 10-token segments, drop every
+    // segment whose hash occurs in MORE THAN ONE document, and rebuild
+    // the cleaned text from the kept segments in order. Pipeline: explode
+    // segments → hash → doc-frequency aggregate on the hash → EQUALITY
+    // join back on the hash → per-doc reassembly. AQE broadcasts the
+    // frequency table when it's small; at corpus scale (one row per
+    // distinct segment) it becomes a shuffled join whose dfreq side
+    // arrives pre-partitioned from the aggregate. Never all-pairs;
+    // shuffle volume is one row per segment. Segment count capped at 200
+    // on BOTH sides (oracle enumerates range(200)) — m02 precedent;
+    // corpus max is ~12 segments, so the cap is latent.
+    GQuery("d09_segment_dedup",
+      (s, d) => {
+        import s.implicits._
+        val segs = docs(s, d)
+          .select($"doc_id", split($"text", " ").as("ts"))
+          .select($"doc_id", posexplode(expr(
+            """transform(sequence(0, least(CAST(ceil(size(ts) / 10.0) AS INT), 200) - 1),
+               g -> array_join(slice(ts, g * 10 + 1, 10), ' '))""")))
+          .toDF("doc_id", "g", "seg")
+          .withColumn("h", hash64($"seg"))
+        val dfreq = segs.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+        segs.join(dfreq, "h")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dropped"),
+            array_join(
+              transform(
+                array_sort(collect_list(when($"df" === 1, struct($"g", $"seg")))),
+                x => x.getField("seg")),
+              " ").as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        segs AS (
+          SELECT doc_id, g.g AS g,
+                 array_to_string(ts[g.g*10+1 : g.g*10+10], ' ') AS seg
+          FROM ts, (SELECT unnest(range(200)) AS g) g
+          WHERE g.g < least(ceil(len(ts) / 10.0), 200)),
+        hs AS (SELECT doc_id, g, seg,
+                      CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS h
+               FROM segs),
+        dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hs GROUP BY h)
+        SELECT doc_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               COALESCE(array_to_string(list(seg ORDER BY g) FILTER (WHERE df = 1), ' '), '') AS clean_text
+        FROM hs JOIN dfreq USING (h)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline utilities (SURVEY.md §2.I): deterministic dataset
+  * splitting and stratified sampling — the bookkeeping every training-data
+  * pipeline needs between dedup and tokenization.
+  *
+  * Scale discipline: both operators are pure single-scan column
+  * expressions — no shuffle, no state, no RNG. Membership is decided by
+  * the portable md5-derived [[hash64]] of the document id, so the split
+  * is (a) reproducible run-to-run and engine-to-engine (the DuckDB
+  * oracle computes the identical buckets), (b) stable under corpus
+  * growth — adding documents never reassigns existing ones, unlike
+  * `sample()`/`randomSplit()` whose draw depends on partition layout.
+  * At 100 TB this is a partition-parallel scan that keeps filter
+  * pushdown intact; nothing here gets worse with corpus size.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */
+  private def hashSql(prefix: String): String =
+    s"CAST('0x' || substr(md5('$prefix' || doc_id), 1, 15) AS BIGINT)"
+
+  val all: Seq[GQuery] = Seq(
+
+    // ── p01: deterministic train/validation/test split — hash-bucket the ──
+    // doc id into 100 buckets (80/10/10). The salt ("split:") decorrelates
+    // this draw from every other hash use (sampling, minhash), so split
+    // membership is independent of, e.g., which LSH bucket a doc lands in.
+    GQuery("p01_split_assign",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id", $"lang",
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang,
+               ${hashSql("split:")} % 100 AS bucket,
+               CASE WHEN ${hashSql("split:")} % 100 < 80 THEN 'train'
+                    WHEN ${hashSql("split:")} % 100 < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    // ── p02: stratified downsampling — per-language keep rates (head ──
+    // language halved, tail languages kept whole; the standard rebalance
+    // before tokenization). keep ⇔ hash64("sample:"||id) mod 10k falls
+    // under the stratum's threshold: exact expected rate, zero shuffle,
+    // deterministic membership.
+    GQuery("p02_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .withColumn("threshold", when($"lang" === "en", 5000).otherwise(10000))
+          .filter(hash64(concat(lit("sample:"), $"doc_id")) % 10000 < $"threshold")
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ${hashSql("sample:")} % 10000 <
+              CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END
+        ORDER BY doc_id"""))
+  )
+}

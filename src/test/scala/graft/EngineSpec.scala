@@ -66,6 +66,28 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pipeline utilities are shuffle-free scans; d09 joins by equality") {
+    // p01/p02 are pure hash-membership scans: the ONLY exchange allowed is
+    // the final presentation sort (range partitioning for the oracle's
+    // total order) — a hashpartitioning exchange would mean an accidental
+    // shuffle in what must stay a 100 TB single-pass scan.
+    Seq("p01_split_assign", "p02_stratified_sample").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"$name: unexpected shuffle in a scan-only operator:\n$plan")
+      assert(!plan.contains("Join"), s"$name: unexpected join:\n$plan")
+    }
+    // d09's join-back must stay an equality join (broadcast or shuffled),
+    // never a nested-loop over segment pairs.
+    val d09 = SparkEntry.queries("d09_segment_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!d09.contains("BroadcastNestedLoopJoin") && !d09.contains("CartesianProduct"),
+      s"d09: non-equality join:\n$d09")
+    assert(d09.contains("HashJoin") || d09.contains("SortMergeJoin"),
+      s"d09: frequency join-back disappeared:\n$d09")
+  }
+
   test("sources round-trip: parquet, csv, json, partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Tables.load(spark, sf, "nation")
