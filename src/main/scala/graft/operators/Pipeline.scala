@@ -72,6 +72,64 @@ object Pipeline {
         FROM documents
         WHERE ${hashSql("sample:")} % 10000 <
               CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END
+        ORDER BY doc_id""")),
+
+    // ── p03: source-weighted mixing — replicate each document `repeat` ──
+    // times (its epoch count in the training mix), Pile/Dolma-style
+    // upsampling of scarce strata. Explode-based replication: a Generate
+    // over a scan, no shuffle, output rows = Σ repeat. At 100 TB the
+    // repeat factor rides along to the shuffle-free writer; nothing is
+    // ever materialized per-epoch on the driver.
+    GQuery("p03_source_mix",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .withColumn("repeat",
+            when($"source".isin("src0", "src2", "src4"), 3)
+              .when($"lang" =!= "en", 2)
+              .otherwise(1))
+          .select($"doc_id", $"lang", $"source", $"repeat",
+            explode(expr("sequence(1, repeat)")).as("epoch"))
+          .orderBy($"doc_id", $"epoch")
+      },
+      Some("""
+        SELECT doc_id, lang, source, repeat, CAST(e.e + 1 AS INT) AS epoch
+        FROM (SELECT doc_id, lang, source,
+                     CASE WHEN source IN ('src0', 'src2', 'src4') THEN 3
+                          WHEN lang <> 'en' THEN 2
+                          ELSE 1 END AS repeat
+              FROM documents) w,
+             (SELECT unnest(range(3)) AS e) e
+        WHERE e.e < repeat
+        ORDER BY doc_id, epoch""")),
+
+    // ── p04: token-budget packing — concatenate documents in id order ──
+    // within each (lang, source) stratum and cut 500-token shards from
+    // the running offset (pretraining chunk layout). The cumulative sum
+    // is a window PER STRATUM, so strata pack in parallel; a single
+    // global ordering here would serialize the corpus through one
+    // partition — the per-stratum partitionBy IS the scale design.
+    GQuery("p04_token_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+        docs(s, d)
+          .select($"doc_id", $"lang", $"source",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .withColumn("shard", expr("(cum_tokens - n_tokens) div 500"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(string_split(text, ' ')))
+                      OVER (PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+               CAST((SUM(len(string_split(text, ' ')))
+                       OVER (PARTITION BY lang, source ORDER BY doc_id)
+                     - len(string_split(text, ' '))) // 500 AS BIGINT) AS shard
+        FROM documents
         ORDER BY doc_id"""))
   )
 }

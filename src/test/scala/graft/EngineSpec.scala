@@ -71,7 +71,8 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     // the final presentation sort (range partitioning for the oracle's
     // total order) — a hashpartitioning exchange would mean an accidental
     // shuffle in what must stay a 100 TB single-pass scan.
-    Seq("p01_split_assign", "p02_stratified_sample").foreach { name =>
+    // (p04 is NOT here: its per-stratum window legitimately shuffles once.)
+    Seq("p01_split_assign", "p02_stratified_sample", "p03_source_mix").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"),
