@@ -130,6 +130,44 @@ object Pipeline {
                        OVER (PARTITION BY lang, source ORDER BY doc_id)
                      - len(string_split(text, ' '))) // 500 AS BIGINT) AS shard
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ── p05: the capstone composition — quality gate → exact-dedup keep ──
+    // → split assignment, chained as ONE declarative plan so Catalyst
+    // optimizes across stage boundaries (the md5 is computed once, the
+    // token-count filter runs before anything shuffles). Dedup keep =
+    // min-id per content hash, enforced by an equality join back on
+    // (hash, id) — co-partitioned with the aggregate that produced it.
+    GQuery("p05_corpus_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"lang",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            md5($"text").as("ch"))
+          .filter($"n_tokens" >= 30)
+        val keep = base.groupBy($"ch").agg(min($"doc_id").as("doc_id"))
+        base.join(keep, Seq("ch", "doc_id"))
+          .withColumn("bucket", hash64(concat(lit("split:"), $"doc_id")) % 100)
+          .select($"doc_id", $"lang", $"n_tokens",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5(text) AS ch
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 30),
+        keep AS (SELECT ch, MIN(doc_id) AS doc_id FROM base GROUP BY ch)
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN ${hashSql("split:")} % 100 < 80 THEN 'train'
+                    WHEN ${hashSql("split:")} % 100 < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM base JOIN keep USING (ch, doc_id)
         ORDER BY doc_id"""))
   )
 }
