@@ -81,12 +81,16 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
     // d09's join-back must stay an equality join (broadcast or shuffled),
     // never a nested-loop over segment pairs.
-    val d09 = SparkEntry.queries("d09_segment_dedup")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!d09.contains("BroadcastNestedLoopJoin") && !d09.contains("CartesianProduct"),
-      s"d09: non-equality join:\n$d09")
-    assert(d09.contains("HashJoin") || d09.contains("SortMergeJoin"),
-      s"d09: frequency join-back disappeared:\n$d09")
+    // d09's frequency join-back and p05's dedup-keep join-back must stay
+    // equality joins (broadcast or shuffled), never a nested loop.
+    Seq("d09_segment_dedup", "p05_corpus_pipeline").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name: non-equality join:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name: equality join-back disappeared:\n$plan")
+    }
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {
