@@ -14,7 +14,12 @@ object Bench {
     // then measures Janino compilation instead of the query. Steady-state
     // numbers are the comparable ones. Cache cleared between queries so
     // one query's cached intermediates can't distort another's memory.
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional name-prefix filters (debugging: `runMain graft.Bench d0`
+    // times just the dedup family under the exact harness conditions).
+    // The driver invokes with no args → all queries.
+    val queries0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = if (args.isEmpty) queries0
+      else queries0.filter { case (n, _) => args.exists(n.startsWith) }
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -36,17 +41,25 @@ object Bench {
       System.gc()
       name -> times.min
     }
-    // 4-decimal values keep the line a few KB: the full double repr made
-    // the round-1 line long enough that the capture truncated the tail
-    // and dropped five queries' timings. Also mirrored to a file so the
-    // numbers survive any stdout mangling.
+    // The driver captures only the last ~2 KB of stdout: round 2's full
+    // 80-query line (2.1 KB) overflowed that window and the driver parsed
+    // nothing. The PRINTED line therefore carries a headline subset — the
+    // slowest queries plus one per operator family — and stays well under
+    // 1 KB; the complete per-query map goes to BENCH_LOCAL.json.
     def fmt(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val headline = {
+      val byFamily = results.groupBy(_._1.takeWhile(!_.isDigit))
+        .values.map(_.maxBy(_._2)).map(_._1).toSet
+      val slowest = results.sortBy(-_._2).take(12).map(_._1).toSet
+      results.filter { case (k, _) => byFamily(k) || slowest(k) }
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -11,10 +11,15 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")
+    // "cold" reproduces Bench's per-run conditions (cache + memoized
+    // signature frame dropped between runs) instead of BenchOne's default
+    // warm-reuse timing.
+    val cold = args.length > 1 && args.contains("cold")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      if (cold) { spark.catalog.clearCache(); graft.operators.Dedup.releaseSignatures() }
     }
     spark.stop()
   }

@@ -112,4 +112,22 @@ object VectorFunctions {
     (0 until nBits).map { b =>
       s"CASE WHEN $v[${b + 1}] > 0 THEN ${1 << b} ELSE 0 END"
     }.mkString(" + ")
+
+  /** 64-bit sign signature over the first `nBits` coordinates (nBits ≤ 62
+    * so the oracle's non-wrapping BIGINT sum cannot overflow): the 1-bit
+    * quantization behind cheap hamming shortlists — 8 bytes per vector
+    * instead of 256, compared with one xor+popcount (s07).
+    */
+  def signBits(v: Column, nBits: Int): Column = {
+    require(nBits <= 62, s"signBits: nBits=$nBits would overflow the BIGINT mirror")
+    (0 until nBits).map { b =>
+      when(element_at(v, b + 1) > 0f, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[signBits]] over a (1-indexed) list column `v`. */
+  def signBitsSql(v: String, nBits: Int): String =
+    (0 until nBits).map { b =>
+      s"CASE WHEN $v[${b + 1}] > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
 }

@@ -147,6 +147,65 @@ object Dedup {
       FROM cand JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
       WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8)"""
 
+  /** Connected components over the d02 near-dup pairs: (node, label) with
+    * label = min doc_id reachable — the duplicate-cluster id. Iterative
+    * min-label propagation: each round every node takes the min label
+    * among itself and its neighbors — one equality join + one aggregate
+    * per round, O(diameter) rounds (near-dup clusters are shallow; at web
+    * scale this is the standard alternating large-star/small-star shape,
+    * same per-round plan). The driver loop only orchestrates; all data
+    * work is distributed, and labels localCheckpoint per round so lineage
+    * doesn't snowball. Convergence check: labels are monotonically
+    * non-increasing over a fixed node set, so sum(label) strictly
+    * decreases iff any label moved — a single scan of the fresh
+    * checkpoint, no join against the previous round. Shared by d08
+    * (cluster table) and p06 (representative selection).
+    */
+  private[operators] def dupComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, d).select($"i", $"j")
+    val edges = pairs.union(pairs.select($"j", $"i")).toDF("src", "dst")
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+    var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum($"label")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    def propagate(lbl: DataFrame): DataFrame =
+      edges.join(lbl, $"src" === $"node")
+        .select($"dst".as("node"), $"label")
+        .union(lbl)
+        .groupBy($"node").agg(min($"label").as("label"))
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      // Two hops fused into one checkpointed plan: Catalyst pipelines the
+      // pair of join+agg stages, halving the driver-side job count (the
+      // loop's latency is job-scheduling-bound, not data-bound — under CPU
+      // contention every extra tiny job amplifies).
+      val prop = propagate(propagate(labels)).localCheckpoint()
+      val newSum = labelSum(prop)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = prop
+    }
+    labels
+  }
+
+  /** DuckDB mirror of [[dupComponents]]: recursive-CTE transitive closure
+    * ending in comp(node, component). Use as `WITH RECURSIVE $componentSql
+    * SELECT ...` (shared by the d08 and p06 oracles).
+    */
+  private[operators] val componentSql: String = s"""$pairSql,
+        edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j, i FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        comp AS (SELECT node, LEAST(node, MIN(r.dst)) AS component
+                 FROM nodes JOIN reach r ON r.src = node
+                 GROUP BY node)"""
+
   val all: Seq[GQuery] = Seq(
 
     // ── d01: exact dedup — canonicalized-content hash groupBy; winner = ──
@@ -373,58 +432,77 @@ object Dedup {
 
     // ── d08: duplicate-cluster assembly — connected components over the ──
     // d02 near-dup pairs, the last step of every dedup pipeline (pairs →
-    // clusters → keep min-id per cluster). Iterative min-label
-    // propagation: each round every node takes the min label among itself
-    // and its neighbors — one equality join + one aggregate per round,
-    // O(diameter) rounds (near-dup clusters are shallow; at web scale
-    // this is the standard alternating large-star/small-star shape, same
-    // per-round plan). The driver loop only orchestrates; all data work
-    // is distributed, and labels localCheckpoint per round so lineage
-    // doesn't snowball. Convergence check: labels are monotonically
-    // non-increasing over a fixed node set, so sum(label) strictly
-    // decreases iff any label moved — a single scan of the fresh
-    // checkpoint, no join against the previous round.
+    // clusters → keep min-id per cluster). See [[dupComponents]] for the
+    // iterative min-label propagation design.
     GQuery("d08_dup_components",
       (s, d) => {
         import s.implicits._
-        val pairs = minhashPairs(s, d).select($"i", $"j")
-        val edges = pairs.union(pairs.select($"j", $"i")).toDF("src", "dst")
-          .localCheckpoint()
-        val nodes = edges.select($"src".as("node")).distinct()
-        var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
-        def labelSum(df: DataFrame): Long =
-          Option(df.agg(sum($"label")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
-        var prevSum = labelSum(labels)
-        var converged = false
-        while (!converged) {
-          val prop = edges.join(labels, $"src" === $"node")
-            .select($"dst".as("node"), $"label")
-            .union(labels)
-            .groupBy($"node").agg(min($"label").as("label"))
-            .localCheckpoint()
-          val newSum = labelSum(prop)
-          converged = newSum == prevSum
-          prevSum = newSum
-          labels = prop
-        }
-        labels
+        dupComponents(s, d)
           .select($"node".as("doc_id"), $"label".as("component"),
             ($"node" === $"label").as("keep"))
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH RECURSIVE $pairSql,
-        edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j, i FROM p),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        nodes AS (SELECT DISTINCT src AS node FROM edges)
-        SELECT node AS doc_id,
-               LEAST(node, MIN(r.dst)) AS component,
-               (node = LEAST(node, MIN(r.dst))) AS keep
-        FROM nodes JOIN reach r ON r.src = node
-        GROUP BY node ORDER BY doc_id""")),
+        WITH RECURSIVE $componentSql
+        SELECT node AS doc_id, component, (node = component) AS keep
+        FROM comp ORDER BY doc_id""")),
+
+    // ── d10: benchmark decontamination — flag every TRAINING document ──
+    // that shares a 13-token n-gram with any EVAL document (the GPT-3 /
+    // open-LM-eval decontamination rule). The eval set is the p01 test
+    // split (hash bucket ≥ 90), so the op composes with the split
+    // operator instead of inventing a side table. Plan shape: distinct
+    // 13-gram hashes per doc (one codegen'd scan), eval-side grams
+    // deduped and BROADCAST — eval suites are tiny next to the training
+    // corpus, so the contamination probe never shuffles the training
+    // side; the per-doc aggregate partial-aggs map-side. Training docs
+    // with grams but no hits survive via the left join (n_hits = 0);
+    // docs shorter than 13 tokens have no grams and drop on BOTH sides.
+    GQuery("d10_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"text",
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+        def grams(df: DataFrame) = df
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+          .select($"doc_id", hash64($"g").as("h"))
+        val traing = grams(base.filter($"bucket" < 90))
+        val evalg = grams(base.filter($"bucket" >= 90)).select($"h").distinct()
+        val hits = traing.join(broadcast(evalg), "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        traing.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)) > 0).as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 AS bucket
+          FROM documents),
+        ts AS (SELECT doc_id, bucket, string_split(text, ' ') AS ts FROM base),
+        grams AS (
+          SELECT doc_id, bucket,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(ts) - 11),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                          ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' ||
+                          ts[i+8] || ' ' || ts[i+9] || ' ' || ts[i+10] || ' ' || ts[i+11] || ' ' ||
+                          ts[i+12])))), 1, 15) AS BIGINT) AS h
+          FROM ts),
+        evalg AS (SELECT DISTINCT h FROM grams WHERE bucket >= 90),
+        traing AS (SELECT doc_id, h FROM grams WHERE bucket < 90),
+        hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                 FROM traing JOIN evalg USING (h) GROUP BY doc_id),
+        per AS (SELECT doc_id, COUNT(*) AS n_grams FROM traing GROUP BY doc_id)
+        SELECT per.doc_id, per.n_grams,
+               CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+               (COALESCE(hits.n_hits, 0) > 0) AS contaminated
+        FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
+        ORDER BY per.doc_id""")),
 
     // ── d09: segment-level exact dedup (C4/RefinedWeb line-dedup shape) ──
     // — split each doc into consecutive 10-token segments, drop every

@@ -192,6 +192,44 @@ object EventOps {
         SELECT event_type, hour, n, ROUND((n - mean) / sd, 4) AS z
         FROM hourly JOIN stats ON event_type = t2
         WHERE abs((n - mean) / sd) >= 2.0
-        ORDER BY event_type, hour"""))
+        ORDER BY event_type, hour""")),
+
+    // ── e08: sequential-pattern detection (CEP-lite) — per user, find ──
+    // every IMMEDIATE error→purchase transition within 10 minutes (the
+    // "recovered right after a failure" pattern). One ranking-window pass:
+    // lead(type)/lead(ts) over (user, time) — a single shuffle on
+    // user_id, no self-join, no state. The same window the sessionizer
+    // uses, so at scale the two share one sort. Gap arithmetic in exact
+    // epoch micros (no float time math).
+    GQuery("e08_sequence_pattern",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+        ev(s, d)
+          .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .withColumn("next_us", lead($"us", 1).over(w))
+          .filter($"event_type" === "error" && $"next_type" === "purchase" &&
+            $"next_us" - $"us" <= 600000000L)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min($"next_us" - $"us").as("min_gap_us"),
+            max($"next_us" - $"us").as("max_gap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                 LEAD(event_type, 1) OVER w AS next_type,
+                 LEAD(epoch_us(ts), 1) OVER w AS next_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC))
+        SELECT user_id, COUNT(*) AS n_matches,
+               MIN(next_us - us) AS min_gap_us,
+               MAX(next_us - us) AS max_gap_us
+        FROM seq
+        WHERE event_type = 'error' AND next_type = 'purchase'
+          AND next_us - us <= 600000000
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -168,6 +168,50 @@ object Pipeline {
                     WHEN ${hashSql("split:")} % 100 < 90 THEN 'validation'
                     ELSE 'test' END AS split
         FROM base JOIN keep USING (ch, doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── p06: near-dup cluster representative selection — after clustering ──
+    // (d08's connected components over minhash pairs), each cluster keeps
+    // ONE document: the longest (max n_chars), ties to the min doc_id —
+    // the "keep the most complete copy" rule real pipelines use instead
+    // of blind min-id. Plan: the component frame (node → cluster label)
+    // equality-joins the documents table on doc_id — co-partitioned,
+    // never pairwise — then a per-cluster ranking window picks the
+    // representative and a sibling aggregate carries cluster size.
+    // Cluster count ≪ corpus, so both shuffles are on the small
+    // component frame; the corpus itself is touched once, by the join.
+    GQuery("p06_cluster_representative",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val comp = Dedup.dupComponents(s, d)
+        val j = comp.join(
+          docs(s, d).select($"doc_id", $"n_chars"), $"node" === $"doc_id")
+        val w = Window.partitionBy($"label").orderBy($"n_chars".desc, $"doc_id".asc)
+        val members = j.groupBy($"label")
+          .agg(count(lit(1)).as("n_members"), sum($"n_chars").as("total_chars"))
+        j.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"label", $"doc_id".as("rep_id"), $"n_chars".as("rep_chars"))
+          .join(members, "label")
+          .select($"label".as("component"), $"rep_id", $"rep_chars",
+            $"n_members", $"total_chars")
+          .orderBy($"component")
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.componentSql},
+        j AS (SELECT c.component, d.doc_id, d.n_chars
+              FROM comp c JOIN documents d ON c.node = d.doc_id),
+        ranked AS (SELECT component, doc_id, n_chars,
+                          ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+                   FROM j),
+        members AS (SELECT component, COUNT(*) AS n_members,
+                           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                    FROM j GROUP BY component)
+        SELECT r.component, r.doc_id AS rep_id, r.n_chars AS rep_chars,
+               m.n_members, m.total_chars
+        FROM ranked r JOIN members m ON r.component = m.component
+        WHERE r.rn = 1 ORDER BY r.component"""))
   )
 }

@@ -237,6 +237,48 @@ object Similarity {
         assign AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1)
         SELECT a.vec_id, a.cell, ROUND(${cosSql("a.v", "q.qv")}, 4) AS cos
         FROM assign a JOIN probes USING (cell), q
+        ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
+
+    // ── s07: quantized shortlist + exact rerank — the two-stage retrieval ──
+    // pattern production ANN serving uses: stage 1 scans a 1-bit sign
+    // quantization (60 bits packed in ONE int64 per vector — 8 bytes
+    // instead of 256) and ranks by hamming agreement with one xor +
+    // popcount per row; stage 2 re-scores only the top-50 shortlist with
+    // exact cosine over full-precision vectors. The coarse pass is a
+    // TakeOrdered (per-partition top-50, k-row merge — no global sort);
+    // the rerank joins the 50-row shortlist back to the corpus by vec_id
+    // (broadcast). At 100 TB the quantized signatures are a 32×-smaller
+    // sidecar column and the full vectors are touched for 50 rows, not
+    // the corpus. Shortlist recall is probed in PropertySpec against
+    // exact brute force (the oracle mirrors the algorithm — SURVEY §6).
+    GQuery("s07_quantized_rerank",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val sigs = e.select($"vec_id", signBits($"embedding", 60).as("sb"))
+        val q = e.filter($"vec_id" === 0)
+          .select(signBits($"embedding", 60).as("qb"), $"embedding".as("qv"))
+        val shortlist = sigs.join(broadcast(q.select($"qb")))
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            (lit(60) - bit_count($"sb".bitwiseXOR($"qb"))).cast(LongType).as("agree"))
+          .orderBy($"agree".desc, $"vec_id".asc)
+          .limit(50)
+        shortlist.join(e.select($"vec_id", $"embedding"), "vec_id")
+          .join(broadcast(q.select($"qv")))
+          .select($"vec_id", $"agree", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(5)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (SELECT vec_id, ${signBitsSql("v", 60)} AS sb, v FROM e),
+        q AS (SELECT sb AS qb, v AS qv FROM sigs WHERE vec_id = 0),
+        shortlist AS (SELECT vec_id, CAST(60 - bit_count(xor(sb, qb)) AS BIGINT) AS agree, v
+                      FROM sigs, q WHERE vec_id <> 0
+                      ORDER BY agree DESC, vec_id ASC LIMIT 50)
+        SELECT s.vec_id, s.agree, ROUND(${cosSql("s.v", "q.qv")}, 4) AS cos
+        FROM shortlist s, q
         ORDER BY cos DESC, vec_id ASC LIMIT 5"""))
   )
 }

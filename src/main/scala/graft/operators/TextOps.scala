@@ -336,6 +336,50 @@ object TextOps {
           FROM bg JOIN model USING (bg))
         SELECT doc_id, COUNT(*) AS n_bigrams,
                ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── t12: PII detection + redaction — the scrub stage every training ──
+    // corpus passes through before tokenization: count and mask email
+    // addresses and phone numbers with anchored regexes. The synthetic
+    // corpus carries no PII, so the op plants a deterministic PII header
+    // (derived from doc_id, identically on both sides) in front of each
+    // text — the regex machinery, counts, and replacement order are what
+    // is being verified. One codegen'd scan: regexp_extract_all for
+    // counts, nested regexp_replace for the redacted text; no shuffle
+    // except the presentation sort. Patterns stay in the RE2-compatible
+    // subset so Spark (java.util.regex) and the oracle (RE2) agree.
+    GQuery("t12_pii_redaction",
+      (s, d) => {
+        import s.implicits._
+        val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "\\+1-555-[0-9]{4}"
+        val synth = concat(
+          lit("contact user"), $"doc_id".cast(StringType),
+          lit("@mail"), ($"doc_id" % 10).cast(StringType),
+          lit(".com or call +1-555-"),
+          lpad(($"doc_id" % 10000).cast(StringType), 4, "0"),
+          lit(" "), $"text")
+        docs(s, d)
+          .select($"doc_id", synth.as("raw"))
+          .select($"doc_id",
+            size(regexp_extract_all($"raw", lit(emailPat), lit(0))).cast(LongType).as("n_emails"),
+            size(regexp_extract_all($"raw", lit(phonePat), lit(0))).cast(LongType).as("n_phones"),
+            regexp_replace(regexp_replace($"raw", emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>").as("clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 'contact user' || doc_id || '@mail' || (doc_id % 10) ||
+                 '.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' ' || text AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                              '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM raw ORDER BY doc_id"""))
   )
 }

@@ -93,6 +93,36 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-3 operators keep their scale shapes (d10/s07/p06/e08/t12)") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // d10: the contamination probe is an equality hash join on the gram
+    // hash (eval side broadcast); a nested loop would be train × eval grams.
+    val d10 = planOf("d10_decontaminate")
+    assert(!d10.contains("BroadcastNestedLoopJoin") && !d10.contains("CartesianProduct"),
+      s"d10: non-equality contamination join:\n$d10")
+    assert(d10.contains("HashJoin"), s"d10: gram equality join disappeared:\n$d10")
+    // s07: coarse stage must be a TakeOrdered (partial top-50 merge, no
+    // global sort); nested loops only against the broadcast 1-row query
+    // sides (coarse qb + rerank qv).
+    val s07 = planOf("s07_quantized_rerank")
+    assert(s07.contains("TakeOrderedAndProject"), s"s07: shortlist lost TakeOrdered:\n$s07")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s07).size <= 2,
+      s"s07: unexpected non-singleton nested loop:\n$s07")
+    // p06: cluster join-back + representative window — equality joins only.
+    val p06 = planOf("p06_cluster_representative")
+    assert(!p06.contains("BroadcastNestedLoopJoin") && !p06.contains("CartesianProduct"),
+      s"p06: non-equality cluster join:\n$p06")
+    // e08: one window pass, no self-join.
+    val e08 = planOf("e08_sequence_pattern")
+    assert(!e08.contains("Join"), s"e08: sequence pattern grew a join:\n$e08")
+    assert(e08.contains("Window"), s"e08: lead window disappeared:\n$e08")
+    // t12: scan-only — the sole exchange is the presentation sort.
+    val t12 = planOf("t12_pii_redaction")
+    assert(!t12.contains("hashpartitioning") && !t12.contains("Join"),
+      s"t12: unexpected shuffle/join in a scan-only scrub:\n$t12")
+  }
+
   test("sources round-trip: parquet, csv, json, partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Tables.load(spark, sf, "nation")

@@ -178,6 +178,30 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       f"s06 IVF recall degenerate: measured=$measured%.4f vs random-cell 0.20")
   }
 
+  test("s07 quantized-shortlist recall beats the random-shortlist baseline") {
+    // Driver-side mirror of the s07 coarse stage: 60-bit sign agreement,
+    // top-50 shortlist (agree desc, id asc). Measure how often the true
+    // top-5 exact-cosine neighbors survive into the shortlist, over every
+    // vector as the query. A random 50-shortlist captures each true
+    // neighbor with p = 50/(n-1); a broken quantizer (all-zero signatures,
+    // inverted sign, wrong tie order) collapses to that baseline.
+    val truth = bruteTopK(5)
+    def sig(v: Array[Double]): Long =
+      (0 until 60).foldLeft(0L)((acc, b) => if (v(b) > 0) acc | (1L << b) else acc)
+    val sigs = embCollected.map { case (i, v) => i -> sig(v) }.toMap
+    val n = embCollected.length
+    val hits = truth.toSeq.flatMap { case (i, nns) =>
+      val shortlist = embCollected.filter(_._1 != i)
+        .map { case (j, _) => (j, 60 - java.lang.Long.bitCount(sigs(i) ^ sigs(j))) }
+        .sortBy { case (j, a) => (-a, j) }.take(50).map(_._1).toSet
+      nns.map { case (j, _) => shortlist.contains(j) }
+    }
+    val measured = hits.count(identity).toDouble / hits.size
+    val baseline = 50.0 / (n - 1)
+    assert(measured >= math.min(1.0, 1.5 * baseline),
+      f"s07 shortlist recall degenerate: measured=$measured%.4f vs random=$baseline%.4f")
+  }
+
   test("sessionization invariants: in-session gaps <= 30min, sessions ordered") {
     import spark.implicits._
     val sess = SparkEntry.queries("e02_sessionize")(spark, sf)
