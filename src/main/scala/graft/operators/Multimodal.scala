@@ -134,6 +134,36 @@ object Multimodal {
         stats AS (SELECT doc_id, COUNT(*) AS n_frames FROM fv GROUP BY doc_id)
         SELECT doc_id, n_frames, pooled_norm
         FROM stats JOIN pooled USING (doc_id) ORDER BY doc_id""")
-    )
+    ),
+
+    // ── m04: paired multimodal record assembly — text features joined ──
+    // with the sample's media embedding into one training record (the
+    // interleave step before packing text+vision samples). Equality join
+    // documents ⋈ embeddings on the sample id: co-partitioned at scale
+    // (both sides keyed by the same id), never pairwise; text stats are
+    // codegen'd scan columns and the embedding reduces to its norm. At
+    // 100 TB this is the canonical "modality sidecar" join — one shuffle
+    // per side or zero when both tables are bucketed by id.
+    GQuery("m04_paired_record",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+          .select($"doc_id", $"lang",
+            size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        val embr = Tables.load(s, d, "embeddings")
+          .select($"vec_id", $"label",
+            round(sqrt(aggregate($"embedding".cast(ArrayType(DoubleType)),
+              lit(0.0), (acc, x) => acc + x * x)), 6).as("emb_norm"))
+        docs.join(embr, $"doc_id" === $"vec_id")
+          .select($"doc_id", $"lang", $"n_tokens", $"label", $"emb_norm")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               e.label,
+               ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) AS emb_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id"""))
   )
 }

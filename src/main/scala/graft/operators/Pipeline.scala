@@ -212,6 +212,36 @@ object Pipeline {
         SELECT r.component, r.doc_id AS rep_id, r.n_chars AS rep_chars,
                m.n_members, m.total_chars
         FROM ranked r JOIN members m ON r.component = m.component
-        WHERE r.rn = 1 ORDER BY r.component"""))
+        WHERE r.rn = 1 ORDER BY r.component""")),
+
+    // ── p07: deterministic training order — the "epoch shuffle" written ──
+    // as data layout: every doc gets a shard (hash bucket) and a position
+    // within its shard (rank of a second, salted hash). Readers stream
+    // shards independently in position order — a reproducible global
+    // permutation with NO global sort: the only shuffle is the per-shard
+    // ranking window, and shards pack in parallel (p04's principle). The
+    // anti-pattern (ORDER BY rand() over the corpus) is a full sort with
+    // a nondeterministic draw; this is stable run-to-run, engine-to-
+    // engine, and under corpus growth existing (shard, pos) pairs only
+    // shift within their own shard.
+    GQuery("p07_training_order",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val key = hash64(concat(lit("order:"), $"doc_id"))
+        val w = Window.partitionBy($"shard").orderBy($"sort_key".asc, $"doc_id".asc)
+        docs(s, d)
+          .select($"doc_id", (key % 8).as("shard"), key.as("sort_key"))
+          .withColumn("pos", row_number().over(w))
+          .select($"doc_id", $"shard", $"pos")
+          .orderBy($"shard", $"pos")
+      },
+      Some(s"""
+        SELECT doc_id,
+               ${hashSql("order:")} % 8 AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ${hashSql("order:")} % 8
+                 ORDER BY ${hashSql("order:")} ASC, doc_id ASC) AS INT) AS pos
+        FROM documents
+        ORDER BY shard, pos"""))
   )
 }

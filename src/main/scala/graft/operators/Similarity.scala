@@ -279,6 +279,66 @@ object Similarity {
                       ORDER BY agree DESC, vec_id ASC LIMIT 50)
         SELECT s.vec_id, s.agree, ROUND(${cosSql("s.v", "q.qv")}, 4) AS cos
         FROM shortlist s, q
-        ORDER BY cos DESC, vec_id ASC LIMIT 5"""))
+        ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
+
+    // ── s08: IVF k-NN JOIN — the batch-ANN scale path for s03: instead ──
+    // of every query scanning the full corpus, corpus vectors are
+    // assigned to centroid cells once (s04's shape) and each query
+    // explodes to its nprobe=2 nearest cells; candidates come from an
+    // EQUALITY join on the cell id. Per-query work drops from |corpus|
+    // to nprobe/k of it, and the join co-partitions on cell — at 100 TB
+    // the assignment is precomputed and the corpus stored partitioned by
+    // cell, so this is a partition-pruned join, never a broadcast of the
+    // corpus or an all-pairs cross. Ranking window identical to s03's.
+    GQuery("s08_ivf_knn_join",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val cent = centroids(e)
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        val assign = e.filter($"vec_id" >= 5).join(broadcast(cent))
+          .select($"vec_id", $"embedding", $"c_label",
+            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+          .select($"vec_id", $"embedding", $"c_label".as("cell"))
+        val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
+        val qprobe = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+          .join(broadcast(cent))
+          .select($"query_id", $"qv", $"c_label",
+            round(cosineSim($"qv", $"centroid"), 4).as("qcos"))
+          .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+          .select($"query_id", $"qv", $"c_label".as("cell"))
+        val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+        assign.join(qprobe, "cell")
+          .select($"query_id", $"vec_id",
+            round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"rn", $"vec_id", $"cos")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $centSql,
+        ascored AS (SELECT vec_id, v, c_label,
+                           ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                    FROM e, cent WHERE vec_id >= 5),
+        assign AS (SELECT vec_id, v, c_label AS cell FROM ascored WHERE rn = 1),
+        qscored AS (SELECT e.vec_id AS query_id, v AS qv, c_label,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                             ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                    FROM e, cent WHERE vec_id < 5),
+        qprobe AS (SELECT query_id, qv, c_label AS cell FROM qscored WHERE rn <= 2),
+        scored AS (SELECT query_id, a.vec_id,
+                          ROUND(${cosSql("a.v", "qprobe.qv")}, 4) AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(${cosSql("a.v", "qprobe.qv")}, 4) DESC, a.vec_id ASC) AS rn
+                   FROM assign a JOIN qprobe USING (cell))
+        SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
+        ORDER BY query_id, rn"""))
   )
 }

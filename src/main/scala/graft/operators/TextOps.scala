@@ -380,6 +380,46 @@ object TextOps {
                CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
                regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                               '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
-        FROM raw ORDER BY doc_id"""))
+        FROM raw ORDER BY doc_id""")),
+
+    // ── t13: token-distribution entropy — the gibberish/boilerplate ──
+    // signal quality filters threshold on (low entropy = repeated
+    // tokens, high = random noise). Per doc: Shannon entropy over the
+    // token frequency distribution. Two partial-agg'd passes — (doc,
+    // token) counts, then the per-doc reduction; the second groupBy
+    // reuses the first shuffle's doc_id partitioning. Per-term
+    // -(c/n)·ln(c/n) rounds to 6dp then sums in DECIMAL(18,6) (exact,
+    // order-free) — bit-identical across engines (SURVEY §6, t11's
+    // pattern).
+    GQuery("t13_token_entropy",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cnt = docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        val withN = cnt.withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+        withN
+          .select($"doc_id", $"n",
+            round(($"c".cast(DoubleType) / $"n") * log($"c".cast(DoubleType) / $"n"), 6)
+              .cast(DecimalType(18, 6)).as("term"))
+          .groupBy($"doc_id")
+          .agg(max($"n").as("n_tokens"), count(lit(1)).as("n_types"),
+            round(-sum($"term").cast(DoubleType), 6).as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        withn AS (SELECT doc_id, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cnt),
+        terms AS (
+          SELECT doc_id, n,
+                 CAST(ROUND((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS term
+          FROM withn)
+        SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_types,
+               ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

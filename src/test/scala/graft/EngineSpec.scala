@@ -121,6 +121,23 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     val t12 = planOf("t12_pii_redaction")
     assert(!t12.contains("hashpartitioning") && !t12.contains("Join"),
       s"t12: unexpected shuffle/join in a scan-only scrub:\n$t12")
+    // s08: the candidate join must be an EQUALITY join on the cell id;
+    // nested loops only for the two intentional broadcast k-row centroid
+    // crosses (corpus-assign + query-probe).
+    val s08 = planOf("s08_ivf_knn_join")
+    assert(s08.contains("HashJoin") || s08.contains("SortMergeJoin"),
+      s"s08: cell equality join disappeared:\n$s08")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s08).size <= 2 &&
+      !s08.contains("CartesianProduct"),
+      s"s08: non-centroid nested loop — all-pairs regression?\n$s08")
+    // m04: the modality sidecar join is equality on the sample id.
+    val m04 = planOf("m04_paired_record")
+    assert(!m04.contains("BroadcastNestedLoopJoin") && !m04.contains("CartesianProduct"),
+      s"m04: non-equality modality join:\n$m04")
+    // p07: no join, exactly one ranking window (per-shard position).
+    val p07 = planOf("p07_training_order")
+    assert(!p07.contains("Join") && p07.contains("Window"),
+      s"p07: expected join-free windowed layout plan:\n$p07")
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {
