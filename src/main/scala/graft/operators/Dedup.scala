@@ -92,6 +92,7 @@ object Dedup {
   def releaseSignatures(): Unit = synchronized {
     sigCache.values.foreach(_.unpersist())
     sigCache.clear()
+    componentCache.clear()
   }
 
   /** DuckDB mirror of the signature pipeline (shared by d02/d04 oracles). */
@@ -161,7 +162,19 @@ object Dedup {
     * checkpoint, no join against the previous round. Shared by d08
     * (cluster table) and p06 (representative selection).
     */
-  private[operators] def dupComponents(s: SparkSession, d: String): DataFrame = {
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def dupComponents(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      // Memoized per (session, dir): d08 and p06 both consume the
+      // component frame; one Verify/Bench run should run the iterative
+      // loop once. The result is a localCheckpoint (already materialized),
+      // so the memo holds plain references — releaseSignatures() clears it.
+      componentCache.getOrElseUpdate((s, d), computeComponents(s, d))
+    }
+
+  private def computeComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = minhashPairs(s, d).select($"i", $"j")
     val edges = pairs.union(pairs.select($"j", $"i")).toDF("src", "dst")

@@ -202,6 +202,35 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       f"s07 shortlist recall degenerate: measured=$measured%.4f vs random=$baseline%.4f")
   }
 
+  test("t13 entropy bounds: 0 <= H <= ln(n_types), H = 0 iff one type") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("t13_token_entropy")(spark, sf)
+      .select($"n_types", $"entropy").collect()
+    rows.foreach { r =>
+      val (types, h) = (r.getLong(0), r.getDouble(1))
+      assert(h >= -1e-9, s"negative entropy $h")
+      // each per-type term is rounded to 6dp before the exact DECIMAL sum,
+      // so the bound loosens by up to 5e-7 per type
+      assert(h <= math.log(types.toDouble) + types * 5e-7 + 1e-9,
+        s"entropy $h exceeds ln($types) — term accounting broken")
+      if (types == 1) assert(math.abs(h) <= 1e-9, s"single-type doc with H=$h")
+    }
+  }
+
+  test("p07 training order is a permutation: shards partition the corpus, pos dense") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("p07_training_order")(spark, sf)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._1).distinct.length.toLong == nDocs, "docs lost or duplicated")
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      val ps = members.map(_._3).sorted
+      assert(ps.toSeq == (1 to members.length).toSeq,
+        s"shard $shard positions not dense 1..${members.length}: ${ps.take(5).toSeq}...")
+    }
+  }
+
   test("sessionization invariants: in-session gaps <= 30min, sessions ordered") {
     import spark.implicits._
     val sess = SparkEntry.queries("e02_sessionize")(spark, sf)
