@@ -242,6 +242,71 @@ object Pipeline {
                CAST(ROW_NUMBER() OVER (PARTITION BY ${hashSql("order:")} % 8
                  ORDER BY ${hashSql("order:")} ASC, doc_id ASC) AS INT) AS pos
         FROM documents
-        ORDER BY shard, pos"""))
+        ORDER BY shard, pos""")),
+
+    // ── p08: the end-to-end corpus build — quality gate → exact-dedup ──
+    // keep → benchmark decontamination → split assignment → shard layout,
+    // chained as ONE declarative plan (p05's capstone extended with the
+    // d10 decontamination stage and p07's shard key). Catalyst optimizes
+    // across all five stages: the token-count filter runs before anything
+    // shuffles, the md5 and split-hash are computed once, the dedup keep
+    // is a co-partitioned equality join-back, the contamination probe
+    // broadcasts the eval split's distinct 13-gram hashes, and the
+    // contaminated-doc drop is a LEFT ANTI join on doc_id. Nothing in
+    // the composition is pairwise; the corpus shuffles only for the
+    // dedup aggregate and its join-back.
+    GQuery("p08_clean_corpus",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"lang", $"text",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            md5($"text").as("ch"),
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+          .filter($"n_tokens" >= 30)
+        val keep = base.groupBy($"ch").agg(min($"doc_id").as("doc_id"))
+        val ded = base.join(keep, Seq("ch", "doc_id"))
+        def grams(df: DataFrame) = df
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+          .select($"doc_id", hash64($"g").as("h"))
+        val evalg = grams(base.filter($"bucket" >= 90)).select($"h").distinct()
+        val contam = grams(ded.filter($"bucket" < 90))
+          .join(broadcast(evalg), "h").select($"doc_id").distinct()
+        ded.join(contam, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"n_tokens",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test").as("split"),
+            (hash64(concat(lit("order:"), $"doc_id")) % 8).as("shard"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5(text) AS ch,
+                 ${hashSql("split:")} % 100 AS bucket
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 30),
+        keep AS (SELECT ch, MIN(doc_id) AS doc_id FROM base GROUP BY ch),
+        ded AS (SELECT base.* FROM base JOIN keep USING (ch, doc_id)),
+        grams AS (
+          SELECT doc_id, bucket,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(string_split(text, ' ')) - 11),
+                     i -> array_to_string(string_split(text, ' ')[i : i + 12], ' '))))), 1, 15) AS BIGINT) AS h
+          FROM base),
+        evalg AS (SELECT DISTINCT h FROM grams WHERE bucket >= 90),
+        contam AS (SELECT DISTINCT g.doc_id
+                   FROM grams g JOIN ded USING (doc_id) JOIN evalg USING (h)
+                   WHERE g.bucket < 90)
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               ${hashSql("order:")} % 8 AS shard
+        FROM ded
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ORDER BY doc_id"""))
   )
 }

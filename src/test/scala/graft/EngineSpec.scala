@@ -138,6 +138,13 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     val p07 = planOf("p07_training_order")
     assert(!p07.contains("Join") && p07.contains("Window"),
       s"p07: expected join-free windowed layout plan:\n$p07")
+    // p08: five pipeline stages, all equality joins — the dedup keep
+    // join-back, the broadcast gram probe, and the anti-join drop; a
+    // nested loop anywhere means a stage regressed to pairwise work.
+    val p08 = planOf("p08_clean_corpus")
+    assert(!p08.contains("BroadcastNestedLoopJoin") && !p08.contains("CartesianProduct"),
+      s"p08: non-equality join in the pipeline composition:\n$p08")
+    assert(p08.contains("LeftAnti"), s"p08: contamination anti-join disappeared:\n$p08")
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {
