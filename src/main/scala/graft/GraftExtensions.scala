@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, ShingleExpr}
+import graft.functions.{CosineSim, ShingleExpr, SignBitsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, _) => ShingleExpr(exprs(0), k)
         case other => throw new IllegalArgumentException(
           s"shingles(tokens, k): k must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("sign_bits"),
+      info("sign_bits", "sign_bits(v, nBits) - packed 1-bit sign signature of array<double>"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, _) => SignBitsExpr(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"sign_bits(v, nBits): nBits must be an integer literal, got $other")
       }))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -74,6 +74,59 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed 1-bit sign quantization: bit b of the result is set iff
+  * vector[b] > 0, for the first `nBits` (≤ 62) coordinates — one int64
+  * per vector, the coarse-stage signature of the quantized-rerank path
+  * (s07). Native codegen loop (a composed 62-branch CASE chain codegens
+  * too, but as a branch ladder; this is a tight data-dependent loop).
+  * nBits ≤ 62 keeps the value positive so the DuckDB mirror's
+  * non-wrapping BIGINT sum of CASE terms is identical.
+  */
+case class SignBitsExpr(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) if nBits >= 1 && nBits <= 62 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_bits expects array<double> and 1 <= nBits <= 62, got ${child.dataType} / $nBits")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(nBits, x.numElements())
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getDouble(i) > 0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val bits = ctx.freshName("bits")
+      s"""
+        int $n = java.lang.Math.min($nBits, $a.numElements());
+        long $bits = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getDouble($i) > 0) $bits |= (1L << $i);
+        }
+        ${ev.value} = $bits;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Embedding column (array<float> on disk) as array<double> for exact
@@ -116,13 +169,12 @@ object VectorFunctions {
   /** 64-bit sign signature over the first `nBits` coordinates (nBits ≤ 62
     * so the oracle's non-wrapping BIGINT sum cannot overflow): the 1-bit
     * quantization behind cheap hamming shortlists — 8 bytes per vector
-    * instead of 256, compared with one xor+popcount (s07).
+    * instead of 256, compared with one xor+popcount (s07). Codegen'd
+    * [[SignBitsExpr]] loop (float→double widening preserves sign).
     */
   def signBits(v: Column, nBits: Int): Column = {
     require(nBits <= 62, s"signBits: nBits=$nBits would overflow the BIGINT mirror")
-    (0 until nBits).map { b =>
-      when(element_at(v, b + 1) > 0f, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    Bridge.column(SignBitsExpr(Bridge.expression(asDouble(v)), nBits))
   }
 
   /** DuckDB mirror of [[signBits]] over a (1-indexed) list column `v`. */

@@ -223,7 +223,9 @@ object Pipeline {
     // anti-pattern (ORDER BY rand() over the corpus) is a full sort with
     // a nondeterministic draw; this is stable run-to-run, engine-to-
     // engine, and under corpus growth existing (shard, pos) pairs only
-    // shift within their own shard.
+    // shift within their own shard. Shard count (8 here, matching the
+    // oracle) is the parallelism knob: at cluster scale it is set ≥ the
+    // writer parallelism (thousands), keeping every ranking window small.
     GQuery("p07_training_order",
       (s, d) => {
         import s.implicits._

@@ -202,6 +202,27 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       f"s07 shortlist recall degenerate: measured=$measured%.4f vs random=$baseline%.4f")
   }
 
+  test("SignBitsExpr equals the per-coordinate reference on generated vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = samples(Gen.listOfN(64, Gen.chooseNum(-5.0, 5.0)), 60)
+      .map(_.toArray) :+ Array.fill(64)(0.0) // all-zero edge: no bits set
+    val nBits = 60
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = df.select($"id", graft.functions.VectorFunctions.signBits($"v", nBits).as("sb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val expected = (0 until nBits).foldLeft(0L)((acc, b) =>
+        if (v(b) > 0) acc | (1L << b) else acc)
+      assert(got(i.toLong) == expected, s"vector $i: ${got(i.toLong)} != $expected")
+    }
+    // SQL registration path produces the same expression
+    df.createOrReplaceTempView("sbv")
+    val viaSql = spark.sql(s"SELECT id, sign_bits(v, $nBits) AS sb FROM sbv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == got, "sign_bits SQL registration diverges from the Column DSL")
+  }
+
   test("t13 entropy bounds: 0 <= H <= ln(n_types), H = 0 iff one type") {
     import spark.implicits._
     val rows = SparkEntry.queries("t13_token_entropy")(spark, sf)
