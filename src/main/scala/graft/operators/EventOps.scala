@@ -230,6 +230,31 @@ object EventOps {
         FROM seq
         WHERE event_type = 'error' AND next_type = 'purchase'
           AND next_us - us <= 600000000
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ── e09: sliding-window aggregation (2 h windows every 1 h) — the ──
+    // overlapping-window family e01's tumbling windows don't cover, via
+    // Spark's native window(ts, length, slide): each event expands to
+    // exactly 2 epoch-aligned windows before the partial agg, so shuffle
+    // rows = 2 × #groups, not 2 × #events. The IDENTICAL plan runs under
+    // Structured Streaming with the watermark expiring closed windows
+    // (StreamingSpec pins batch ≡ stream on this very function).
+    GQuery("e09_sliding_window",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.EventStreams.slidingCounts(ev(s, d))
+          .select(date_format($"window_start", "yyyy-MM-dd HH:mm").as("window_start"),
+            $"event_type", $"n")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""
+        WITH w AS (
+          SELECT strftime(date_trunc('hour', ts) - to_hours(CAST(k.k AS BIGINT)), '%Y-%m-%d %H:%M')
+                   AS window_start,
+                 event_type
+          FROM events, (SELECT unnest(range(2)) AS k) k)
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM w GROUP BY window_start, event_type
+        ORDER BY window_start, event_type"""))
   )
 }

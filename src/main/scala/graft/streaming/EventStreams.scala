@@ -40,6 +40,20 @@ object EventStreams extends Serializable {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Watermarked SLIDING-window counts (2 h length, 1 h slide): every
+    * event lands in exactly 2 overlapping epoch-aligned windows. One
+    * plan serves batch (watermark is a no-op) and stream (state expires
+    * a window once the watermark passes its end) — e09's batch oracle
+    * and the streaming parity spec both consume this function, so the
+    * two forms cannot drift.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Advance the session state machine over one key's sorted events,
     * appending every CLOSED session (gap exceeded) and returning the still-
     * open state — shared by the batch and streaming forms so they cannot

@@ -36,6 +36,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(wantAll), "streaming windows disagree with batch plan")
   }
 
+  test("streaming sliding-window counts equal the batch plan (e09)") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_slide_in").toString
+    batch.write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("slide_out")
+      .select($"window_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val wantAll = EventStreams.slidingCounts(batch)
+      .select($"window_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "streaming emitted no closed sliding windows")
+    assert(got.subsetOf(wantAll), "sliding windows disagree with batch plan")
+  }
+
   test("flatMapGroupsWithState sessionization equals windowed sessionization (e02)") {
     import spark.implicits._
     val evs = Tables.load(spark, sf, "events")
