@@ -4,6 +4,7 @@ import graft.{GQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Corpus-pipeline utilities (SURVEY.md §2.I): deterministic dataset
   * splitting and stratified sampling — the bookkeeping every training-data
@@ -309,6 +310,80 @@ object Pipeline {
                ${hashSql("order:")} % 8 AS shard
         FROM ded
         WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── p09: dataset card — the per-(lang, source) stratum report every ──
+    // released corpus ships: volume (docs, tokens), exact-dup rate,
+    // eval-contamination rate (d10's rule), and mean quality (t03's
+    // formula). One grouped reduction over per-doc flags: the dup flag
+    // joins the content-hash frequency back on ch (co-partitioned with
+    // the aggregate that built it), the contamination flag joins the
+    // broadcast eval-gram probe, and the quality mean uses the DECIMAL-
+    // exact round-then-sum so float order can't wobble the card. Output
+    // rows = #strata; every input is touched once.
+    GQuery("p09_dataset_card",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nTok = size(toks).cast(DoubleType)
+        val quality =
+          round(least($"n_chars".cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - size(filter(toks, t => t.isInCollection(Set("the", "a"))))
+              .cast(DoubleType) / nTok) * 0.3 +
+            (size(array_distinct(toks)).cast(DoubleType) / nTok) * 0.3, 6)
+        val base = docs(s, d)
+          .select($"doc_id", $"lang", $"source", $"text",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            md5($"text").as("ch"),
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"),
+            quality.cast(DecimalType(18, 6)).as("q"))
+        val dupn = base.groupBy($"ch").agg(count(lit(1)).as("ch_n"))
+        def grams(df: DataFrame) = df
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+          .select($"doc_id", hash64($"g").as("h"))
+        val evalg = grams(base.filter($"bucket" >= 90)).select($"h").distinct()
+        val contam = grams(base.filter($"bucket" < 90))
+          .join(broadcast(evalg), "h").select($"doc_id").distinct()
+          .withColumn("is_contam", lit(1L))
+        base.join(dupn, "ch")
+          .join(contam, Seq("doc_id"), "left")
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            sum(when($"ch_n" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(coalesce($"is_contam", lit(0L))).as("n_contaminated"),
+            round(sum($"q").cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
+          .orderBy($"lang", $"source")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, source, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5(text) AS ch,
+                 ${hashSql("split:")} % 100 AS bucket,
+                 CAST(ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+                   (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3 +
+                   (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3, 6) AS DECIMAL(18,6)) AS q
+          FROM documents),
+        dupn AS (SELECT ch, COUNT(*) AS ch_n FROM base GROUP BY ch),
+        grams AS (
+          SELECT doc_id, bucket,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(string_split(text, ' ')) - 11),
+                     i -> array_to_string(string_split(text, ' ')[i : i + 12], ' '))))), 1, 15) AS BIGINT) AS h
+          FROM base),
+        evalg AS (SELECT DISTINCT h FROM grams WHERE bucket >= 90),
+        contam AS (SELECT DISTINCT doc_id FROM grams JOIN evalg USING (h) WHERE bucket < 90)
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN dupn.ch_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+        FROM base JOIN dupn USING (ch)
+             LEFT JOIN contam ON base.doc_id = contam.doc_id
+        GROUP BY lang, source
+        ORDER BY lang, source"""))
   )
 }

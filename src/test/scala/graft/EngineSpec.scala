@@ -145,6 +145,11 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(!p08.contains("BroadcastNestedLoopJoin") && !p08.contains("CartesianProduct"),
       s"p08: non-equality join in the pipeline composition:\n$p08")
     assert(p08.contains("LeftAnti"), s"p08: contamination anti-join disappeared:\n$p08")
+    // p09: the dataset-card flags join by equality (ch / gram hash /
+    // doc_id) — a nested loop would be a per-doc scan of a flag table.
+    val p09 = planOf("p09_dataset_card")
+    assert(!p09.contains("BroadcastNestedLoopJoin") && !p09.contains("CartesianProduct"),
+      s"p09: non-equality flag join:\n$p09")
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {
