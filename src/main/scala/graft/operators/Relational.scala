@@ -703,6 +703,34 @@ object Relational {
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
                COUNT(*) AS n_rows
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q33: CUBE grouping sets — all 4 grouping combinations in one ──
+    // Expand+aggregate pass (q16's rollup emits only the 3 hierarchical
+    // ones); grouping_id disambiguates a genuine NULL group from a
+    // CUBE-generated ALL row. Same two-phase aggregate as q01: the
+    // Expand multiplies rows 4× BEFORE the partial agg, so the shuffle
+    // still carries one row per (grouping set × group), not per input.
+    GQuery("q33_cube",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().cast(LongType).as("gid"),
+            count(lit(1)).as("n_orders"),
+            sumd(d2($"o_totalprice")).as("total_spend"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"gid", $"n_orders", $"total_spend")
+          .orderBy($"gid", $"status", $"priority")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority"""))
   )
 }
