@@ -21,6 +21,43 @@ object EventOps {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
 
+  /** e02's gap-sessionization as a reusable frame: (user_id, session_id,
+    * n_events, start_us, end_us) — consumed by e02 (session table) and
+    * e10 (interval attribution).
+    */
+  private def sessionFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)
+    ev(s, d)
+      .withColumn("new_sess", when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min($"ts")).as("start_us"),
+        unix_micros(max($"ts")).as("end_us"))
+  }
+
+  /** DuckDB mirror of [[sessionFrame]]: CTEs ending in
+    * sess(user_id, session_id, n_events, start_us, end_us).
+    */
+  private val sessSql = """
+        x AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        y AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM x),
+        sess AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+          FROM y GROUP BY user_id, session_id)"""
+
   val all: Seq[GQuery] = Seq(
 
     // ── e01: tumbling-window aggregation (hour buckets). ──
@@ -46,34 +83,15 @@ object EventOps {
     GQuery("e02_sessionize",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-        val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)
-        ev(s, d)
-          .withColumn("new_sess", when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
-          .withColumn("session_id", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"user_id", $"session_id")
-          .agg(count(lit(1)).as("n_events"),
-            unix_micros(min($"ts")).as("start_us"),
-            unix_micros(max($"ts")).as("end_us"))
+        sessionFrame(s, d)
           .withColumn("duration_us", $"end_us" - $"start_us")
           .orderBy($"user_id", $"session_id")
       },
-      Some("""
-        WITH x AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                      THEN 1 ELSE 0 END AS new_sess
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        y AS (
-          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-          FROM x)
-        SELECT user_id, session_id, COUNT(*) AS n_events,
-               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+      Some(s"""
+        WITH $sessSql
+        SELECT user_id, session_id, n_events, start_us, end_us,
+               end_us - start_us AS duration_us
+        FROM sess ORDER BY user_id, session_id""")),
 
     // ── e03: funnel — signup → first later purchase, per user, rolled ──
     // into one conversion row (single exact double division).
@@ -255,6 +273,36 @@ object EventOps {
           FROM events, (SELECT unnest(range(2)) AS k) k)
         SELECT window_start, event_type, COUNT(*) AS n
         FROM w GROUP BY window_start, event_type
-        ORDER BY window_start, event_type"""))
+        ORDER BY window_start, event_type""")),
+
+    // ── e10: interval-containment join — attribute purchases to the ──
+    // session whose [start, end] window contains them (the standard
+    // point-in-interval attribution every event pipeline runs). The
+    // scale shape: EQUALITY join on user_id first — fanout is bounded
+    // by sessions-per-user, never a nested loop over (event × interval)
+    // — then the containment predicate filters inside the join. Revenue
+    // sums go through round-to-2dp → DECIMAL(14,2) → exact sum → double
+    // (SURVEY §6 money discipline).
+    GQuery("e10_session_attribution",
+      (s, d) => {
+        import s.implicits._
+        val purch = ev(s, d).filter($"event_type" === "purchase")
+          .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        purch.join(sessionFrame(s, d), Seq("user_id"))
+          .filter($"us" >= $"start_us" && $"us" <= $"end_us")
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(round($"value", 2).cast(DecimalType(14, 2))).cast(DoubleType).as("purchase_value"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some(s"""
+        WITH $sessSql,
+        p AS (SELECT user_id, epoch_us(ts) AS us, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT user_id, session_id, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS purchase_value
+        FROM p JOIN sess USING (user_id)
+        WHERE us >= start_us AND us <= end_us
+        GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
   )
 }

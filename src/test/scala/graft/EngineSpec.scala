@@ -150,6 +150,14 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     val p09 = planOf("p09_dataset_card")
     assert(!p09.contains("BroadcastNestedLoopJoin") && !p09.contains("CartesianProduct"),
       s"p09: non-equality flag join:\n$p09")
+    // e10: interval attribution must join by user-id EQUALITY with the
+    // containment predicate as a post-join filter, never a nested loop
+    // over (event × interval).
+    val e10 = planOf("e10_session_attribution")
+    assert(!e10.contains("BroadcastNestedLoopJoin") && !e10.contains("CartesianProduct"),
+      s"e10: interval join regressed to a nested loop:\n$e10")
+    assert(e10.contains("HashJoin") || e10.contains("SortMergeJoin"),
+      s"e10: user-id equality join disappeared:\n$e10")
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {
