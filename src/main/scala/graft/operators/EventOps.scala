@@ -303,6 +303,47 @@ object EventOps {
                CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS purchase_value
         FROM p JOIN sess USING (user_id)
         WHERE us >= start_us AND us <= end_us
-        GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+        GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ── e11: time-series densification (gap filling) — emit a row for ──
+    // EVERY (event_type, hour) cell over the observed range, zero-filled
+    // where no events landed: the step before any rate model or
+    // dashboard (e07's z-scores silently skip empty hours without it).
+    // The grid is types × sequence(min_hour, max_hour) — generated from
+    // a broadcast 1-row bounds aggregate, so grid size is #types ×
+    // #hours regardless of event volume — LEFT-joined by equality to
+    // the partial-agg'd hourly counts. At 100 TB the dense grid stays
+    // tiny while the fact side aggregates map-side before its one
+    // shuffle.
+    GQuery("e11_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        val hourly = ev(s, d)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev(s, d)
+          .agg(date_trunc("hour", min($"ts")).as("h0"), date_trunc("hour", max($"ts")).as("h1"))
+        val grid = ev(s, d).select($"event_type").distinct()
+          .join(broadcast(bounds))
+          .select($"event_type", explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        grid.join(hourly, Seq("event_type", "hour"), "left")
+          .select($"event_type", date_format($"hour", "yyyy-MM-dd HH:00").as("hour"),
+            coalesce($"n", lit(0L)).as("n"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+          FROM events),
+        grid AS (
+          SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM (SELECT DISTINCT event_type FROM events), bounds),
+        hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+          FROM events GROUP BY event_type, hour)
+        SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H:00') AS hour,
+               CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.hour = hourly.hour
+        ORDER BY g.event_type, g.hour"""))
   )
 }
