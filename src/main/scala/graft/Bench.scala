@@ -56,7 +56,11 @@ object Bench {
       val slowest = results.sortBy(-_._2).take(12).map(_._1).toSet
       results.filter { case (k, _) => byFamily(k) || slowest(k) }
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    // "headline_queries", not "queries": the full map moved to
+    // BENCH_LOCAL.json in round 3, and a consumer still parsing a
+    // "queries" key would silently compute per-query stats from the
+    // ~12-entry subset. The renamed key makes stale parsers fail loudly.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)

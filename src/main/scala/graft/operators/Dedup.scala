@@ -88,6 +88,17 @@ object Dedup {
 
   /** Unpersist and forget every memoized signature frame (end of a
     * Verify/Bench run — no leaked cache blocks).
+    *
+    * The component frames are only FORGOTTEN, not unpersisted: they are
+    * materialized localCheckpoints, and unpersisting a checkpoint's RDD
+    * blocks while a caller still holds the DataFrame would make that
+    * frame unreadable (a cached plan can recompute; a checkpoint cannot).
+    * Dropping the map reference instead leaves reclamation to the
+    * ContextCleaner, which GCs the blocks once no live plan references
+    * them — the same lifecycle every localCheckpoint has. Keying by
+    * (session, dir) means a stopped session's entries are held only
+    * until the next releaseSignatures() call, which both Verify and
+    * Bench issue after every query.
     */
   def releaseSignatures(): Unit = synchronized {
     sigCache.values.foreach(_.unpersist())

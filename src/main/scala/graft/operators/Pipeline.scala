@@ -231,10 +231,11 @@ object Pipeline {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val key = hash64(concat(lit("order:"), $"doc_id"))
+        val shardKey = hash64(concat(lit("order:"), $"doc_id"))
+        val posKey = hash64(concat(lit("pos:"), $"doc_id"))
         val w = Window.partitionBy($"shard").orderBy($"sort_key".asc, $"doc_id".asc)
         docs(s, d)
-          .select($"doc_id", (key % 8).as("shard"), key.as("sort_key"))
+          .select($"doc_id", (shardKey % 8).as("shard"), posKey.as("sort_key"))
           .withColumn("pos", row_number().over(w))
           .select($"doc_id", $"shard", $"pos")
           .orderBy($"shard", $"pos")
@@ -243,7 +244,7 @@ object Pipeline {
         SELECT doc_id,
                ${hashSql("order:")} % 8 AS shard,
                CAST(ROW_NUMBER() OVER (PARTITION BY ${hashSql("order:")} % 8
-                 ORDER BY ${hashSql("order:")} ASC, doc_id ASC) AS INT) AS pos
+                 ORDER BY ${hashSql("pos:")} ASC, doc_id ASC) AS INT) AS pos
         FROM documents
         ORDER BY shard, pos""")),
 

@@ -351,7 +351,10 @@ object TextOps {
     GQuery("t12_pii_redaction",
       (s, d) => {
         import s.implicits._
-        val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        // Case-insensitive with + in the local part, so the scrub catches
+        // John.Doe+tag@Example.com shapes — not just the planted lowercase
+        // header. (?i) is RE2-compatible, so both engines honor it.
+        val emailPat = "(?i)[a-z0-9._+]+@[a-z0-9.-]+\\.[a-z]{2,}"
         val phonePat = "\\+1-555-[0-9]{4}"
         val synth = concat(
           lit("contact user"), $"doc_id".cast(StringType),
@@ -376,9 +379,9 @@ object TextOps {
                  ' ' || text AS raw
           FROM documents)
         SELECT doc_id,
-               CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '(?i)[a-z0-9._+]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
                CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
-               regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               regexp_replace(regexp_replace(raw, '(?i)[a-z0-9._+]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                               '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         FROM raw ORDER BY doc_id""")),
 
