@@ -579,6 +579,38 @@ object Dedup {
                CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
                COALESCE(array_to_string(list(seg ORDER BY g) FILTER (WHERE df = 1), ' '), '') AS clean_text
         FROM hs JOIN dfreq USING (h)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── d11: cross-source duplication matrix — who copies from whom: ──
+    // d02's near-dup pairs rolled up by (source_i, source_j), the
+    // provenance report that decides which feeds to drop or down-weight.
+    // The pair frame is tiny (LSH-bounded), so the two source lookups
+    // are joins against a 2-column projection of documents — at corpus
+    // scale the (doc_id → source) dim is still millions of rows, so they
+    // stay equality hash-joins, co-partitioned on the pair frame's keys;
+    // the canonical LEAST/GREATEST fold makes the matrix triangular so
+    // (a,b) and (b,a) pairs land in one cell.
+    GQuery("d11_source_dup_matrix",
+      (s, d) => {
+        import s.implicits._
+        val src = docs(s, d).select($"doc_id", $"source")
+        minhashPairs(s, d)
+          .join(src.select($"doc_id".as("i"), $"source".as("src_i")), "i")
+          .join(src.select($"doc_id".as("j"), $"source".as("src_j")), "j")
+          .select(least($"src_i", $"src_j").as("src_a"),
+            greatest($"src_i", $"src_j").as("src_b"))
+          .groupBy($"src_a", $"src_b")
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""
+        WITH $pairSql,
+        m AS (SELECT LEAST(di.source, dj.source) AS src_a,
+                     GREATEST(di.source, dj.source) AS src_b
+              FROM p
+              JOIN documents di ON p.i = di.doc_id
+              JOIN documents dj ON p.j = dj.doc_id)
+        SELECT src_a, src_b, COUNT(*) AS n_dup_pairs
+        FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
   )
 }

@@ -731,6 +731,94 @@ object Relational {
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        ORDER BY gid, status, priority"""))
+        ORDER BY gid, status, priority""")),
+
+    // ── q34: NTILE decile statistics — equal-frequency bucketing of ──
+    // customers by balance WITHIN each market segment. The partitionBy
+    // is the scale design: a global NTILE serializes the corpus through
+    // one partition to assign ranks, while per-segment windows rank in
+    // parallel (p04's principle); exact global deciles at 100 TB would
+    // instead use approx percentile boundaries + a broadcast bucket map.
+    // Deterministic tie-break (balance, custkey) so both engines bucket
+    // identically.
+    GQuery("q34_decile_stats",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, d, "customer")
+          .withColumn("decile", ntile(10).over(w).cast(LongType))
+          .groupBy($"c_mktsegment", $"decile")
+          .agg(count(lit(1)).as("n_customers"),
+            min($"c_acctbal").as("min_bal"),
+            max($"c_acctbal").as("max_bal"),
+            sumd(d2($"c_acctbal")).as("total_bal"))
+          .orderBy($"c_mktsegment", $"decile")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment, c_acctbal,
+                 CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS decile
+          FROM customer)
+        SELECT c_mktsegment, decile, COUNT(*) AS n_customers,
+               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        FROM ranked GROUP BY c_mktsegment, decile
+        ORDER BY c_mktsegment, decile""")),
+
+    // ── q35: argmax/argmin aggregates — the priciest and cheapest part ──
+    // per brand via max_by/min_by, ONE aggregation pass: no self-join, no
+    // ranking window, no second shuffle. max_by's tie behavior is
+    // engine-defined, so the ordering key packs (price-in-cents, -partkey)
+    // into one exact BIGINT — price ties break on partkey, identically
+    // in both engines. (round() only snaps the 2-dp price's float noise
+    // to its integer cent value; it never decides a tie.)
+    GQuery("q35_argmax_group",
+      (s, d) => {
+        import s.implicits._
+        val key = (round($"p_retailprice" * 100).cast(LongType) * 1000000000L
+          - $"p_partkey").as("ord_key")
+        t(s, d, "part")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            max_by($"p_name", key).as("top_part"),
+            max($"p_retailprice").as("top_price"),
+            min_by($"p_name", key).as("bottom_part"),
+            min($"p_retailprice").as("bottom_price"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               arg_max(p_name, CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000000000 - p_partkey) AS top_part,
+               MAX(p_retailprice) AS top_price,
+               arg_min(p_name, CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000000000 - p_partkey) AS bottom_part,
+               MIN(p_retailprice) AS bottom_price
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ── q36: ordered list aggregation — each customer's chronological ──
+    // order-status journey as one string ("behavior sequence" feature).
+    // collect_list is order-nondeterministic under parallel merge, so the
+    // canonical Spark form sorts AFTER collecting (sort_array over
+    // (date, key, status) structs), which is also the scale story: the
+    // sort is per-group over ≤ the customer's own orders, never global.
+    GQuery("q36_order_journey",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            array_join(
+              transform(
+                sort_array(collect_list(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus"))),
+                x => x.getField("o_orderstatus")),
+              ",").as("journey"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS journey
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 }

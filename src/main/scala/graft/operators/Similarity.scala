@@ -339,6 +339,35 @@ object Similarity {
                             ORDER BY ROUND(${cosSql("a.v", "qprobe.qv")}, 4) DESC, a.vec_id ASC) AS rn
                    FROM assign a JOIN qprobe USING (cell))
         SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
-        ORDER BY query_id, rn"""))
+        ORDER BY query_id, rn""")),
+
+    // ── s09: cosine range search — every corpus vector within a ──
+    // similarity RADIUS of each query (threshold, not top-k): the dedup/
+    // recall-set shape top-k can't express (a query may have 0 or 500
+    // in-range neighbors). Plan: broadcast the 3-query set, one corpus
+    // scan with the codegen'd CosineSim, filter ≥ τ — the filter runs
+    // inside the scan's WholeStageCodegen, so output size is the only
+    // thing that grows with matches. At 100 TB the same query runs over
+    // s02's sign-LSH buckets (probe the query's bucket ± 1-bit flips)
+    // to cut the scanned fraction; the exact form here is the recall
+    // ground truth for that path.
+    GQuery("s09_range_search",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" < 3)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .filter($"cos" >= 0.3)
+          .orderBy($"query_id", $"vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3)
+        SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
+        FROM e, q WHERE vec_id <> query_id AND ROUND(${cosSql("e.v", "q.qv")}, 4) >= 0.3
+        ORDER BY query_id, vec_id"""))
   )
 }

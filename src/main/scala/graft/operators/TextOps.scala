@@ -423,6 +423,86 @@ object TextOps {
           FROM withn)
         SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_types,
                ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
-        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── t14: Gopher-style quality rules — the published rule set every ──
+    // web corpus gets filtered through (Rae et al. 2021 §A1.1): word
+    // count bounds, mean word length in [3,10], duplicate-line-free
+    // uniqueness floor, plus the per-metric columns so downstream can
+    // re-threshold without a rescan. One codegen'd scan: all metrics are
+    // list expressions over the same split; no shuffle but the
+    // presentation sort. mean_word_len is a single double division
+    // rounded at 6dp on both engines (t03's convention).
+    GQuery("t14_gopher_rules",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nWords = size(toks).cast(LongType)
+        // Single-space-separated text: Σ word length = chars − separators.
+        // Pure arithmetic instead of an interpreted aggregate() lambda.
+        val sumLen = length($"text").cast(LongType) - (nWords - 1L)
+        val meanLen = round(sumLen.cast(DoubleType) / nWords, 6)
+        val fracShort = round(
+          size(filter(toks, t => length(t) <= 2)).cast(DoubleType) / nWords, 6)
+        val fracUnique = round(
+          size(array_distinct(toks)).cast(DoubleType) / nWords, 6)
+        docs(s, d)
+          .select($"doc_id", nWords.as("n_words"), meanLen.as("mean_word_len"),
+            fracShort.as("frac_short_words"), fracUnique.as("frac_unique"))
+          .withColumn("pass",
+            ($"n_words" >= 20) && ($"n_words" <= 100000) &&
+              ($"mean_word_len" >= 3.0) && ($"mean_word_len" <= 10.0) &&
+              ($"frac_unique" >= 0.1))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 ROUND(CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS mean_word_len,
+                 ROUND(CAST(len(list_filter(string_split(text, ' '), t -> len(t) <= 2)) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS frac_short_words,
+                 ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS frac_unique
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, frac_short_words, frac_unique,
+               (n_words >= 20 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND frac_unique >= 0.1) AS pass
+        FROM m ORDER BY doc_id""")),
+
+    // ── t15: URL/domain extraction + blocklist grouping — the C4-style ──
+    // provenance stage: pull each document's source URL, roll up per
+    // domain, and flag blocklisted domains. The corpus carries no URLs,
+    // so (t12's pattern) a deterministic URL header derived from doc_id
+    // is planted identically on both engines — the regex extraction,
+    // domain rollup, and blocklist semantics are what is verified. The
+    // blocklist is a tiny IN-set (at scale: a broadcast join against a
+    // blocklist table); the rollup groups on low-cardinality domain.
+    GQuery("t15_domain_extract",
+      (s, d) => {
+        import s.implicits._
+        val blocked = Seq("host0.example0.org", "host3.example1.org")
+        val raw = concat(lit("see https://host"), ($"doc_id" % 7).cast(StringType),
+          lit(".example"), ($"doc_id" % 3).cast(StringType),
+          lit(".org/p/"), $"doc_id".cast(StringType), lit(" "), $"text")
+        docs(s, d)
+          .select($"doc_id", regexp_extract(raw, "https://([a-z0-9.-]+)/", 1).as("domain"))
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+          .withColumn("blocked", $"domain".isInCollection(blocked))
+          .orderBy($"domain")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 regexp_extract('see https://host' || (doc_id % 7) || '.example' ||
+                                (doc_id % 3) || '.org/p/' || doc_id || ' ' || text,
+                                'https://([a-z0-9.-]+)/', 1) AS domain
+          FROM documents)
+        SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+               domain IN ('host0.example0.org', 'host3.example1.org') AS blocked
+        FROM u GROUP BY domain ORDER BY domain"""))
   )
 }
