@@ -344,6 +344,78 @@ object EventOps {
         SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H:00') AS hour,
                CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
         FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.hour = hourly.hour
-        ORDER BY g.event_type, g.hour"""))
+        ORDER BY g.event_type, g.hour""")),
+
+    // ── e12: event-transition (Markov) matrix — P(next event type | ──
+    // current) over each user's chronological stream: the user-journey
+    // model behind funnel design and anomaly alerts. One lead() window
+    // pass per user (e08's no-self-join discipline), then a count rollup
+    // and a per-row probability against the window-summed row total.
+    // The matrix is |types|² rows — driver-safe at any corpus size; the
+    // per-user windows are the only shuffle of the fact stream.
+    GQuery("e12_transition_matrix",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val steps = ev(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+        val counts = steps.groupBy($"event_type".as("cur"), $"next_type".as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("p", round($"n".cast(DoubleType) /
+            sum($"n").over(Window.partitionBy($"cur")), 6))
+          .orderBy($"cur", $"nxt")
+      },
+      Some("""
+        WITH steps AS (
+          SELECT event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        counts AS (SELECT cur, nxt, COUNT(*) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        SELECT cur, nxt, n,
+               ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) AS p
+        FROM counts ORDER BY cur, nxt""")),
+
+    // ── e13: rolling active users — DAU and trailing-7-day actives ──
+    // (WAU) per day. Exact rolling DISTINCT cannot ride a window frame,
+    // so each distinct (user, day) CONTRIBUTES itself to the 7 days it
+    // keeps the user "active" (bounded ×7 Generate over the deduped
+    // user-day frame — corpus-volume-independent), then one
+    // count-distinct per day. The 100 TB story: the raw stream collapses
+    // to user-days map-side first; everything after is proportional to
+    // users × days, not events.
+    GQuery("e13_rolling_active",
+      (s, d) => {
+        import s.implicits._
+        val du = ev(s, d).select($"user_id", to_date($"ts").as("day")).distinct()
+        val bounds = ev(s, d).agg(max(to_date($"ts")).as("dmax"))
+        val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select($"user_id", explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+          .join(broadcast(bounds))
+          .filter($"day" <= $"dmax")
+          .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+        wau.join(dau, Seq("day"), "left")
+          .select(date_format($"day", "yyyy-MM-dd").as("day"),
+            coalesce($"dau", lit(0L)).as("dau"), $"wau")
+          .orderBy($"day")
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        bounds AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        contrib AS (
+          SELECT user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS day
+          FROM du),
+        wau AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+                FROM contrib c, bounds WHERE c.day <= bounds.dmax GROUP BY c.day)
+        SELECT strftime(w.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau
+        FROM wau w LEFT JOIN dau ON w.day = dau.day
+        ORDER BY day"""))
   )
 }

@@ -164,6 +164,39 @@ object Multimodal {
                e.label,
                ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) AS emb_norm
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ── m05: media batch packing — group payloads into transfer shards ──
+    // of ≤4 KB per MODALITY (the decode-worker batch layout: a batch
+    // mixes only same-type media, and batches cut on a byte budget, not
+    // a row count). p04's per-stratum windowed cumsum transplanted to
+    // binary metadata: the running byte total partitions BY content
+    // type, so modalities pack in parallel and no global order exists.
+    // Payload bytes ride as metadata only — the window carries (type,
+    // doc_id, n_bytes), never the blob itself.
+    GQuery("m05_media_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"content_type").orderBy($"doc_id")
+        Tables.load(s, d, "documents")
+          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+          .select($"doc_id",
+            element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+              ($"doc_id" % 3 + 1).cast(IntegerType)).as("content_type"),
+            length($"payload").cast(LongType).as("n_bytes"))
+          .withColumn("cum_bytes", sum($"n_bytes").over(w))
+          .withColumn("shard", expr("(cum_bytes - n_bytes) div 4096"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS content_type,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(SUM(length(text)) OVER (PARTITION BY doc_id % 3
+                 ORDER BY doc_id) AS BIGINT) AS cum_bytes,
+               CAST((SUM(length(text)) OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
+                     - length(text)) // 4096 AS BIGINT) AS shard
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -385,6 +385,101 @@ object Pipeline {
         FROM base JOIN dupn USING (ch)
              LEFT JOIN contam ON base.doc_id = contam.doc_id
         GROUP BY lang, source
-        ORDER BY lang, source"""))
+        ORDER BY lang, source""")),
+
+    // ── p10: token-budget-constrained mixture sampling — given a target ──
+    // token budget per source, derive each source's keep rate and sample
+    // deterministically at exactly that rate (the "fit the mix into N
+    // tokens" step between mixing weights and tokenization). The rate is
+    // EXACT INTEGER arithmetic end-to-end: rate_ppm = min(1e6,
+    // budget·1e6 DIV source_tokens) — a float rate would floor
+    // differently across engines at quotient boundaries. Membership is
+    // the p02 hash-threshold (stable under growth, no RNG); the tiny
+    // per-source rate table broadcasts back onto the scan, so the corpus
+    // shuffles only for the per-source totals (map-side partial agg).
+    GQuery("p10_budget_mix",
+      (s, d) => {
+        import s.implicits._
+        val budget = 3000L * 1000000L
+        val base = docs(s, d)
+          .select($"doc_id", $"source",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+        val rate = base.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+          .withColumn("rate_ppm",
+            least(lit(1000000L), expr(s"$budget DIV total_tokens")))
+        base.join(broadcast(rate), "source")
+          .withColumn("keep",
+            hash64(concat(lit("mix:"), $"doc_id")) % 1000000 < $"rate_ppm")
+          .groupBy($"source")
+          .agg(max($"n_docs").as("n_docs"),
+            max($"total_tokens").as("total_tokens"),
+            max($"rate_ppm").as("rate_ppm"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"keep", $"n_tokens").otherwise(0L)).as("kept_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        rate AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 LEAST(1000000, 3000000000 // CAST(SUM(n_tokens) AS BIGINT)) AS rate_ppm
+          FROM base GROUP BY source)
+        SELECT source, MAX(n_docs) AS n_docs, MAX(total_tokens) AS total_tokens,
+               MAX(rate_ppm) AS rate_ppm,
+               CAST(SUM(CASE WHEN ${hashSql("mix:")} % 1000000 < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN ${hashSql("mix:")} % 1000000 < rate_ppm THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM base JOIN rate USING (source)
+        GROUP BY source ORDER BY source""")),
+
+    // ── p11: shard manifest — the writer-side summary every corpus ──
+    // release ships per (split, shard): doc count, token volume, and a
+    // content checksum readers verify against. The checksum is an
+    // order-free exact modular sum of per-doc hashes: Spark sums in
+    // DECIMAL(38,0) (500 docs × 2^60 overflows BIGINT silently), DuckDB
+    // in HUGEINT, both reduced mod the same prime — bit-identical
+    // (t09's pattern). One grouped reduction over p08's layout keys;
+    // output rows = splits × shards.
+    GQuery("p11_shard_manifest",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"),
+            (hash64(concat(lit("order:"), $"doc_id")) % 8).as("shard"),
+            hash64(concat(lit("ck:"), $"doc_id")).cast(DecimalType(38, 0)).as("ck"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+        base.groupBy($"split", $"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            min($"doc_id").as("first_doc"),
+            max($"doc_id").as("last_doc"),
+            (sum($"ck") % 1000000007L).cast("long").as("checksum"))
+          .orderBy($"split", $"shard")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 ${hashSql("split:")} % 100 AS bucket,
+                 ${hashSql("order:")} % 8 AS shard,
+                 ${hashSql("ck:")} AS ck
+          FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               CAST(SUM(ck) % 1000000007 AS BIGINT) AS checksum
+        FROM base GROUP BY split, shard ORDER BY split, shard"""))
   )
 }
