@@ -397,6 +397,50 @@ object RegistryOps {
                COALESCE(extractor_id, 'NONE') AS extractor_id,
                COALESCE(source, 'none') AS source,
                CASE WHEN extractor_id IS NULL THEN 'no_extractor' ELSE 'ok' END AS status
-        FROM j ORDER BY doc_id"""))
+        FROM j ORDER BY doc_id""")),
+
+    // ── r09: extractor coverage report — the registry-ops dashboard ──
+    // over r05's dispatch: per extractor (including the NONE bucket of
+    // undispatchable files), how many files it serves, how many
+    // filetypes, and its share of the catalog. The rollup groups the
+    // dispatch frame (catalog ⋈ broadcast registry choice) by extractor;
+    // the catalog total rides in via a broadcast 1-row aggregate (q23's
+    // pattern) so the share needs no second pass over the files.
+    GQuery("r09_extractor_coverage",
+      (s, d) => {
+        import s.implicits._
+        val chosen = Registry.filetypes(s)
+          .select($"filetype_id",
+            when(size($"registered_extractors") > 0,
+              element_at($"registered_extractors", 1)).as("extractor_id"))
+        val dispatched = catalog(s, d)
+          .join(broadcast(chosen), Seq("filetype_id"), "left_outer")
+          .select($"doc_id", $"filetype_id",
+            coalesce($"extractor_id", lit("NONE")).as("extractor_id"))
+        val total = dispatched.agg(count(lit(1)).as("total_files"))
+        dispatched
+          .groupBy($"extractor_id")
+          .agg(count(lit(1)).as("n_files"),
+            countDistinct($"filetype_id").as("n_filetypes"))
+          .join(broadcast(total))
+          .select($"extractor_id", $"n_files", $"n_filetypes",
+            round($"n_files".cast(DoubleType) / $"total_files", 6).as("catalog_share"))
+          .orderBy($"extractor_id")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql),
+        chosen AS (
+          SELECT filetype_id,
+                 CASE WHEN len(registered_extractors) > 0 THEN registered_extractors[1] END AS extractor_id
+          FROM ${Registry.filetypesSql}),
+        dispatched AS (
+          SELECT f.doc_id, f.filetype_id, COALESCE(c.extractor_id, 'NONE') AS extractor_id
+          FROM files f LEFT JOIN chosen c ON f.filetype_id = c.filetype_id),
+        total AS (SELECT COUNT(*) AS total_files FROM dispatched)
+        SELECT extractor_id, COUNT(*) AS n_files,
+               CAST(COUNT(DISTINCT filetype_id) AS BIGINT) AS n_filetypes,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total_files), 6) AS catalog_share
+        FROM dispatched, total
+        GROUP BY extractor_id ORDER BY extractor_id"""))
   )
 }

@@ -819,6 +819,74 @@ object Relational {
       Some("""
         SELECT o_custkey, COUNT(*) AS n_orders,
                string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS journey
-        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ── q37: rank-based feature scaling — percent_rank and cume_dist ──
+    // per market segment: the monotone [0,1] normalization feature
+    // pipelines use when raw balances are heavy-tailed. Same per-segment
+    // window discipline as q34 (a global rank would serialize); the
+    // (balance, custkey) tiebreak makes every rank — and therefore both
+    // quotients — engine-identical, so 6-dp rounding can't wobble.
+    GQuery("q37_rank_scaling",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+        t(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+        FROM customer ORDER BY c_custkey""")),
+
+    // ── q38: Pareto (ABC) revenue coverage — which parts make the first ──
+    // 80% of each brand's revenue. The fact stream aggregates to
+    // per-part revenue FIRST (map-side partial agg collapses lineitem
+    // before anything joins), then the small per-part frame joins the
+    // part dim and runs two windows per brand (cumulative + total) in
+    // one shuffle. Revenue stays DECIMAL through ordering and cumsum —
+    // exact, so the running share is deterministic — and surfaces as
+    // DOUBLE only in the final single division.
+    GQuery("q38_pareto_coverage",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, d, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(d2($"l_extendedprice")).as("rev"))
+        val wCum = Window.partitionBy($"p_brand").orderBy($"rev".desc, $"p_partkey".asc)
+        val wTot = Window.partitionBy($"p_brand")
+        rev.join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+            $"l_partkey" === $"p_partkey")
+          .withColumn("cum", sum($"rev").over(wCum))
+          .withColumn("total", sum($"rev").over(wTot))
+          .select($"p_brand", $"p_partkey",
+            $"rev".cast(DoubleType).as("revenue"),
+            round($"cum".cast(DoubleType) / $"total".cast(DoubleType), 6).as("cum_share"))
+          .withColumn("in_core", $"cum_share" <= 0.8)
+          .orderBy($"p_brand", $"cum_share", $"p_partkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        shares AS (
+          SELECT p_brand, p_partkey, rev,
+                 SUM(rev) OVER (PARTITION BY p_brand
+                   ORDER BY rev DESC, p_partkey ASC) AS cum,
+                 SUM(rev) OVER (PARTITION BY p_brand) AS total
+          FROM rev JOIN part ON l_partkey = p_partkey)
+        SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue,
+               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8 AS in_core
+        FROM shares ORDER BY p_brand, cum_share, p_partkey"""))
   )
 }

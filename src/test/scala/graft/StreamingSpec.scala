@@ -106,6 +106,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(types == 5, s"expected 5 event types, got $types")
   }
 
+  test("idempotent parquet sink: a replayed micro-batch does not duplicate rows") {
+    import graft.streaming.ParquetSink
+    val batch = Tables.load(spark, sf, "events").limit(200)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_eos_out").toString
+
+    // A real stream through the sink first (end-to-end path).
+    val inDir = java.nio.file.Files.createTempDirectory("graft_eos_in").toString
+    batch.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = ParquetSink.sink(stream, outDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val afterRun = spark.read.parquet(outDir).count()
+    assert(afterRun == batch.count(), s"sink wrote $afterRun of ${batch.count()} rows")
+
+    // Simulate foreachBatch's at-least-once retry: the same batch id is
+    // delivered again. The partition must be REPLACED, not appended.
+    ParquetSink.writeBatch(batch, 0L, outDir)
+    ParquetSink.writeBatch(batch, 0L, outDir)
+    val afterReplay = spark.read.parquet(outDir).count()
+    assert(afterReplay == batch.count(),
+      s"replayed batch duplicated rows: $afterReplay != ${batch.count()}")
+
+    // A NEW batch id lands beside it — both batches visible as one table.
+    ParquetSink.writeBatch(batch.limit(10), 1L, outDir)
+    assert(spark.read.parquet(outDir).count() == batch.count() + 10)
+    assert(spark.read.parquet(outDir).where("batch_id = 1").count() == 10)
+  }
+
   test("streaming sessionization keeps sessions open across micro-batches") {
     import spark.implicits._
     // One user's session spans THREE micro-batches; it must emerge as ONE
