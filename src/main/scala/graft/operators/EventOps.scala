@@ -416,6 +416,38 @@ object EventOps {
                CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
                CAST(w.wau AS BIGINT) AS wau
         FROM wau w LEFT JOIN dau ON w.day = dau.day
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // ── e14: frequent journey trigrams — the top-10 3-step event-type ──
+    // sequences across all user journeys (the sequence-mining pass that
+    // seeds funnel definitions). Two lead() taps on ONE per-user window
+    // (e08/e12's no-self-join discipline: a 3-way self-join would
+    // shuffle the stream three times), then a count rollup whose key
+    // space is |types|³ — tiny — so the top-k is a TakeOrdered merge,
+    // never a global sort.
+    GQuery("e14_journey_trigrams",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        ev(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("e2", lead($"event_type", 1).over(w))
+          .withColumn("e3", lead($"event_type", 2).over(w))
+          .filter($"e3".isNotNull)
+          .groupBy($"event_type".as("e1"), $"e2", $"e3")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"e1", $"e2", $"e3")
+          .limit(10)
+      },
+      Some("""
+        WITH steps AS (
+          SELECT event_type AS e1,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          FROM events)
+        SELECT e1, e2, e3, COUNT(*) AS n
+        FROM steps WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n DESC, e1, e2, e3 LIMIT 10"""))
   )
 }

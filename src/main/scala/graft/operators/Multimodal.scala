@@ -197,6 +197,41 @@ object Multimodal {
                  ORDER BY doc_id) AS BIGINT) AS cum_bytes,
                CAST((SUM(length(text)) OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
                      - length(text)) // 4096 AS BIGINT) AS shard
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── m06: media asset dedup — near-duplicate binary payloads grouped ──
+    // by a perceptual-hash key (CDN-asset dedup: the same image
+    // re-crawled, truncated, or re-encoded is stored once). The pHash
+    // stub is the checksum of the leading 64-byte chunk — a real
+    // perceptual hash drops into the same expression slot with identical
+    // plumbing. d01's hash-groupBy discipline on the BINARY column: the
+    // 128-bit key is uniform → no skew; the blob itself never shuffles
+    // (the groupBy carries the hash + byte count only); keeper = min id;
+    // reclaimable_bytes = what dedup to the keeper's copy saves.
+    GQuery("m06_asset_dedup",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+          .select($"doc_id",
+            md5(substring($"payload", 1, 64)).as("phash"),
+            length($"payload").cast(LongType).as("n_bytes"))
+          .groupBy($"phash")
+          .agg(count(lit(1)).as("n_copies"),
+            min($"doc_id").as("keeper"),
+            sum($"n_bytes").as("total_bytes"),
+            min($"n_bytes").as("min_bytes"))
+          .filter($"n_copies" > 1)
+          .withColumn("reclaimable_bytes", $"total_bytes" - $"min_bytes")
+          .orderBy($"phash")
+      },
+      Some("""
+        SELECT md5(substr(text, 1, 64)) AS phash, COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper,
+               CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+               CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
+               CAST(SUM(length(text)) - MIN(length(text)) AS BIGINT) AS reclaimable_bytes
+        FROM documents GROUP BY phash HAVING COUNT(*) > 1
+        ORDER BY phash"""))
   )
 }

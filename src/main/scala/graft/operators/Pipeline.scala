@@ -480,6 +480,60 @@ object Pipeline {
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
                CAST(SUM(ck) % 1000000007 AS BIGINT) AS checksum
-        FROM base GROUP BY split, shard ORDER BY split, shard"""))
+        FROM base GROUP BY split, shard ORDER BY split, shard""")),
+
+    // ── p12: exact-k uniform sample — the "eyeball 100 random docs" / ──
+    // eval-subset draw. ORDER BY salted-hash LIMIT k is a deterministic
+    // uniform k-sample WITHOUT replacement that plans as
+    // TakeOrderedAndProject: per-partition top-k then a k-row merge —
+    // no global sort, no RNG, and the draw is independent of partition
+    // layout (unlike df.sample/TABLESAMPLE, whose output changes when
+    // the file split changes). Re-running on a grown corpus re-draws
+    // fairly over the new population, which is what a sample should do.
+    GQuery("p12_uniform_sample",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id", $"lang", $"source",
+            hash64(concat(lit("usamp:"), $"doc_id")).as("h"))
+          .orderBy($"h".asc, $"doc_id".asc)
+          .limit(100)
+      },
+      Some(s"""
+        SELECT doc_id, lang, source, ${hashSql("usamp:")} AS h
+        FROM documents ORDER BY h ASC, doc_id ASC LIMIT 100""")),
+
+    // ── p13: log₂ length histogram — corpus length profiling (the ──
+    // power-law sanity check run before choosing sequence lengths).
+    // Bucket = floor(log₂ n_chars): log₂ of a positive integer is an
+    // IEEE-exact double op on both engines, so the floor cannot
+    // straddle; bucket bounds come back from integer arithmetic. One
+    // partial-agg'd groupBy on a ~10-value key; shares divide by a
+    // window total over the tiny aggregate, never re-scanning the docs.
+    GQuery("p13_length_histogram",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        docs(s, d)
+          .filter($"n_chars" > 0)
+          .select(floor(log(2.0, $"n_chars")).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("lo", expr("CAST(pow(2, bucket) AS BIGINT)"))
+          .withColumn("hi", expr("CAST(pow(2, bucket + 1) AS BIGINT) - 1"))
+          .withColumn("share",
+            round($"n_docs".cast(DoubleType) /
+              sum($"n_docs").over(Window.partitionBy()), 6))
+          .select($"bucket", $"lo", $"hi", $"n_docs", $"share")
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket
+                   FROM documents WHERE n_chars > 0),
+        h AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket)
+        SELECT bucket, CAST(2**bucket AS BIGINT) AS lo,
+               CAST(2**(bucket+1) AS BIGINT) - 1 AS hi, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+        FROM h ORDER BY bucket"""))
   )
 }

@@ -887,6 +887,74 @@ object Relational {
         SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue,
                ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
                ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8 AS in_core
-        FROM shares ORDER BY p_brand, cum_share, p_partkey"""))
+        FROM shares ORDER BY p_brand, cum_share, p_partkey""")),
+
+    // ── q39: explicit GROUPING SETS — the shape ROLLUP/CUBE can't ──
+    // express: ((status, priority), (status), (priority), ()) includes
+    // the (priority)-only marginal, which no rollup order produces.
+    // Spark 4's native Dataset.groupingSets API → one Expand (×4) before
+    // partial aggregation, so the shuffle carries group rows, never the
+    // fact stream 4×. The grouping id is computed as grouping(a)·2 +
+    // grouping(b) on BOTH engines — single-column GROUPING() agrees
+    // everywhere, whereas multi-arg grouping_id bit order is an
+    // engine-specific convention.
+    GQuery("q39_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupingSets(
+            Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+              Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg((grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority")).as("gid"),
+            count(lit(1)).as("n_orders"),
+            sumd(d2($"o_totalprice")).as("total_spend"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"gid", $"n_orders", $"total_spend")
+          .orderBy($"gid", $"status", $"priority")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, status, priority""")),
+
+    // ── q40: equi-width histogram of order totals — the profiling scan ──
+    // behind every "does this column look sane" check. Bucketing is
+    // EXACT INTEGER arithmetic: cents = totalprice as DECIMAL(14,2)×100
+    // → BIGINT, bucket = cents DIV 5 000 000 (a float divide would land
+    // x.9999… vs y.0 on engine-boundary values). One partial-agg'd
+    // groupBy on a ≤13-value key; the share divides by a window total
+    // over the 13-row aggregate, never re-scanning the fact.
+    GQuery("q40_price_histogram",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "orders")
+          .select((d2($"o_totalprice") * 100).cast(LongType).as("cents"))
+          .select(least(lit(12L), expr("cents DIV 5000000")).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("lo", $"bucket" * 50000L)
+          .withColumn("share",
+            round($"n_orders".cast(DoubleType) /
+              sum($"n_orders").over(Window.partitionBy()), 6))
+          .select($"bucket", $"lo", $"n_orders", $"share")
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT LEAST(12, CAST(CAST(o_totalprice AS DECIMAL(14,2))*100 AS BIGINT) // 5000000) AS bucket
+          FROM orders),
+        h AS (SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY bucket)
+        SELECT bucket, bucket*50000 AS lo, n_orders,
+               ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+        FROM h ORDER BY bucket"""))
   )
 }
