@@ -611,6 +611,63 @@ object Dedup {
               JOIN documents di ON p.i = di.doc_id
               JOIN documents dj ON p.j = dj.doc_id)
         SELECT src_a, src_b, COUNT(*) AS n_dup_pairs
-        FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
+        FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""")),
+
+    // ── d12: sketch calibration — per LSH candidate pair, the minhash ──
+    // Jaccard ESTIMATE next to the exact shingle-set Jaccard and the
+    // absolute error: the measurement that justifies (or re-tunes) the
+    // b×r parameters before a 100 TB run trusts the sketch. Candidates
+    // and signatures reuse d02's cached frame (no threshold — calibration
+    // wants the low end too); the exact side touches only the LSH-bounded
+    // candidate set, never all pairs — i.e. the whole audit costs one
+    // d04, not a cartesian.
+    GQuery("d12_sketch_error",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d)
+        val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val si = sig.select($"doc_id".as("i"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_i"))
+        val sj = sig.select($"doc_id".as("j"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_j"))
+        val sets = docs(s, d).select($"doc_id",
+          array_distinct(shingles(tokens($"text"), 3)).as("sh"))
+        cand.join(si, "i").join(sj, "j")
+          .withColumn("est",
+            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b), x => x)).cast(DoubleType) / NumPerms)
+          .join(sets.select($"doc_id".as("i"), $"sh".as("sh_i")), "i")
+          .join(sets.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
+          .withColumn("exact",
+            size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType) /
+              size(array_union($"sh_i", $"sh_j")))
+          .select($"i", $"j", round($"est", 6).as("est_jaccard"),
+            round($"exact", 6).as("exact_jaccard"),
+            round(abs($"est" - $"exact"), 6).as("abs_err"))
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH $sigSql,
+        bands AS (
+          SELECT doc_id, b.b AS band,
+                 sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
+          FROM sig, (SELECT unnest(range(4)) AS b) b),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+        est AS (
+          SELECT i, j,
+                 CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16 AS est,
+                 CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(xi.sh, xj.sh))) AS exact
+          FROM cand
+          JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
+          JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
+        SELECT i, j, ROUND(est, 6) AS est_jaccard, ROUND(exact, 6) AS exact_jaccard,
+               ROUND(abs(est - exact), 6) AS abs_err
+        FROM est ORDER BY i, j"""))
   )
 }

@@ -368,6 +368,62 @@ object Similarity {
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3)
         SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
         FROM e, q WHERE vec_id <> query_id AND ROUND(${cosSql("e.v", "q.qv")}, 4) >= 0.3
-        ORDER BY query_id, vec_id"""))
+        ORDER BY query_id, vec_id""")),
+
+    // ── s10: k-means refinement — one full Lloyd iteration: assign every ──
+    // vector to its nearest centroid (s04), recompute centroids from the
+    // assignment, and report per-cell membership flow + centroid drift
+    // (cos(old, new)) — the convergence signal an iterative clustering
+    // driver loops on. Each iteration is two broadcast joins + two
+    // partial-agg'd aggregations; NOTHING is pairwise, and the k×d
+    // centroid frame is the only state carried between iterations —
+    // at 100 TB the corpus is scanned once per iteration, shuffling only
+    // exploded (cell, pos, coord) partial sums.
+    GQuery("s10_kmeans_refine",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", $"label", asDouble($"embedding").as("v"))
+        val cent0 = centroids(emb(s, d))
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        val assigned = e.join(broadcast(cent0))
+          .select($"vec_id", $"v", $"c_label",
+            round(cosineSim($"v", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"v", $"c_label".as("cell"))
+        val cent1 = assigned.select($"cell", posexplode($"v"))
+          .groupBy($"cell", $"pos")
+          .agg((sum($"col") / count(lit(1))).as("m"))
+          .groupBy($"cell")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"cell", transform($"pm", x => x.getField("m")).as("nc"))
+        val nBefore = e.groupBy($"label".as("cell")).agg(count(lit(1)).as("n_before"))
+        val nAfter = assigned.groupBy($"cell").agg(count(lit(1)).as("n_assigned"))
+        cent1.join(cent0, $"cell" === $"c_label")
+          .select($"cell", round(cosineSim($"centroid", $"nc"), 4).as("drift"))
+          .join(nBefore, "cell").join(nAfter, "cell")
+          .select($"cell", $"n_before", $"n_assigned", $"drift")
+          .orderBy($"cell")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $centSql,
+        scored AS (SELECT vec_id, e.v AS v, c_label,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                   FROM e, cent),
+        assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
+        coords1 AS (SELECT cell, p.p AS pos, sum(v[p.p]) / count(*) AS m
+                    FROM assigned, (SELECT unnest(range(1, 65)) AS p) p
+                    GROUP BY cell, pos),
+        cent1 AS (SELECT cell, list(m ORDER BY pos) AS nc FROM coords1 GROUP BY cell),
+        nb AS (SELECT label AS cell, COUNT(*) AS n_before FROM e GROUP BY label),
+        na AS (SELECT cell, COUNT(*) AS n_assigned FROM assigned GROUP BY cell)
+        SELECT cell, n_before, n_assigned,
+               ROUND(${cosSql("cent.centroid", "cent1.nc")}, 4) AS drift
+        FROM cent1 JOIN cent ON cell = c_label
+        JOIN nb USING (cell) JOIN na USING (cell)
+        ORDER BY cell"""))
   )
 }

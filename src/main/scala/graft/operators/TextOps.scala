@@ -503,6 +503,60 @@ object TextOps {
           FROM documents)
         SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
                domain IN ('host0.example0.org', 'host3.example1.org') AS blocked
-        FROM u GROUP BY domain ORDER BY domain"""))
+        FROM u GROUP BY domain ORDER BY domain""")),
+
+    // ── t16: linear quality classifier — the fastText-style scorer every ──
+    // corpus passes through (CCNet/LLaMA's "looks like a reference page"
+    // filter). The model is a tiny (word → weight) table + bias; score =
+    // bias + Σ w(token)/n_tokens over occurrences. MODEL BROADCASTS, the
+    // corpus never shuffles for scoring: tokens explode map-side, the
+    // weight join is a broadcast hash join, and the per-doc reduction is
+    // partial-agg'd on doc_id. Weight sums stay DECIMAL-exact (Σ of 2-dp
+    // weights); the only float op is one division + one add, then the
+    // ROUNDED score drives the keep decision on both engines — a raw
+    // double compare at the threshold could flip across engines.
+    GQuery("t16_classifier_score",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Seq(
+          "spark" -> "1.20", "query" -> "0.80", "data" -> "0.60",
+          "fast" -> "0.90", "vector" -> "0.80", "filter" -> "0.70",
+          "join" -> "0.50", "window" -> "0.30", "big" -> "0.40",
+          "small" -> "-0.30", "slow" -> "-1.10", "dup" -> "-1.50")
+        val wdf = vocab.toDF("w_word", "w_raw")
+          .select($"w_word", $"w_raw".cast(DecimalType(4, 2)).as("wt"))
+        val base = docs(s, d)
+          .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
+        val dots = docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .join(broadcast(wdf), $"tok" === $"w_word")
+          .groupBy($"doc_id")
+          .agg(sum($"wt".cast(DecimalType(14, 2))).as("dot"))
+        base.join(dots, Seq("doc_id"), "left")
+          .withColumn("score",
+            round(lit(-0.20) + coalesce($"dot".cast(DoubleType), lit(0.0)) / $"n_tokens", 6))
+          .select($"doc_id", $"score", ($"score" > 0.0).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH w(w_word, wt) AS (VALUES
+          ('spark', CAST(1.20 AS DECIMAL(4,2))), ('query', CAST(0.80 AS DECIMAL(4,2))),
+          ('data', CAST(0.60 AS DECIMAL(4,2))), ('fast', CAST(0.90 AS DECIMAL(4,2))),
+          ('vector', CAST(0.80 AS DECIMAL(4,2))), ('filter', CAST(0.70 AS DECIMAL(4,2))),
+          ('join', CAST(0.50 AS DECIMAL(4,2))), ('window', CAST(0.30 AS DECIMAL(4,2))),
+          ('big', CAST(0.40 AS DECIMAL(4,2))), ('small', CAST(-0.30 AS DECIMAL(4,2))),
+          ('slow', CAST(-1.10 AS DECIMAL(4,2))), ('dup', CAST(-1.50 AS DECIMAL(4,2)))),
+        base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        dots AS (SELECT doc_id, SUM(CAST(wt AS DECIMAL(14,2))) AS dot
+                 FROM toks JOIN w ON tok = w_word GROUP BY doc_id),
+        scored AS (
+          SELECT base.doc_id,
+                 ROUND(CAST(-0.20 AS DOUBLE)
+                   + COALESCE(CAST(dot AS DOUBLE), 0.0) / n_tokens, 6) AS score
+          FROM base LEFT JOIN dots ON base.doc_id = dots.doc_id)
+        SELECT doc_id, score, score > 0.0 AS keep
+        FROM scored ORDER BY doc_id"""))
   )
 }
