@@ -448,6 +448,63 @@ object EventOps {
         SELECT e1, e2, e3, COUNT(*) AS n
         FROM steps WHERE e3 IS NOT NULL
         GROUP BY e1, e2, e3
-        ORDER BY n DESC, e1, e2, e3 LIMIT 10"""))
+        ORDER BY n DESC, e1, e2, e3 LIMIT 10""")),
+
+    // ── e15: cohort funnel — per signup-week cohort, how many users ──
+    // viewed and purchased within 7 days of signup (e03's single global
+    // rate, resolved by cohort and step with a bounded attribution
+    // window). The user's step flags collapse in ONE grouped pass over
+    // the signup⋈activity join (max-of-indicators — no per-step joins),
+    // then a tiny per-cohort rollup. The join is equality on user_id —
+    // at 100 TB both sides hash-partition on the user key once; the
+    // 7-day bound is exact epoch-micros arithmetic inside the join
+    // projection, never a range-join condition.
+    GQuery("e15_cohort_funnel",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val su = events.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("su_ts"))
+        val acts = events.filter($"event_type".isin("view", "purchase"))
+          .select($"user_id", $"event_type", $"ts")
+        val winUs = 7L * 86400L * 1000000L
+        val stepped = su.join(acts, Seq("user_id"), "left")
+          .withColumn("in_win",
+            $"ts".isNotNull && $"ts" > $"su_ts" &&
+              unix_micros($"ts") - unix_micros($"su_ts") <= winUs)
+          .groupBy($"user_id", $"su_ts")
+          .agg(max(when($"in_win" && $"event_type" === "view", 1L).otherwise(0L)).as("viewed"),
+            max(when($"in_win" && $"event_type" === "purchase", 1L).otherwise(0L)).as("purchased"))
+        stepped
+          .groupBy(date_format(date_trunc("week", $"su_ts"), "yyyy-MM-dd").as("cohort_week"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum($"viewed").as("n_viewed"),
+            sum($"purchased").as("n_purchased"))
+          .withColumn("view_rate", round($"n_viewed".cast(DoubleType) / $"n_signups", 6))
+          .withColumn("purchase_rate", round($"n_purchased".cast(DoubleType) / $"n_signups", 6))
+          .orderBy($"cohort_week")
+      },
+      Some("""
+        WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        acts AS (SELECT user_id, event_type, ts FROM events
+                 WHERE event_type IN ('view', 'purchase')),
+        stepped AS (
+          SELECT su.user_id, su.su_ts,
+                 MAX(CASE WHEN a.ts IS NOT NULL AND a.ts > su.su_ts
+                            AND epoch_us(a.ts) - epoch_us(su.su_ts) <= 604800000000
+                            AND a.event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+                 MAX(CASE WHEN a.ts IS NOT NULL AND a.ts > su.su_ts
+                            AND epoch_us(a.ts) - epoch_us(su.su_ts) <= 604800000000
+                            AND a.event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+          FROM su LEFT JOIN acts a ON su.user_id = a.user_id
+          GROUP BY su.user_id, su.su_ts)
+        SELECT strftime(date_trunc('week', su_ts), '%Y-%m-%d') AS cohort_week,
+               COUNT(*) AS n_signups,
+               CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+               CAST(SUM(purchased) AS BIGINT) AS n_purchased,
+               ROUND(CAST(SUM(viewed) AS DOUBLE) / COUNT(*), 6) AS view_rate,
+               ROUND(CAST(SUM(purchased) AS DOUBLE) / COUNT(*), 6) AS purchase_rate
+        FROM stepped GROUP BY cohort_week ORDER BY cohort_week"""))
   )
 }

@@ -232,6 +232,44 @@ object Multimodal {
                CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
                CAST(SUM(length(text)) - MIN(length(text)) AS BIGINT) AS reclaimable_bytes
         FROM documents GROUP BY phash HAVING COUNT(*) > 1
-        ORDER BY phash"""))
+        ORDER BY phash""")),
+
+    // ── m07: boilerplate frames — frames (m02's chunker) whose content ──
+    // hash appears in MORE THAN ONE document: the intro/outro/watermark
+    // detection pass video pipelines run before training (d09's
+    // segment-dedup discipline transplanted to media frames). Frame
+    // document-frequency is a partial-agg'd groupBy on the uniform
+    // 128-bit hash; the join-back is co-partitioned on that hash; blobs
+    // never shuffle (hash + counts only). Per doc: frame count,
+    // boilerplate count, rate.
+    GQuery("m07_frame_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        val frames = Tables.load(s, d, "documents")
+          .filter($"doc_id" < 100)
+          .select($"doc_id", $"text", posexplode(expr(
+            "sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
+          .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
+            md5(expr("substring(text, pos * 256 + 1, 256)")).as("fh"))
+        val dfreq = frames.groupBy($"fh").agg(countDistinct($"doc_id").as("df"))
+        frames.join(dfreq, "fh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when($"df" > 1, 1L).otherwise(0L)).as("n_boiler"))
+          .withColumn("boiler_rate", round($"n_boiler".cast(DoubleType) / $"n_frames", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+                 md5(substr(text, CAST(f.f AS INT) * 256 + 1, 256)) AS fh
+          FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
+          WHERE doc_id < 100 AND f.f <= (length(text) + 255) // 256 - 1),
+        dfreq AS (SELECT fh, COUNT(DISTINCT doc_id) AS df FROM frames GROUP BY fh)
+        SELECT doc_id, COUNT(*) AS n_frames,
+               CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_rate
+        FROM frames JOIN dfreq USING (fh)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

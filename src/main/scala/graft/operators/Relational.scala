@@ -955,6 +955,40 @@ object Relational {
         h AS (SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY bucket)
         SELECT bucket, bucket*50000 AS lo, n_orders,
                ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
-        FROM h ORDER BY bucket"""))
+        FROM h ORDER BY bucket""")),
+
+    // ── q41: leave-one-out target encoding — each supplier's balance vs ──
+    // the mean of the OTHER suppliers in its nation: the LOO
+    // normalization feature pipelines use to avoid self-leakage in
+    // per-group encodings. One window over the nation partition computes
+    // sum and count; loo = (Σ − x)/(n−1) — the subtraction stays
+    // DECIMAL-exact, so the only float op is the final division. n = 1
+    // groups surface NULL (no peers), identically on both engines.
+    GQuery("q41_target_encode",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"s_nationkey")
+        t(s, d, "supplier")
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal",
+            sum(d2($"s_acctbal")).over(w).as("tot"),
+            count(lit(1)).over(w).as("n"))
+          .withColumn("loo_mean",
+            when($"n" > 1,
+              round(($"tot" - d2($"s_acctbal")).cast(DoubleType) / ($"n" - 1), 6)))
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal", $"n".as("n_peers_incl"), $"loo_mean")
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        WITH w AS (
+          SELECT s_suppkey, s_nationkey, s_acctbal,
+                 SUM(CAST(s_acctbal AS DECIMAL(14,2))) OVER (PARTITION BY s_nationkey) AS tot,
+                 COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+          FROM supplier)
+        SELECT s_suppkey, s_nationkey, s_acctbal, n AS n_peers_incl,
+               CASE WHEN n > 1
+                 THEN ROUND(CAST(tot - CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) / (n - 1), 6)
+               END AS loo_mean
+        FROM w ORDER BY s_suppkey"""))
   )
 }

@@ -557,6 +557,40 @@ object TextOps {
                    + COALESCE(CAST(dot AS DOUBLE), 0.0) / n_tokens, 6) AS score
           FROM base LEFT JOIN dots ON base.doc_id = dots.doc_id)
         SELECT doc_id, score, score > 0.0 AS keep
-        FROM scored ORDER BY doc_id"""))
+        FROM scored ORDER BY doc_id""")),
+
+    // ── t17: out-of-vocabulary rate — fraction of each document's ──
+    // tokens outside the corpus top-20 vocabulary: the tokenizer-prep
+    // measurement (vocab coverage vs corpus) and a gibberish signal.
+    // Two passes: corpus vocabulary via a 2-stage partial-agg'd word
+    // count + TakeOrdered top-k with a total (freq DESC, word ASC)
+    // tie-break so both engines pick the identical vocab; then the tiny
+    // vocab LEFT-broadcast-joins back onto the exploded token stream —
+    // the corpus shuffles once (doc_id partial agg), never for the vocab.
+    GQuery("t17_oov_rate",
+      (s, d) => {
+        import s.implicits._
+        val tok = docs(s, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        val vocab = tok.groupBy($"w").agg(count(lit(1)).as("f"))
+          .orderBy($"f".desc, $"w".asc).limit(20)
+          .select($"w".as("vw"))
+        tok.join(broadcast(vocab), $"w" === $"vw", "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"vw".isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", round($"n_oov".cast(DoubleType) / $"n_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        vocab AS (SELECT w AS vw FROM (
+                    SELECT w, COUNT(*) AS f FROM tok GROUP BY w
+                    ORDER BY f DESC, w ASC LIMIT 20)),
+        flags AS (SELECT doc_id, CASE WHEN vw IS NULL THEN 1 ELSE 0 END AS oov
+                  FROM tok LEFT JOIN vocab ON w = vw)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
