@@ -392,17 +392,21 @@ object Similarity {
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"vec_id", $"v", $"c_label".as("cell"))
+        // n_assigned rides the centroid aggregation (every pos of a cell
+        // has the same row count) so the corpus is assigned exactly ONCE —
+        // a separate count branch would re-execute the corpus × centroid
+        // cross a second time.
         val cent1 = assigned.select($"cell", posexplode($"v"))
           .groupBy($"cell", $"pos")
-          .agg((sum($"col") / count(lit(1))).as("m"))
+          .agg((sum($"col") / count(lit(1))).as("m"), count(lit(1)).as("cnt"))
           .groupBy($"cell")
-          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"cell", transform($"pm", x => x.getField("m")).as("nc"))
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"),
+            max($"cnt").as("n_assigned"))
+          .select($"cell", transform($"pm", x => x.getField("m")).as("nc"), $"n_assigned")
         val nBefore = e.groupBy($"label".as("cell")).agg(count(lit(1)).as("n_before"))
-        val nAfter = assigned.groupBy($"cell").agg(count(lit(1)).as("n_assigned"))
         cent1.join(cent0, $"cell" === $"c_label")
-          .select($"cell", round(cosineSim($"centroid", $"nc"), 4).as("drift"))
-          .join(nBefore, "cell").join(nAfter, "cell")
+          .select($"cell", $"n_assigned", round(cosineSim($"centroid", $"nc"), 4).as("drift"))
+          .join(nBefore, "cell")
           .select($"cell", $"n_before", $"n_assigned", $"drift")
           .orderBy($"cell")
       },
@@ -414,16 +418,17 @@ object Similarity {
                             ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
                    FROM e, cent),
         assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
-        coords1 AS (SELECT cell, p.p AS pos, sum(v[p.p]) / count(*) AS m
+        coords1 AS (SELECT cell, p.p AS pos, sum(v[p.p]) / count(*) AS m,
+                           count(*) AS cnt
                     FROM assigned, (SELECT unnest(range(1, 65)) AS p) p
                     GROUP BY cell, pos),
-        cent1 AS (SELECT cell, list(m ORDER BY pos) AS nc FROM coords1 GROUP BY cell),
-        nb AS (SELECT label AS cell, COUNT(*) AS n_before FROM e GROUP BY label),
-        na AS (SELECT cell, COUNT(*) AS n_assigned FROM assigned GROUP BY cell)
+        cent1 AS (SELECT cell, list(m ORDER BY pos) AS nc, max(cnt) AS n_assigned
+                  FROM coords1 GROUP BY cell),
+        nb AS (SELECT label AS cell, COUNT(*) AS n_before FROM e GROUP BY label)
         SELECT cell, n_before, n_assigned,
                ROUND(${cosSql("cent.centroid", "cent1.nc")}, 4) AS drift
         FROM cent1 JOIN cent ON cell = c_label
-        JOIN nb USING (cell) JOIN na USING (cell)
+        JOIN nb USING (cell)
         ORDER BY cell"""))
   )
 }

@@ -160,6 +160,59 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"e10: user-id equality join disappeared:\n$e10")
   }
 
+  test("round-4 operators keep their scale shapes") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // q39: ONE Expand (×4 grouping sets) feeding a two-phase aggregate —
+    // a second Expand or a missing partial agg means the fact stream is
+    // being replayed per grouping set.
+    val q39 = planOf("q39_grouping_sets")
+    assert("Expand".r.findAllIn(q39).size == 1, s"q39: expected exactly one Expand:\n$q39")
+    assert("HashAggregate".r.findAllIn(q39).size >= 2, s"q39: no partial agg:\n$q39")
+    // e14: two lead() taps on one window — no self-join; top-10 is a
+    // TakeOrdered merge, not a global sort.
+    val e14 = planOf("e14_journey_trigrams")
+    assert(!e14.contains("Join"), s"e14: trigram mining grew a join:\n$e14")
+    assert(e14.contains("TakeOrderedAndProject"), s"e14: top-k lost TakeOrdered:\n$e14")
+    // t16/t17: the model/vocab joins must be BROADCAST hash joins — a
+    // shuffled join would re-partition the whole token stream against a
+    // 12/20-row table.
+    Seq("t16_classifier_score", "t17_oov_rate").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: tiny-table join not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+    // s10: the only nested loop is the intentional corpus × k-centroid
+    // broadcast cross; everything downstream joins by equality.
+    val s10 = planOf("s10_kmeans_refine")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s10).size <= 1 &&
+      !s10.contains("CartesianProduct"),
+      s"s10: non-centroid nested loop — all-pairs regression?\n$s10")
+    // d12: candidates and both verify sides join by equality (band key /
+    // doc id) — a nested loop would be the cartesian the sketch avoids.
+    val d12 = planOf("d12_sketch_error")
+    assert(!d12.contains("BroadcastNestedLoopJoin") && !d12.contains("CartesianProduct"),
+      s"d12: non-equality join in sketch calibration:\n$d12")
+    // e15: funnel attribution joins by user-id equality only.
+    val e15 = planOf("e15_cohort_funnel")
+    assert(!e15.contains("BroadcastNestedLoopJoin") && !e15.contains("CartesianProduct"),
+      s"e15: attribution join regressed to a nested loop:\n$e15")
+    // q41: join-free — one window over the nation partition.
+    val q41 = planOf("q41_target_encode")
+    assert(!q41.contains("Join") && q41.contains("Window"),
+      s"q41: expected join-free windowed LOO plan:\n$q41")
+    // p12: deterministic sample is a TakeOrdered, never a global sort.
+    val p12 = planOf("p12_uniform_sample")
+    assert(p12.contains("TakeOrderedAndProject") && !p12.contains("Join"),
+      s"p12: sample lost its TakeOrdered shape:\n$p12")
+    // m07: frame-frequency join-back is equality on the frame hash.
+    val m07 = planOf("m07_frame_boilerplate")
+    assert(!m07.contains("BroadcastNestedLoopJoin") && !m07.contains("CartesianProduct"),
+      s"m07: non-equality frame join:\n$m07")
+    assert(m07.contains("HashJoin") || m07.contains("SortMergeJoin"),
+      s"m07: frame-hash equality join disappeared:\n$m07")
+  }
+
   test("sources round-trip: parquet, csv, json, partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Tables.load(spark, sf, "nation")
