@@ -668,6 +668,54 @@ object Dedup {
           JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
         SELECT i, j, ROUND(est, 6) AS est_jaccard, ROUND(exact, 6) AS exact_jaccard,
                ROUND(abs(est - exact), 6) AS abs_err
-        FROM est ORDER BY i, j"""))
+        FROM est ORDER BY i, j""")),
+
+    // ── d13: containment detection — |A∩B|/|A| per direction on the LSH ──
+    // candidates: the ASYMMETRIC near-dup measure (a short doc quoted
+    // wholesale inside a long one has low Jaccard but containment ≈ 1 —
+    // the quote/subset case symmetric dedup misses). Same LSH-bounded
+    // candidate discipline as d04/d12 — the exact set work never exceeds
+    // the candidate count; pairs keep either direction ≥ 0.5 on the
+    // ROUNDED value so the threshold cannot flip across engines.
+    GQuery("d13_containment",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d)
+        val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val sets = docs(s, d).select($"doc_id",
+          array_distinct(shingles(tokens($"text"), 3)).as("sh"))
+        cand
+          .join(sets.select($"doc_id".as("i"), $"sh".as("sh_i")), "i")
+          .join(sets.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
+          .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType))
+          .select($"i", $"j",
+            round($"inter" / size($"sh_i"), 6).as("cont_ij"),
+            round($"inter" / size($"sh_j"), 6).as("cont_ji"))
+          .filter(greatest($"cont_ij", $"cont_ji") >= 0.5)
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH $sigSql,
+        bands AS (
+          SELECT doc_id, b.b AS band,
+                 sig[b.b*4+1] || '_' || sig[b.b*4+2] || '_' || sig[b.b*4+3] || '_' || sig[b.b*4+4] AS bkey
+          FROM sig, (SELECT unnest(range(4)) AS b) b),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+        scored AS (
+          SELECT i, j,
+                 ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xi.sh), 6) AS cont_ij,
+                 ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xj.sh), 6) AS cont_ji
+          FROM cand JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
+        SELECT i, j, cont_ij, cont_ji FROM scored
+        WHERE GREATEST(cont_ij, cont_ji) >= 0.5
+        ORDER BY i, j"""))
   )
 }

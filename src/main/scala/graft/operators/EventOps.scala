@@ -505,6 +505,51 @@ object EventOps {
                CAST(SUM(purchased) AS BIGINT) AS n_purchased,
                ROUND(CAST(SUM(viewed) AS DOUBLE) / COUNT(*), 6) AS view_rate,
                ROUND(CAST(SUM(purchased) AS DOUBLE) / COUNT(*), 6) AS purchase_rate
-        FROM stepped GROUP BY cohort_week ORDER BY cohort_week"""))
+        FROM stepped GROUP BY cohort_week ORDER BY cohort_week""")),
+
+    // ── e16: robust rate anomalies — median/MAD outlier detection over ──
+    // the hourly rollup (e07's z-score breaks when the anomaly itself
+    // inflates the mean/stddev; median/MAD don't). Everything after the
+    // map-side hourly rollup is EXACT: interpolated percentiles of
+    // integer counts are halves/quarters (binary-exact doubles), |n−med|
+    // and 3·MAD are exact arithmetic on them, so the anomaly flag cannot
+    // flip across engines. Two grouped percentile passes + one join-back,
+    // all on the tiny (type, hour) frame — event volume touches only the
+    // first rollup.
+    GQuery("e16_mad_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val hourly = ev(s, d)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val med = hourly.groupBy($"event_type")
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val mad = hourly.join(med, "event_type")
+          .groupBy($"event_type")
+          .agg(max($"med").as("med"),
+            expr("percentile(abs(n - med), 0.5)").as("mad"))
+        hourly.join(broadcast(mad), "event_type")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            max($"med").as("med"),
+            max($"mad").as("mad"),
+            sum(when(abs($"n" - $"med") > $"mad" * 3, 1L).otherwise(0L)).as("n_anomalous"),
+            max(abs($"n" - $"med")).as("max_abs_dev"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+          FROM events GROUP BY event_type, hour),
+        med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                FROM hourly GROUP BY event_type),
+        mad AS (SELECT event_type, MAX(med) AS med,
+                       quantile_cont(abs(n - med), 0.5) AS mad
+                FROM hourly JOIN med USING (event_type) GROUP BY event_type)
+        SELECT event_type, COUNT(*) AS n_hours, MAX(med) AS med, MAX(mad) AS mad,
+               CAST(SUM(CASE WHEN abs(n - med) > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+               MAX(abs(n - med)) AS max_abs_dev
+        FROM hourly JOIN mad USING (event_type)
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

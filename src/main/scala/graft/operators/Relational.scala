@@ -989,6 +989,39 @@ object Relational {
                CASE WHEN n > 1
                  THEN ROUND(CAST(tot - CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) / (n - 1), 6)
                END AS loo_mean
-        FROM w ORDER BY s_suppkey"""))
+        FROM w ORDER BY s_suppkey""")),
+
+    // ── q42: fulfillment-latency distribution — ship-date minus order- ──
+    // date percentiles per order priority: the operational-SLA rollup.
+    // The lineitem⋈orders join is the co-partitioned orderkey fact join
+    // (q04's shape — both sides hash on the key once; bucketed layout
+    // makes it exchange-free, EngineSpec's bucketed-join pin). Latency
+    // is DATE−DATE integer days — exact on both engines — and the
+    // interpolated percentiles of integers are halves/quarters, which
+    // binary doubles represent exactly: no rounding wobble.
+    GQuery("q42_ship_latency",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem").select($"l_orderkey", $"l_shipdate")
+          .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderpriority", datediff($"l_shipdate", $"o_orderdate").as("lat"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_lineitems"),
+            round(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
+            round(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
+            max($"lat").as("max_days"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH lat AS (
+          SELECT o_orderpriority,
+                 CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS lat
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+               ROUND(quantile_cont(lat, 0.5), 4) AS p50_days,
+               ROUND(quantile_cont(lat, 0.9), 4) AS p90_days,
+               CAST(MAX(lat) AS INT) AS max_days
+        FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
