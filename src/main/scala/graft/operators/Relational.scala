@@ -1022,6 +1022,67 @@ object Relational {
                ROUND(quantile_cont(lat, 0.5), 4) AS p50_days,
                ROUND(quantile_cont(lat, 0.9), 4) AS p90_days,
                CAST(MAX(lat) AS INT) AS max_days
-        FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q43: national market share (TPC-H Q8 shape) — per year, each ──
+    // supplier nation's share of PROMO-part revenue sold to AMERICA
+    // customers: the canonical 7-table join Catalyst must ORDER well.
+    // Shape: selective dims (filtered part, supplier→nation, and the
+    // region-filtered customer→nation chain) broadcast against the two
+    // co-partitioned facts — lineitem⋈orders is the ONLY big shuffle;
+    // at 100 TB AQE decides whether the filtered customer side still
+    // broadcasts or sort-merges on custkey. Revenue price×(1−disc)
+    // stays DECIMAL through the share division's operands (exact),
+    // surfacing as DOUBLE in the one final divide.
+    GQuery("q43_market_share",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val amerCust = t(s, d, "customer").select($"c_custkey", $"c_nationkey")
+          .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_regionkey")),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region").filter($"r_name" === "AMERICA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"c_custkey")
+        val suppNation = t(s, d, "supplier").select($"s_suppkey", $"s_nationkey")
+          .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation"))
+        val promo = t(s, d, "part").filter($"p_type" === "PROMO").select($"p_partkey")
+        val rev = t(s, d, "lineitem")
+          .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+          .join(t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(amerCust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .select(year($"o_orderdate").as("yr"), $"supp_nation",
+            (d2($"l_extendedprice") * (lit(1).cast(DecimalType(4, 2)) - r2($"l_discount"))).as("rev"))
+          .groupBy($"yr", $"supp_nation")
+          .agg(sum($"rev").as("nation_rev"))
+        rev
+          .withColumn("total", sum($"nation_rev").over(Window.partitionBy($"yr")))
+          .select($"yr", $"supp_nation",
+            $"nation_rev".cast(DoubleType).as("revenue"),
+            round($"nation_rev".cast(DoubleType) / $"total".cast(DoubleType), 6).as("share"))
+          .orderBy($"yr", $"supp_nation")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr, n2.n_name AS supp_nation,
+                 SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS nation_rev
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          GROUP BY yr, supp_nation)
+        SELECT yr, supp_nation, CAST(nation_rev AS DOUBLE) AS revenue,
+               ROUND(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+        FROM rev ORDER BY yr, supp_nation"""))
   )
 }
