@@ -1083,6 +1083,78 @@ object Relational {
         SELECT yr, supp_nation, CAST(nation_rev AS DOUBLE) AS revenue,
                ROUND(CAST(nation_rev AS DOUBLE)
                  / CAST(SUM(nation_rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
-        FROM rev ORDER BY yr, supp_nation"""))
+        FROM rev ORDER BY yr, supp_nation""")),
+
+    // ── q44: discrete percentiles — PERCENTILE_DISC / WITHIN GROUP: ──
+    // unlike q21's interpolated form, disc returns ACTUAL data values,
+    // so the result is engine-exact with no fp interpolation at all —
+    // the right quantile flavor for "show me a real p90 order". Same
+    // two-phase group-sort aggregation; values pass through untouched.
+    GQuery("q44_percentile_disc",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+            min($"o_totalprice").as("lo"),
+            max($"o_totalprice").as("hi"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               quantile_disc(o_totalprice, 0.5) AS p50_disc,
+               quantile_disc(o_totalprice, 0.9) AS p90_disc,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── q45: exact-moment Pearson correlation + regression slope — ──
+    // built-in corr() accumulates double co-moments in partition order
+    // (nondeterministic at the ulp level); here every moment Σx Σy Σxy
+    // Σx² Σy² is an EXACT DECIMAL sum, surfaced through the q30
+    // string-cast (decimal→text→double is bit-identical cross-engine),
+    // and the final formula is a fixed-order double expression — the
+    // same bits on every engine and every partitioning. One partial-agg
+    // pass over the fact; no second scan, no window.
+    GQuery("q45_exact_corr",
+      (s, d) => {
+        import s.implicits._
+        val x = d2($"l_quantity"); val y = d2($"l_extendedprice")
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+          .select(Seq($"l_returnflag", $"n") ++ {
+            val sx = $"sx".cast(StringType).cast(DoubleType)
+            val sy = $"sy".cast(StringType).cast(DoubleType)
+            val sxy = $"sxy".cast(StringType).cast(DoubleType)
+            val sx2 = $"sx2".cast(StringType).cast(DoubleType)
+            val sy2 = $"sy2".cast(StringType).cast(DoubleType)
+            val cxy = sxy - sx * sy / $"n"
+            val vx = sx2 - sx * sx / $"n"
+            val vy = sy2 - sy * sy / $"n"
+            Seq((cxy / ($"n" - 1)).as("cov_samp"),
+              (cxy / sqrt(vx * vy)).as("corr"),
+              (cxy / vx).as("slope"))
+          }: _*)
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / n) / (n - 1) AS cov_samp,
+               (sxy - sx * sy / n) / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS corr,
+               (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope
+        FROM (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx2,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy2
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag"""))
   )
 }
