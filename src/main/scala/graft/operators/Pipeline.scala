@@ -534,6 +534,56 @@ object Pipeline {
         SELECT bucket, CAST(2**bucket AS BIGINT) AS lo,
                CAST(2**(bucket+1) AS BIGINT) - 1 AS hi, n_docs,
                ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
-        FROM h ORDER BY bucket"""))
+        FROM h ORDER BY bucket""")),
+
+    // ── p14: shard-quota apportionment — split a fixed shard budget ──
+    // (S = 1000) across (lang, source) strata proportional to token
+    // volume by the LARGEST-REMAINDER method: quotas sum to exactly S,
+    // every stratum gets ⌊S·tᵢ/T⌋ plus one of the L leftover shards by
+    // remainder rank. ALL-INTEGER arithmetic (DIV/MOD on BIGINT — a
+    // float quota would round differently at engine boundaries) with a
+    // total (remainder DESC, lang, source) tie-break. The strata frame
+    // is tiny (≤ langs×sources): the windows run on the aggregate, the
+    // corpus is touched once for the token totals.
+    GQuery("p14_shard_quota",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val S = 1000L
+        val strata = docs(s, d)
+          .select($"lang", $"source", size(split($"text", " ")).cast("long").as("n"))
+          .groupBy($"lang", $"source")
+          .agg(sum($"n").as("tokens"))
+        val wAll = Window.partitionBy()
+        val wRank = Window.partitionBy().orderBy($"rem".desc, $"lang".asc, $"source".asc)
+        strata
+          .withColumn("total", sum($"tokens").over(wAll))
+          .withColumn("base", expr(s"($S * tokens) DIV total"))
+          .withColumn("rem", expr(s"($S * tokens) % total"))
+          .withColumn("leftover", lit(S) - sum($"base").over(wAll))
+          .withColumn("rk", row_number().over(wRank))
+          .select($"lang", $"source", $"tokens",
+            ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("shards"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""
+        WITH strata AS (
+          SELECT lang, source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY lang, source),
+        q AS (
+          SELECT lang, source, tokens,
+                 SUM(tokens) OVER () AS total,
+                 (1000 * tokens) // SUM(tokens) OVER () AS base,
+                 (1000 * tokens) % (SUM(tokens) OVER ()) AS rem
+          FROM strata),
+        r AS (
+          SELECT lang, source, tokens, base, rem,
+                 1000 - SUM(base) OVER () AS leftover,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC, source ASC) AS rk
+          FROM q)
+        SELECT lang, source, tokens,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS shards
+        FROM r ORDER BY lang, source"""))
   )
 }

@@ -591,6 +591,55 @@ object TextOps {
         SELECT doc_id, COUNT(*) AS n_tokens,
                CAST(SUM(oov) AS BIGINT) AS n_oov,
                ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
-        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
+        FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── t18: source distribution drift — per source, the φ² effect size ──
+    // (χ²/N) of its top-20-vocab word distribution against the corpus-
+    // wide distribution: the "did this feed shift under me" monitor
+    // between corpus snapshots. Deliberately LOG-FREE (χ², not KL/JSD):
+    // every term is rational arithmetic on integer counts, so there is
+    // no libm in the pipeline — the only cross-engine surface is one
+    // 20-term double sum, rounded. Two partial-agg'd count passes (per-
+    // source and corpus-wide share one exploded scan), vocab broadcast.
+    GQuery("t18_chisq_drift",
+      (s, d) => {
+        import s.implicits._
+        val tok = docs(s, d).select($"source", explode(tokens($"text")).as("w"))
+        val counts = tok.groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+        val global = counts.groupBy($"w").agg(sum($"n").as("gn"))
+        val vocab = global.orderBy($"gn".desc, $"w".asc).limit(20)
+        val vc = counts.join(broadcast(vocab.select($"w")), "w")
+        val totals = vc.groupBy($"source").agg(sum($"n").as("tot"))
+        val gtot = vocab.agg(sum($"gn").as("gtot"))
+        vc.join(broadcast(vocab), "w")
+          .join(broadcast(totals), "source")
+          .join(broadcast(gtot))
+          .select($"source",
+            ($"n".cast(DoubleType) / $"tot" - $"gn".cast(DoubleType) / $"gtot").as("diff"),
+            ($"gn".cast(DoubleType) / $"gtot").as("e"))
+          .groupBy($"source")
+          .agg(round(sum($"diff" * $"diff" / $"e"), 6).as("phi2"))
+          .join(totals, "source")
+          .select($"source", $"tot".as("n_vocab_tokens"), $"phi2")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        counts AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY source, w),
+        global AS (SELECT w, CAST(SUM(n) AS BIGINT) AS gn FROM counts GROUP BY w),
+        vocab AS (SELECT w, gn FROM global ORDER BY gn DESC, w ASC LIMIT 20),
+        vc AS (SELECT source, counts.w AS w, n FROM counts JOIN vocab ON counts.w = vocab.w),
+        totals AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM vc GROUP BY source),
+        gtot AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot FROM vocab),
+        terms AS (
+          SELECT source,
+                 (CAST(n AS DOUBLE) / tot - CAST(gn AS DOUBLE) / gtot) AS diff,
+                 (CAST(gn AS DOUBLE) / gtot) AS e
+          FROM vc JOIN vocab ON vc.w = vocab.w
+          JOIN totals USING (source), gtot)
+        SELECT source, MAX(tot) AS n_vocab_tokens,
+               ROUND(SUM(diff * diff / e), 6) AS phi2
+        FROM terms JOIN totals USING (source)
+        GROUP BY source ORDER BY source"""))
   )
 }
