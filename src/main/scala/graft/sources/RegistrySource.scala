@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the extractor registry
+  * (`spark.read.format("graft-registry").option("table", "usages")`).
+  *
+  * The reference consumes the registry by HTTP GET per file
+  * (/root/reference/marda_extractors_api/__init__.py:96-123); Spark-first,
+  * the registry is a TABLE a catalog/service exposes once per query. This
+  * connector is the service-backed form of the in-memory dims in
+  * [[graft.registry.Registry]]: same rows, same schemas, but arriving
+  * through the V2 read path — planning (schema, column pruning) happens on
+  * the driver, row production inside the scan, so a real registry service
+  * drops in by replacing [[RegistryData]] with its client without touching
+  * any query.
+  *
+  * Column pruning is wired through [[SupportsPushDownRequiredColumns]]:
+  * `SELECT extractor_id FROM ...` materializes 1-field rows, which is the
+  * difference between shipping a row and shipping a payload when the
+  * backing service returns wide documents. A single [[InputPartition]] is
+  * correct here (the registry is dim-sized and broadcasts downstream);
+  * a partitioned backend would return one partition per shard instead.
+  */
+class RegistrySource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-registry"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RegistryData.schemaOf(RegistryData.tableName(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RegistryTable(RegistryData.tableName(new CaseInsensitiveStringMap(properties)))
+}
+
+/** Static registry rows shared by the connector and (via
+  * [[graft.registry.Registry]]'s Dataset builders) the in-memory dims.
+  */
+object RegistryData {
+  def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.getOrDefault("table", "usages")
+    require(schemas.contains(t), s"unknown registry table '$t' (have: ${schemas.keys.mkString(", ")})")
+    t
+  }
+
+  val schemas: Map[String, StructType] = Map(
+    "filetypes" -> StructType(Seq(
+      StructField("filetype_id", StringType, nullable = false),
+      StructField("registered_extractors", ArrayType(StringType, containsNull = false), nullable = false))),
+    "usages" -> StructType(Seq(
+      StructField("extractor_id", StringType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("method", StringType, nullable = false),
+      StructField("setup", StringType, nullable = false),
+      StructField("command", StringType, nullable = false))),
+    "installations" -> StructType(Seq(
+      StructField("extractor_id", StringType, nullable = false),
+      StructField("method", StringType, nullable = false),
+      StructField("package", StringType, nullable = false))))
+
+  def schemaOf(table: String): StructType = schemas(table)
+
+  /** Rows as plain Scala values, positionally matching the schemas. */
+  def rows(table: String): Seq[Seq[Any]] = table match {
+    case "filetypes" => Seq(
+      Seq("biologic-mpr", Seq("yadg", "galvani")),
+      Seq("example-xy", Seq("yadg")),
+      Seq("nexus-hdf5", Seq("h5grove")),
+      Seq("pdf", Seq("pdfplumber-cli")),
+      Seq("csv", Seq.empty[String]))
+    case "usages" => Seq(
+      Seq("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
+      Seq("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
+      Seq("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
+      Seq("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
+      Seq("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}"))
+    case "installations" => Seq(
+      Seq("yadg", "pip", "yadg~=5.0"),
+      Seq("galvani", "pip", "galvani>=0.4"),
+      Seq("h5grove", "pip", "h5grove"),
+      Seq("pdfplumber-cli", "pip", "pdfplumber"))
+  }
+}
+
+private[sources] class RegistryTable(table: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_registry_$table"
+  override def schema(): StructType = RegistryData.schemaOf(table)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RegistryScanBuilder(table)
+}
+
+private[sources] class RegistryScanBuilder(table: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RegistryData.schemaOf(table)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RegistryScan(table, required)
+}
+
+private[sources] class RegistryScan(table: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftRegistryScan(table=$table, columns=[${required.fieldNames.mkString(", ")}])"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RegistryPartition(table, required.fieldNames))
+  override def createReaderFactory(): PartitionReaderFactory = RegistryReaderFactory
+}
+
+private[sources] case class RegistryPartition(table: String, columns: Array[String])
+    extends InputPartition
+
+private[sources] object RegistryReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RegistryPartition]
+    val full = RegistryData.schemaOf(p.table)
+    val indices = p.columns.map(full.fieldIndex)
+    val rows = RegistryData.rows(p.table).iterator
+    new PartitionReader[InternalRow] {
+      private var current: Seq[Any] = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(indices.toIndexedSeq.map(i => convert(current(i))))
+      override def close(): Unit = ()
+    }
+  }
+
+  private def convert(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case xs: Seq[_] => ArrayData.toArrayData(xs.map(convert).toArray)
+    case other => other
+  }
+}

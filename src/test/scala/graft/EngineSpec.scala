@@ -213,6 +213,28 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"m07: frame-hash equality join disappeared:\n$m07")
   }
 
+  test("graft-registry DataSource V2: reads, matches the in-memory dims, prunes columns") {
+    // service-backed registry == the in-memory dimension tables, through
+    // the V2 read path (a real registry client swaps in at RegistryData)
+    val usages = spark.read.format("graft-registry").option("table", "usages").load()
+    assert(usages.count() == 5)
+    val dims = graft.registry.Registry.usages(spark)
+    assert(usages.exceptAll(dims).isEmpty && dims.exceptAll(usages).isEmpty,
+      "V2 registry rows drifted from the in-memory dims")
+    // array-typed column round-trips
+    val ft = spark.read.format("graft-registry").option("table", "filetypes").load()
+    import org.apache.spark.sql.functions.col
+    assert(ft.filter(col("filetype_id") === "biologic-mpr")
+      .head().getSeq[String](1) == Seq("yadg", "galvani"))
+    // column pruning reaches the connector: a 1-column projection scans
+    // 1-field rows (the scan description carries the pruned column list)
+    val pruned = usages.select(col("extractor_id"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftRegistryScan(table=usages, columns=[extractor_id])"),
+      s"projection did not prune at the source:\n$plan")
+    assert(pruned.distinct().count() == 4)
+  }
+
   test("sources round-trip: parquet, csv, json, partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Tables.load(spark, sf, "nation")
