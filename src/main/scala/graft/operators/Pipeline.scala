@@ -584,6 +584,32 @@ object Pipeline {
           FROM q)
         SELECT lang, source, tokens,
                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS shards
-        FROM r ORDER BY lang, source"""))
+        FROM r ORDER BY lang, source""")),
+
+    // ── p15: cleanroom sample — p12's deterministic draw restricted to ──
+    // docs that are NOT redundant near-dup copies (an eval set with two
+    // copies of one document double-counts that document's score). A doc
+    // survives iff it is a singleton or its cluster's keeper (d08's
+    // min-id label); the drop is a LEFT ANTI equality join on doc_id
+    // against the (tiny) non-keeper side of the component frame — the
+    // corpus never joins pairwise, and the draw stays a TakeOrdered.
+    GQuery("p15_cleanroom_sample",
+      (s, d) => {
+        import s.implicits._
+        val dupes = Dedup.dupComponents(s, d)
+          .filter($"node" =!= $"label").select($"node".as("doc_id"))
+        docs(s, d).join(dupes, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"source",
+            hash64(concat(lit("cls:"), $"doc_id")).as("h"))
+          .orderBy($"h".asc, $"doc_id".asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.componentSql},
+        dup AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+        SELECT doc_id, lang, source, ${hashSql("cls:")} AS h
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        ORDER BY h ASC, doc_id ASC LIMIT 50"""))
   )
 }
