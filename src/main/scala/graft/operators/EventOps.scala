@@ -550,6 +550,52 @@ object EventOps {
                CAST(SUM(CASE WHEN abs(n - med) > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
                MAX(abs(n - med)) AS max_abs_dev
         FROM hourly JOIN mad USING (event_type)
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── e17: time-to-convert — signup→first-purchase latency ──
+    // distribution per signup-week cohort (e15 counts who converts;
+    // this measures HOW FAST). Latency is exact integer arithmetic end
+    // to end: epoch-micros difference DIV'd to whole hours before the
+    // percentile, whose interpolation over integers is binary-exact.
+    // Per-user first-purchase collapses in the same grouped pass as the
+    // join (min over the matched purchases) — one user-keyed shuffle,
+    // then a tiny per-cohort rollup.
+    GQuery("e17_time_to_convert",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val su = events.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("su_ts"))
+        val conv = su.join(events.filter($"event_type" === "purchase"), Seq("user_id"))
+          .filter($"ts" > $"su_ts")
+          .groupBy($"user_id", $"su_ts")
+          .agg(min($"ts").as("p_ts"))
+          .withColumn("lat_hr",
+            expr("(unix_micros(p_ts) - unix_micros(su_ts)) DIV 3600000000"))
+        conv
+          .groupBy(date_format(date_trunc("week", $"su_ts"), "yyyy-MM-dd").as("cohort_week"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(lat_hr, 0.5)"), 4).as("p50_hours"),
+            round(expr("percentile(lat_hr, 0.9)"), 4).as("p90_hours"),
+            max($"lat_hr").as("max_hours"))
+          .orderBy($"cohort_week")
+      },
+      Some("""
+        WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (
+          SELECT su.user_id, su.su_ts, min(e.ts) AS p_ts
+          FROM su JOIN events e ON su.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > su.su_ts
+          GROUP BY su.user_id, su.su_ts),
+        lat AS (
+          SELECT strftime(date_trunc('week', su_ts), '%Y-%m-%d') AS cohort_week,
+                 (epoch_us(p_ts) - epoch_us(su_ts)) // 3600000000 AS lat_hr
+          FROM conv)
+        SELECT cohort_week, COUNT(*) AS n_converted,
+               ROUND(quantile_cont(lat_hr, 0.5), 4) AS p50_hours,
+               ROUND(quantile_cont(lat_hr, 0.9), 4) AS p90_hours,
+               CAST(MAX(lat_hr) AS BIGINT) AS max_hours
+        FROM lat GROUP BY cohort_week ORDER BY cohort_week"""))
   )
 }

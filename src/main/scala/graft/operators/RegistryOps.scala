@@ -441,6 +441,59 @@ object RegistryOps {
                CAST(COUNT(DISTINCT filetype_id) AS BIGINT) AS n_filetypes,
                ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total_files), 6) AS catalog_share
         FROM dispatched, total
-        GROUP BY extractor_id ORDER BY extractor_id"""))
+        GROUP BY extractor_id ORDER BY extractor_id""")),
+
+    // ── r10: registry diff — what changed between two registry ──
+    // snapshots: the sync/audit report a registry-backed pipeline runs
+    // before rolling a new version (an extractor silently changing its
+    // command is exactly what breaks batch extraction at 3am). FULL
+    // OUTER join of the usage dims on (extractor_id, idx): added /
+    // removed / changed / same, with the changed fields surfaced. Both
+    // snapshots are dim-sized — the diff broadcasts; at scale this
+    // composes with r05 to pre-compute which files a change invalidates.
+    GQuery("r10_registry_diff",
+      (s, d) => {
+        import s.implicits._
+        val v1 = Registry.usages(s)
+        val v2Rows = Seq(
+          // yadg python usage: command gains a timeout flag (changed)
+          ("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }}, timeout=60)"),
+          ("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
+          ("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
+          ("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
+          // pdfplumber-cli retired (removed); imagemagick-cli added
+          ("imagemagick-cli", 0, "cli", "", "convert {{ input_path }} {{ output_path }}"))
+        val v2 = v2Rows.toDF("extractor_id", "idx", "method", "setup", "command")
+        v1.select($"extractor_id", $"idx", $"method".as("m1"), $"setup".as("s1"), $"command".as("c1"))
+          .join(v2.select($"extractor_id", $"idx", $"method".as("m2"), $"setup".as("s2"), $"command".as("c2")),
+            Seq("extractor_id", "idx"), "full_outer")
+          .withColumn("status",
+            when($"m1".isNull, "added")
+              .when($"m2".isNull, "removed")
+              .when($"m1" =!= $"m2" || $"s1" =!= $"s2" || $"c1" =!= $"c2", "changed")
+              .otherwise("same"))
+          .select($"extractor_id", $"idx", $"status",
+            coalesce($"c2", $"c1").as("command"))
+          .orderBy($"extractor_id", $"idx")
+      },
+      Some(s"""
+        WITH v1 AS (SELECT * FROM ${Registry.usagesSql}),
+        v2(extractor_id, idx, method, setup, command) AS (VALUES
+          ('yadg', 0, 'python', 'yadg', 'yadg.extractors.extract({{ input_type }}, {{ input_path }}, timeout=60)'),
+          ('yadg', 1, 'cli', '', 'yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}'),
+          ('galvani', 0, 'python', 'galvani', 'galvani.MPRfile({{ input_path }})'),
+          ('h5grove', 0, 'cli', '', 'h5dump {{ input_path }} > {{ output_path }}'),
+          ('imagemagick-cli', 0, 'cli', '', 'convert {{ input_path }} {{ output_path }}'))
+        SELECT COALESCE(v1.extractor_id, v2.extractor_id) AS extractor_id,
+               COALESCE(v1.idx, v2.idx) AS idx,
+               CASE WHEN v1.extractor_id IS NULL THEN 'added'
+                    WHEN v2.extractor_id IS NULL THEN 'removed'
+                    WHEN v1.method <> v2.method OR v1.setup <> v2.setup
+                      OR v1.command <> v2.command THEN 'changed'
+                    ELSE 'same' END AS status,
+               COALESCE(v2.command, v1.command) AS command
+        FROM v1 FULL OUTER JOIN v2
+          ON v1.extractor_id = v2.extractor_id AND v1.idx = v2.idx
+        ORDER BY extractor_id, idx"""))
   )
 }
