@@ -716,6 +716,51 @@ object Dedup {
           FROM cand JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
         SELECT i, j, cont_ij, cont_ji FROM scored
         WHERE GREATEST(cont_ij, cont_ji) >= 0.5
-        ORDER BY i, j"""))
+        ORDER BY i, j""")),
+
+    // ── d14: SemDeDup-style semantic dedup — near-dup embedding pairs ──
+    // found WITHIN IVF cells (nearest-centroid clusters) instead of d06's
+    // sign-LSH buckets: cluster first, compare only cluster-mates — the
+    // published SemDeDup recipe for web-scale semantic dedup. Candidates
+    // come from an EQUALITY join on the cell id (hash join; pair volume
+    // ∝ Σ cell², bounded by k), centroids broadcast once; same 0.45
+    // verify threshold as d05/d06 so the three variants' recall is
+    // directly comparable.
+    GQuery("d14_semdedup",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val raw = Tables.load(s, d, "embeddings")
+        val e = raw.select($"vec_id", asDouble($"embedding").as("v"))
+        val cent = Similarity.centroids(raw)
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        val assigned = e.join(broadcast(cent))
+          .select($"vec_id", $"v", $"c_label",
+            round(cosineSim($"v", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"v", $"c_label".as("cell"))
+        assigned.as("x").join(assigned.as("y"),
+            $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+          .select($"x.cell".as("cell"), $"x.vec_id".as("i"), $"y.vec_id".as("j"),
+            cosineSim($"x.v", $"y.v").as("cos"))
+          .filter($"cos" >= 0.45)
+          .select($"cell", $"i", $"j", round($"cos", 4).as("cos"))
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${Similarity.centSql},
+        scored AS (SELECT vec_id, e.v AS v, c_label,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(${cosineSimSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                   FROM e, cent),
+        assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
+        pairs AS (SELECT x.cell AS cell, x.vec_id AS i, y.vec_id AS j,
+                         ${cosineSimSql("x.v", "y.v")} AS cos
+                  FROM assigned x JOIN assigned y
+                    ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        SELECT cell, i, j, ROUND(cos, 4) AS cos FROM pairs
+        WHERE cos >= 0.45 ORDER BY i, j"""))
   )
 }

@@ -596,6 +596,36 @@ object EventOps {
                ROUND(quantile_cont(lat_hr, 0.5), 4) AS p50_hours,
                ROUND(quantile_cont(lat_hr, 0.9), 4) AS p90_hours,
                CAST(MAX(lat_hr) AS BIGINT) AS max_hours
-        FROM lat GROUP BY cohort_week ORDER BY cohort_week"""))
+        FROM lat GROUP BY cohort_week ORDER BY cohort_week""")),
+
+    // ── e18: diurnal peak profile — per event type, the hour-of-day ──
+    // histogram's peak (capacity planning / alert-threshold seasonality).
+    // Peak selection is q35's exact-argmax discipline: a BIGINT ordering
+    // key (n·100 + 99−hour) makes max_by deterministic under count ties
+    // — engine-native argmax tie-breaks differ, a raw max_by(hr, n)
+    // would diverge. One 24×|types| partial-agg'd rollup; no window.
+    GQuery("e18_peak_profile",
+      (s, d) => {
+        import s.implicits._
+        val hr = ev(s, d)
+          .select($"event_type", hour($"ts").cast(LongType).as("hr"))
+          .groupBy($"event_type", $"hr")
+          .agg(count(lit(1)).as("n"))
+        hr.groupBy($"event_type")
+          .agg(sum($"n").as("total"),
+            max_by($"hr", $"n" * 100L + (lit(99L) - $"hr")).as("peak_hour"),
+            max($"n").as("peak_n"))
+          .withColumn("peak_share", round($"peak_n".cast(DoubleType) / $"total", 6))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH hr AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+          FROM events GROUP BY event_type, hr)
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+               arg_max(hr, n * 100 + (99 - hr)) AS peak_hour,
+               MAX(n) AS peak_n,
+               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS peak_share
+        FROM hr GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -25,7 +25,7 @@ object Similarity {
     * coords, re-assembled in pos order) — k×d doubles, always broadcast-able.
     * Shared by s04 (assignment) and s06 (probe search).
     */
-  private def centroids(e: DataFrame): DataFrame = {
+  private[operators] def centroids(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.select($"label", posexplode(asDouble($"embedding")))
       .groupBy($"label".as("c_label"), $"pos")
@@ -36,7 +36,7 @@ object Similarity {
   }
 
   /** DuckDB mirror of [[centroids]] (expects a CTE `e(vec_id, label, v)`). */
-  private val centSql = """
+  private[operators] val centSql = """
         coords AS (SELECT label AS c_label, p.p AS pos, sum(v[p.p]) / count(*) AS m
                    FROM e, (SELECT unnest(range(1, 65)) AS p) p
                    GROUP BY c_label, pos),
@@ -429,6 +429,73 @@ object Similarity {
                ROUND(${cosSql("cent.centroid", "cent1.nc")}, 4) AS drift
         FROM cent1 JOIN cent ON cell = c_label
         JOIN nb USING (cell)
-        ORDER BY cell"""))
+        ORDER BY cell""")),
+
+    // ── s11: ANN recall report — per query, recall@3 of the sign-LSH ──
+    // path (s02's buckets) against the exact brute-force top-3: the
+    // production-facing form of PropertySpec's recall probes (an eval
+    // TABLE a retrieval dashboard reads, not just a CI assertion). Both
+    // arms share one corpus scan shape: queries broadcast, per-query
+    // ranking window, top lists collected per query (sort_array AFTER
+    // collect — q36's determinism rule). Lists surface as joined
+    // strings, exact on both engines.
+    GQuery("s11_recall_report",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
+          signBucket($"embedding", 4).as("bucket"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket".as("qb"))
+        val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+        def topList(joined: DataFrame, out: String): DataFrame = joined
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .groupBy($"query_id")
+          .agg(sort_array(collect_list(struct($"rn", $"vec_id"))).as("sx"))
+          .select($"query_id",
+            transform($"sx", x => x.getField("vec_id")).as(out))
+        val exact = topList(
+          e.join(broadcast(q.select($"query_id", $"qv")), $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id", round(cosineSim($"v", $"qv"), 4).as("cos")),
+          "ex")
+        val ann = topList(
+          e.join(broadcast(q), $"bucket" === $"qb" && $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id", round(cosineSim($"v", $"qv"), 4).as("cos")),
+          "an")
+        exact.join(ann, Seq("query_id"), "left")
+          .withColumn("an", coalesce($"an", array().cast("array<bigint>")))
+          .select($"query_id",
+            array_join($"ex", ",").as("exact_top"),
+            array_join($"an", ",").as("ann_top"),
+            round(size(array_intersect($"ex", $"an")).cast(DoubleType) / 3.0, 6).as("recall_at_3"))
+          .orderBy($"query_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                           + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                           + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 5),
+        ex_scored AS (SELECT query_id, vec_id,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
+                      FROM e, q WHERE vec_id <> query_id),
+        ex AS (SELECT query_id, list(vec_id ORDER BY rn) AS ex
+               FROM ex_scored WHERE rn <= 3 GROUP BY query_id),
+        an_scored AS (SELECT query_id, vec_id,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
+                      FROM e JOIN q ON e.bucket = q.qb AND e.vec_id <> q.query_id),
+        an AS (SELECT query_id, list(vec_id ORDER BY rn) AS an
+               FROM an_scored WHERE rn <= 3 GROUP BY query_id)
+        SELECT ex.query_id,
+               array_to_string(ex.ex, ',') AS exact_top,
+               array_to_string(COALESCE(an.an, []::BIGINT[]), ',') AS ann_top,
+               ROUND(CAST(len(list_intersect(ex.ex, COALESCE(an.an, []::BIGINT[]))) AS DOUBLE) / 3.0, 6) AS recall_at_3
+        FROM ex LEFT JOIN an ON ex.query_id = an.query_id
+        ORDER BY ex.query_id"""))
   )
 }
