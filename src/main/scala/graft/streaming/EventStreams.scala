@@ -157,4 +157,22 @@ object EventStreams extends Serializable {
       .select(col("pu_user").as("user_id"), col("event_id"),
         col("su_ts"), col("pu_ts"), col("value"))
   }
+
+  /** Stream-static enrichment: each event joins a STATIC dimension (here a
+    * per-type weight table) — the most common streaming join in practice
+    * (events × reference data). The static side broadcasts into every
+    * micro-batch; no join state accumulates, no watermark is required on
+    * the dim, and the dim can be swapped between batches (a registry sync)
+    * without touching the stream. Output: watermarked windowed weighted
+    * counts, same plan batch or streaming.
+    */
+  def weightedWindowCounts(events: DataFrame, weights: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(weights), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("weight")).as("weighted_n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("weighted_n"))
 }

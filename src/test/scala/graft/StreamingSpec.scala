@@ -36,6 +36,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(wantAll), "streaming windows disagree with batch plan")
   }
 
+  test("stream-static broadcast enrichment equals the batch plan") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss_in").toString
+    batch.write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = EventStreams.weightedWindowCounts(stream, weights)
+      .writeStream.outputMode("append").format("memory").queryName("ss_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ss_out")
+      .select($"window_start", $"event_type", $"n", $"weighted_n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val wantAll = EventStreams.weightedWindowCounts(batch, weights)
+      .select($"window_start", $"event_type", $"n", $"weighted_n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty, "stream-static join emitted no closed windows")
+    assert(got.subsetOf(wantAll), "stream-static enrichment disagrees with batch plan")
+  }
+
   test("streaming sliding-window counts equal the batch plan (e09)") {
     import spark.implicits._
     val batch = Tables.load(spark, sf, "events")
