@@ -123,7 +123,7 @@ object Dedup {
   /** d02's near-dup pair pipeline (band-bucket candidates → estimated
     * jaccard ≥ 0.5), shared with the component clustering (d08).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = signatures(s, d)
     val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
@@ -144,7 +144,7 @@ object Dedup {
   /** DuckDB mirror of [[minhashPairs]]: CTEs ending in p(i, j) (appends to
     * [[sigSql]]; shared by the d02 and d08 oracles).
     */
-  private val pairSql = s"""
+  private[operators] val pairSql = s"""
     $sigSql,
     bands AS (
       SELECT doc_id, b.b AS band,

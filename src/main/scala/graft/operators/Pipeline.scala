@@ -610,6 +610,48 @@ object Pipeline {
         SELECT doc_id, lang, source, ${hashSql("cls:")} AS h
         FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-        ORDER BY h ASC, doc_id ASC LIMIT 50"""))
+        ORDER BY h ASC, doc_id ASC LIMIT 50""")),
+
+    // ── p16: split-leakage audit — near-dup pairs that CROSS the ──
+    // train/validation/test boundary: a test doc whose near-copy sits in
+    // train inflates eval scores exactly like d10's verbatim
+    // contamination, but survives gram-level decontamination. The
+    // LSH-bounded pair frame (d02) joins the pure-scan split assignment
+    // (p01) twice by doc-id equality; output is the |splits|² leakage
+    // matrix plus the offending pair count — at 100 TB the pair frame
+    // is the small side, the corpus is never re-scanned beyond p01's
+    // hash projection.
+    GQuery("p16_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val split = docs(s, d).select($"doc_id",
+          when(hash64(concat(lit("split:"), $"doc_id")) % 100 < 80, "train")
+            .when(hash64(concat(lit("split:"), $"doc_id")) % 100 < 90, "validation")
+            .otherwise("test").as("split"))
+        Dedup.minhashPairs(s, d)
+          .join(split.select($"doc_id".as("i"), $"split".as("split_i")), "i")
+          .join(split.select($"doc_id".as("j"), $"split".as("split_j")), "j")
+          .select(least($"split_i", $"split_j").as("split_a"),
+            greatest($"split_i", $"split_j").as("split_b"))
+          .groupBy($"split_a", $"split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaks", $"split_a" =!= $"split_b")
+          .orderBy($"split_a", $"split_b")
+      },
+      Some(s"""
+        WITH ${Dedup.pairSql},
+        split AS (
+          SELECT doc_id,
+                 CASE WHEN ${hashSql("split:")} % 100 < 80 THEN 'train'
+                      WHEN ${hashSql("split:")} % 100 < 90 THEN 'validation'
+                      ELSE 'test' END AS split
+          FROM documents),
+        m AS (SELECT LEAST(si.split, sj.split) AS split_a,
+                     GREATEST(si.split, sj.split) AS split_b
+              FROM p JOIN split si ON p.i = si.doc_id
+                     JOIN split sj ON p.j = sj.doc_id)
+        SELECT split_a, split_b, COUNT(*) AS n_pairs,
+               split_a <> split_b AS leaks
+        FROM m GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
   )
 }
