@@ -202,11 +202,14 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      // Two hops fused into one checkpointed plan: Catalyst pipelines the
-      // pair of join+agg stages, halving the driver-side job count (the
-      // loop's latency is job-scheduling-bound, not data-bound — under CPU
-      // contention every extra tiny job amplifies).
-      val prop = propagate(propagate(labels)).localCheckpoint()
+      // Three hops fused into one checkpointed plan: Catalyst pipelines
+      // the join+agg stages, cutting the driver-side job count (the
+      // loop's latency is job-scheduling-bound, not data-bound — under
+      // CPU contention every extra tiny job amplifies). Near-dup
+      // clusters are shallow, so 3 hops usually converge in ONE
+      // checkpoint round; the post-convergence hops are no-op joins over
+      // an already-stable label frame.
+      val prop = propagate(propagate(propagate(labels))).localCheckpoint()
       val newSum = labelSum(prop)
       converged = newSum == prevSum
       prevSum = newSum
