@@ -764,6 +764,57 @@ object Dedup {
                   FROM assigned x JOIN assigned y
                     ON x.cell = y.cell AND x.vec_id < y.vec_id)
         SELECT cell, i, j, ROUND(cos, 4) AS cos FROM pairs
-        WHERE cos >= 0.45 ORDER BY i, j"""))
+        WHERE cos >= 0.45 ORDER BY i, j""")),
+
+    // ── d15: sampled dup-rate estimate — the exact-dup rate measured on ──
+    // a deterministic 10% sample next to the full-corpus truth: the
+    // "should we pay for a dedup pass" sizing probe. A sampled rate
+    // UNDERESTIMATES systematically (a dup survives only if a partner
+    // copy also lands in the sample — P ∝ rate²), and the report
+    // surfaces exactly that bias as abs_err: the operator is the
+    // measurement AND its calibration. Sample membership is the p02
+    // hash-threshold (no RNG, layout-independent); both arms are d01's
+    // uniform-hash groupBy.
+    GQuery("d15_dup_rate_estimate",
+      (s, d) => {
+        import s.implicits._
+        def rateOf(df: DataFrame, scope: String): DataFrame = {
+          val fp = df.select($"doc_id", setFingerprint(tokens($"text")).as("fp"))
+          val dupn = fp.groupBy($"fp").agg(count(lit(1)).as("cnt"))
+          fp.join(dupn, "fp")
+            .agg(count(lit(1)).as(s"n_$scope"),
+              sum(when($"cnt" > 1, 1L).otherwise(0L)).as(s"dup_$scope"))
+        }
+        val full = rateOf(docs(s, d), "corpus")
+        val sample = rateOf(
+          docs(s, d).filter(hash64(concat(lit("est:"), $"doc_id")) % 10 === 0), "sample")
+        full.join(sample)
+          .select($"n_corpus", $"dup_corpus", $"n_sample", $"dup_sample",
+            round($"dup_corpus".cast(DoubleType) / $"n_corpus", 6).as("corpus_rate"),
+            round($"dup_sample".cast(DoubleType) / $"n_sample", 6).as("sample_rate"))
+          .withColumn("abs_err", round(abs($"corpus_rate" - $"sample_rate"), 6))
+      },
+      Some(s"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+                 CAST(('0x' || substr(md5('est:' || doc_id), 1, 15)) AS BIGINT) % 10 = 0 AS in_sample
+          FROM documents),
+        cnt AS (SELECT fp.fp, COUNT(*) AS cnt FROM fp GROUP BY fp.fp),
+        scnt AS (SELECT fp.fp, COUNT(*) AS cnt FROM fp WHERE in_sample GROUP BY fp.fp),
+        corpus AS (
+          SELECT COUNT(*) AS n_corpus,
+                 CAST(SUM(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_corpus
+          FROM fp JOIN cnt ON fp.fp = cnt.fp),
+        sample AS (
+          SELECT COUNT(*) AS n_sample,
+                 CAST(SUM(CASE WHEN scnt.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sample
+          FROM fp JOIN scnt ON fp.fp = scnt.fp WHERE in_sample)
+        SELECT n_corpus, dup_corpus, n_sample, dup_sample,
+               ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6) AS corpus_rate,
+               ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) AS sample_rate,
+               ROUND(abs(ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6)
+                       - ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6)), 6) AS abs_err
+        FROM corpus, sample"""))
   )
 }

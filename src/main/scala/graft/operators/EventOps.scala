@@ -626,6 +626,46 @@ object EventOps {
                arg_max(hr, n * 100 + (99 - hr)) AS peak_hour,
                MAX(n) AS peak_n,
                ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS peak_share
-        FROM hr GROUP BY event_type ORDER BY event_type"""))
+        FROM hr GROUP BY event_type ORDER BY event_type""")),
+
+    // ── e19: churn buckets — users by activity recency (active ≤1d, ──
+    // 1–7d, 7–14d, >14d) relative to the stream's horizon: the lifecycle
+    // report behind every re-engagement campaign. Per-user last-activity
+    // collapses map-side (one max per user), the horizon rides in as a
+    // broadcast 1-row aggregate (q23's pattern), and the bucket bound is
+    // exact integer epoch-micros DIV days — work ∝ users, not events.
+    GQuery("e19_churn_buckets",
+      (s, d) => {
+        import s.implicits._
+        val lastSeen = ev(s, d).groupBy($"user_id")
+          .agg(max(unix_micros($"ts")).as("last_us"))
+        val horizon = ev(s, d).agg(max(unix_micros($"ts")).as("h_us"))
+        lastSeen.join(broadcast(horizon))
+          .withColumn("days_silent", expr("(h_us - last_us) DIV 86400000000"))
+          .withColumn("bucket",
+            when($"days_silent" < 1, "active")
+              .when($"days_silent" < 7, "lapsing")
+              .when($"days_silent" < 14, "dormant")
+              .otherwise("churned"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_users"),
+            min($"days_silent").as("min_days"),
+            max($"days_silent").as("max_days"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH ls AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us
+                    FROM events GROUP BY user_id),
+        h AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+        b AS (
+          SELECT (h_us - last_us) // 86400000000 AS days_silent,
+                 CASE WHEN (h_us - last_us) // 86400000000 < 1 THEN 'active'
+                      WHEN (h_us - last_us) // 86400000000 < 7 THEN 'lapsing'
+                      WHEN (h_us - last_us) // 86400000000 < 14 THEN 'dormant'
+                      ELSE 'churned' END AS bucket
+          FROM ls, h)
+        SELECT bucket, COUNT(*) AS n_users,
+               MIN(days_silent) AS min_days, MAX(days_silent) AS max_days
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

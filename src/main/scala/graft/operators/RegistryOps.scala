@@ -494,6 +494,45 @@ object RegistryOps {
                COALESCE(v2.command, v1.command) AS command
         FROM v1 FULL OUTER JOIN v2
           ON v1.extractor_id = v2.extractor_id AND v1.idx = v2.idx
-        ORDER BY extractor_id, idx"""))
+        ORDER BY extractor_id, idx""")),
+
+    // ── r11: capability matrix — per filetype, can ANY of its registered ──
+    // extractors run headless (cli) / embedded (python)? The "can I
+    // batch-run this filetype on the cluster" pre-flight the reference
+    // answers one HTTP call at a time (parse_usage per extractor,
+    // `__init__.py:443-456`). Registered extractors explode (bounded by
+    // registry size), usages join by extractor-id equality, and the
+    // per-filetype capability folds with max-of-indicators — all on
+    // broadcast-sized dims.
+    GQuery("r11_capability_matrix",
+      (s, d) => {
+        import s.implicits._
+        val reg = Registry.filetypes(s)
+          .select($"filetype_id", explode_outer($"registered_extractors").as("extractor_id"))
+        val usage = Registry.usages(s)
+          .select($"extractor_id", $"method")
+        reg.join(usage, Seq("extractor_id"), "left_outer")
+          .groupBy($"filetype_id")
+          .agg(countDistinct($"extractor_id").as("n_extractors"),
+            max(when($"method" === "cli", 1L).otherwise(0L)).as("cli_capable"),
+            max(when($"method" === "python", 1L).otherwise(0L)).as("python_capable"))
+          .withColumn("batch_ready", $"cli_capable" + $"python_capable" > 0)
+          .orderBy($"filetype_id")
+      },
+      Some(s"""
+        WITH reg AS (
+          SELECT filetype_id, unnest(
+            CASE WHEN len(registered_extractors) = 0 THEN [NULL]
+                 ELSE registered_extractors END) AS extractor_id
+          FROM ${Registry.filetypesSql}),
+        usage AS (SELECT extractor_id, method FROM ${Registry.usagesSql})
+        SELECT filetype_id,
+               CAST(COUNT(DISTINCT reg.extractor_id) AS BIGINT) AS n_extractors,
+               CAST(MAX(CASE WHEN usage.method = 'cli' THEN 1 ELSE 0 END) AS BIGINT) AS cli_capable,
+               CAST(MAX(CASE WHEN usage.method = 'python' THEN 1 ELSE 0 END) AS BIGINT) AS python_capable,
+               MAX(CASE WHEN usage.method = 'cli' THEN 1 ELSE 0 END)
+                 + MAX(CASE WHEN usage.method = 'python' THEN 1 ELSE 0 END) > 0 AS batch_ready
+        FROM reg LEFT JOIN usage ON reg.extractor_id = usage.extractor_id
+        GROUP BY filetype_id ORDER BY filetype_id"""))
   )
 }
