@@ -23,7 +23,8 @@ class OracleLintSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every oracle is deterministically ordered") {
-    val exempt = Set("e03_funnel") // single-row aggregate: no ordering needed
+    // single-row aggregates: no ordering needed
+    val exempt = Set("e03_funnel", "d15_dup_rate_estimate")
     SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
       val sql = q.oracle.get.toLowerCase
       assert(exempt.contains(q.name) || sql.contains("order by"),
