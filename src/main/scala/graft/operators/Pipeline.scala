@@ -652,6 +652,63 @@ object Pipeline {
                      JOIN split sj ON p.j = sj.doc_id)
         SELECT split_a, split_b, COUNT(*) AS n_pairs,
                split_a <> split_b AS leaks
-        FROM m GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
+        FROM m GROUP BY split_a, split_b ORDER BY split_a, split_b""")),
+
+    // ── p17: corpus release diff — added / removed / changed / unchanged ──
+    // docs between two corpus versions (r10's registry diff at corpus
+    // scale): the Delta-style audit a release pipeline prints before
+    // publishing v2. Version 2 is derived deterministically here (every
+    // 50th doc dropped, every 7th re-crawled with a changed header);
+    // comparison is FULL OUTER on doc_id with both sides hashed to their
+    // 128-bit content key FIRST — the join carries (id, hash), never
+    // text, and co-partitions on the id both releases share. Output is
+    // the 4-row status rollup with volume deltas.
+    GQuery("p17_corpus_diff",
+      (s, d) => {
+        import s.implicits._
+        val v1 = docs(s, d).select($"doc_id", md5($"text").as("h1"),
+          $"n_chars".cast("long").as("b1"))
+        val v2 = docs(s, d).filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id",
+            md5(when($"doc_id" % 7 === 0, concat(lit("recrawl-v2 "), $"text"))
+              .otherwise($"text")).as("h2"),
+            when($"doc_id" % 7 === 0, $"n_chars" + 11).otherwise($"n_chars")
+              .cast("long").as("b2"))
+          .unionAll(docs(s, d).filter($"doc_id" % 97 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"),
+              md5(concat(lit("new-crawl "), $"text")).as("h2"),
+              ($"n_chars" + 10).cast("long").as("b2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"h1".isNull, "added")
+              .when($"h2".isNull, "removed")
+              .when($"h1" =!= $"h2", "changed")
+              .otherwise("unchanged"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce($"b2", lit(0L)) - coalesce($"b1", lit(0L))).as("byte_delta"))
+          .orderBy($"status")
+      },
+      Some("""
+        WITH v1 AS (SELECT doc_id, md5(text) AS h1, CAST(n_chars AS BIGINT) AS b1
+                    FROM documents),
+        v2 AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 7 = 0 THEN 'recrawl-v2 ' || text ELSE text END) AS h2,
+                      CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 11 ELSE n_chars END AS BIGINT) AS b2
+               FROM documents WHERE doc_id % 50 <> 0
+               UNION ALL
+               SELECT doc_id + 1000000, md5('new-crawl ' || text),
+                      CAST(n_chars + 10 AS BIGINT)
+               FROM documents WHERE doc_id % 97 = 0),
+        j AS (
+          SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN h1 <> h2 THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 COALESCE(b2, 0) - COALESCE(b1, 0) AS delta
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, COUNT(*) AS n_docs,
+               CAST(SUM(delta) AS BIGINT) AS byte_delta
+        FROM j GROUP BY status ORDER BY status"""))
   )
 }

@@ -1155,6 +1155,29 @@ object Relational {
                  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx2,
                  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy2
           FROM lineitem GROUP BY l_returnflag)
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ── q47: boolean / bitwise aggregates — bool_and / bool_or / bit_or ──
+    // in one partial-agg pass: the flag-rollup shape behind "does any
+    // part in this brand need review" dashboards. All three are exact
+    // integer/boolean lattice folds — associative, commutative, order-
+    // free — so no determinism scaffolding is needed at any scale.
+    GQuery("q47_bool_agg",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            bool_or($"p_type" === "PROMO").as("any_promo"),
+            bool_and($"p_size" > 1).as("all_sized"),
+            bit_or($"p_size".cast(LongType)).as("size_mask"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               bool_or(p_type = 'PROMO') AS any_promo,
+               bool_and(p_size > 1) AS all_sized,
+               CAST(bit_or(CAST(p_size AS BIGINT)) AS BIGINT) AS size_mask
+        FROM part GROUP BY p_brand ORDER BY p_brand"""))
   )
 }
