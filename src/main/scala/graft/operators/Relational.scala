@@ -1162,7 +1162,7 @@ object Relational {
     // part in this brand need review" dashboards. All three are exact
     // integer/boolean lattice folds — associative, commutative, order-
     // free — so no determinism scaffolding is needed at any scale.
-    GQuery("q47_bool_agg",
+    GQuery("q46_bool_agg",
       (s, d) => {
         import s.implicits._
         t(s, d, "part")
