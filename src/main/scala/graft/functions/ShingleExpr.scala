@@ -23,6 +23,9 @@ case class ShingleExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // Opt into ConstantFolding for literal inputs (see CosineSim.foldable).
+  override def foldable: Boolean = child.foldable
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(

@@ -22,6 +22,12 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Expression.foldable defaults to false for custom expressions; opting
+  // in lets Catalyst's ConstantFolding collapse literal calls at plan
+  // time (a literal-query cosine threshold becomes a constant, not a
+  // per-row loop) — EngineSpec pins this.
+  override def foldable: Boolean = left.foldable && right.foldable
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -86,6 +92,9 @@ case class SignBitsExpr(child: Expression, nBits: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // Opt into ConstantFolding for literal inputs (see CosineSim.foldable).
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

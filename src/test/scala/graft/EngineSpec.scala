@@ -18,6 +18,16 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("custom expressions constant-fold under Catalyst when inputs are literal") {
+    // foldable opt-in: a literal cosine_sim call must leave the optimized
+    // plan as a Literal (ConstantFolding ran), not a per-row expression.
+    val opt = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS c")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("0.992277876713667"), s"literal cosine did not fold:\n$opt")
+    assert(!opt.toLowerCase.contains("cosine_sim"), s"cosine_sim survived folding:\n$opt")
+  }
+
   test("filter and projection push down to the parquet scan (q02)") {
     val plan = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
       .queryExecution.executedPlan.toString
