@@ -666,6 +666,44 @@ object EventOps {
           FROM ls, h)
         SELECT bucket, COUNT(*) AS n_users,
                MIN(days_silent) AS min_days, MAX(days_silent) AS max_days
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ── e20: NATIVE session windows — Spark's built-in session_window() ──
+    // aggregation (e02 builds the same sessions from lag+cumsum windows;
+    // this is the engine-native operator, and the SAME groupBy runs under
+    // Structured Streaming with watermark-merged session state — the form
+    // you deploy). Semantics pin: Spark's session end = last event + gap,
+    // so the oracle mirrors e02's gap-chain with end_us = max(ts) + 30 min.
+    // One user-keyed shuffle; sessions per user merge in the aggregate.
+    GQuery("e20_native_session_window",
+      (s, d) => {
+        import s.implicits._
+        ev(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_micros($"sw.start").as("start_us"),
+            unix_micros($"sw.end").as("end_us"),
+            $"n_events")
+          .orderBy($"user_id", $"start_us")
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM t)
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) + 1800000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess_id
+        ORDER BY user_id, start_us"""))
   )
 }
