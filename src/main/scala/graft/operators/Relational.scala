@@ -1178,6 +1178,45 @@ object Relational {
                bool_or(p_type = 'PROMO') AS any_promo,
                bool_and(p_size > 1) AS all_sized,
                CAST(bit_or(CAST(p_size AS BIGINT)) AS BIGINT) AS size_mask
-        FROM part GROUP BY p_brand ORDER BY p_brand"""))
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ── q47: null-safe join semantics — `<=>` (IS NOT DISTINCT FROM) ──
+    // next to plain `=` on a key with NULLs (synthesized via NULLIF):
+    // the ETL backbone for change-capture merges where NULL must match
+    // NULL (a plain equality join silently drops every NULL-keyed row —
+    // the classic silent-data-loss bug this operator makes visible:
+    // nb_plain is NULL exactly for the NULL key group). Both joins are
+    // equality-shaped (null-safe equality still hash-partitions), so
+    // the plan is a hash join either way.
+    GQuery("q47_nullsafe_join",
+      (s, d) => {
+        import s.implicits._
+        val keyed = t(s, d, "part")
+          .select(nullif($"p_brand", lit("Brand#45")).as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("n"))
+        val a = keyed.select($"k".as("ka"), $"n".as("na"))
+        val b = keyed.select($"k".as("kb"), $"n".as("nb"))
+        val ns = a.join(b, $"ka" <=> $"kb")
+          .select($"ka", $"na", $"nb".as("nb_nullsafe"))
+        val pl = a.join(b, $"ka" === $"kb", "left_outer")
+          .select($"ka".as("ka2"), $"nb".as("nb_plain"))
+        ns.join(pl, $"ka" <=> $"ka2")
+          .select(coalesce($"ka", lit("(null)")).as("key"),
+            $"na", $"nb_nullsafe", $"nb_plain")
+          .orderBy($"key")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT NULLIF(p_brand, 'Brand#45') AS k, COUNT(*) AS n
+          FROM part GROUP BY k),
+        ns AS (
+          SELECT a.k AS ka, a.n AS na, b.n AS nb_nullsafe
+          FROM keyed a JOIN keyed b ON a.k IS NOT DISTINCT FROM b.k),
+        pl AS (
+          SELECT a.k AS ka2, b.n AS nb_plain
+          FROM keyed a LEFT JOIN keyed b ON a.k = b.k)
+        SELECT COALESCE(ka, '(null)') AS key, na, nb_nullsafe, nb_plain
+        FROM ns JOIN pl ON ka IS NOT DISTINCT FROM ka2
+        ORDER BY key"""))
   )
 }
