@@ -640,6 +640,48 @@ object TextOps {
         SELECT source, MAX(tot) AS n_vocab_tokens,
                ROUND(SUM(diff * diff / e), 6) AS phi2
         FROM terms JOIN totals USING (source)
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ── t19: winsorized length stats — per language, the mean document ──
+    // length before and after clipping at the [p5, p95] bounds: the
+    // robust-preprocessing step that stops a handful of giant documents
+    // from dominating batch-size / sequence-length decisions. Two
+    // passes: per-lang percentile bounds (tiny frame, broadcast back),
+    // then one clipped scan — the corpus shuffles once per pass on the
+    // low-cardinality lang key, both partial-agg'd map-side. Clipping
+    // compares INTEGER lengths against fractional bounds, so a 1-ulp
+    // interpolation wobble can never flip a clip decision.
+    GQuery("t19_winsorized_stats",
+      (s, d) => {
+        import s.implicits._
+        val bounds = docs(s, d).groupBy($"lang")
+          .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+            expr("percentile(n_chars, 0.95)").as("hi"))
+        docs(s, d).join(broadcast(bounds), "lang")
+          .select($"lang", $"n_chars",
+            least(greatest($"n_chars".cast(DoubleType), $"lo"), $"hi").as("w"),
+            $"lo", $"hi")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"n_chars"), 4).as("raw_mean"),
+            round(avg($"w"), 4).as("winsor_mean"),
+            round(max($"lo"), 4).as("p5"),
+            round(max($"hi"), 4).as("p95"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                 quantile_cont(n_chars, 0.95) AS hi
+          FROM documents GROUP BY lang),
+        w AS (
+          SELECT d.lang, n_chars,
+                 LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) AS w, lo, hi
+          FROM documents d JOIN bounds USING (lang))
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS raw_mean,
+               ROUND(AVG(w), 4) AS winsor_mean,
+               ROUND(MAX(lo), 4) AS p5, ROUND(MAX(hi), 4) AS p95
+        FROM w GROUP BY lang ORDER BY lang"""))
   )
 }
