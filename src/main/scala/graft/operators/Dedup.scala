@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -333,7 +334,7 @@ object Dedup {
             (size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType) /
               size(array_union($"sh_i", $"sh_j"))).as("jaccard"))
           .filter($"jaccard" >= 0.8)
-          .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
+          .select($"i", $"j", roundz($"jaccard", 6).as("jaccard"))
           .orderBy($"i", $"j")
       },
       Some(s"""
@@ -347,8 +348,8 @@ object Dedup {
           FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
         sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl)
         SELECT i, j,
-               ROUND(CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(si.sh, sj.sh))), 6) AS jaccard
+               (ROUND(CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(si.sh, sj.sh))), 6) + 0.0) AS jaccard
         FROM cand JOIN sets si ON cand.i = si.doc_id JOIN sets sj ON cand.j = sj.doc_id
         WHERE CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(si.sh, sj.sh))) >= 0.8
@@ -378,7 +379,7 @@ object Dedup {
           .select($"x.vec_id".as("i"), $"y.vec_id".as("j"),
             cosineSim($"x.v", $"y.v").as("cos"))
           .filter($"cos" >= 0.45)
-          .select($"i", $"j", round($"cos", 4).as("cos"))
+          .select($"i", $"j", roundz($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
       Some(s"""
@@ -386,7 +387,7 @@ object Dedup {
         p AS (SELECT x.vec_id AS i, y.vec_id AS j,
                      ${cosineSimSql("x.v", "y.v")} AS cos
               FROM e x JOIN e y ON x.vec_id < y.vec_id)
-        SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j""")),
+        SELECT i, j, (ROUND(cos, 4) + 0.0) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j""")),
 
     // ── d06: the scale path for embedding near-dup: sign-LSH bucket join ──
     // (equality join on 4-bit bucket → 16× fewer pairs; multi-table/
@@ -404,7 +405,7 @@ object Dedup {
           .select($"x.vec_id".as("i"), $"y.vec_id".as("j"), $"x.bucket".as("bucket"),
             cosineSim($"x.v", $"y.v").as("cos"))
           .filter($"cos" >= 0.4)
-          .select($"i", $"j", $"bucket", round($"cos", 4).as("cos"))
+          .select($"i", $"j", $"bucket", roundz($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
       Some(s"""
@@ -417,7 +418,7 @@ object Dedup {
         p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.bucket AS bucket,
                      ${cosineSimSql("x.v", "y.v")} AS cos
               FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-        SELECT i, j, bucket, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j""")),
+        SELECT i, j, bucket, (ROUND(cos, 4) + 0.0) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j""")),
 
     // ── d07: inter-document duplicated-shingle coverage (the MassiveText- ──
     // style "fraction of this doc that also appears elsewhere" signal used
@@ -437,7 +438,7 @@ object Dedup {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup"),
-            round(sum(when($"df" > 1, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
+            roundz(sum(when($"df" > 1, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
               .as("dup_frac"))
           .withColumn("flagged", $"dup_frac" >= 0.5)
           .orderBy($"doc_id")
@@ -452,7 +453,7 @@ object Dedup {
         dfq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
         per AS (SELECT doc_id, COUNT(*) AS n_shingles,
                        CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-                       ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+                       (ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS dup_frac
                 FROM hs JOIN dfq USING (h) GROUP BY doc_id)
         SELECT doc_id, n_shingles, n_dup, dup_frac, (dup_frac >= 0.5) AS flagged
         FROM per ORDER BY doc_id""")),
@@ -646,9 +647,9 @@ object Dedup {
           .withColumn("exact",
             size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType) /
               size(array_union($"sh_i", $"sh_j")))
-          .select($"i", $"j", round($"est", 6).as("est_jaccard"),
-            round($"exact", 6).as("exact_jaccard"),
-            round(abs($"est" - $"exact"), 6).as("abs_err"))
+          .select($"i", $"j", roundz($"est", 6).as("est_jaccard"),
+            roundz($"exact", 6).as("exact_jaccard"),
+            roundz(abs($"est" - $"exact"), 6).as("abs_err"))
           .orderBy($"i", $"j")
       },
       Some(s"""
@@ -669,8 +670,8 @@ object Dedup {
           FROM cand
           JOIN sig si ON cand.i = si.doc_id JOIN sig sj ON cand.j = sj.doc_id
           JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
-        SELECT i, j, ROUND(est, 6) AS est_jaccard, ROUND(exact, 6) AS exact_jaccard,
-               ROUND(abs(est - exact), 6) AS abs_err
+        SELECT i, j, (ROUND(est, 6) + 0.0) AS est_jaccard, (ROUND(exact, 6) + 0.0) AS exact_jaccard,
+               (ROUND(abs(est - exact), 6) + 0.0) AS abs_err
         FROM est ORDER BY i, j""")),
 
     // ── d13: containment detection — |A∩B|/|A| per direction on the LSH ──
@@ -697,8 +698,8 @@ object Dedup {
           .join(sets.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
           .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast(DoubleType))
           .select($"i", $"j",
-            round($"inter" / size($"sh_i"), 6).as("cont_ij"),
-            round($"inter" / size($"sh_j"), 6).as("cont_ji"))
+            roundz($"inter" / size($"sh_i"), 6).as("cont_ij"),
+            roundz($"inter" / size($"sh_j"), 6).as("cont_ji"))
           .filter(greatest($"cont_ij", $"cont_ji") >= 0.5)
           .orderBy($"i", $"j")
       },
@@ -714,8 +715,8 @@ object Dedup {
         sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
         scored AS (
           SELECT i, j,
-                 ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xi.sh), 6) AS cont_ij,
-                 ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xj.sh), 6) AS cont_ji
+                 (ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xi.sh), 6) + 0.0) AS cont_ij,
+                 (ROUND(CAST(len(list_intersect(xi.sh, xj.sh)) AS DOUBLE) / len(xj.sh), 6) + 0.0) AS cont_ji
           FROM cand JOIN sets xi ON cand.i = xi.doc_id JOIN sets xj ON cand.j = xj.doc_id)
         SELECT i, j, cont_ij, cont_ji FROM scored
         WHERE GREATEST(cont_ij, cont_ji) >= 0.5
@@ -739,7 +740,7 @@ object Dedup {
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         val assigned = e.join(broadcast(cent))
           .select($"vec_id", $"v", $"c_label",
-            round(cosineSim($"v", $"centroid"), 4).as("cos"))
+            roundz(cosineSim($"v", $"centroid"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"vec_id", $"v", $"c_label".as("cell"))
@@ -748,7 +749,7 @@ object Dedup {
           .select($"x.cell".as("cell"), $"x.vec_id".as("i"), $"y.vec_id".as("j"),
             cosineSim($"x.v", $"y.v").as("cos"))
           .filter($"cos" >= 0.45)
-          .select($"cell", $"i", $"j", round($"cos", 4).as("cos"))
+          .select($"cell", $"i", $"j", roundz($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
       Some(s"""
@@ -756,14 +757,14 @@ object Dedup {
         ${Similarity.centSql},
         scored AS (SELECT vec_id, e.v AS v, c_label,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(${cosineSimSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                            ORDER BY (ROUND(${cosineSimSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                    FROM e, cent),
         assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
         pairs AS (SELECT x.cell AS cell, x.vec_id AS i, y.vec_id AS j,
                          ${cosineSimSql("x.v", "y.v")} AS cos
                   FROM assigned x JOIN assigned y
                     ON x.cell = y.cell AND x.vec_id < y.vec_id)
-        SELECT cell, i, j, ROUND(cos, 4) AS cos FROM pairs
+        SELECT cell, i, j, (ROUND(cos, 4) + 0.0) AS cos FROM pairs
         WHERE cos >= 0.45 ORDER BY i, j""")),
 
     // ── d15: sampled dup-rate estimate — the exact-dup rate measured on ──
@@ -790,9 +791,9 @@ object Dedup {
           docs(s, d).filter(hash64(concat(lit("est:"), $"doc_id")) % 10 === 0), "sample")
         full.join(sample)
           .select($"n_corpus", $"dup_corpus", $"n_sample", $"dup_sample",
-            round($"dup_corpus".cast(DoubleType) / $"n_corpus", 6).as("corpus_rate"),
-            round($"dup_sample".cast(DoubleType) / $"n_sample", 6).as("sample_rate"))
-          .withColumn("abs_err", round(abs($"corpus_rate" - $"sample_rate"), 6))
+            roundz($"dup_corpus".cast(DoubleType) / $"n_corpus", 6).as("corpus_rate"),
+            roundz($"dup_sample".cast(DoubleType) / $"n_sample", 6).as("sample_rate"))
+          .withColumn("abs_err", roundz(abs($"corpus_rate" - $"sample_rate"), 6))
       },
       Some(s"""
         WITH fp AS (
@@ -811,10 +812,10 @@ object Dedup {
                  CAST(SUM(CASE WHEN scnt.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sample
           FROM fp JOIN scnt ON fp.fp = scnt.fp WHERE in_sample)
         SELECT n_corpus, dup_corpus, n_sample, dup_sample,
-               ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6) AS corpus_rate,
-               ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) AS sample_rate,
-               ROUND(abs(ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6)
-                       - ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6)), 6) AS abs_err
+               (ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6) + 0.0) AS corpus_rate,
+               (ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) + 0.0) AS sample_rate,
+               (ROUND(abs((ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6) + 0.0)
+                       - (ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) + 0.0)), 6) + 0.0) AS abs_err
         FROM corpus, sample"""))
   )
 }

@@ -108,7 +108,7 @@ object EventOps {
         val n_cv = converted.agg(count(lit(1)).as("n_converted"))
         n_su.join(n_cv)
           .select($"n_signup_users", $"n_converted",
-            round($"n_converted".cast(DoubleType) / $"n_signup_users", 6).as("conversion_rate"))
+            roundz($"n_converted".cast(DoubleType) / $"n_signup_users", 6).as("conversion_rate"))
       },
       Some("""
         WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
@@ -118,8 +118,8 @@ object EventOps {
                  WHERE e.event_type = 'purchase' AND e.ts > su.su_ts)
         SELECT (SELECT COUNT(*) FROM su) AS n_signup_users,
                (SELECT COUNT(*) FROM conv) AS n_converted,
-               ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM su), 6) AS conversion_rate""")),
+               (ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM su), 6) + 0.0) AS conversion_rate""")),
 
     // ── e04: retention cohorts — first-seen day × day-offset distinct ──
     // actives for the first week.
@@ -192,7 +192,7 @@ object EventOps {
         hourly.join(broadcast(stats), $"event_type" === $"t2")
           .withColumn("z", ($"n" - $"mean") / $"sd")
           .filter(abs($"z") >= 2.0)
-          .select($"event_type", $"hour", $"n", round($"z", 4).as("z"))
+          .select($"event_type", $"hour", $"n", roundz($"z", 4).as("z"))
           .orderBy($"event_type", $"hour")
       },
       Some("""
@@ -207,7 +207,7 @@ object EventOps {
                        - CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*))
                       / (COUNT(*) - 1)) AS sd
           FROM hourly GROUP BY event_type)
-        SELECT event_type, hour, n, ROUND((n - mean) / sd, 4) AS z
+        SELECT event_type, hour, n, (ROUND((n - mean) / sd, 4) + 0.0) AS z
         FROM hourly JOIN stats ON event_type = t2
         WHERE abs((n - mean) / sd) >= 2.0
         ORDER BY event_type, hour""")),
@@ -292,7 +292,7 @@ object EventOps {
           .filter($"us" >= $"start_us" && $"us" <= $"end_us")
           .groupBy($"user_id", $"session_id")
           .agg(count(lit(1)).as("n_purchases"),
-            sum(round($"value", 2).cast(DecimalType(14, 2))).cast(DoubleType).as("purchase_value"))
+            sum(roundz($"value", 2).cast(DecimalType(14, 2))).cast(DoubleType).as("purchase_value"))
           .orderBy($"user_id", $"session_id")
       },
       Some(s"""
@@ -300,7 +300,7 @@ object EventOps {
         p AS (SELECT user_id, epoch_us(ts) AS us, value
               FROM events WHERE event_type = 'purchase')
         SELECT user_id, session_id, COUNT(*) AS n_purchases,
-               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS purchase_value
+               CAST(SUM(CAST((ROUND(value, 2) + 0.0) AS DECIMAL(14,2))) AS DOUBLE) AS purchase_value
         FROM p JOIN sess USING (user_id)
         WHERE us >= start_us AND us <= end_us
         GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
@@ -365,7 +365,7 @@ object EventOps {
         val counts = steps.groupBy($"event_type".as("cur"), $"next_type".as("nxt"))
           .agg(count(lit(1)).as("n"))
         counts
-          .withColumn("p", round($"n".cast(DoubleType) /
+          .withColumn("p", roundz($"n".cast(DoubleType) /
             sum($"n").over(Window.partitionBy($"cur")), 6))
           .orderBy($"cur", $"nxt")
       },
@@ -376,7 +376,7 @@ object EventOps {
           FROM events),
         counts AS (SELECT cur, nxt, COUNT(*) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY cur, nxt)
         SELECT cur, nxt, n,
-               ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) AS p
+               (ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) + 0.0) AS p
         FROM counts ORDER BY cur, nxt""")),
 
     // ── e13: rolling active users — DAU and trailing-7-day actives ──
@@ -480,8 +480,8 @@ object EventOps {
           .agg(count(lit(1)).as("n_signups"),
             sum($"viewed").as("n_viewed"),
             sum($"purchased").as("n_purchased"))
-          .withColumn("view_rate", round($"n_viewed".cast(DoubleType) / $"n_signups", 6))
-          .withColumn("purchase_rate", round($"n_purchased".cast(DoubleType) / $"n_signups", 6))
+          .withColumn("view_rate", roundz($"n_viewed".cast(DoubleType) / $"n_signups", 6))
+          .withColumn("purchase_rate", roundz($"n_purchased".cast(DoubleType) / $"n_signups", 6))
           .orderBy($"cohort_week")
       },
       Some("""
@@ -503,8 +503,8 @@ object EventOps {
                COUNT(*) AS n_signups,
                CAST(SUM(viewed) AS BIGINT) AS n_viewed,
                CAST(SUM(purchased) AS BIGINT) AS n_purchased,
-               ROUND(CAST(SUM(viewed) AS DOUBLE) / COUNT(*), 6) AS view_rate,
-               ROUND(CAST(SUM(purchased) AS DOUBLE) / COUNT(*), 6) AS purchase_rate
+               (ROUND(CAST(SUM(viewed) AS DOUBLE) / COUNT(*), 6) + 0.0) AS view_rate,
+               (ROUND(CAST(SUM(purchased) AS DOUBLE) / COUNT(*), 6) + 0.0) AS purchase_rate
         FROM stepped GROUP BY cohort_week ORDER BY cohort_week""")),
 
     // ── e16: robust rate anomalies — median/MAD outlier detection over ──
@@ -575,8 +575,8 @@ object EventOps {
         conv
           .groupBy(date_format(date_trunc("week", $"su_ts"), "yyyy-MM-dd").as("cohort_week"))
           .agg(count(lit(1)).as("n_converted"),
-            round(expr("percentile(lat_hr, 0.5)"), 4).as("p50_hours"),
-            round(expr("percentile(lat_hr, 0.9)"), 4).as("p90_hours"),
+            roundz(expr("percentile(lat_hr, 0.5)"), 4).as("p50_hours"),
+            roundz(expr("percentile(lat_hr, 0.9)"), 4).as("p90_hours"),
             max($"lat_hr").as("max_hours"))
           .orderBy($"cohort_week")
       },
@@ -593,8 +593,8 @@ object EventOps {
                  (epoch_us(p_ts) - epoch_us(su_ts)) // 3600000000 AS lat_hr
           FROM conv)
         SELECT cohort_week, COUNT(*) AS n_converted,
-               ROUND(quantile_cont(lat_hr, 0.5), 4) AS p50_hours,
-               ROUND(quantile_cont(lat_hr, 0.9), 4) AS p90_hours,
+               (ROUND(quantile_cont(lat_hr, 0.5), 4) + 0.0) AS p50_hours,
+               (ROUND(quantile_cont(lat_hr, 0.9), 4) + 0.0) AS p90_hours,
                CAST(MAX(lat_hr) AS BIGINT) AS max_hours
         FROM lat GROUP BY cohort_week ORDER BY cohort_week""")),
 
@@ -615,7 +615,7 @@ object EventOps {
           .agg(sum($"n").as("total"),
             max_by($"hr", $"n" * 100L + (lit(99L) - $"hr")).as("peak_hour"),
             max($"n").as("peak_n"))
-          .withColumn("peak_share", round($"peak_n".cast(DoubleType) / $"total", 6))
+          .withColumn("peak_share", roundz($"peak_n".cast(DoubleType) / $"total", 6))
           .orderBy($"event_type")
       },
       Some("""
@@ -625,7 +625,7 @@ object EventOps {
         SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
                arg_max(hr, n * 100 + (99 - hr)) AS peak_hour,
                MAX(n) AS peak_n,
-               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS peak_share
+               (ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) + 0.0) AS peak_share
         FROM hr GROUP BY event_type ORDER BY event_type""")),
 
     // ── e19: churn buckets — users by activity recency (active ≤1d, ──

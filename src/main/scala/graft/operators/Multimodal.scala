@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,11 +39,11 @@ object Multimodal {
       },
       Some("""
         SELECT doc_id,
-               CAST(length(text) AS INT) AS n_bytes,
+               CAST(strlen(text) AS INT) AS n_bytes,
                md5(text) AS checksum,
                (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS content_type,
-               CAST(length(text) % 640 + 1 AS INT) AS fake_width,
-               CAST(length(text) % 480 + 1 AS INT) AS fake_height
+               CAST(strlen(text) % 640 + 1 AS INT) AS fake_width,
+               CAST(strlen(text) % 480 + 1 AS INT) AS fake_height
         FROM documents ORDER BY doc_id""")),
 
     // ── m02: frame sampling — chunk each payload into 256-byte frames ──
@@ -56,7 +57,10 @@ object Multimodal {
         // oracle enumerates frames from range(0, 2000), so an uncapped
         // sequence() here would silently diverge on longer payloads.
         Tables.load(s, d, "documents")
-          .filter($"doc_id" < 100)
+          // length > 0 guard: sequence(0, -1) on empty text generates the
+          // DESCENDING array [0, -1] (default step -1) — two bogus frames
+          // where the oracle's range-filter emits none. Mirrored in SQL.
+          .filter($"doc_id" < 100 && length($"text") > 0)
           .select($"doc_id", $"text",
             posexplode(expr("sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
           .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
@@ -87,7 +91,10 @@ object Multimodal {
       (s, d) => {
         import s.implicits._
         val frames = Tables.load(s, d, "documents")
-          .filter($"doc_id" < 100)
+          // length > 0 guard: sequence(0, -1) on empty text generates the
+          // DESCENDING array [0, -1] (default step -1) — two bogus frames
+          // where the oracle's range-filter emits none. Mirrored in SQL.
+          .filter($"doc_id" < 100 && length($"text") > 0)
           .select($"doc_id", $"text", posexplode(expr(
             "sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
           .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
@@ -106,7 +113,7 @@ object Multimodal {
           .groupBy($"doc_id")
           .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
           .select($"doc_id",
-            round(sqrt(aggregate(transform($"pm", x => x.getField("m")),
+            roundz(sqrt(aggregate(transform($"pm", x => x.getField("m")),
               lit(0.0), (acc, x) => acc + x * x)), 6).as("pooled_norm"))
         fv.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
           .join(pooled, "doc_id")
@@ -118,7 +125,8 @@ object Multimodal {
           SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
                  substr(text, CAST(f.f AS INT) * 256 + 1, 256) AS frame
           FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
-          WHERE doc_id < 100 AND f.f <= (length(text) + 255) // 256 - 1),
+          WHERE doc_id < 100 AND length(text) > 0
+            AND f.f <= (length(text) + 255) // 256 - 1),
         n AS (SELECT COUNT(*) AS nv FROM embeddings),
         fv AS (SELECT doc_id, frame_idx, CAST(e.embedding AS DOUBLE[]) AS v
                FROM fr CROSS JOIN n
@@ -128,7 +136,7 @@ object Multimodal {
                    FROM fv, (SELECT unnest(range(1, 65)) AS p) p
                    GROUP BY doc_id, pos),
         pooled AS (SELECT doc_id,
-                          ROUND(sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))), 6)
+                          (ROUND(sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))), 6) + 0.0)
                             AS pooled_norm
                    FROM coords GROUP BY doc_id),
         stats AS (SELECT doc_id, COUNT(*) AS n_frames FROM fv GROUP BY doc_id)
@@ -152,7 +160,7 @@ object Multimodal {
             size(split($"text", " ")).cast(LongType).as("n_tokens"))
         val embr = Tables.load(s, d, "embeddings")
           .select($"vec_id", $"label",
-            round(sqrt(aggregate($"embedding".cast(ArrayType(DoubleType)),
+            roundz(sqrt(aggregate($"embedding".cast(ArrayType(DoubleType)),
               lit(0.0), (acc, x) => acc + x * x)), 6).as("emb_norm"))
         docs.join(embr, $"doc_id" === $"vec_id")
           .select($"doc_id", $"lang", $"n_tokens", $"label", $"emb_norm")
@@ -162,7 +170,7 @@ object Multimodal {
         SELECT d.doc_id, d.lang,
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
                e.label,
-               ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) AS emb_norm
+               (ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) + 0.0) AS emb_norm
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         ORDER BY d.doc_id""")),
 
@@ -192,17 +200,21 @@ object Multimodal {
       Some("""
         SELECT doc_id,
                (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS content_type,
-               CAST(length(text) AS BIGINT) AS n_bytes,
-               CAST(SUM(length(text)) OVER (PARTITION BY doc_id % 3
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(SUM(strlen(text)) OVER (PARTITION BY doc_id % 3
                  ORDER BY doc_id) AS BIGINT) AS cum_bytes,
-               CAST((SUM(length(text)) OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
-                     - length(text)) // 4096 AS BIGINT) AS shard
+               CAST((SUM(strlen(text)) OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
+                     - strlen(text)) // 4096 AS BIGINT) AS shard
         FROM documents ORDER BY doc_id""")),
 
     // ── m06: media asset dedup — near-duplicate binary payloads grouped ──
     // by a perceptual-hash key (CDN-asset dedup: the same image
     // re-crawled, truncated, or re-encoded is stored once). The pHash
-    // stub is the checksum of the leading 64-byte chunk — a real
+    // stub is the checksum of the leading 64-CHARACTER prefix (taken on
+    // the string, pre-cast, because DuckDB has no byte-level BLOB substr
+    // to mirror a binary slice; md5 over those chars' UTF-8 bytes agrees
+    // across engines for any input). Byte COUNTS stay genuinely
+    // byte-based: Spark length(BINARY) ↔ DuckDB strlen(VARCHAR). A real
     // perceptual hash drops into the same expression slot with identical
     // plumbing. d01's hash-groupBy discipline on the BINARY column: the
     // 128-bit key is uniform → no skew; the blob itself never shuffles
@@ -212,9 +224,10 @@ object Multimodal {
       (s, d) => {
         import s.implicits._
         Tables.load(s, d, "documents")
-          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+          .select($"doc_id", $"text",
+            $"text".cast(BinaryType).as("payload"))
           .select($"doc_id",
-            md5(substring($"payload", 1, 64)).as("phash"),
+            md5(substring($"text", 1, 64)).as("phash"),
             length($"payload").cast(LongType).as("n_bytes"))
           .groupBy($"phash")
           .agg(count(lit(1)).as("n_copies"),
@@ -228,9 +241,9 @@ object Multimodal {
       Some("""
         SELECT md5(substr(text, 1, 64)) AS phash, COUNT(*) AS n_copies,
                MIN(doc_id) AS keeper,
-               CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-               CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
-               CAST(SUM(length(text)) - MIN(length(text)) AS BIGINT) AS reclaimable_bytes
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(MIN(strlen(text)) AS BIGINT) AS min_bytes,
+               CAST(SUM(strlen(text)) - MIN(strlen(text)) AS BIGINT) AS reclaimable_bytes
         FROM documents GROUP BY phash HAVING COUNT(*) > 1
         ORDER BY phash""")),
 
@@ -246,7 +259,10 @@ object Multimodal {
       (s, d) => {
         import s.implicits._
         val frames = Tables.load(s, d, "documents")
-          .filter($"doc_id" < 100)
+          // length > 0 guard: sequence(0, -1) on empty text generates the
+          // DESCENDING array [0, -1] (default step -1) — two bogus frames
+          // where the oracle's range-filter emits none. Mirrored in SQL.
+          .filter($"doc_id" < 100 && length($"text") > 0)
           .select($"doc_id", $"text", posexplode(expr(
             "sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
           .select($"doc_id", $"pos".cast(IntegerType).as("frame_idx"),
@@ -256,7 +272,7 @@ object Multimodal {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_frames"),
             sum(when($"df" > 1, 1L).otherwise(0L)).as("n_boiler"))
-          .withColumn("boiler_rate", round($"n_boiler".cast(DoubleType) / $"n_frames", 6))
+          .withColumn("boiler_rate", roundz($"n_boiler".cast(DoubleType) / $"n_frames", 6))
           .orderBy($"doc_id")
       },
       Some("""
@@ -264,11 +280,12 @@ object Multimodal {
           SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
                  md5(substr(text, CAST(f.f AS INT) * 256 + 1, 256)) AS fh
           FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
-          WHERE doc_id < 100 AND f.f <= (length(text) + 255) // 256 - 1),
+          WHERE doc_id < 100 AND length(text) > 0
+            AND f.f <= (length(text) + 255) // 256 - 1),
         dfreq AS (SELECT fh, COUNT(DISTINCT doc_id) AS df FROM frames GROUP BY fh)
         SELECT doc_id, COUNT(*) AS n_frames,
                CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-               ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_rate
+               (ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS boiler_rate
         FROM frames JOIN dfreq USING (fh)
         GROUP BY doc_id ORDER BY doc_id"""))
   )

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -328,7 +329,7 @@ object Pipeline {
         val toks = tokens($"text")
         val nTok = size(toks).cast(DoubleType)
         val quality =
-          round(least($"n_chars".cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+          roundz(least($"n_chars".cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
             (lit(1.0) - size(filter(toks, t => t.isInCollection(Set("the", "a"))))
               .cast(DoubleType) / nTok) * 0.3 +
             (size(array_distinct(toks)).cast(DoubleType) / nTok) * 0.3, 6)
@@ -353,7 +354,7 @@ object Pipeline {
             sum($"n_tokens").as("total_tokens"),
             sum(when($"ch_n" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
             sum(coalesce($"is_contam", lit(0L))).as("n_contaminated"),
-            round(sum($"q").cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
+            roundz(sum($"q").cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
           .orderBy($"lang", $"source")
       },
       Some(s"""
@@ -362,11 +363,11 @@ object Pipeline {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                  md5(text) AS ch,
                  ${hashSql("split:")} % 100 AS bucket,
-                 CAST(ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+                 CAST((ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
                    (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
                      / len(string_split(text, ' '))) * 0.3 +
                    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / len(string_split(text, ' '))) * 0.3, 6) AS DECIMAL(18,6)) AS q
+                     / len(string_split(text, ' '))) * 0.3, 6) + 0.0) AS DECIMAL(18,6)) AS q
           FROM documents),
         dupn AS (SELECT ch, COUNT(*) AS ch_n FROM base GROUP BY ch),
         grams AS (
@@ -381,7 +382,7 @@ object Pipeline {
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST(SUM(CASE WHEN dupn.ch_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
                CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-               ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+               (ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) + 0.0) AS avg_quality
         FROM base JOIN dupn USING (ch)
              LEFT JOIN contam ON base.doc_id = contam.doc_id
         GROUP BY lang, source
@@ -522,7 +523,7 @@ object Pipeline {
           .withColumn("lo", expr("CAST(pow(2, bucket) AS BIGINT)"))
           .withColumn("hi", expr("CAST(pow(2, bucket + 1) AS BIGINT) - 1"))
           .withColumn("share",
-            round($"n_docs".cast(DoubleType) /
+            roundz($"n_docs".cast(DoubleType) /
               sum($"n_docs").over(Window.partitionBy()), 6))
           .select($"bucket", $"lo", $"hi", $"n_docs", $"share")
           .orderBy($"bucket")
@@ -533,7 +534,7 @@ object Pipeline {
         h AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket)
         SELECT bucket, CAST(2**bucket AS BIGINT) AS lo,
                CAST(2**(bucket+1) AS BIGINT) - 1 AS hi, n_docs,
-               ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+               (ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) + 0.0) AS share
         FROM h ORDER BY bucket""")),
 
     // ── p14: shard-quota apportionment — split a fixed shard budget ──
@@ -674,8 +675,12 @@ object Pipeline {
               .otherwise($"text")).as("h2"),
             when($"doc_id" % 7 === 0, $"n_chars" + 11).otherwise($"n_chars")
               .cast("long").as("b2"))
+          // synthetic "added" ids live on the NEGATIVE axis — a fixed
+          // positive offset (the old +1e6) collides with genuine doc_ids
+          // once the corpus exceeds the offset, silently reclassifying
+          // added rows as changed/unchanged on BOTH engines.
           .unionAll(docs(s, d).filter($"doc_id" % 97 === 0)
-            .select(($"doc_id" + 1000000L).as("doc_id"),
+            .select((-($"doc_id" + 1L)).cast("long").as("doc_id"),
               md5(concat(lit("new-crawl "), $"text")).as("h2"),
               ($"n_chars" + 10).cast("long").as("b2")))
         v1.join(v2, Seq("doc_id"), "full_outer")
@@ -697,7 +702,7 @@ object Pipeline {
                       CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 11 ELSE n_chars END AS BIGINT) AS b2
                FROM documents WHERE doc_id % 50 <> 0
                UNION ALL
-               SELECT doc_id + 1000000, md5('new-crawl ' || text),
+               SELECT -(doc_id + 1), md5('new-crawl ' || text),
                       CAST(n_chars + 10 AS BIGINT)
                FROM documents WHERE doc_id % 97 = 0),
         j AS (

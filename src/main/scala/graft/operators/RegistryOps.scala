@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import graft.registry.Registry
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -424,7 +425,7 @@ object RegistryOps {
             countDistinct($"filetype_id").as("n_filetypes"))
           .join(broadcast(total))
           .select($"extractor_id", $"n_files", $"n_filetypes",
-            round($"n_files".cast(DoubleType) / $"total_files", 6).as("catalog_share"))
+            roundz($"n_files".cast(DoubleType) / $"total_files", 6).as("catalog_share"))
           .orderBy($"extractor_id")
       },
       Some(s"""
@@ -439,7 +440,7 @@ object RegistryOps {
         total AS (SELECT COUNT(*) AS total_files FROM dispatched)
         SELECT extractor_id, COUNT(*) AS n_files,
                CAST(COUNT(DISTINCT filetype_id) AS BIGINT) AS n_filetypes,
-               ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total_files), 6) AS catalog_share
+               (ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total_files), 6) + 0.0) AS catalog_share
         FROM dispatched, total
         GROUP BY extractor_id ORDER BY extractor_id""")),
 

@@ -420,15 +420,15 @@ object Relational {
         t(s, d, "orders")
           .groupBy($"o_orderstatus")
           .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            roundz(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            roundz(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
             count(lit(1)).as("n"))
           .orderBy($"o_orderstatus")
       },
       Some("""
         SELECT o_orderstatus,
-               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               (ROUND(quantile_cont(o_totalprice, 0.5), 4) + 0.0) AS p50,
+               (ROUND(quantile_cont(o_totalprice, 0.9), 4) + 0.0) AS p90,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
@@ -778,7 +778,7 @@ object Relational {
     GQuery("q35_argmax_group",
       (s, d) => {
         import s.implicits._
-        val key = (round($"p_retailprice" * 100).cast(LongType) * 1000000000L
+        val key = (roundz($"p_retailprice" * 100).cast(LongType) * 1000000000L
           - $"p_partkey").as("ord_key")
         t(s, d, "part")
           .groupBy($"p_brand")
@@ -791,9 +791,9 @@ object Relational {
       },
       Some("""
         SELECT p_brand, COUNT(*) AS n_parts,
-               arg_max(p_name, CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000000000 - p_partkey) AS top_part,
+               arg_max(p_name, CAST((ROUND(p_retailprice * 100) + 0.0) AS BIGINT) * 1000000000 - p_partkey) AS top_part,
                MAX(p_retailprice) AS top_price,
-               arg_min(p_name, CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000000000 - p_partkey) AS bottom_part,
+               arg_min(p_name, CAST((ROUND(p_retailprice * 100) + 0.0) AS BIGINT) * 1000000000 - p_partkey) AS bottom_part,
                MIN(p_retailprice) AS bottom_price
         FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
@@ -835,16 +835,16 @@ object Relational {
           .orderBy($"c_acctbal".asc, $"c_custkey".asc)
         t(s, d, "customer")
           .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            roundz(percent_rank().over(w), 6).as("pct_rank"),
+            roundz(cume_dist().over(w), 6).as("cume"))
           .orderBy($"c_custkey")
       },
       Some("""
         SELECT c_custkey, c_mktsegment, c_acctbal,
-               ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
-               ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+               (ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) + 0.0) AS pct_rank,
+               (ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC), 6) + 0.0) AS cume
         FROM customer ORDER BY c_custkey""")),
 
     // ── q38: Pareto (ABC) revenue coverage — which parts make the first ──
@@ -870,7 +870,7 @@ object Relational {
           .withColumn("total", sum($"rev").over(wTot))
           .select($"p_brand", $"p_partkey",
             $"rev".cast(DoubleType).as("revenue"),
-            round($"cum".cast(DoubleType) / $"total".cast(DoubleType), 6).as("cum_share"))
+            roundz($"cum".cast(DoubleType) / $"total".cast(DoubleType), 6).as("cum_share"))
           .withColumn("in_core", $"cum_share" <= 0.8)
           .orderBy($"p_brand", $"cum_share", $"p_partkey")
       },
@@ -885,8 +885,8 @@ object Relational {
                  SUM(rev) OVER (PARTITION BY p_brand) AS total
           FROM rev JOIN part ON l_partkey = p_partkey)
         SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue,
-               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
-               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8 AS in_core
+               (ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0) AS cum_share,
+               (ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0) <= 0.8 AS in_core
         FROM shares ORDER BY p_brand, cum_share, p_partkey""")),
 
     // ── q39: explicit GROUPING SETS — the shape ROLLUP/CUBE can't ──
@@ -943,7 +943,7 @@ object Relational {
           .agg(count(lit(1)).as("n_orders"))
           .withColumn("lo", $"bucket" * 50000L)
           .withColumn("share",
-            round($"n_orders".cast(DoubleType) /
+            roundz($"n_orders".cast(DoubleType) /
               sum($"n_orders").over(Window.partitionBy()), 6))
           .select($"bucket", $"lo", $"n_orders", $"share")
           .orderBy($"bucket")
@@ -954,7 +954,7 @@ object Relational {
           FROM orders),
         h AS (SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY bucket)
         SELECT bucket, bucket*50000 AS lo, n_orders,
-               ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+               (ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) + 0.0) AS share
         FROM h ORDER BY bucket""")),
 
     // ── q41: leave-one-out target encoding — each supplier's balance vs ──
@@ -975,7 +975,7 @@ object Relational {
             count(lit(1)).over(w).as("n"))
           .withColumn("loo_mean",
             when($"n" > 1,
-              round(($"tot" - d2($"s_acctbal")).cast(DoubleType) / ($"n" - 1), 6)))
+              roundz(($"tot" - d2($"s_acctbal")).cast(DoubleType) / ($"n" - 1), 6)))
           .select($"s_suppkey", $"s_nationkey", $"s_acctbal", $"n".as("n_peers_incl"), $"loo_mean")
           .orderBy($"s_suppkey")
       },
@@ -987,7 +987,7 @@ object Relational {
           FROM supplier)
         SELECT s_suppkey, s_nationkey, s_acctbal, n AS n_peers_incl,
                CASE WHEN n > 1
-                 THEN ROUND(CAST(tot - CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) / (n - 1), 6)
+                 THEN (ROUND(CAST(tot - CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) / (n - 1), 6) + 0.0)
                END AS loo_mean
         FROM w ORDER BY s_suppkey""")),
 
@@ -1008,8 +1008,8 @@ object Relational {
           .select($"o_orderpriority", datediff($"l_shipdate", $"o_orderdate").as("lat"))
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_lineitems"),
-            round(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
-            round(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
+            roundz(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
+            roundz(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
             max($"lat").as("max_days"))
           .orderBy($"o_orderpriority")
       },
@@ -1019,8 +1019,8 @@ object Relational {
                  CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS lat
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         SELECT o_orderpriority, COUNT(*) AS n_lineitems,
-               ROUND(quantile_cont(lat, 0.5), 4) AS p50_days,
-               ROUND(quantile_cont(lat, 0.9), 4) AS p90_days,
+               (ROUND(quantile_cont(lat, 0.5), 4) + 0.0) AS p50_days,
+               (ROUND(quantile_cont(lat, 0.9), 4) + 0.0) AS p90_days,
                CAST(MAX(lat) AS INT) AS max_days
         FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
@@ -1063,7 +1063,7 @@ object Relational {
           .withColumn("total", sum($"nation_rev").over(Window.partitionBy($"yr")))
           .select($"yr", $"supp_nation",
             $"nation_rev".cast(DoubleType).as("revenue"),
-            round($"nation_rev".cast(DoubleType) / $"total".cast(DoubleType), 6).as("share"))
+            roundz($"nation_rev".cast(DoubleType) / $"total".cast(DoubleType), 6).as("share"))
           .orderBy($"yr", $"supp_nation")
       },
       Some("""
@@ -1081,8 +1081,8 @@ object Relational {
           JOIN nation n2 ON s_nationkey = n2.n_nationkey
           GROUP BY yr, supp_nation)
         SELECT yr, supp_nation, CAST(nation_rev AS DOUBLE) AS revenue,
-               ROUND(CAST(nation_rev AS DOUBLE)
-                 / CAST(SUM(nation_rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+               (ROUND(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER (PARTITION BY yr) AS DOUBLE), 6) + 0.0) AS share
         FROM rev ORDER BY yr, supp_nation""")),
 
     // ── q44: discrete percentiles — PERCENTILE_DISC / WITHIN GROUP: ──

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,14 +54,14 @@ object Similarity {
         val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
         e.filter($"vec_id" =!= 0)
           .join(broadcast(q))
-          .select($"vec_id", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .select($"vec_id", roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .orderBy($"cos".desc, $"vec_id".asc)
           .limit(10)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        SELECT vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
+        SELECT vec_id, (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) AS cos
         FROM e, q WHERE vec_id <> 0
         ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
@@ -74,7 +75,7 @@ object Similarity {
         val q = e.filter($"vec_id" === 0)
           .select($"embedding".as("qv"), $"bucket".as("qbucket"))
         e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= 0)
-          .select($"vec_id", $"bucket", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .select($"vec_id", $"bucket", roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .orderBy($"cos".desc, $"vec_id".asc)
           .limit(5)
       },
@@ -86,7 +87,7 @@ object Similarity {
                            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
                    FROM embeddings),
         q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
-        SELECT vec_id, bucket, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
+        SELECT vec_id, bucket, (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) AS cos
         FROM e, q WHERE bucket = qbucket AND vec_id <> 0
         ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
 
@@ -100,7 +101,7 @@ object Similarity {
         val q = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qv"))
         val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
         e.join(broadcast(q), $"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .select($"query_id", $"vec_id", roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3)
           .select($"query_id", $"rn", $"vec_id", $"cos")
@@ -109,9 +110,9 @@ object Similarity {
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        scored AS (SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos,
+        scored AS (SELECT query_id, vec_id, (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) DESC, vec_id ASC) AS rn
                    FROM e, q WHERE vec_id <> query_id)
         SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
         ORDER BY query_id, rn""")),
@@ -128,7 +129,7 @@ object Similarity {
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         e.join(broadcast(cent))
           .select($"vec_id", $"label", $"c_label",
-            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+            roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"vec_id", $"label", $"c_label".as("assigned_label"), $"cos")
@@ -138,9 +139,9 @@ object Similarity {
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         $centSql,
         scored AS (SELECT vec_id, label, c_label,
-                          ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                          (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                    FROM e, cent)
         SELECT vec_id, label, c_label AS assigned_label, cos
         FROM scored WHERE rn = 1 ORDER BY vec_id""")),
@@ -170,7 +171,7 @@ object Similarity {
         val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
         probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
             $"probe" === $"bucket" && $"src" =!= $"dst")
-          .select($"src", $"dst", round(cosineSim($"xv", $"yv"), 4).as("cos"))
+          .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 2)
           .select($"src", $"rn", $"dst", $"cos")
@@ -185,9 +186,9 @@ object Similarity {
                                   xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
                    FROM e),
         scored AS (SELECT src, e.vec_id AS dst,
-                          ROUND(${cosSql("xv", "e.v")}, 4) AS cos,
+                          (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY src
-                            ORDER BY ROUND(${cosSql("xv", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) DESC, e.vec_id ASC) AS rn
                    FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id)
         SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
         ORDER BY src, rn""")),
@@ -207,18 +208,18 @@ object Similarity {
         val cent = centroids(e)
         val q = e.filter($"vec_id" === 0).select(asDouble($"embedding").as("qv"))
         val probes = cent.join(broadcast(q))
-          .select($"c_label", round(cosineSim($"centroid", $"qv"), 4).as("qcos"))
+          .select($"c_label", roundz(cosineSim($"centroid", $"qv"), 4).as("qcos"))
           .orderBy($"qcos".desc, $"c_label".asc).limit(2)
           .select($"c_label".as("cell"))
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         val assign = e.filter($"vec_id" =!= 0).join(broadcast(cent))
           .select($"vec_id", $"embedding", $"c_label",
-            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+            roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
           .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
           .select($"vec_id", $"embedding", $"c_label".as("cell"))
         assign.join(broadcast(probes), "cell")
           .join(broadcast(q))
-          .select($"vec_id", $"cell", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .select($"vec_id", $"cell", roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .orderBy($"cos".desc, $"vec_id".asc)
           .limit(5)
       },
@@ -227,15 +228,15 @@ object Similarity {
         $centSql,
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         probes AS (SELECT c_label AS cell FROM cent, q
-                   ORDER BY ROUND(${cosSql("cent.centroid", "q.qv")}, 4) DESC, c_label ASC
+                   ORDER BY (ROUND(${cosSql("cent.centroid", "q.qv")}, 4) + 0.0) DESC, c_label ASC
                    LIMIT 2),
         scored AS (SELECT vec_id, v, c_label,
-                          ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                          (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                    FROM e, cent WHERE vec_id <> 0),
         assign AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1)
-        SELECT a.vec_id, a.cell, ROUND(${cosSql("a.v", "q.qv")}, 4) AS cos
+        SELECT a.vec_id, a.cell, (ROUND(${cosSql("a.v", "q.qv")}, 4) + 0.0) AS cos
         FROM assign a JOIN probes USING (cell), q
         ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
 
@@ -266,7 +267,7 @@ object Similarity {
           .limit(50)
         shortlist.join(e.select($"vec_id", $"embedding"), "vec_id")
           .join(broadcast(q.select($"qv")))
-          .select($"vec_id", $"agree", round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .select($"vec_id", $"agree", roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .orderBy($"cos".desc, $"vec_id".asc)
           .limit(5)
       },
@@ -277,7 +278,7 @@ object Similarity {
         shortlist AS (SELECT vec_id, CAST(60 - bit_count(xor(sb, qb)) AS BIGINT) AS agree, v
                       FROM sigs, q WHERE vec_id <> 0
                       ORDER BY agree DESC, vec_id ASC LIMIT 50)
-        SELECT s.vec_id, s.agree, ROUND(${cosSql("s.v", "q.qv")}, 4) AS cos
+        SELECT s.vec_id, s.agree, (ROUND(${cosSql("s.v", "q.qv")}, 4) + 0.0) AS cos
         FROM shortlist s, q
         ORDER BY cos DESC, vec_id ASC LIMIT 5""")),
 
@@ -299,7 +300,7 @@ object Similarity {
         val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         val assign = e.filter($"vec_id" >= 5).join(broadcast(cent))
           .select($"vec_id", $"embedding", $"c_label",
-            round(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+            roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
           .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
           .select($"vec_id", $"embedding", $"c_label".as("cell"))
         val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
@@ -307,13 +308,13 @@ object Similarity {
           .select($"vec_id".as("query_id"), $"embedding".as("qv"))
           .join(broadcast(cent))
           .select($"query_id", $"qv", $"c_label",
-            round(cosineSim($"qv", $"centroid"), 4).as("qcos"))
+            roundz(cosineSim($"qv", $"centroid"), 4).as("qcos"))
           .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
           .select($"query_id", $"qv", $"c_label".as("cell"))
         val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
         assign.join(qprobe, "cell")
           .select($"query_id", $"vec_id",
-            round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+            roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .withColumn("rn", row_number().over(wRank))
           .filter($"rn" <= 3)
           .select($"query_id", $"rn", $"vec_id", $"cos")
@@ -323,20 +324,20 @@ object Similarity {
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         $centSql,
         ascored AS (SELECT vec_id, v, c_label,
-                           ROUND(${cosSql("e.v", "cent.centroid")}, 4) AS cos,
+                           (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) AS cos,
                            ROW_NUMBER() OVER (PARTITION BY vec_id
-                             ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                             ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                     FROM e, cent WHERE vec_id >= 5),
         assign AS (SELECT vec_id, v, c_label AS cell FROM ascored WHERE rn = 1),
         qscored AS (SELECT e.vec_id AS query_id, v AS qv, c_label,
                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                             ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                             ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                     FROM e, cent WHERE vec_id < 5),
         qprobe AS (SELECT query_id, qv, c_label AS cell FROM qscored WHERE rn <= 2),
         scored AS (SELECT query_id, a.vec_id,
-                          ROUND(${cosSql("a.v", "qprobe.qv")}, 4) AS cos,
+                          (ROUND(${cosSql("a.v", "qprobe.qv")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY ROUND(${cosSql("a.v", "qprobe.qv")}, 4) DESC, a.vec_id ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("a.v", "qprobe.qv")}, 4) + 0.0) DESC, a.vec_id ASC) AS rn
                    FROM assign a JOIN qprobe USING (cell))
         SELECT query_id, rn, vec_id, cos FROM scored WHERE rn <= 3
         ORDER BY query_id, rn""")),
@@ -359,15 +360,15 @@ object Similarity {
           .select($"vec_id".as("query_id"), $"embedding".as("qv"))
         e.join(broadcast(q), $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id",
-            round(cosineSim($"embedding", $"qv"), 4).as("cos"))
+            roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
           .filter($"cos" >= 0.3)
           .orderBy($"query_id", $"vec_id")
       },
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3)
-        SELECT query_id, vec_id, ROUND(${cosSql("e.v", "q.qv")}, 4) AS cos
-        FROM e, q WHERE vec_id <> query_id AND ROUND(${cosSql("e.v", "q.qv")}, 4) >= 0.3
+        SELECT query_id, vec_id, (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) AS cos
+        FROM e, q WHERE vec_id <> query_id AND (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) >= 0.3
         ORDER BY query_id, vec_id""")),
 
     // ── s10: k-means refinement — one full Lloyd iteration: assign every ──
@@ -388,7 +389,7 @@ object Similarity {
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
         val assigned = e.join(broadcast(cent0))
           .select($"vec_id", $"v", $"c_label",
-            round(cosineSim($"v", $"centroid"), 4).as("cos"))
+            roundz(cosineSim($"v", $"centroid"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"vec_id", $"v", $"c_label".as("cell"))
@@ -405,7 +406,7 @@ object Similarity {
           .select($"cell", transform($"pm", x => x.getField("m")).as("nc"), $"n_assigned")
         val nBefore = e.groupBy($"label".as("cell")).agg(count(lit(1)).as("n_before"))
         cent1.join(cent0, $"cell" === $"c_label")
-          .select($"cell", $"n_assigned", round(cosineSim($"centroid", $"nc"), 4).as("drift"))
+          .select($"cell", $"n_assigned", roundz(cosineSim($"centroid", $"nc"), 4).as("drift"))
           .join(nBefore, "cell")
           .select($"cell", $"n_before", $"n_assigned", $"drift")
           .orderBy($"cell")
@@ -415,7 +416,7 @@ object Similarity {
         $centSql,
         scored AS (SELECT vec_id, e.v AS v, c_label,
                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY ROUND(${cosSql("e.v", "cent.centroid")}, 4) DESC, c_label ASC) AS rn
+                            ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                    FROM e, cent),
         assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
         coords1 AS (SELECT cell, p.p AS pos, sum(v[p.p]) / count(*) AS m,
@@ -426,7 +427,7 @@ object Similarity {
                   FROM coords1 GROUP BY cell),
         nb AS (SELECT label AS cell, COUNT(*) AS n_before FROM e GROUP BY label)
         SELECT cell, n_before, n_assigned,
-               ROUND(${cosSql("cent.centroid", "cent1.nc")}, 4) AS drift
+               (ROUND(${cosSql("cent.centroid", "cent1.nc")}, 4) + 0.0) AS drift
         FROM cent1 JOIN cent ON cell = c_label
         JOIN nb USING (cell)
         ORDER BY cell""")),
@@ -457,18 +458,18 @@ object Similarity {
             transform($"sx", x => x.getField("vec_id")).as(out))
         val exact = topList(
           e.join(broadcast(q.select($"query_id", $"qv")), $"vec_id" =!= $"query_id")
-            .select($"query_id", $"vec_id", round(cosineSim($"v", $"qv"), 4).as("cos")),
+            .select($"query_id", $"vec_id", roundz(cosineSim($"v", $"qv"), 4).as("cos")),
           "ex")
         val ann = topList(
           e.join(broadcast(q), $"bucket" === $"qb" && $"vec_id" =!= $"query_id")
-            .select($"query_id", $"vec_id", round(cosineSim($"v", $"qv"), 4).as("cos")),
+            .select($"query_id", $"vec_id", roundz(cosineSim($"v", $"qv"), 4).as("cos")),
           "an")
         exact.join(ann, Seq("query_id"), "left")
           .withColumn("an", coalesce($"an", array().cast("array<bigint>")))
           .select($"query_id",
             array_join($"ex", ",").as("exact_top"),
             array_join($"an", ",").as("ann_top"),
-            round(size(array_intersect($"ex", $"an")).cast(DoubleType) / 3.0, 6).as("recall_at_3"))
+            roundz(size(array_intersect($"ex", $"an")).cast(DoubleType) / 3.0, 6).as("recall_at_3"))
           .orderBy($"query_id")
       },
       Some(s"""
@@ -481,20 +482,20 @@ object Similarity {
         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 5),
         ex_scored AS (SELECT query_id, vec_id,
                              ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
+                               ORDER BY (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) DESC, vec_id ASC) AS rn
                       FROM e, q WHERE vec_id <> query_id),
         ex AS (SELECT query_id, list(vec_id ORDER BY rn) AS ex
                FROM ex_scored WHERE rn <= 3 GROUP BY query_id),
         an_scored AS (SELECT query_id, vec_id,
                              ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 4) DESC, vec_id ASC) AS rn
+                               ORDER BY (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) DESC, vec_id ASC) AS rn
                       FROM e JOIN q ON e.bucket = q.qb AND e.vec_id <> q.query_id),
         an AS (SELECT query_id, list(vec_id ORDER BY rn) AS an
                FROM an_scored WHERE rn <= 3 GROUP BY query_id)
         SELECT ex.query_id,
                array_to_string(ex.ex, ',') AS exact_top,
                array_to_string(COALESCE(an.an, []::BIGINT[]), ',') AS ann_top,
-               ROUND(CAST(len(list_intersect(ex.ex, COALESCE(an.an, []::BIGINT[]))) AS DOUBLE) / 3.0, 6) AS recall_at_3
+               (ROUND(CAST(len(list_intersect(ex.ex, COALESCE(an.an, []::BIGINT[]))) AS DOUBLE) / 3.0, 6) + 0.0) AS recall_at_3
         FROM ex LEFT JOIN an ON ex.query_id = an.query_id
         ORDER BY ex.query_id"""))
   )

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.GQuery._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,18 +84,18 @@ object TextOps {
         val divRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
         docs(s, d)
           .select($"doc_id",
-            round(lenScore, 6).as("len_score"),
-            round(stopRatio, 6).as("stop_ratio"),
-            round(divRatio, 6).as("diversity"),
-            round(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.3 + divRatio * 0.3, 6).as("quality"))
+            roundz(lenScore, 6).as("len_score"),
+            roundz(stopRatio, 6).as("stop_ratio"),
+            roundz(divRatio, 6).as("diversity"),
+            roundz(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.3 + divRatio * 0.3, 6).as("quality"))
           .orderBy($"doc_id")
       },
       Some("""
         SELECT doc_id,
-               ROUND(len_score, 6) AS len_score,
-               ROUND(stop_ratio, 6) AS stop_ratio,
-               ROUND(diversity, 6) AS diversity,
-               ROUND(len_score * 0.4 + (1.0 - stop_ratio) * 0.3 + diversity * 0.3, 6) AS quality
+               (ROUND(len_score, 6) + 0.0) AS len_score,
+               (ROUND(stop_ratio, 6) + 0.0) AS stop_ratio,
+               (ROUND(diversity, 6) + 0.0) AS diversity,
+               (ROUND(len_score * 0.4 + (1.0 - stop_ratio) * 0.3 + diversity * 0.3, 6) + 0.0) AS quality
         FROM (
           SELECT doc_id,
                  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
@@ -184,7 +185,7 @@ object TextOps {
           .groupBy($"word").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word".asc)
         terms.join(broadcast(df), "word").join(broadcast(nDocs))
-          .withColumn("tfidf", round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+          .withColumn("tfidf", roundz($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3)
           .select($"doc_id", $"rn", $"word", $"tf", $"tfidf")
@@ -201,7 +202,7 @@ object TextOps {
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
           SELECT doc_id, word, tf,
-                 ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS tfidf
+                 (ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) + 0.0) AS tfidf
           FROM tf JOIN dfreq USING (word), n),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
@@ -218,14 +219,14 @@ object TextOps {
         val toks = tokens($"text")
         val vocab = Seq("join", "hash", "scan", "filter", "sort", "merge", "the", "dup")
         val feats = vocab.zipWithIndex.map { case (w, i) =>
-          round(size(filter(toks, t => t === w)).cast(DoubleType) / size(toks), 6).as(s"f_$w")
+          roundz(size(filter(toks, t => t === w)).cast(DoubleType) / size(toks), 6).as(s"f_$w")
         }
         docs(s, d).select(($"doc_id" +: feats): _*).orderBy($"doc_id")
       },
       Some(s"""
         SELECT doc_id,
                ${Seq("join", "hash", "scan", "filter", "sort", "merge", "the", "dup").map(w =>
-          s"ROUND(CAST(len(list_filter(string_split(text,' '), t -> t = '$w')) AS DOUBLE) / len(string_split(text,' ')), 6) AS f_$w").mkString(",\n               ")}
+          s"(ROUND(CAST(len(list_filter(string_split(text,' '), t -> t = '$w')) AS DOUBLE) / len(string_split(text,' ')), 6) + 0.0) AS f_$w").mkString(",\n               ")}
         FROM documents ORDER BY doc_id""")),
 
     // ── t09: order-sensitive document fingerprint — positional token ──
@@ -277,8 +278,8 @@ object TextOps {
           size(array_distinct(tokens($"text"))).as("n_distinct"))
         rep.join(tok, "doc_id")
           .select($"doc_id",
-            round($"top_n".cast(DoubleType) / $"n_bigrams", 6).as("top_bigram_frac"),
-            round(lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_tokens", 6).as("dup_token_frac"),
+            roundz($"top_n".cast(DoubleType) / $"n_bigrams", 6).as("top_bigram_frac"),
+            roundz(lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_tokens", 6).as("dup_token_frac"),
             ($"top_n".cast(DoubleType) / $"n_bigrams" > 0.04).as("repetitive"))
           .orderBy($"doc_id")
       },
@@ -292,8 +293,8 @@ object TextOps {
                 FROM counts GROUP BY doc_id),
         tok AS (SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct FROM ts)
         SELECT doc_id,
-               ROUND(CAST(top_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
-               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               (ROUND(CAST(top_n AS DOUBLE) / n_bigrams, 6) + 0.0) AS top_bigram_frac,
+               (ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) + 0.0) AS dup_token_frac,
                (CAST(top_n AS DOUBLE) / n_bigrams > 0.04) AS repetitive
         FROM rep JOIN tok USING (doc_id) ORDER BY doc_id""")),
 
@@ -317,10 +318,10 @@ object TextOps {
           .select($"bg", $"c_bg", $"c_w1")
         bg.join(broadcast(model), "bg")
           .select($"doc_id",
-            round(log($"c_bg".cast(DoubleType) / $"c_w1"), 6).cast(DecimalType(18, 6)).as("logp"))
+            roundz(log($"c_bg".cast(DoubleType) / $"c_w1"), 6).cast(DecimalType(18, 6)).as("logp"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round((sum($"logp").cast(DoubleType) / count(lit(1))), 6).as("avg_logp"))
+            roundz((sum($"logp").cast(DoubleType) / count(lit(1))), 6).as("avg_logp"))
           .orderBy($"doc_id")
       },
       Some("""
@@ -332,10 +333,10 @@ object TextOps {
         cw1 AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY w1),
         model AS (SELECT bg, c_bg, c_w1 FROM cbg JOIN cw1 USING (w1)),
         scored AS (
-          SELECT doc_id, CAST(ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) AS DECIMAL(18,6)) AS logp
+          SELECT doc_id, CAST((ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) + 0.0) AS DECIMAL(18,6)) AS logp
           FROM bg JOIN model USING (bg))
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+               (ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) + 0.0) AS avg_logp
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── t12: PII detection + redaction — the scrub stage every training ──
@@ -404,11 +405,11 @@ object TextOps {
         val withN = cnt.withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
         withN
           .select($"doc_id", $"n",
-            round(($"c".cast(DoubleType) / $"n") * log($"c".cast(DoubleType) / $"n"), 6)
+            roundz(($"c".cast(DoubleType) / $"n") * log($"c".cast(DoubleType) / $"n"), 6)
               .cast(DecimalType(18, 6)).as("term"))
           .groupBy($"doc_id")
           .agg(max($"n").as("n_tokens"), count(lit(1)).as("n_types"),
-            round(-sum($"term").cast(DoubleType), 6).as("entropy"))
+            roundz(-sum($"term").cast(DoubleType), 6).as("entropy"))
           .orderBy($"doc_id")
       },
       Some("""
@@ -419,10 +420,10 @@ object TextOps {
         withn AS (SELECT doc_id, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cnt),
         terms AS (
           SELECT doc_id, n,
-                 CAST(ROUND((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS term
+                 CAST((ROUND((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) + 0.0) AS DECIMAL(18,6)) AS term
           FROM withn)
         SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_types,
-               ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
+               (ROUND(-CAST(SUM(term) AS DOUBLE), 6) + 0.0) AS entropy
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── t14: Gopher-style quality rules — the published rule set every ──
@@ -441,10 +442,10 @@ object TextOps {
         // Single-space-separated text: Σ word length = chars − separators.
         // Pure arithmetic instead of an interpreted aggregate() lambda.
         val sumLen = length($"text").cast(LongType) - (nWords - 1L)
-        val meanLen = round(sumLen.cast(DoubleType) / nWords, 6)
-        val fracShort = round(
+        val meanLen = roundz(sumLen.cast(DoubleType) / nWords, 6)
+        val fracShort = roundz(
           size(filter(toks, t => length(t) <= 2)).cast(DoubleType) / nWords, 6)
-        val fracUnique = round(
+        val fracUnique = roundz(
           size(array_distinct(toks)).cast(DoubleType) / nWords, 6)
         docs(s, d)
           .select($"doc_id", nWords.as("n_words"), meanLen.as("mean_word_len"),
@@ -459,12 +460,12 @@ object TextOps {
         WITH m AS (
           SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                 ROUND(CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                       / len(string_split(text, ' ')), 6) AS mean_word_len,
-                 ROUND(CAST(len(list_filter(string_split(text, ' '), t -> len(t) <= 2)) AS DOUBLE)
-                       / len(string_split(text, ' ')), 6) AS frac_short_words,
-                 ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                       / len(string_split(text, ' ')), 6) AS frac_unique
+                 (ROUND(CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) + 0.0) AS mean_word_len,
+                 (ROUND(CAST(len(list_filter(string_split(text, ' '), t -> len(t) <= 2)) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) + 0.0) AS frac_short_words,
+                 (ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) + 0.0) AS frac_unique
           FROM documents)
         SELECT doc_id, n_words, mean_word_len, frac_short_words, frac_unique,
                (n_words >= 20 AND n_words <= 100000
@@ -534,7 +535,7 @@ object TextOps {
           .agg(sum($"wt".cast(DecimalType(14, 2))).as("dot"))
         base.join(dots, Seq("doc_id"), "left")
           .withColumn("score",
-            round(lit(-0.20) + coalesce($"dot".cast(DoubleType), lit(0.0)) / $"n_tokens", 6))
+            roundz(lit(-0.20) + coalesce($"dot".cast(DoubleType), lit(0.0)) / $"n_tokens", 6))
           .select($"doc_id", $"score", ($"score" > 0.0).as("keep"))
           .orderBy($"doc_id")
       },
@@ -553,8 +554,8 @@ object TextOps {
                  FROM toks JOIN w ON tok = w_word GROUP BY doc_id),
         scored AS (
           SELECT base.doc_id,
-                 ROUND(CAST(-0.20 AS DOUBLE)
-                   + COALESCE(CAST(dot AS DOUBLE), 0.0) / n_tokens, 6) AS score
+                 (ROUND(CAST(-0.20 AS DOUBLE)
+                   + COALESCE(CAST(dot AS DOUBLE), 0.0) / n_tokens, 6) + 0.0) AS score
           FROM base LEFT JOIN dots ON base.doc_id = dots.doc_id)
         SELECT doc_id, score, score > 0.0 AS keep
         FROM scored ORDER BY doc_id""")),
@@ -578,7 +579,7 @@ object TextOps {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             sum(when($"vw".isNull, 1L).otherwise(0L)).as("n_oov"))
-          .withColumn("oov_rate", round($"n_oov".cast(DoubleType) / $"n_tokens", 6))
+          .withColumn("oov_rate", roundz($"n_oov".cast(DoubleType) / $"n_tokens", 6))
           .orderBy($"doc_id")
       },
       Some("""
@@ -590,7 +591,7 @@ object TextOps {
                   FROM tok LEFT JOIN vocab ON w = vw)
         SELECT doc_id, COUNT(*) AS n_tokens,
                CAST(SUM(oov) AS BIGINT) AS n_oov,
-               ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+               (ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) + 0.0) AS oov_rate
         FROM flags GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── t18: source distribution drift — per source, the φ² effect size ──
@@ -618,7 +619,7 @@ object TextOps {
             ($"n".cast(DoubleType) / $"tot" - $"gn".cast(DoubleType) / $"gtot").as("diff"),
             ($"gn".cast(DoubleType) / $"gtot").as("e"))
           .groupBy($"source")
-          .agg(round(sum($"diff" * $"diff" / $"e"), 6).as("phi2"))
+          .agg(roundz(sum($"diff" * $"diff" / $"e"), 6).as("phi2"))
           .join(totals, "source")
           .select($"source", $"tot".as("n_vocab_tokens"), $"phi2")
           .orderBy($"source")
@@ -638,7 +639,7 @@ object TextOps {
           FROM vc JOIN vocab ON vc.w = vocab.w
           JOIN totals USING (source), gtot)
         SELECT source, MAX(tot) AS n_vocab_tokens,
-               ROUND(SUM(diff * diff / e), 6) AS phi2
+               (ROUND(SUM(diff * diff / e), 6) + 0.0) AS phi2
         FROM terms JOIN totals USING (source)
         GROUP BY source ORDER BY source""")),
 
@@ -663,10 +664,10 @@ object TextOps {
             $"lo", $"hi")
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
-            round(avg($"n_chars"), 4).as("raw_mean"),
-            round(avg($"w"), 4).as("winsor_mean"),
-            round(max($"lo"), 4).as("p5"),
-            round(max($"hi"), 4).as("p95"))
+            roundz(avg($"n_chars"), 4).as("raw_mean"),
+            roundz(avg($"w"), 4).as("winsor_mean"),
+            roundz(max($"lo"), 4).as("p5"),
+            roundz(max($"hi"), 4).as("p95"))
           .orderBy($"lang")
       },
       Some("""
@@ -679,9 +680,9 @@ object TextOps {
                  LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) AS w, lo, hi
           FROM documents d JOIN bounds USING (lang))
         SELECT lang, COUNT(*) AS n_docs,
-               ROUND(AVG(n_chars), 4) AS raw_mean,
-               ROUND(AVG(w), 4) AS winsor_mean,
-               ROUND(MAX(lo), 4) AS p5, ROUND(MAX(hi), 4) AS p95
+               (ROUND(AVG(n_chars), 4) + 0.0) AS raw_mean,
+               (ROUND(AVG(w), 4) + 0.0) AS winsor_mean,
+               (ROUND(MAX(lo), 4) + 0.0) AS p5, (ROUND(MAX(hi), 4) + 0.0) AS p95
         FROM w GROUP BY lang ORDER BY lang"""))
   )
 }
