@@ -71,21 +71,34 @@ object StreamingDedup {
       .as[BandedDoc]
   }
 
+  /** Default state horizon: bounded state is the DEFAULT. An unbounded
+    * stream with unbounded dedup state eventually OOMs every executor;
+    * the replay-everything case must opt out explicitly (`ttl = None`).
+    */
+  val DefaultTtl: java.time.Duration = java.time.Duration.ofHours(24)
+
   /** Stateful pair emission: compare each arriving doc against its
     * bucket's remembered signatures. Pairs estimated ≥ minEst are emitted
     * once per bucket (downstream dedups across bands).
     *
-    * `ttl`: event-time state horizon. When set (and the input carries a
-    * watermark), a bucket whose newest signature is `ttl` older than the
-    * watermark is dropped wholesale — dup pairs are only detected within
-    * the horizon, which is the explicit contract that keeps state bounded
-    * on an unbounded stream. When None (batch parity tests, bounded
-    * replays) state lives for the run.
+    * `ttl`: event-time state horizon, DEFAULT [[DefaultTtl]]. When the
+    * input carries a watermark, a bucket whose newest signature is `ttl`
+    * older than the watermark is dropped wholesale — dup pairs are only
+    * detected within the horizon, which is the explicit contract that
+    * keeps state bounded on an unbounded stream. `ttl = None` is the
+    * explicit opt-out for bounded replays that must pair across all time.
+    * An input WITHOUT a watermark has no event-time clock for the horizon
+    * (Spark rejects EventTimeTimeout there), so the TTL degrades to
+    * NoTimeout — acceptable only because a watermark-less input is itself
+    * a bounded-replay choice.
     */
   def incrementalPairs(banded: Dataset[BandedDoc], minEst: Double = 0.5,
-                       ttl: Option[java.time.Duration] = None): Dataset[DupPair] = {
+                       ttl: Option[java.time.Duration] = Some(DefaultTtl)): Dataset[DupPair] = {
     import banded.sparkSession.implicits._
-    val ttlMs = ttl.map(_.toMillis)
+    val hasWatermark = banded.queryExecution.analyzed.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => ()
+    }.isDefined
+    val ttlMs = if (hasWatermark) ttl.map(_.toMillis) else None
 
     def fn(key: (Int, String), rows: Iterator[BandedDoc],
            state: GroupState[BucketState]): Iterator[DupPair] = {

@@ -222,9 +222,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
       .withWatermark("ts", "1 minute")
+    // DEFAULT construction — bounded state out of the box (24 h TTL; the
+    // waves 2 days later push the watermark past every old bucket).
     val pairs = graft.streaming.StreamingDedup.incrementalPairs(
-      graft.streaming.StreamingDedup.bandedSignatures(stream),
-      ttl = Some(java.time.Duration.ofHours(1)))
+      graft.streaming.StreamingDedup.bandedSignatures(stream))
     val q = pairs.writeStream.outputMode("append").format("memory").queryName("sdedup_ttl_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(180000)
