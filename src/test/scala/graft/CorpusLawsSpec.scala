@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline LAWS on scalacheck-generated corpora (SURVEY §7 step 10).
+  *
+  * PropertySpec checks operators against references on the fixed test
+  * corpus; this spec checks algebraic invariants that must hold on ANY
+  * corpus — idempotence, partition/permutation laws, growth stability —
+  * by generating documents tables (with forced duplicates, shared
+  * 13-gram spans, and sub-threshold short docs) and running the REAL
+  * `SparkEntry.queries` against them. Growth stability is the law that
+  * matters at 100 TB: every membership/order decision derives from a
+  * per-row salted hash, so ingesting tomorrow's shard must not reshuffle
+  * yesterday's splits, samples, or training order.
+  */
+class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val vocab = Vector(
+    "the", "a", "join", "hash", "row", "scan", "filter", "sort", "merge",
+    "dup", "spark", "query", "data", "fast", "vector", "window", "big",
+    "small", "slow", "batch", "table", "key", "order", "group", "line")
+
+  private def docGen(seed: Long, n: Int): Seq[(Long, String, String, String)] = {
+    val texts = (0 until n).map { i =>
+      val g = for {
+        len <- Gen.chooseNum(10, 60)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" ")
+      g.apply(Gen.Parameters.default, Seed(seed + i)).get
+    }.toArray
+    // forced structure: exact duplicates every 7th doc; every 11th doc
+    // embeds an earlier doc's full text (shared 13-grams → decontamination
+    // has real work); generator already yields sub-30-token docs.
+    (1 until n).foreach { i =>
+      if (i % 7 == 0) texts(i) = texts(i - 1)
+      else if (i % 11 == 0) texts(i) = texts(i / 2) + " tail marker token"
+    }
+    (0 until n).map { i =>
+      (i.toLong, texts(i), Seq("en", "de", "fr", "zh")(i % 4), s"src${i % 5}")
+    }
+  }
+
+  /** Write a generated corpus as a `documents` table queries can load. */
+  private def writeCorpus(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_laws").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val data = rows.map(r => Row(r._1, r._2, r._3, r._4, r._2.length.toLong))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toSeq, 4), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val corpusA = docGen(100L, 300)
+  private lazy val corpusB = corpusA ++ docGen(900L, 300).map {
+    case (id, t, l, s) => (id + 300L, t, l, s) // growth: new ids, old rows verbatim
+  }
+  private lazy val dirA = writeCorpus(corpusA)
+  private lazy val dirB = writeCorpus(corpusB)
+
+  test("law: p01 splits partition any corpus and are stable under growth") {
+    val a = SparkEntry.queries("p01_split_assign")(spark, dirA)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.length == corpusA.length && a.map(_._1).distinct.length == a.length,
+      "splits must assign every doc exactly once")
+    val frac = a.count(_._2 == "train").toDouble / a.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 0.8")
+    val b = SparkEntry.queries("p01_split_assign")(spark, dirB)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, s) =>
+      assert(b(id) == s, s"doc $id split changed ${s}→${b(id)} when the corpus grew")
+    }
+  }
+
+  test("law: p02 sample is a subset with stable membership under growth") {
+    val ids = corpusA.map(_._1).toSet
+    val a = SparkEntry.queries("p02_stratified_sample")(spark, dirA)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(ids), "sampled ids not drawn from the corpus")
+    assert(a.nonEmpty && a.size < ids.size, "sample neither proper nor nonempty")
+    val b = SparkEntry.queries("p02_stratified_sample")(spark, dirB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((b & ids) == a, "old docs' sample membership changed when the corpus grew")
+  }
+
+  test("law: p07 emits a permutation whose within-shard order survives growth") {
+    def run(dir: String) = SparkEntry.queries("p07_training_order")(spark, dir)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run(dirA)
+    assert(a.map(_._1).distinct.length == corpusA.length, "docs lost or duplicated")
+    a.groupBy(_._2).foreach { case (shard, m) =>
+      assert(m.map(_._3).sorted.toSeq == (1 to m.length),
+        s"shard $shard positions not dense")
+    }
+    val oldIds = corpusA.map(_._1).toSet
+    val b = run(dirB)
+    // a doc's (shard, sort_key) derive from its id alone → old docs keep
+    // their shard and their relative order; new docs only interleave.
+    val orderA = a.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    val orderB = b.filter(t => oldIds(t._1)).groupBy(_._2)
+      .view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    assert(orderA == orderB, "within-shard relative order of old docs changed under growth")
+  }
+
+  test("law: p08 clean-corpus is idempotent (cleaning the cleaned corpus is identity)") {
+    def key(r: Row) = (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4))
+    val first = SparkEntry.queries("p08_clean_corpus")(spark, dirA).collect().map(key)
+    assert(first.nonEmpty, "generated corpus produced an empty clean corpus")
+    assert(first.length < corpusA.length,
+      "forced dups/short docs should make cleaning strictly reductive")
+    val keptIds = first.map(_._1).toSet
+    val dir2 = writeCorpus(corpusA.filter(r => keptIds(r._1)))
+    val second = SparkEntry.queries("p08_clean_corpus")(spark, dir2).collect().map(key)
+    assert(second.toSet == first.toSet,
+      s"p08 not idempotent: ${(first.toSet diff second.toSet).size} dropped, " +
+        s"${(second.toSet diff first.toSet).size} added on the second pass")
+  }
+
+  test("law: p14 quotas are non-negative and sum exactly to the budget on any corpus") {
+    Seq(dirA, dirB, writeCorpus(docGen(7000L, 37))).foreach { dir =>
+      val shards = SparkEntry.queries("p14_shard_quota")(spark, dir)
+        .select("shards").collect().map(_.getLong(0))
+      assert(shards.forall(_ >= 0L), s"negative quota in $dir")
+      assert(shards.sum == 1000L, s"quotas sum to ${shards.sum} != 1000 in $dir")
+    }
+  }
+
+  test("law: d01 dedup matches the set-fingerprint reference and is idempotent") {
+    def fp(text: String): String = {
+      val canon = text.split(" ").distinct.sorted.mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = corpusA.groupBy(r => fp(r._2))
+      .map { case (f, g) => (f, g.map(_._1).min, g.size.toLong) }.toSet
+    val got = SparkEntry.queries("d01_exact_dedup")(spark, dirA).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "d01 diverges from the driver-side fingerprint reference")
+    // idempotence: dedup of the keeper set is the identity partition
+    val keep = got.map(_._2)
+    val dir2 = writeCorpus(corpusA.filter(r => keep(r._1)))
+    val again = SparkEntry.queries("d01_exact_dedup")(spark, dir2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(again.forall(_._2 == 1L), "keeper set still contains duplicates")
+    assert(again.map(_._1).toSet == keep, "second dedup changed the keeper set")
+  }
+
+  test("q24 sketch sanity: approx_count_distinct within 5 relative-σ of exact") {
+    import spark.implicits._
+    // rsd=0.02 → 5σ = 10%; the oracle can't address HLL, so this probe is
+    // q24's verification (the driver records it rows-only by design).
+    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sf)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "q24 group keys diverge from exact")
+    exact.foreach { case (k, x) =>
+      val rel = math.abs(approx(k).toDouble - x) / x
+      assert(rel <= 0.10, f"q24[$k]: approx=${approx(k)} exact=$x rel-err=$rel%.4f > 10%%")
+    }
+  }
+}
