@@ -304,6 +304,36 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       "salted two-stage aggregation drifted from the plain aggregate")
   }
 
+  test("AQE rewrites a skewed sort-merge join into a skew join at runtime") {
+    import spark.implicits._
+    // The q04-shape failure at 100 TB: one hot join key melts a reducer.
+    // The manual salting test above proves the by-hand fix; this pins the
+    // RUNTIME fix — AQE detecting the oversized partition and splitting it
+    // (skewJoin rewrite) with no query change. Thresholds are lowered so
+    // test-scale bytes qualify as "skewed"; detection logic is the real one.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ path
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000).select(
+        when($"id" % 10 < 8, 0L).otherwise($"id" % 500).as("key"),
+        concat(lit("payload-padding-payload-padding-"), $"id").as("pad"))
+      val dim = spark.range(500).select($"id".as("key"), concat(lit("d"), $"id").as("name"))
+      val joined = fact.join(dim, "key").groupBy($"name").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join rewrite did not fire; executed plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // co-locate fact tables on the join key at write time: at 100 TB this
     // is the difference between a one-off layout cost and re-shuffling
