@@ -150,7 +150,9 @@ object RegistryOps {
         ORDER BY filetype_id, rank""")),
 
     // ── r02: extractor selection — the reference's `extractors[0]` rule ──
-    // (__init__.py:110-115) + how many alternatives were discovered.
+    // (__init__.py:110-115) + how many alternatives were discovered, with
+    // the 'Discovered multiple extractors' warning (__init__.py:110-113)
+    // surfaced as a first-class flag instead of a log line.
     GQuery("r02_extractor_select",
       (s, d) => {
         import s.implicits._
@@ -158,13 +160,15 @@ object RegistryOps {
           .filter(size($"registered_extractors") > 0)
           .select($"filetype_id",
             element_at($"registered_extractors", 1).as("chosen_extractor"),
-            size($"registered_extractors").as("n_alternatives"))
+            size($"registered_extractors").as("n_alternatives"),
+            (size($"registered_extractors") > 1).as("multiple_found"))
           .orderBy($"filetype_id")
       },
       Some(s"""
         SELECT filetype_id,
                registered_extractors[1] AS chosen_extractor,
-               CAST(len(registered_extractors) AS INT) AS n_alternatives
+               CAST(len(registered_extractors) AS INT) AS n_alternatives,
+               len(registered_extractors) > 1 AS multiple_found
         FROM ${Registry.filetypesSql}
         WHERE len(registered_extractors) > 0
         ORDER BY filetype_id""")),
@@ -534,6 +538,64 @@ object RegistryOps {
                MAX(CASE WHEN usage.method = 'cli' THEN 1 ELSE 0 END)
                  + MAX(CASE WHEN usage.method = 'python' THEN 1 ELSE 0 END) > 0 AS batch_ready
         FROM reg LEFT JOIN usage ON reg.extractor_id = usage.extractor_id
-        GROUP BY filetype_id ORDER BY filetype_id"""))
+        GROUP BY filetype_id ORDER BY filetype_id""")),
+
+    // ── r12: dispatch preflight status — the reference's hard error ──
+    // paths as a first-class per-file column instead of exceptions: local
+    // files are stat()-checked BEFORE the registry lookup ('File does not
+    // exist', __init__.py:88-89), URL inputs skip the check and enter the
+    // download stage (__init__.py:81-84), and filetypes with no registered
+    // extractor fail the lookup ('No extractors found', __init__.py:
+    // 106-109). A batch run reports on this frame and filters status='ok'/
+    // 'fetch' into r05's templating — per-file errors must not kill a
+    // 10^10-file job the way the reference's RuntimeError kills one call.
+    // The stat() result is a deterministic stub column (every 13th local
+    // file is gone by dispatch time); a real runner fills it from the
+    // filesystem listing it already holds.
+    GQuery("r12_dispatch_status",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d)
+          .withColumn("input_path",
+            when($"doc_id" % 10 === 7,
+              concat(lit("https://files.example.org/doc_"), $"doc_id", lit(".dat")))
+              .otherwise($"input_path"))
+          .withColumn("is_url", $"input_path".startsWith("https://"))
+          .withColumn("file_exists", $"is_url" || $"doc_id" % 13 =!= 0)
+        val chosen = Registry.filetypes(s)
+          .select($"filetype_id",
+            when(size($"registered_extractors") > 0,
+              element_at($"registered_extractors", 1)).as("extractor_id"))
+        files.join(broadcast(chosen), Seq("filetype_id"), "left_outer")
+          .select($"doc_id", $"input_path",
+            coalesce($"extractor_id", lit("NONE")).as("extractor_id"),
+            when(!$"file_exists", "error:file_missing")
+              .when($"extractor_id".isNull, "error:no_extractor")
+              .when($"is_url", "fetch")
+              .otherwise("ok").as("status"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH files AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 7
+                      THEN 'https://files.example.org/doc_' || doc_id || '.dat'
+                      ELSE input_path END AS input_path,
+                 filetype_id,
+                 doc_id % 10 = 7 AS is_url,
+                 (doc_id % 10 = 7) OR (doc_id % 13 <> 0) AS file_exists
+          FROM $catalogSql),
+        chosen AS (
+          SELECT filetype_id,
+                 CASE WHEN len(registered_extractors) > 0 THEN registered_extractors[1] END AS extractor_id
+          FROM ${Registry.filetypesSql})
+        SELECT f.doc_id, f.input_path,
+               COALESCE(c.extractor_id, 'NONE') AS extractor_id,
+               CASE WHEN NOT f.file_exists THEN 'error:file_missing'
+                    WHEN c.extractor_id IS NULL THEN 'error:no_extractor'
+                    WHEN f.is_url THEN 'fetch'
+                    ELSE 'ok' END AS status
+        FROM files f LEFT JOIN chosen c ON f.filetype_id = c.filetype_id
+        ORDER BY f.doc_id"""))
   )
 }
