@@ -35,13 +35,14 @@ object Bench {
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseSignatures()
     }
-    // min of 2 timed runs per query + an explicit GC boundary: a stray
+    // min of 3 timed runs per query + an explicit GC boundary: a stray
     // full-GC pause otherwise lands inside some unlucky query and reports
-    // a 20× outlier for code that runs in a second. Cache (including the
-    // memoized dedup signature frame) cleared between queries so each
+    // a 20× outlier for code that runs in a second (min-of-2 still let
+    // GC/loop noise swap family orderings between runs). Cache (including
+    // the memoized dedup signature frame) cleared between queries so each
     // timing stands alone.
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()

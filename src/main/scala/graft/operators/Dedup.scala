@@ -823,6 +823,33 @@ object Dedup {
                (ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) + 0.0) AS sample_rate,
                (ROUND(abs((ROUND(CAST(dup_corpus AS DOUBLE) / n_corpus, 6) + 0.0)
                        - (ROUND(CAST(dup_sample AS DOUBLE) / n_sample, 6) + 0.0)), 6) + 0.0) AS abs_err
-        FROM corpus, sample"""))
+        FROM corpus, sample""")),
+
+    // ── d16: prefix dedup — duplicate groups keyed on the leading ──
+    // 32-token prefix: catches template/boilerplate families (same intro
+    // stamped onto different tails) that whole-document hashing (d01)
+    // misses and MinHash under-scores when the shared prefix is a small
+    // fraction of a long document. Same scale discipline as d01: a
+    // uniform 128-bit hash groupBy, no skew, the text itself never
+    // shuffles (the fingerprint does). Shorter documents fingerprint
+    // their whole token list — both engines truncate slices identically.
+    GQuery("d16_prefix_dedup",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id",
+            md5(array_join(slice(tokens($"text"), 1, 32), " ")).as("pfp"))
+          .groupBy($"pfp")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+          .filter($"n_docs" > 1)
+          .orderBy($"pfp")
+      },
+      Some("""
+        SELECT pfp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
+          SELECT doc_id,
+                 md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS pfp
+          FROM documents)
+        GROUP BY pfp HAVING COUNT(*) > 1
+        ORDER BY pfp"""))
   )
 }

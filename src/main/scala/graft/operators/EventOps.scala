@@ -704,6 +704,41 @@ object EventOps {
                epoch_us(MAX(ts)) + 1800000000 AS end_us,
                COUNT(*) AS n_events
         FROM s GROUP BY user_id, sess_id
-        ORDER BY user_id, start_us"""))
+        ORDER BY user_id, start_us""")),
+
+    // ── e21: interval (range) join — each purchase event matched to the ──
+    // session interval containing it. THE scale shape for range joins:
+    // Spark has no range-join optimizer, so a bare ts-BETWEEN theta-join
+    // degenerates to a broadcast nested loop; carrying the EQUALITY key
+    // (user_id — intervals and probes are both per-user) makes it a plain
+    // hash/sort-merge join with the range as a cheap residual filter, and
+    // both sides co-partition. (Keyless global intervals bin the timeline
+    // instead: explode intervals to covered bins, equi-join on bin —
+    // e07/e11's bucketing discipline.) Sessions partition a user's
+    // timeline, so every purchase lands in exactly ONE interval — row
+    // count preserved, no dedup stage.
+    GQuery("e21_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val purchases = ev(s, d).filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+        purchases.join(sessionFrame(s, d), Seq("user_id"))
+          .filter($"p_us" >= $"start_us" && $"p_us" <= $"end_us")
+          .select($"event_id", $"user_id", $"p_us", $"session_id",
+            $"n_events".as("session_events"),
+            ($"end_us" - $"start_us").as("session_len_us"))
+          .orderBy($"event_id")
+      },
+      Some(s"""
+        WITH $sessSql,
+        purchases AS (
+          SELECT event_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.p_us, s.session_id,
+               s.n_events AS session_events,
+               s.end_us - s.start_us AS session_len_us
+        FROM purchases p JOIN sess s ON p.user_id = s.user_id
+        WHERE p.p_us >= s.start_us AND p.p_us <= s.end_us
+        ORDER BY p.event_id"""))
   )
 }

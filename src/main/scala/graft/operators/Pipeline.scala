@@ -714,6 +714,59 @@ object Pipeline {
           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         SELECT status, COUNT(*) AS n_docs,
                CAST(SUM(delta) AS BIGINT) AS byte_delta
-        FROM j GROUP BY status ORDER BY status"""))
+        FROM j GROUP BY status ORDER BY status""")),
+
+    // ── p18: curriculum ordering — stage docs easy→hard for staged ──
+    // pretraining: quality (t03/p09's formula) cut at FIXED thresholds
+    // into stages, then p07's salted-hash order WITHIN (stage, shard).
+    // Deliberately not ntile: a global quantile window funnels the corpus
+    // through one partition, and quantile stage boundaries shift as the
+    // corpus grows — absolute cuts keep a doc's stage stable under
+    // ingest (the p01 growth-stability law) and keep every ranking
+    // window (stage × shard) small. Threshold compares on the ROUNDED
+    // score, so the cut is bit-identical cross-engine.
+    GQuery("p18_curriculum_order",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens($"text")
+        val nTok = size(toks).cast(DoubleType)
+        val quality =
+          roundz(least($"n_chars".cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - size(filter(toks, t => t.isInCollection(Set("the", "a"))))
+              .cast(DoubleType) / nTok) * 0.3 +
+            (size(array_distinct(toks)).cast(DoubleType) / nTok) * 0.3, 6)
+        val w = Window.partitionBy($"stage", $"shard")
+          .orderBy($"sort_key".asc, $"doc_id".asc)
+        docs(s, d)
+          .select($"doc_id", quality.as("q"),
+            (hash64(concat(lit("order:"), $"doc_id")) % 8).as("shard"),
+            hash64(concat(lit("pos:"), $"doc_id")).as("sort_key"))
+          .withColumn("stage",
+            when($"q" < 0.6, 0).when($"q" < 0.7, 1).when($"q" < 0.8, 2).otherwise(3))
+          .withColumn("pos", row_number().over(w))
+          .select($"doc_id", $"stage", $"shard", $"pos")
+          .orderBy($"stage", $"shard", $"pos")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+                 (ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+                   (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3 +
+                   (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3, 6) + 0.0) AS q,
+                 ${hashSql("order:")} % 8 AS shard,
+                 ${hashSql("pos:")} AS sort_key
+          FROM documents),
+        staged AS (
+          SELECT doc_id, shard, sort_key,
+                 CASE WHEN q < 0.6 THEN 0 WHEN q < 0.7 THEN 1
+                      WHEN q < 0.8 THEN 2 ELSE 3 END AS stage
+          FROM base)
+        SELECT doc_id, stage, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                 ORDER BY sort_key ASC, doc_id ASC) AS INT) AS pos
+        FROM staged ORDER BY stage, shard, pos"""))
   )
 }

@@ -497,6 +497,78 @@ object Similarity {
                array_to_string(COALESCE(an.an, []::BIGINT[]), ',') AS ann_top,
                (ROUND(CAST(len(list_intersect(ex.ex, COALESCE(an.an, []::BIGINT[]))) AS DOUBLE) / 3.0, 6) + 0.0) AS recall_at_3
         FROM ex LEFT JOIN an ON ex.query_id = an.query_id
-        ORDER BY ex.query_id"""))
+        ORDER BY ex.query_id""")),
+
+    // ── s12: product quantization + asymmetric-distance rerank — the ──
+    // memory-side ANN scale path s06/s07 don't cover: 64 dims → 8
+    // subspaces × one codeword id each (8 SMALL codes per vector instead
+    // of 256 float bytes; at 100 TB the PQ-coded corpus fits in a
+    // fraction of the RAM the raw vectors need). Codebook = per-subspace
+    // per-label mean subvectors (k×m×8 doubles — always broadcast);
+    // encoding is an argmax over 10 codewords per subspace (rounded dot,
+    // label-asc ties); ADC scores a query against CODEWORDS only
+    // (lookup-table dot products, DECIMAL-exact sum of rounded terms);
+    // the top-20 ADC shortlist reranks with exact cosine. The corpus is
+    // scanned once for encoding and once (shortlist-only) for rerank —
+    // nothing pairwise.
+    GQuery("s12_pq_adc_rerank",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", $"label", asDouble($"embedding").as("v"))
+        val sub = e.select($"vec_id", $"label",
+            explode(sequence(lit(0), lit(7))).as("ss"), $"v")
+          .select($"vec_id", $"label", $"ss", slice($"v", $"ss" * 8 + 1, lit(8)).as("vs"))
+        val codebook = sub.select($"label".as("c_label"), $"ss", posexplode($"vs"))
+          .groupBy($"c_label", $"ss", $"pos")
+          .agg((sum($"col") / count(lit(1))).as("m"))
+          .groupBy($"c_label", $"ss")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"c_label", $"ss", transform($"pm", x => x.getField("m")).as("cw"))
+        def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val wEnc = Window.partitionBy($"vec_id", $"ss").orderBy($"dt".desc, $"c_label".asc)
+        val enc = sub.join(broadcast(codebook), Seq("ss"))
+          .select($"vec_id", $"ss", $"c_label", $"cw",
+            roundz(dot8($"vs", $"cw"), 4).as("dt"))
+          .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+          .select($"vec_id", $"ss", $"cw")
+        val q = sub.filter($"vec_id" === 0).select($"ss", $"vs".as("qs"))
+        val adc = enc.join(broadcast(q), Seq("ss"))
+          .select($"vec_id",
+            roundz(dot8($"qs", $"cw"), 4).cast(DecimalType(14, 4)).as("term"))
+          .groupBy($"vec_id").agg(sum($"term").cast(DoubleType).as("adc"))
+        val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
+        adc.filter($"vec_id" =!= 0)
+          .orderBy($"adc".desc, $"vec_id".asc).limit(20)
+          .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+          .join(broadcast(qv))
+          .select($"vec_id", $"adc", roundz(cosineSim($"v", $"qv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc).limit(5)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sub AS (SELECT vec_id, label, s.s AS ss, v[s.s*8+1 : s.s*8+8] AS vs
+                FROM e, (SELECT unnest(range(8)) AS s) s),
+        coords AS (SELECT label AS c_label, ss, p.p AS pos, sum(vs[p.p]) / count(*) AS m
+                   FROM sub, (SELECT unnest(range(1, 9)) AS p) p
+                   GROUP BY c_label, ss, pos),
+        code AS (SELECT c_label, ss, list(m ORDER BY pos) AS cw FROM coords GROUP BY c_label, ss),
+        enc0 AS (SELECT sub.vec_id, sub.ss, code.c_label, code.cw,
+                        ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.ss
+                          ORDER BY (ROUND(list_sum(list_transform(range(1, 9), k -> sub.vs[k] * code.cw[k])), 4) + 0.0) DESC,
+                                   code.c_label ASC) AS rn
+                 FROM sub JOIN code ON sub.ss = code.ss),
+        enc AS (SELECT vec_id, ss, cw FROM enc0 WHERE rn = 1),
+        q AS (SELECT ss, vs AS qs FROM sub WHERE vec_id = 0),
+        adc AS (SELECT enc.vec_id,
+                       CAST(SUM(CAST((ROUND(list_sum(list_transform(range(1, 9), k -> q.qs[k] * enc.cw[k])), 4) + 0.0) AS DECIMAL(14,4))) AS DOUBLE) AS adc
+                FROM enc JOIN q ON enc.ss = q.ss GROUP BY enc.vec_id),
+        short AS (SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+                  ORDER BY adc DESC, vec_id ASC LIMIT 20),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT s.vec_id, s.adc, (ROUND(${cosSql("e.v", "qv.qv")}, 4) + 0.0) AS cos
+        FROM short s JOIN e ON s.vec_id = e.vec_id, qv
+        ORDER BY cos DESC, s.vec_id ASC LIMIT 5"""))
   )
 }

@@ -683,6 +683,60 @@ object TextOps {
                (ROUND(AVG(n_chars), 4) + 0.0) AS raw_mean,
                (ROUND(AVG(w), 4) + 0.0) AS winsor_mean,
                (ROUND(MAX(lo), 4) + 0.0) AS p5, (ROUND(MAX(hi), 4) + 0.0) AS p95
-        FROM w GROUP BY lang ORDER BY lang"""))
+        FROM w GROUP BY lang ORDER BY lang""")),
+
+    // ── t20: Zipf slope — least-squares fit of log(freq) vs log(rank) ──
+    // over the top-100 vocabulary: natural text sits near slope −1, so
+    // the corpus-QA dashboards use the fit to flag synthetic/templated
+    // corpora. One distributed word count (2-stage partial agg) +
+    // TakeOrdered top-100; the regression runs over 100 rows. Float
+    // discipline: each log is ROUNDED to 6dp then DECIMAL — the sums and
+    // cross-products are exact, and the closed-form slope is a fixed
+    // IEEE double expression over those exact values, so both engines
+    // compute identical bits (raw libm log drifts at the ulp
+    // cross-engine; SURVEY §6).
+    GQuery("t20_zipf_slope",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val top = docs(s, d).select(explode(tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("f"))
+          .orderBy($"f".desc, $"w".asc).limit(100)
+        // rank window over the 100-row TakeOrdered result — bounded, not
+        // a corpus-wide global sort
+        val rw = Window.orderBy($"f".desc, $"w".asc)
+        top.withColumn("rank", row_number().over(rw))
+          .select(
+            roundz(log($"rank".cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("x"),
+            roundz(log($"f".cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("y"))
+          .agg(count(lit(1)).as("n_words"),
+            sum($"x").cast(DoubleType).as("sx"), sum($"y").cast(DoubleType).as("sy"),
+            sum($"x" * $"y").cast(DoubleType).as("sxy"),
+            sum($"x" * $"x").cast(DoubleType).as("sxx"))
+          .select($"n_words",
+            roundz(($"n_words" * $"sxy" - $"sx" * $"sy") /
+              ($"n_words" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+            roundz(($"sy" - ($"n_words" * $"sxy" - $"sx" * $"sy") /
+              ($"n_words" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_words", 6).as("intercept"))
+          .orderBy($"n_words")
+      },
+      Some("""
+        WITH top AS (
+          SELECT w, COUNT(*) AS f
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w ORDER BY f DESC, w ASC LIMIT 100),
+        xy AS (
+          SELECT CAST((ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)), 6) + 0.0) AS DECIMAL(18,6)) AS x,
+                 CAST((ROUND(ln(CAST(f AS DOUBLE)), 6) + 0.0) AS DECIMAL(18,6)) AS y
+          FROM top),
+        sums AS (
+          SELECT COUNT(*) AS n_words,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+          FROM xy)
+        SELECT n_words,
+               (ROUND((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) + 0.0) AS slope,
+               (ROUND((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx) / n_words, 6) + 0.0) AS intercept
+        FROM sums ORDER BY n_words"""))
   )
 }
