@@ -739,6 +739,53 @@ object EventOps {
                s.end_us - s.start_us AS session_len_us
         FROM purchases p JOIN sess s ON p.user_id = s.user_id
         WHERE p.p_us >= s.start_us AND p.p_us <= s.end_us
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ── e22: binned interval join — the KEYLESS range-join counterpart ──
+    // to e21: global maintenance/report windows (no shared equality
+    // column with events) would force a nested-loop theta-join; instead
+    // the timeline is binned (1-hour buckets), each interval explodes to
+    // the bins it covers (bounded: window length / bin size rows), events
+    // map to their bin, and the join is plain hash-partitioned equality
+    // on bin with the exact BETWEEN as a residual filter. Window
+    // geometry derives from the corpus span with integer arithmetic, so
+    // both engines cut identical disjoint windows at any SF.
+    GQuery("e22_binned_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val hourUs = 3600000000L
+        val mm = ev(s, d).agg(min(unix_micros($"ts")).as("t0"),
+          max(unix_micros($"ts")).as("t1"))
+        val windows = s.range(10).toDF("w_id").join(broadcast(mm))
+          .select($"w_id",
+            expr("t0 + w_id * ((t1 - t0) DIV 10)").as("w_start"),
+            expr("t0 + w_id * ((t1 - t0) DIV 10) + (t1 - t0) DIV 40").as("w_end"))
+        val wbins = windows.select($"w_id", $"w_start", $"w_end",
+          explode(expr(s"sequence(w_start DIV $hourUs, (w_end - 1) DIV $hourUs)")).as("bin"))
+        val ebins = ev(s, d).select($"event_id", unix_micros($"ts").as("t_us"),
+          expr(s"unix_micros(ts) DIV $hourUs").as("bin"), $"value")
+        ebins.join(wbins, "bin")
+          .filter($"t_us" >= $"w_start" && $"t_us" < $"w_end")
+          .groupBy($"w_id", $"w_start", $"w_end")
+          .agg(count(lit(1)).as("n_events"), sumd(d2($"value")).as("value_sum"))
+          .orderBy($"w_id")
+      },
+      Some("""
+        WITH mm AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+        w AS (SELECT k.k AS w_id,
+                     t0 + k.k * ((t1 - t0) // 10) AS w_start,
+                     t0 + k.k * ((t1 - t0) // 10) + (t1 - t0) // 40 AS w_end
+              FROM mm, (SELECT unnest(range(10)) AS k) k),
+        wb AS (SELECT w_id, w_start, w_end,
+                      unnest(range(w_start // 3600000000, (w_end - 1) // 3600000000 + 1)) AS bin
+               FROM w),
+        eb AS (SELECT event_id, epoch_us(ts) AS t_us,
+                      epoch_us(ts) // 3600000000 AS bin, value
+               FROM events)
+        SELECT w_id, w_start, w_end, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM eb JOIN wb USING (bin)
+        WHERE t_us >= w_start AND t_us < w_end
+        GROUP BY w_id, w_start, w_end ORDER BY w_id"""))
   )
 }

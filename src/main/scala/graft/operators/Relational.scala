@@ -1217,6 +1217,39 @@ object Relational {
           FROM keyed a LEFT JOIN keyed b ON a.k = b.k)
         SELECT COALESCE(ka, '(null)') AS key, na, nb_nullsafe, nb_plain
         FROM ns JOIN pl ON ka IS NOT DISTINCT FROM ka2
-        ORDER BY key"""))
+        ORDER BY key""")),
+
+    // ── q48: per-group MODE (most frequent value) — the categorical ──
+    // profiling aggregate SQL engines ship as MODE()/mode WITHIN GROUP.
+    // Built-in mode() is tie-nondeterministic across engines, so this is
+    // the portable two-stage form: count per (group, value) — map-side
+    // partial agg — then one ranking window over the COUNTED frame
+    // (|groups|×|values| rows, tiny at any scale), ties broken (n DESC,
+    // value ASC) so both engines elect the same winner. The corpus is
+    // touched once; the window never sees raw rows.
+    GQuery("q48_group_mode",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority".asc)
+        t(s, d, "orders")
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n".as("mode_n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        ranked AS (
+          SELECT o_orderstatus, o_orderpriority, n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority ASC) AS rn
+          FROM counts)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+        FROM ranked WHERE rn = 1 ORDER BY o_orderstatus"""))
   )
 }
