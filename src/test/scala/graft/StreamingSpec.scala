@@ -252,6 +252,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"state not expired by TTL: peak=$peak final=$fin (${stateRows.mkString(",")})")
   }
 
+  test("streaming corpus ingest equals the batch gate with first-arrival dedup") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text", $"n_chars")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ingest_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString + "/t"
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", lit(java.sql.Timestamp.valueOf(t)))
+    // wave 2 re-submits 100 wave-1 documents under NEW doc_ids (a
+    // re-crawl): the content-hash dedup must admit only first arrivals
+    val wave1 = stamped(docs.filter($"doc_id" < 300), "2024-01-01 10:00:00")
+    val wave2 = stamped(
+      docs.filter($"doc_id" >= 300)
+        .unionByName(docs.filter($"doc_id" < 100)
+          .withColumn("doc_id", $"doc_id" + 10000L)),
+      "2024-01-01 10:05:00")
+    wave1.coalesce(1).write.mode("overwrite").parquet(s"$inDir/w0")
+    wave2.coalesce(1).write.mode("overwrite").parquet(s"$inDir/w1")
+    val schema = spark.read.parquet(s"$inDir/w0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val q = graft.streaming.CorpusIngest.ingest(stream, outDir)
+      .option("checkpointLocation", outDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val out = spark.read.parquet(outDir).select($"doc_id", $"ch", $"quality").collect()
+    // admitted hashes = the batch gate's distinct hashes (union of waves)
+    val batchGate = graft.streaming.CorpusIngest.gate(
+      wave1.unionByName(wave2)).select($"ch").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet == batchGate,
+      "streaming admitted-hash set diverges from the batch gate")
+    assert(out.map(_.getString(1)).distinct.length == out.length,
+      "duplicate content hashes admitted")
+    // first arrival wins: every re-crawled duplicate kept its wave-1 id
+    assert(out.forall(_.getLong(0) < 10000L),
+      "a re-submitted duplicate displaced its first arrival")
+  }
+
   test("incremental streaming minhash dedup finds the batch LSH pairs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
