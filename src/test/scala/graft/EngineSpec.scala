@@ -223,6 +223,41 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"m07: frame-hash equality join disappeared:\n$m07")
   }
 
+  test("round-5 operators keep their scale shapes") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // e21: the range join rides the user_id EQUALITY key — a BETWEEN that
+    // becomes the join operator itself is the nested-loop regression this
+    // operator exists to avoid.
+    val e21 = planOf("e21_interval_join")
+    assert(!e21.contains("BroadcastNestedLoopJoin") && !e21.contains("CartesianProduct"),
+      s"e21: range join degenerated to a nested loop:\n$e21")
+    assert(e21.contains("HashJoin") || e21.contains("SortMergeJoin"),
+      s"e21: equality join disappeared:\n$e21")
+    // e22: events join the exploded window-bin dim by bin EQUALITY; the
+    // only nested loop is the 10-row window frame × 1-row min/max.
+    val e22 = planOf("e22_binned_interval_join")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(e22).size <= 1 &&
+      !e22.contains("CartesianProduct"),
+      s"e22: timeline binning lost its equality join:\n$e22")
+    assert(e22.contains("HashJoin"), s"e22: bin equi-join disappeared:\n$e22")
+    // s12: codebook joins are equality/broadcast; PQ must never go
+    // pairwise over the corpus.
+    val s12 = planOf("s12_pq_adc_rerank")
+    assert(!s12.contains("CartesianProduct"),
+      s"s12: PQ pipeline grew a cartesian:\n$s12")
+    // q48/p18: window over the counted/staged frame — no join at all.
+    Seq("q48_group_mode", "p18_curriculum_order").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Join") && p.contains("Window"),
+        s"$name: expected join-free windowed plan:\n$p")
+    }
+    // d16: d01's shape — hash groupBy on the uniform prefix fingerprint.
+    val d16 = planOf("d16_prefix_dedup")
+    assert(!d16.contains("Join") && "HashAggregate".r.findAllIn(d16).size >= 2,
+      s"d16: expected join-free two-phase aggregate:\n$d16")
+  }
+
   test("graft-registry DataSource V2: reads, matches the in-memory dims, prunes columns") {
     // service-backed registry == the in-memory dimension tables, through
     // the V2 read path (a real registry client swaps in at RegistryData)
