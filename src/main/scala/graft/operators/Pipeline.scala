@@ -767,6 +767,49 @@ object Pipeline {
         SELECT doc_id, stage, shard,
                CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
                  ORDER BY sort_key ASC, doc_id ASC) AS INT) AS pos
-        FROM staged ORDER BY stage, shard, pos"""))
+        FROM staged ORDER BY stage, shard, pos""")),
+
+    // ── p19: context-window chunked packing — p04 packs WHOLE documents; ──
+    // real pretraining packing first splits every document (+2 BOS/EOS
+    // overhead tokens) into ≤64-token chunks, then cuts 2048-token
+    // shards from the per-stratum running total. The chunk explode is a
+    // Generate bounded by ceil(tokens/64) (capped at 4000 chunks ≈ 256k
+    // tokens on BOTH sides, m02's discipline); packing stays the
+    // per-stratum window — strata pack in parallel, no global order.
+    GQuery("p19_chunked_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select($"doc_id", $"lang",
+          (size(split($"text", " ")) + 2).cast("long").as("nt"))
+        val chunks = base
+          .select($"doc_id", $"lang", $"nt",
+            posexplode(expr("sequence(0L, least((nt - 1) DIV 64, 3999L))")))
+          .select($"doc_id", $"lang", $"pos".cast("int").as("chunk_idx"),
+            least(lit(64L), $"nt" - $"pos" * 64L).as("chunk_tokens"))
+        val w = Window.partitionBy($"lang").orderBy($"doc_id".asc, $"chunk_idx".asc)
+        chunks.withColumn("cum", sum($"chunk_tokens").over(w))
+          .select($"doc_id", $"lang", $"chunk_idx", $"chunk_tokens",
+            expr("(cum - chunk_tokens) DIV 2048").as("shard"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) + 2 AS BIGINT) AS nt
+          FROM documents),
+        chunks AS (
+          SELECT doc_id, lang, CAST(k.k AS INT) AS chunk_idx,
+                 CAST(LEAST(64, nt - k.k * 64) AS BIGINT) AS chunk_tokens
+          FROM base, (SELECT unnest(range(0, 4000)) AS k) k
+          WHERE k.k <= LEAST((nt - 1) // 64, 3999)),
+        packed AS (
+          SELECT doc_id, lang, chunk_idx, chunk_tokens,
+                 SUM(chunk_tokens) OVER (PARTITION BY lang
+                   ORDER BY doc_id, chunk_idx) AS cum
+          FROM chunks)
+        SELECT doc_id, lang, chunk_idx, chunk_tokens,
+               CAST((cum - chunk_tokens) // 2048 AS BIGINT) AS shard
+        FROM packed ORDER BY doc_id, chunk_idx"""))
   )
 }

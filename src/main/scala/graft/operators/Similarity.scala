@@ -569,6 +569,47 @@ object Similarity {
         qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         SELECT s.vec_id, s.adc, (ROUND(${cosSql("e.v", "qv.qv")}, 4) + 0.0) AS cos
         FROM short s JOIN e ON s.vec_id = e.vec_id, qv
-        ORDER BY cos DESC, s.vec_id ASC LIMIT 5"""))
+        ORDER BY cos DESC, s.vec_id ASC LIMIT 5""")),
+
+    // ── s13: hard-negative mining — for each anchor, the top-3 most ──
+    // similar vectors with a DIFFERENT label: the contrastive-training
+    // data every embedding-model pipeline mines (easy negatives are
+    // random; hard negatives are the near-misses that carry gradient).
+    // s03's broadcast-anchor scan with a label-inequality residual on the
+    // join: anchors broadcast, the corpus streams map-side once, per-
+    // anchor top-3 via the ranking window keyed by anchor. At full scale
+    // the anchor set shards into broadcast-sized batches and the corpus
+    // side optionally pre-filters through s02's buckets — same plan per
+    // batch, no pairwise stage outside the scored scan.
+    GQuery("s13_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val anchors = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("anchor_id"), $"label".as("a_label"), $"embedding".as("av"))
+        val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"vec_id".asc)
+        e.join(broadcast(anchors),
+            $"vec_id" =!= $"anchor_id" && $"label" =!= $"a_label")
+          .select($"anchor_id", $"vec_id", $"label",
+            roundz(cosineSim($"embedding", $"av"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"anchor_id", $"rn", $"vec_id", $"label", $"cos")
+          .orderBy($"anchor_id", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+              FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT anchor_id, vec_id, label,
+                 (ROUND(${cosSql("e.v", "a.av")}, 4) + 0.0) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY (ROUND(${cosSql("e.v", "a.av")}, 4) + 0.0) DESC, vec_id ASC) AS rn
+          FROM e, a WHERE vec_id <> anchor_id AND label <> a_label)
+        SELECT anchor_id, rn, vec_id, label, cos
+        FROM scored WHERE rn <= 3
+        ORDER BY anchor_id, rn"""))
   )
 }
