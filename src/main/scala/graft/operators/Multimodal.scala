@@ -287,6 +287,52 @@ object Multimodal {
                CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
                (ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS boiler_rate
         FROM frames JOIN dfreq USING (fh)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── m08: scene-cut detection — consecutive-frame perceptual-hash ──
+    // hamming distance, the shot-boundary pass video pipelines run to
+    // sample one keyframe per scene instead of N near-identical frames.
+    // Signature = portable 60-bit hash of the frame bytes (stub for a
+    // real pHash — same 64-bit slot); distance = popcount(xor) of
+    // ADJACENT frames via a per-document lag window (one doc_id-keyed
+    // shuffle; frames never pair beyond their neighbor). Cut iff
+    // distance > 40 of 60 bits. Blobs don't ride the window — only the
+    // 8-byte signatures shuffle.
+    GQuery("m08_scene_cuts",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = Tables.load(s, d, "documents")
+          .filter($"doc_id" < 100 && length($"text") > 0)
+          .select($"doc_id", $"text", posexplode(expr(
+            "sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")))
+          .select($"doc_id", $"pos".cast("int").as("frame_idx"),
+            graft.functions.TextFunctions.hash64(
+              expr("substring(text, pos * 256 + 1, 256)")).as("sig"))
+        val w = Window.partitionBy($"doc_id").orderBy($"frame_idx".asc)
+        frames
+          .withColumn("prev_sig", lag($"sig", 1).over(w))
+          .filter($"prev_sig".isNotNull)
+          .select($"doc_id", $"frame_idx",
+            expr("bit_count(sig ^ prev_sig)").cast("int").as("hamming"))
+          .withColumn("is_cut", $"hamming" > 40)
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+                 CAST(('0x' || substr(md5(substr(text, CAST(f.f AS INT) * 256 + 1, 256)), 1, 15)) AS BIGINT) AS sig
+          FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
+          WHERE doc_id < 100 AND length(text) > 0
+            AND f.f <= (length(text) + 255) // 256 - 1),
+        lagged AS (
+          SELECT doc_id, frame_idx, sig,
+                 lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS prev_sig
+          FROM frames)
+        SELECT doc_id, frame_idx,
+               CAST(bit_count(xor(sig, prev_sig)) AS INT) AS hamming,
+               bit_count(xor(sig, prev_sig)) > 40 AS is_cut
+        FROM lagged WHERE prev_sig IS NOT NULL
+        ORDER BY doc_id, frame_idx"""))
   )
 }

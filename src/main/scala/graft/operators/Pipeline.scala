@@ -810,6 +810,46 @@ object Pipeline {
           FROM chunks)
         SELECT doc_id, lang, chunk_idx, chunk_tokens,
                CAST((cum - chunk_tokens) // 2048 AS BIGINT) AS shard
-        FROM packed ORDER BY doc_id, chunk_idx"""))
+        FROM packed ORDER BY doc_id, chunk_idx""")),
+
+    // ── p20: quality-weighted importance sampling — keep each document ──
+    // with probability equal to its quality score (DCLM-style soft
+    // filtering: a hard cutoff throws away every mid-quality doc; the
+    // weighted draw keeps them in proportion). keep ⇔ salted hash mod 1e6
+    // falls under floor(q·1e6): deterministic (no RNG), stable under
+    // corpus growth (p02's law — a doc's draw never changes), exact
+    // expected rate, zero shuffle. The q·1e6 floor runs on the ROUNDED
+    // score, so both engines compute identical thresholds bit-for-bit.
+    GQuery("p20_importance_sample",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val nTok = size(toks).cast(DoubleType)
+        val quality =
+          roundz(least($"n_chars".cast(DoubleType) / 500.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - size(filter(toks, t => t.isInCollection(Set("the", "a"))))
+              .cast(DoubleType) / nTok) * 0.3 +
+            (size(array_distinct(toks)).cast(DoubleType) / nTok) * 0.3, 6)
+        docs(s, d)
+          .select($"doc_id", $"lang", quality.as("q"),
+            (hash64(concat(lit("imp:"), $"doc_id")) % 1000000L).as("draw"))
+          .filter($"draw" < floor($"q" * 1000000.0).cast("long"))
+          .select($"doc_id", $"lang", $"q")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 (ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+                   (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3 +
+                   (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 0.3, 6) + 0.0) AS q,
+                 ${hashSql("imp:")} % 1000000 AS draw
+          FROM documents)
+        SELECT doc_id, lang, q
+        FROM base
+        WHERE draw < CAST(FLOOR(q * 1000000.0) AS BIGINT)
+        ORDER BY doc_id"""))
   )
 }

@@ -737,6 +737,36 @@ object TextOps {
         SELECT n_words,
                (ROUND((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) + 0.0) AS slope,
                (ROUND((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx) / n_words, 6) + 0.0) AS intercept
-        FROM sums ORDER BY n_words"""))
+        FROM sums ORDER BY n_words""")),
+
+    // ── t21: BPE merge-pair counting — one iteration of byte-pair ──
+    // encoding's inner loop: count every adjacent character pair across
+    // all token occurrences and rank the top-20 merge candidates. This
+    // IS the distributed step of tokenizer training (each BPE round
+    // re-counts pairs over the corpus; the merge-table update between
+    // rounds is driver-side and k-sized). Pair generation is a bounded
+    // Generate (|word|−1 rows per token), the count is a two-stage
+    // partial agg on uniform short-string keys, and the top-20 is a
+    // TakeOrdered with a total (n DESC, pair ASC) tie order.
+    GQuery("t21_bpe_pairs",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(explode(tokens($"text")).as("w"))
+          .filter(length($"w") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair".asc)
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
+          FROM toks WHERE length(w) >= 2)
+        SELECT pair, COUNT(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20"""))
   )
 }
