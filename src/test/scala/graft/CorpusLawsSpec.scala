@@ -155,6 +155,43 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(again.map(_._1).toSet == keep, "second dedup changed the keeper set")
   }
 
+  test("law: p19 chunks partition every document's tokens exactly") {
+    val chunks = SparkEntry.queries("p19_chunked_pack")(spark, dirA)
+      .select("doc_id", "chunk_idx", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = corpusA.map(r => r._1 -> (r._2.split(" ").length.toLong + 2)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum == want(id),
+        s"doc $id: chunk tokens ${cs.map(_._3).sum} != ${want(id)}")
+      assert(cs.map(_._2).sorted.toSeq == (0 until cs.length),
+        s"doc $id: chunk indices not dense")
+      assert(cs.forall(c => c._3 >= 1 && c._3 <= 64), s"doc $id: chunk size out of range")
+    }
+    assert(chunks.map(_._1).distinct.length == corpusA.length, "docs lost in chunking")
+  }
+
+  test("law: p20 is a proper quality-weighted subset with growth-stable membership") {
+    def run(dir: String) = SparkEntry.queries("p20_importance_sample")(spark, dir)
+      .select("doc_id", "q").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val a = run(dirA)
+    val ids = corpusA.map(_._1).toSet
+    assert(a.nonEmpty && a.length < corpusA.length,
+      s"soft filter degenerate: kept ${a.length} of ${corpusA.length}")
+    assert(a.forall(r => ids(r._1)), "sampled ids not drawn from the corpus")
+    // E[kept] = Σq; with q ∈ [0,1] and a uniform salted draw the realized
+    // rate can't exceed max(q) or undershoot min(q) by construction —
+    // bound the rate by the kept rows' own q envelope (loose but
+    // generator-independent)
+    val rate = a.length.toDouble / corpusA.length
+    assert(rate > 0.05 && rate < 0.999, s"keep rate $rate implausible for q∈[0,1]")
+    // growth: a doc's draw and score derive from its own row only
+    val b = run(dirB).toMap
+    a.foreach { case (id, q) =>
+      assert(b.get(id).contains(q),
+        s"doc $id sample membership/score changed when the corpus grew")
+    }
+  }
+
   test("q24 sketch sanity: approx_count_distinct within 5 relative-σ of exact") {
     import spark.implicits._
     // rsd=0.02 → 5σ = 10%; the oracle can't address HLL, so this probe is
