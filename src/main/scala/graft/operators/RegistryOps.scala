@@ -596,6 +596,59 @@ object RegistryOps {
                     WHEN f.is_url THEN 'fetch'
                     ELSE 'ok' END AS status
         FROM files f LEFT JOIN chosen c ON f.filetype_id = c.filetype_id
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+
+    // ── r13: residual-placeholder audit — which template fields survive ──
+    // substitution un-filled, per extractor and mode. The reference
+    // silently `continue`s on None values (__init__.py:431-433), so a
+    // command can reach execution with a literal `{{ output_type }}` in
+    // it; this is the lint a batch runner prints before launching 10^10
+    // subprocesses. Same broadcast dispatch chain as r05; the residual
+    // scan is one regexp_extract_all over the templated command column.
+    GQuery("r13_residual_audit",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d)
+        val chosen = Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id", element_at($"registered_extractors", 1).as("extractor_id"))
+        files
+          .join(broadcast(chosen), Seq("filetype_id"))
+          .join(broadcast(resolvedUsages(s)), Seq("extractor_id", "preferred_mode"))
+          .join(broadcast(Registry.templates(s)), Seq("extractor_id", "filetype_id"), "left_outer")
+          .select($"extractor_id", $"method",
+            applyTemplate($"command", $"method", defaultFields(s)).as("exec"))
+          .select($"extractor_id", $"method",
+            explode(expr("regexp_extract_all(exec, '\\\\{\\\\{ ([a-z_]+) \\\\}\\\\}', 1)")).as("residual_field"))
+          .groupBy($"extractor_id", $"method", $"residual_field")
+          .agg(count(lit(1)).as("n_commands"))
+          .orderBy($"extractor_id", $"method", $"residual_field")
+      },
+      Some(s"""
+        WITH files AS (SELECT * FROM $catalogSql),
+        chosen AS (
+          SELECT filetype_id, registered_extractors[1] AS extractor_id
+          FROM ${Registry.filetypesSql}
+          WHERE len(registered_extractors) > 0),
+        $resolvedSqlCtes,
+        j AS (
+          SELECT f.doc_id, c.extractor_id, r.method, r.command,
+                 f.filetype_id, f.input_path, f.output_type,
+                 t.t_input_type, t.t_input_path, t.t_output_type, t.t_output_path
+          FROM files f
+            JOIN chosen c ON f.filetype_id = c.filetype_id
+            JOIN resolved r ON c.extractor_id = r.extractor_id
+                 AND f.preferred_mode = r.preferred_mode
+            LEFT JOIN ${Registry.templatesSql} t
+                 ON t.extractor_id = c.extractor_id AND t.filetype_id = f.filetype_id),
+        residual AS (
+          SELECT extractor_id, method,
+                 unnest(regexp_extract_all(${applyTemplateSql("command")},
+                   '\\{\\{ ([a-z_]+) \\}\\}', 1)) AS residual_field
+          FROM j)
+        SELECT extractor_id, method, residual_field, COUNT(*) AS n_commands
+        FROM residual
+        GROUP BY extractor_id, method, residual_field
+        ORDER BY extractor_id, method, residual_field"""))
   )
 }

@@ -290,6 +290,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "a re-submitted duplicate displaced its first arrival")
   }
 
+  test("streaming top-k snapshot equals the batch top-k after all waves") {
+    import spark.implicits._
+    val words = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_topk_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_topk_out").toString + "/t"
+    Tables.load(spark, sf, "documents").filter($"doc_id" < 250)
+      .select($"text").coalesce(1).write.mode("overwrite").parquet(s"$inDir/w0")
+    Tables.load(spark, sf, "documents").filter($"doc_id" >= 250)
+      .select($"text").coalesce(1).write.mode("overwrite").parquet(s"$inDir/w1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$inDir/w0").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .select(explode(split($"text", " ")).as("w"))
+    val q = graft.streaming.TopKSink.sink(stream, "w", 10, outDir)
+      .option("checkpointLocation", outDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.sortBy(t => (-t._2, t._1)) == want,
+      s"streaming top-10 snapshot diverges from batch:\n got  $got\n want $want")
+  }
+
   test("incremental streaming minhash dedup finds the batch LSH pairs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
