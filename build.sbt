@@ -9,6 +9,7 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+Compile / scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
 // Pass the forked run's stdout straight through instead of relaying it
