@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, ShingleExpr, SignBitsExpr}
+import graft.functions.{CosineSim, DotProduct, ShingleExpr, SignBitsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product of two array<double> vectors"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
 
     e.injectFunction((
       FunctionIdentifier("shingles"),

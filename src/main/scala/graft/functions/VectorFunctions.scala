@@ -80,6 +80,57 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw inner product ⟨a,b⟩ over array<double> — the MIPS scoring
+  * primitive (s14). Same single-pass primitive-double codegen loop and
+  * sequential accumulation order as [[CosineSim]], so the DuckDB mirror
+  * (list_sum over list_transform) is bit-identical.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Packed 1-bit sign quantization: bit b of the result is set iff
   * vector[b] > 0, for the first `nBits` (≤ 62) coordinates — one int64
   * per vector, the coarse-stage signature of the quantized-rerank path
@@ -157,6 +208,18 @@ object VectorFunctions {
     s"""list_sum(list_transform(range(1, 65), k -> $a[k] * $b[k]))
        / (sqrt(list_sum(list_transform(range(1, 65), k -> $a[k] * $a[k])))
           * sqrt(list_sum(list_transform(range(1, 65), k -> $b[k] * $b[k]))))"""
+
+  /** Inner product via the codegen'd [[DotProduct]] expression. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Bridge.expression(asDouble(a)),
+      Bridge.expression(asDouble(b))))
+
+  /** DuckDB SQL mirror of [[DotProduct]] over `dims`-dim list columns
+    * (same sequential accumulation order).
+    */
+  def dotSql(a: String, b: String, dims: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), k -> $a[k] * $b[k]))"
 
   /** Sign-LSH bucket over the first `nBits` coordinates (axis-aligned
     * hyperplanes — deterministic and portable to the SQL oracle; a real

@@ -850,6 +850,65 @@ object Dedup {
                  md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS pfp
           FROM documents)
         GROUP BY pfp HAVING COUNT(*) > 1
-        ORDER BY pfp"""))
+        ORDER BY pfp""")),
+
+    // ── d17: soft dedup — downweight instead of drop. Hard dedup ──
+    // deletes all but one copy; the softer policy (The Pile / GPT-3
+    // lineage) keeps every copy but trains each at weight 1/n_copies, so
+    // a 40×-duplicated boilerplate page contributes one document's worth
+    // of gradient. Output: per-source raw vs effective token mass and the
+    // implied discount. The synthetic corpus has no exact dups, so the op
+    // plants deterministic recrawl clones (every 13th doc re-ingested
+    // twice under negative ids, the p17 id convention) — cluster sizes
+    // 1 and 3 exercise the weighting on both engines identically.
+    // Scale: one uniform md5 groupBy (the d01 discipline — the text
+    // itself never shuffles, only hash + token count), one source rollup.
+    // The weighted mass rides INTEGER micro-tokens ((n·1e6) DIV copies):
+    // decimal-division scale rules differ between engines and a float
+    // sum is order-dependent; integer DIV is bit-identical on both.
+    GQuery("d17_soft_dedup_weight",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"source", $"text")
+        val clones = base.filter($"doc_id" % 13 === 0)
+        val corpus = base
+          .unionAll(clones.select((-$"doc_id" * 2 - 1).as("doc_id"), $"source", $"text"))
+          .unionAll(clones.select((-$"doc_id" * 2 - 2).as("doc_id"), $"source", $"text"))
+          .select($"doc_id", $"source",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            md5($"text").as("h"))
+        val sized = corpus
+          .join(corpus.groupBy($"h").agg(count(lit(1)).as("n_copies")), "h")
+        sized
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("raw_tokens"),
+            sum(expr("(n_tokens * 1000000) DIV n_copies")).as("effective_utokens"))
+          .withColumn("discount",
+            roundz(lit(1.0) - $"effective_utokens" / ($"raw_tokens" * 1000000.0), 6))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH clones AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 13 = 0),
+        corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL SELECT -doc_id * 2 - 1, source, text FROM clones
+          UNION ALL SELECT -doc_id * 2 - 2, source, text FROM clones),
+        hashed AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5(text) AS h
+          FROM corpus),
+        sized AS (
+          SELECT hashed.*, c.n_copies
+          FROM hashed JOIN (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY h) c
+          USING (h))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+               CAST(SUM((n_tokens * 1000000) // n_copies) AS BIGINT) AS effective_utokens,
+               (ROUND(1.0 - CAST(SUM((n_tokens * 1000000) // n_copies) AS BIGINT)
+                 / (CAST(SUM(n_tokens) AS BIGINT) * 1000000.0), 6) + 0.0) AS discount
+        FROM sized GROUP BY source ORDER BY source"""))
   )
 }

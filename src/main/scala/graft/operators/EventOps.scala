@@ -786,6 +786,65 @@ object EventOps {
                CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
         FROM eb JOIN wb USING (bin)
         WHERE t_us >= w_start AND t_us < w_end
-        GROUP BY w_id, w_start, w_end ORDER BY w_id"""))
+        GROUP BY w_id, w_start, w_end ORDER BY w_id""")),
+
+    // ── e23: watermark lateness audit — how much data would a streaming ──
+    // deployment drop at a given watermark delay? The batch emulation of
+    // Structured Streaming's `withWatermark`: arrival order is proxied by
+    // event_id, grouped into micro-batches of 1000; the watermark in
+    // force when batch b arrives is max(event time over batches < b) − D
+    // (10 min here); an event is late iff its event time is behind that
+    // watermark. Per event-time hour: volume, late count/ratio, worst
+    // lateness — the report that says whether D is safe BEFORE flipping
+    // the pipeline to streaming. Scale: the only wide stage is the
+    // per-batch max (|events|/1000 rows); the running-max window runs on
+    // that micro-batch METADATA frame (single-partition is fine for
+    // per-batch rows — 100 TB/day is ~10⁵ batch rows), which then
+    // broadcast-joins back to the stream; the hour rollup is the e01
+    // two-phase agg.
+    GQuery("e23_late_event_audit",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val delayUs = 600000000L // 10-minute watermark delay
+        val eb = ev(s, d).select($"event_id", $"ts",
+          unix_micros($"ts").as("t_us"),
+          expr("event_id DIV 1000").as("batch"))
+        val wm = eb.groupBy($"batch").agg(max($"t_us").as("batch_max"))
+          .withColumn("wm_us",
+            max($"batch_max").over(
+              Window.orderBy($"batch").rowsBetween(Window.unboundedPreceding, -1))
+              - delayUs)
+        eb.join(broadcast(wm.select($"batch", $"wm_us")), "batch")
+          .withColumn("late", $"wm_us".isNotNull && $"t_us" < $"wm_us")
+          .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"late", 1L).otherwise(0L)).as("n_late"),
+            max(when($"late", expr("(wm_us - t_us) DIV 1000000")).otherwise(lit(null)))
+              .as("worst_lateness_sec"))
+          .withColumn("late_ratio", roundz($"n_late" / $"n_events", 6))
+          .select($"hour", $"n_events", $"n_late", $"late_ratio", $"worst_lateness_sec")
+          .orderBy($"hour")
+      },
+      Some("""
+        WITH eb AS (SELECT event_id, ts, epoch_us(ts) AS t_us,
+                           event_id // 1000 AS batch
+                    FROM events),
+        wm AS (SELECT batch,
+                      MAX(MAX(t_us)) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - 600000000 AS wm_us
+               FROM eb GROUP BY batch),
+        flagged AS (
+          SELECT eb.ts, eb.t_us, wm.wm_us,
+                 wm.wm_us IS NOT NULL AND eb.t_us < wm.wm_us AS late
+          FROM eb JOIN wm USING (batch))
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               (ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0) AS late_ratio,
+               MAX(CASE WHEN late THEN (wm_us - t_us) // 1000000 ELSE NULL END) AS worst_lateness_sec
+        FROM flagged GROUP BY hour ORDER BY hour"""))
   )
 }

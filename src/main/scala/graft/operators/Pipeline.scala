@@ -850,6 +850,74 @@ object Pipeline {
         SELECT doc_id, lang, q
         FROM base
         WHERE draw < CAST(FLOOR(q * 1000000.0) AS BIGINT)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── p21: epoch allocation under a token budget — the data- ──
+    // constrained-scaling planner (Muennighoff'23): each source has a
+    // target mixture weight and a finite token supply; repeating a source
+    // beyond ~4 epochs stops paying, so desired = weight × budget is
+    // capped at 4 × supply and the stranded budget is re-spread over the
+    // uncapped sources in ONE waterfall round (pro-rata by weight,
+    // re-capped — documented as one round, not a fixpoint: in practice
+    // mixes converge in 1–2 rounds and a deterministic plan beats an
+    // iterative one). Everything after the per-source token rollup is
+    // window math over |sources| rows (20 here, hundreds in production)
+    // — a driver-sized frame; the corpus is touched exactly once.
+    // Weights derive from the source index (w ∝ idx+1) so both engines
+    // compute them identically; integer micro-token units keep every
+    // allocation exact (no float redistribution drift).
+    GQuery("p21_epoch_plan",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val R = 4L          // max useful epochs per source
+        val strata = docs(s, d)
+          .select($"source", size(split($"text", " ")).cast("long").as("n"))
+          .groupBy($"source")
+          .agg(sum($"n").as("tokens"))
+          .withColumn("w_raw", expr("CAST(substring(source, 4) AS BIGINT) + 1"))
+        val wAll = Window.partitionBy()
+        strata
+          .withColumn("budget", sum($"tokens").over(wAll) * 3L)
+          .withColumn("w_sum", sum($"w_raw").over(wAll))
+          .withColumn("desired", expr(s"(budget * w_raw) DIV w_sum"))
+          .withColumn("cap", $"tokens" * R)
+          .withColumn("alloc0", least($"desired", $"cap"))
+          .withColumn("stranded", sum($"desired" - $"alloc0").over(wAll))
+          .withColumn("w_open",
+            sum(when($"alloc0" < $"cap", $"w_raw").otherwise(lit(0L))).over(wAll))
+          .withColumn("alloc",
+            when($"alloc0" < $"cap",
+              least($"cap", $"alloc0" + expr("(stranded * w_raw) DIV w_open")))
+              .otherwise($"alloc0"))
+          .withColumn("epochs_milli", expr(s"(alloc * 1000) DIV tokens"))
+          .select($"source", $"tokens", $"w_raw", $"desired", $"alloc", $"epochs_milli")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH strata AS (
+          SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                 CAST(substring(source, 4) AS BIGINT) + 1 AS w_raw
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT *, SUM(tokens) OVER () * 3 AS budget, SUM(w_raw) OVER () AS w_sum
+          FROM strata),
+        first_pass AS (
+          SELECT *, (budget * w_raw) // w_sum AS desired, tokens * 4 AS cap,
+                 LEAST((budget * w_raw) // w_sum, tokens * 4) AS alloc0
+          FROM tot),
+        spread AS (
+          SELECT *, SUM(desired - alloc0) OVER () AS stranded,
+                 SUM(CASE WHEN alloc0 < cap THEN w_raw ELSE 0 END) OVER () AS w_open
+          FROM first_pass)
+        SELECT source, CAST(tokens AS BIGINT) AS tokens, w_raw,
+               CAST(desired AS BIGINT) AS desired,
+               CAST(CASE WHEN alloc0 < cap
+                    THEN LEAST(cap, alloc0 + (stranded * w_raw) // w_open)
+                    ELSE alloc0 END AS BIGINT) AS alloc,
+               CAST((CASE WHEN alloc0 < cap
+                    THEN LEAST(cap, alloc0 + (stranded * w_raw) // w_open)
+                    ELSE alloc0 END * 1000) // tokens AS BIGINT) AS epochs_milli
+        FROM spread ORDER BY source"""))
   )
 }

@@ -610,6 +610,56 @@ object Similarity {
           FROM e, a WHERE vec_id <> anchor_id AND label <> a_label)
         SELECT anchor_id, rn, vec_id, label, cos
         FROM scored WHERE rn <= 3
-        ORDER BY anchor_id, rn"""))
+        ORDER BY anchor_id, rn""")),
+
+    // ── s14: maximum-inner-product top-k via norm augmentation — the ──
+    // retrieval scoring most rankers actually use (un-normalized dot;
+    // recommendation / reranker weights are NOT unit vectors, so cosine
+    // ANN structures mis-rank them). The classic reduction (Bachrach'14):
+    // append sqrt(M² − ‖v‖²) to every corpus vector (M = max corpus norm)
+    // and 0 to the query — augmented vectors all have norm M, so cosine
+    // order over the augmented space IS inner-product order, and every
+    // cosine ANN structure (s02/s06) applies unchanged. The query outputs
+    // both scores; the ORDER BY dot == ORDER BY aug_cos agreement is what
+    // the oracle checks (rank columns would hide a formula drift).
+    // Scale: ‖v‖ rides the corpus scan; M is a 1-row broadcast (an
+    // all-reduce at 100 TB, computed once per corpus build, not per
+    // query); top-k is TakeOrdered — no global sort, no pairwise stage.
+    GQuery("s14_mips_topk",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+          .select($"vec_id", asDouble($"embedding").as("v"))
+          .withColumn("norm2", dotProduct($"v", $"v"))
+        val mmax = e.agg(max(sqrt($"norm2")).as("m"))
+        val q = e.filter($"vec_id" === 0)
+          .select($"v".as("qraw"), concat($"v", array(lit(0.0))).as("qa"))
+        e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(mmax))
+          .withColumn("va",
+            concat($"v", array(sqrt(greatest(lit(0.0), $"m" * $"m" - $"norm2")))))
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            roundz(dotProduct($"v", $"qraw"), 4).as("dot"),
+            roundz(cosineSim($"va", $"qa"), 6).as("aug_cos"))
+          .orderBy($"dot".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          ${dotSql("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")} AS norm2
+                   FROM embeddings),
+        mm AS (SELECT MAX(sqrt(norm2)) AS m FROM e),
+        qv AS (SELECT list_append(v, 0.0) AS qa, v AS q FROM e WHERE vec_id = 0),
+        aug AS (SELECT vec_id, v,
+                       list_append(v, sqrt(greatest(0.0, m * m - norm2))) AS va
+                FROM e, mm WHERE vec_id <> 0)
+        SELECT vec_id,
+               (ROUND(${dotSql("aug.v", "qv.q")}, 4) + 0.0) AS dot,
+               (ROUND(${dotSql("aug.va", "qv.qa", 65)}
+                 / (sqrt(${dotSql("aug.va", "aug.va", 65)})
+                    * sqrt(${dotSql("qv.qa", "qv.qa", 65)})), 6) + 0.0) AS aug_cos
+        FROM aug, qv
+        ORDER BY dot DESC, vec_id ASC LIMIT 10"""))
   )
 }

@@ -767,6 +767,72 @@ object TextOps {
           FROM toks WHERE length(w) >= 2)
         SELECT pair, COUNT(*) AS n
         FROM pairs GROUP BY pair
-        ORDER BY n DESC, pair ASC LIMIT 20"""))
+        ORDER BY n DESC, pair ASC LIMIT 20""")),
+
+    // ── t22: LM-perplexity bucketing — the CCNet recipe: score every ──
+    // document under a corpus-trained LM and cut the corpus into
+    // head/middle/tail quality tranches (head feeds training as-is, tail
+    // is dropped or aggressively filtered). The LM is t11's bigram model;
+    // the score is per-doc mean log-probability. Buckets cut on LOG
+    // perplexity at fixed thresholds (−ln 29, −ln 30.2 for this corpus):
+    // exp() differs by ulps across libm implementations, so the
+    // monotone-equivalent log-space compare is the cross-engine-safe
+    // form — same reason the mean rides a DECIMAL(18,6) sum of the
+    // 6-dp-rounded per-doc scores, not a float sum. Scale: model fits in
+    // a broadcast (vocab², pruned in production); scoring is one corpus
+    // scan; the bucket rollup shuffles 3 rows.
+    GQuery("t22_perplexity_bucket",
+      (s, d) => {
+        import s.implicits._
+        val bg = docs(s, d).select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        val cbg = bg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+          .withColumn("w1", split($"bg", " ").getItem(0))
+        val model = cbg.join(
+          cbg.groupBy($"w1").agg(sum($"c_bg").as("c_w1")), "w1")
+          .select($"bg", $"c_bg", $"c_w1")
+        val scored = bg.join(broadcast(model), "bg")
+          .select($"doc_id",
+            roundz(log($"c_bg".cast(DoubleType) / $"c_w1"), 6).cast(DecimalType(18, 6)).as("logp"))
+          .groupBy($"doc_id")
+          .agg(roundz((sum($"logp").cast(DoubleType) / count(lit(1))), 6)
+            .cast(DecimalType(18, 6)).as("log_ppl"))
+        docs(s, d)
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+          .join(scored, "doc_id")
+          .withColumn("bucket",
+            when($"log_ppl" > -3.3673, "head")
+              .when($"log_ppl" > -3.4078, "middle")
+              .otherwise("tail"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            roundz(sum($"log_ppl").cast(DoubleType) / count(lit(1)), 6).as("mean_log_ppl"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+               FROM ts),
+        cbg AS (SELECT bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        cw1 AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY w1),
+        model AS (SELECT bg, c_bg, c_w1 FROM cbg JOIN cw1 USING (w1)),
+        scored AS (
+          SELECT doc_id,
+                 CAST((ROUND(CAST(SUM(CAST((ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) + 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) + 0.0) AS DECIMAL(18,6)) AS log_ppl
+          FROM bg JOIN model USING (bg) GROUP BY doc_id),
+        bucketed AS (
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 s.log_ppl,
+                 CASE WHEN s.log_ppl > -3.3673 THEN 'head'
+                      WHEN s.log_ppl > -3.4078 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM documents d JOIN scored s USING (doc_id))
+        SELECT bucket, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               (ROUND(CAST(SUM(log_ppl) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_log_ppl
+        FROM bucketed GROUP BY bucket ORDER BY bucket"""))
   )
 }
