@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Opt-in optimizer rule: keyless BETWEEN joins → binned equi-join
+    // (see BinnedRangeJoinRule; off unless spark.graft.binjoin.width > 0).
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
