@@ -845,6 +845,53 @@ object EventOps {
                (ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
                  / CAST(COUNT(*) AS DOUBLE), 6) + 0.0) AS late_ratio,
                MAX(CASE WHEN late THEN (wm_us - t_us) // 1000000 ELSE NULL END) AS worst_lateness_sec
-        FROM flagged GROUP BY hour ORDER BY hour"""))
+        FROM flagged GROUP BY hour ORDER BY hour""")),
+
+    // ── e24: the e22 interval join written the way a USER writes it — a ──
+    // plain keyless BETWEEN theta-join — planned scale-safe by the
+    // BinnedRangeJoinRule optimizer rewrite instead of by hand. The query
+    // enables the rule (1-hour bins), declares `events ⋈ windows ON t
+    // BETWEEN w_start AND w_end`, and forces plan materialization while
+    // the conf is set (the rewritten logical plan is cached on the
+    // returned frame; the session conf is restored so no other query
+    // planer sees it). Same output as a hand-binned e22-style join; the
+    // oracle is the naive BETWEEN in DuckDB. BinJoinRuleSpec pins the
+    // no-nested-loop plan shape; this entry pins the rewrite's VALUES
+    // under the driver's bit-level gate and benches it at sf0.1.
+    GQuery("e24_auto_range_join",
+      (s, d) => {
+        import s.implicits._
+        val mm = ev(s, d).agg(min(unix_micros($"ts")).as("t0"),
+          max(unix_micros($"ts")).as("t1"))
+        val windows = s.range(12).toDF("w_id").join(broadcast(mm))
+          .select($"w_id",
+            expr("t0 + w_id * ((t1 - t0) DIV 12)").as("w_start"),
+            expr("t0 + w_id * ((t1 - t0) DIV 12) + (t1 - t0) DIV 30").as("w_end"))
+        val points = ev(s, d).select(unix_micros($"ts").as("t_us"), $"value")
+        val joined = points.join(windows,
+            $"t_us" >= $"w_start" && $"t_us" < $"w_end")
+          .groupBy($"w_id", $"w_start", $"w_end")
+          .agg(count(lit(1)).as("n_events"), sumd(d2($"value")).as("value_sum"))
+          .orderBy($"w_id")
+        val prev = s.conf.getOption(graft.plans.BinnedRangeJoinRule.ConfKey)
+        s.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "3600000000")
+        try joined.queryExecution.executedPlan // plan now, under the conf
+        finally prev match {
+          case Some(v) => s.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, v)
+          case None    => s.conf.unset(graft.plans.BinnedRangeJoinRule.ConfKey)
+        }
+        joined
+      },
+      Some("""
+        WITH mm AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+        w AS (SELECT k.k AS w_id,
+                     t0 + k.k * ((t1 - t0) // 12) AS w_start,
+                     t0 + k.k * ((t1 - t0) // 12) + (t1 - t0) // 30 AS w_end
+              FROM mm, (SELECT unnest(range(12)) AS k) k),
+        pts AS (SELECT epoch_us(ts) AS t_us, value FROM events)
+        SELECT w_id, w_start, w_end, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM pts JOIN w ON t_us >= w_start AND t_us < w_end
+        GROUP BY w_id, w_start, w_end ORDER BY w_id"""))
   )
 }

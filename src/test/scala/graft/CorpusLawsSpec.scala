@@ -208,4 +208,71 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
       assert(rel <= 0.10, f"q24[$k]: approx=${approx(k)} exact=$x rel-err=$rel%.4f > 10%%")
     }
   }
+
+  test("law: s14 norm-augmented cosine order IS inner-product order") {
+    // the entire point of the Bachrach reduction: on the real embeddings,
+    // ranking by the augmented cosine must reproduce ranking by raw dot.
+    val rows = SparkEntry.queries("s14_mips_topk")(spark, sf)
+      .select("vec_id", "dot", "aug_cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byDot = rows.sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+    val byCos = rows.sortBy(t => (-t._3, t._1)).map(_._1).toSeq
+    assert(byDot == byCos, s"augmented-cosine order diverged from dot order:\n$rows")
+  }
+
+  test("law: p21 allocations respect the epoch cap and never exceed the budget") {
+    def run(dir: String) = SparkEntry.queries("p21_epoch_plan")(spark, dir)
+      .select("source", "tokens", "desired", "alloc", "epochs_milli").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    for (dir <- Seq(dirA, dirB)) {
+      val rows = run(dir)
+      val budget = rows.map(_._2).sum * 3
+      assert(rows.map(_._4).sum <= budget,
+        s"allocations ${rows.map(_._4).sum} exceed budget $budget")
+      rows.foreach { case (src, tokens, _, alloc, epm) =>
+        assert(alloc <= tokens * 4, s"$src: alloc $alloc beyond the 4-epoch cap")
+        assert(epm <= 4000, s"$src: epochs_milli $epm beyond the cap")
+        assert(alloc >= 0 && epm >= 0, s"$src: negative allocation")
+      }
+    }
+  }
+
+  test("law: d17 weighted mass is bounded by raw mass, equal iff no duplicates") {
+    // generated corpus: organic exact dups (every 7th doc) + the operator's
+    // planted recrawl clones — effective mass must strictly discount.
+    val rows = SparkEntry.queries("d17_soft_dedup_weight")(spark, dirA)
+      .select("source", "n_docs", "raw_tokens", "effective_utokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == corpusA.length + 2 * corpusA.count(_._1 % 13 == 0),
+      "doc count must equal corpus + planted clones")
+    rows.foreach { case (src, _, raw, eff) =>
+      assert(eff <= raw * 1000000L, s"$src: effective mass exceeds raw")
+    }
+    assert(rows.exists { case (_, _, raw, eff) => eff < raw * 1000000L },
+      "a corpus with dups must show a discount somewhere")
+  }
+
+  test("law: t22 buckets partition the corpus") {
+    // every doc lands in exactly one perplexity tranche (generator emits
+    // ≥10-token docs, so every doc has bigrams and gets scored).
+    val rows = SparkEntry.queries("t22_perplexity_bucket")(spark, dirA)
+      .select("bucket", "n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._2).sum == corpusA.length,
+      s"bucket doc counts ${rows.toSeq} don't partition the ${corpusA.length}-doc corpus")
+    assert(rows.map(_._1).toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
+  test("law: e23 lateness audit is consistent (late ⊆ events, ratio in [0,1])") {
+    val rows = SparkEntry.queries("e23_late_event_audit")(spark, sf)
+      .select("n_events", "n_late", "late_ratio").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = rows.map(_._1).sum
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(total == nEvents, s"audit covers $total of $nEvents events")
+    rows.foreach { case (n, late, ratio) =>
+      assert(late <= n && ratio >= 0.0 && ratio <= 1.0,
+        s"inconsistent lateness row ($n, $late, $ratio)")
+    }
+  }
 }

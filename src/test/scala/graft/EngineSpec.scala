@@ -369,6 +369,19 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("e24's user-written BETWEEN join is rewritten off the nested loop") {
+    // e24 declares the theta join a user would write; the cached plan must
+    // carry BinnedRangeJoinRule's equi-join, not BroadcastNestedLoopJoin.
+    // The 12-row × 1-row window-dim construction keeps its broadcast
+    // cross (e22's allowance); the EVENTS join must ride the bin equality.
+    val plan = SparkEntry.queries("e24_auto_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1 &&
+      !plan.contains("CartesianProduct"),
+      s"e24 fact join still plans a nested loop:\n$plan")
+    assert(plan.contains("graft_bin"), s"bin rewrite absent from e24 plan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // co-locate fact tables on the join key at write time: at 100 TB this
     // is the difference between a one-off layout cost and re-shuffling
