@@ -48,7 +48,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in got.columns:
             a, b = got[c], want[c]
             try:
-                eq = (a == b) | (a.isna() & b.isna())
+                import numpy as np
+                if a.dtype.kind == "f" and b.dtype.kind == "f":
+                    # Bit-level compare, like the driver's value hash:
+                    # catches -0.0 vs 0.0 and NaN-payload drift that == hides.
+                    av = a.to_numpy().astype(np.float64).view(np.uint64)
+                    bv = b.to_numpy().astype(np.float64).view(np.uint64)
+                    eq = pd.Series(av == bv)
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():

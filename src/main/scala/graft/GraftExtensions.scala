@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, ShingleExpr, SignBitsExpr}
+import graft.functions.{CosineSim, DotProduct, ShingleExpr, SignBitsExpr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -43,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, _) => ShingleExpr(exprs(0), k)
         case other => throw new IllegalArgumentException(
           s"shingles(tokens, k): k must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("top_k"),
+      info("top_k", "top_k(score, id, k) - top-k (score,id) pairs per group as a partial aggregate"),
+      (exprs: Seq[Expression]) => exprs(2) match {
+        case Literal(k: Int, _) => TopKAgg(exprs(0), exprs(1), k)
+        case other => throw new IllegalArgumentException(
+          s"top_k(score, id, k): k must be an integer literal, got $other")
       }))
 
     e.injectFunction((

@@ -791,17 +791,23 @@ object EventOps {
     // ── e23: watermark lateness audit — how much data would a streaming ──
     // deployment drop at a given watermark delay? The batch emulation of
     // Structured Streaming's `withWatermark`: arrival order is proxied by
-    // event_id, grouped into micro-batches of 1000; the watermark in
-    // force when batch b arrives is max(event time over batches < b) − D
-    // (10 min here); an event is late iff its event time is behind that
-    // watermark. Per event-time hour: volume, late count/ratio, worst
-    // lateness — the report that says whether D is safe BEFORE flipping
-    // the pipeline to streaming. Scale: the only wide stage is the
-    // per-batch max (|events|/1000 rows); the running-max window runs on
-    // that micro-batch METADATA frame (single-partition is fine for
-    // per-batch rows — 100 TB/day is ~10⁵ batch rows), which then
-    // broadcast-joins back to the stream; the hour rollup is the e01
-    // two-phase agg.
+    // event_id grouped into micro-batches of 1000, PLUS deterministic
+    // straggler jitter (5% of events arrive 2 batches late, 1% arrive 5
+    // batches late — the corpus's event times are monotone in event_id,
+    // so without modeled stragglers no watermark ever catches anything
+    // and the audit is vacuous). The watermark in force when batch b
+    // arrives is max(event time over batches < b) − D (10 min here); an
+    // event is late iff its event time is behind that watermark. Per
+    // event-time hour: volume, late count/ratio, worst lateness — the
+    // report that says whether D is safe BEFORE flipping the pipeline to
+    // streaming. Scale: the only wide stage is the per-batch max
+    // (|events|/1000 rows); the running-max window runs on that
+    // micro-batch METADATA frame (single-partition is fine for per-batch
+    // rows — 100 TB/day is ~10⁵ batch rows), which then broadcast-joins
+    // back to the stream; the hour rollup is the e01 two-phase agg.
+    // StreamingSpec replays THIS arrival schedule through a real
+    // withWatermark query and reconciles the engine's dropped-row metric
+    // with this audit's prediction.
     GQuery("e23_late_event_audit",
       (s, d) => {
         import s.implicits._
@@ -809,7 +815,10 @@ object EventOps {
         val delayUs = 600000000L // 10-minute watermark delay
         val eb = ev(s, d).select($"event_id", $"ts",
           unix_micros($"ts").as("t_us"),
-          expr("event_id DIV 1000").as("batch"))
+          (expr("event_id DIV 1000") + expr(
+            """CASE WHEN CAST(conv(substring(md5(concat('arr:', event_id)), 1, 15), 16, 10) AS BIGINT) % 20 = 0 THEN 2
+                    WHEN CAST(conv(substring(md5(concat('arr:', event_id)), 1, 15), 16, 10) AS BIGINT) % 100 = 7 THEN 5
+                    ELSE 0 END""")).as("batch"))
         val wm = eb.groupBy($"batch").agg(max($"t_us").as("batch_max"))
           .withColumn("wm_us",
             max($"batch_max").over(
@@ -828,7 +837,10 @@ object EventOps {
       },
       Some("""
         WITH eb AS (SELECT event_id, ts, epoch_us(ts) AS t_us,
-                           event_id // 1000 AS batch
+                           event_id // 1000
+                           + (CASE WHEN CAST('0x' || substr(md5('arr:' || event_id), 1, 15) AS BIGINT) % 20 = 0 THEN 2
+                                   WHEN CAST('0x' || substr(md5('arr:' || event_id), 1, 15) AS BIGINT) % 100 = 7 THEN 5
+                                   ELSE 0 END) AS batch
                     FROM events),
         wm AS (SELECT batch,
                       MAX(MAX(t_us)) OVER (ORDER BY batch
@@ -892,6 +904,80 @@ object EventOps {
         SELECT w_id, w_start, w_end, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
         FROM pts JOIN w ON t_us >= w_start AND t_us < w_end
-        GROUP BY w_id, w_start, w_end ORDER BY w_id"""))
+        GROUP BY w_id, w_start, w_end ORDER BY w_id""")),
+
+    // ── e25: watermark delay sweep — e23 answers "how much drops at ──
+    // D=10 min"; this answers the question ops actually asks: "what is
+    // the SMALLEST delay with an acceptable drop rate?" Same arrival
+    // model (1000-event micro-batches + deterministic straggler jitter),
+    // one undelayed running-max frame, then each event fans out to the 5
+    // candidate delays (bounded ×5 row growth, collapsed map-side by the
+    // partial agg to 5 rows before any shuffle). `chosen` marks the
+    // minimal acceptable delay via a window over the 5-ROW aggregate —
+    // never over events. The state cost of a bigger delay is the streaming
+    // operator's state window, so minimal-acceptable is the number a
+    // deployment wants, not just any safe one.
+    GQuery("e25_watermark_sweep",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val eb = ev(s, d).select($"event_id",
+          unix_micros($"ts").as("t_us"),
+          (expr("event_id DIV 1000") + expr(
+            """CASE WHEN CAST(conv(substring(md5(concat('arr:', event_id)), 1, 15), 16, 10) AS BIGINT) % 20 = 0 THEN 2
+                    WHEN CAST(conv(substring(md5(concat('arr:', event_id)), 1, 15), 16, 10) AS BIGINT) % 100 = 7 THEN 5
+                    ELSE 0 END""")).as("batch"))
+        val wm = eb.groupBy($"batch").agg(max($"t_us").as("batch_max"))
+          .withColumn("wm_base_us",
+            max($"batch_max").over(
+              Window.orderBy($"batch").rowsBetween(Window.unboundedPreceding, -1)))
+        val agg = eb.join(broadcast(wm.select($"batch", $"wm_base_us")), "batch")
+          .select($"t_us", $"wm_base_us",
+            explode(typedLit(Seq(60L, 120L, 300L, 600L, 1800L))).as("delay_sec"))
+          .withColumn("late",
+            $"wm_base_us".isNotNull && $"t_us" < $"wm_base_us" - $"delay_sec" * 1000000L)
+          .groupBy($"delay_sec")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"late", 1L).otherwise(0L)).as("n_late"))
+          .withColumn("late_ratio", roundz($"n_late" / $"n_events", 6))
+          .withColumn("acceptable", $"late_ratio" <= 0.001)
+        agg
+          .withColumn("chosen",
+            $"acceptable" && $"delay_sec" ===
+              min(when($"acceptable", $"delay_sec"))
+                .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select($"delay_sec", $"n_events", $"n_late", $"late_ratio",
+            $"acceptable", $"chosen")
+          .orderBy($"delay_sec")
+      },
+      Some("""
+        WITH eb AS (SELECT event_id, epoch_us(ts) AS t_us,
+                           event_id // 1000
+                           + (CASE WHEN CAST('0x' || substr(md5('arr:' || event_id), 1, 15) AS BIGINT) % 20 = 0 THEN 2
+                                   WHEN CAST('0x' || substr(md5('arr:' || event_id), 1, 15) AS BIGINT) % 100 = 7 THEN 5
+                                   ELSE 0 END) AS batch
+                    FROM events),
+        wm AS (SELECT batch,
+                      MAX(MAX(t_us)) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base_us
+               FROM eb GROUP BY batch),
+        dl AS (SELECT CAST(delay_sec AS BIGINT) AS delay_sec
+               FROM (VALUES (60), (120), (300), (600), (1800)) v(delay_sec)),
+        agg AS (
+          SELECT delay_sec, COUNT(*) AS n_events,
+                 CAST(SUM(CASE WHEN wm_base_us IS NOT NULL
+                                AND t_us < wm_base_us - delay_sec * 1000000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+          FROM eb JOIN wm USING (batch) CROSS JOIN dl
+          GROUP BY delay_sec),
+        fin AS (
+          SELECT delay_sec, n_events, n_late,
+                 (ROUND(CAST(n_late AS DOUBLE) / n_events, 6) + 0.0) AS late_ratio,
+                 (ROUND(CAST(n_late AS DOUBLE) / n_events, 6) + 0.0) <= 0.001 AS acceptable
+          FROM agg)
+        SELECT delay_sec, n_events, n_late, late_ratio, acceptable,
+               acceptable AND delay_sec = MIN(CASE WHEN acceptable THEN delay_sec END) OVER ()
+                 AS chosen
+        FROM fin ORDER BY delay_sec"""))
   )
 }

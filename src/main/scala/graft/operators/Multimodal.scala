@@ -333,6 +333,74 @@ object Multimodal {
                CAST(bit_count(xor(sig, prev_sig)) AS INT) AS hamming,
                bit_count(xor(sig, prev_sig)) > 40 AS is_cut
         FROM lagged WHERE prev_sig IS NOT NULL
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ── m09: caption–asset alignment filter — the CLIP-score gate every ──
+    // paired image/text corpus passes (LAION-style: score each
+    // (caption, asset-embedding) pair, drop misaligned pairs, report the
+    // per-label survival rate). The text encoder is a deterministic stub
+    // — one md5 per caption expanded to 64 dims by the same affine
+    // permutation family the minhash pipeline uses (TextFunctions
+    // .permHash), centered to [-0.5, 0.5) — a real encoder's vectors
+    // drop into the SAME join/score/filter plan via the Extraction seam.
+    // Scale: pairs join 1:1 on doc_id=vec_id (co-partitioned ids — at
+    // 100 TB both sides bucket on id and the join is exchange-free); the
+    // 64-dim stub rides the scan projection (never stored); scoring is
+    // the codegen'd CosineSim; rollup = 10 label rows.
+    GQuery("m09_caption_alignment",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.{asDouble, cosineSim, cosineSimSql}
+        val P1 = graft.functions.TextFunctions.PermP1
+        val pairs = Tables.load(s, d, "documents")
+          .select($"doc_id",
+            graft.functions.TextFunctions.hash64(
+              concat(lit("enc:"), $"doc_id")).as("h"))
+          .join(Tables.load(s, d, "embeddings"),
+            $"doc_id" === $"vec_id")
+          .select($"doc_id", $"label",
+            transform(sequence(lit(0L), lit(63L)), p =>
+              ((((lit(1103515245L) * (p + lit(1L)) + lit(12345L)) % lit(P1))
+                * ($"h" % lit(P1))
+                + ((lit(694367L) * (p + lit(1L)) + lit(99991L)) % lit(P1))) % lit(P1))
+                / lit(P1.toDouble) - lit(0.5)).as("tv"),
+            asDouble($"embedding").as("v"))
+          .select($"doc_id", $"label",
+            roundz(cosineSim($"tv", $"v"), 6).as("score"))
+        pairs
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"score" > 0.0, 1L).otherwise(0L)).as("n_kept"),
+            roundz(sum($"score".cast(DecimalType(18, 6))).cast(DoubleType)
+              / count(lit(1)), 6).as("mean_score"))
+          .withColumn("kept_ratio", roundz($"n_kept" / $"n_pairs", 6))
+          .select($"label", $"n_pairs", $"n_kept", $"kept_ratio", $"mean_score")
+          .orderBy($"label")
+      },
+      Some(s"""
+        WITH cap AS (
+          SELECT doc_id, ${hashSql("enc:")} AS h FROM documents),
+        pairs AS (
+          SELECT cap.doc_id, e.label,
+                 list_transform(range(0, 64), p ->
+                   ((((1103515245*(p+1)+12345) % 1073741789) * (cap.h % 1073741789)
+                     + ((694367*(p+1)+99991) % 1073741789)) % 1073741789)
+                     / 1073741789.0 - 0.5) AS tv,
+                 CAST(e.embedding AS DOUBLE[]) AS v
+          FROM cap JOIN embeddings e ON cap.doc_id = e.vec_id),
+        scored AS (
+          SELECT doc_id, label,
+                 (ROUND(${graft.functions.VectorFunctions.cosineSimSql("pairs.tv", "pairs.v")}, 6) + 0.0) AS score
+          FROM pairs)
+        SELECT label, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN score > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               (ROUND(CAST(SUM(CASE WHEN score > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0) AS kept_ratio,
+               (ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_score
+        FROM scored GROUP BY label ORDER BY label"""))
   )
+
+  /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */
+  private def hashSql(prefix: String): String =
+    s"CAST('0x' || substr(md5('$prefix' || doc_id), 1, 15) AS BIGINT)"
 }

@@ -1250,6 +1250,40 @@ object Relational {
                    ORDER BY n DESC, o_orderpriority ASC) AS rn
           FROM counts)
         SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
-        FROM ranked WHERE rn = 1 ORDER BY o_orderstatus"""))
+        FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""")),
+
+    // ── q49: top-k per group as a PARTIAL AGGREGATE — the custom ──
+    // TypedImperativeAggregate (functions/TopKAgg.scala) instead of q09's
+    // Window: each map task folds rows into a k-slot heap, the shuffle
+    // carries ≤ k pairs per (task, group), merge folds heaps — no global
+    // per-group sort ever happens. At 100 TB the Window form shuffles and
+    // sorts EVERY row of a hot group through one partition; this form's
+    // shuffle is bounded by k·tasks·groups however the data grows.
+    // Eviction uses a total order (price DESC, orderkey ASC), so the
+    // result is row- and merge-order independent — the oracle's
+    // ROW_NUMBER mirror is exact. o_totalprice is DECIMAL(15,2) with
+    // values ≪ 2^53/100: the cast to DOUBLE is lossless on both engines.
+    GQuery("q49_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TopKAgg.topK
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(topK($"o_totalprice".cast(DoubleType),
+            $"o_orderkey".cast(LongType), 5).as("tk"))
+          .select($"o_orderpriority", posexplode($"tk"))
+          .select($"o_orderpriority", ($"pos" + 1).cast(LongType).as("rk"),
+            $"col.id".as("o_orderkey"), $"col.score".as("total_price"))
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS total_price,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS rk
+          FROM orders)
+        SELECT o_orderpriority, rk, o_orderkey, total_price
+        FROM ranked WHERE rk <= 5 ORDER BY o_orderpriority, rk"""))
   )
 }

@@ -54,6 +54,57 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("q49 top-k runs as a partial aggregate — no Window, no per-group sort") {
+    val qe = SparkEntry.queries("q49_topk_agg")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // TypedImperativeAggregate → ObjectHashAggregate, in BOTH phases
+    // (partial map-side + final), so the shuffle carries ≤ k pairs per
+    // (task, group) instead of every row.
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"top_k did not run as a two-phase object aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"q49 fell back to a Window:\n$plan")
+    // The only Sort allowed is the final presentation orderBy — it must
+    // sit ABOVE the aggregate, never under it (a sort-based fallback
+    // would re-introduce the per-group global sort the operator exists
+    // to avoid).
+    val sortIdx = plan.indexOf("Sort ")
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    assert(sortIdx < aggIdx, s"sort below the aggregate:\n$plan")
+  }
+
+  test("top_k agg matches a reference sort under random updates and merges") {
+    // Heap law: fold any row set through any partition/merge tree ==
+    // sort-take-k under the total order (score desc, id asc). Also
+    // SQL-callable via the extension registration.
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(500)(i => (rnd.nextInt(40).toDouble, i.toLong))
+    val want = rows.sortWith { case ((s1, i1), (s2, i2)) =>
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    }.take(7)
+    (1 to 5).foreach { trial =>
+      val shuffled = new scala.util.Random(trial).shuffle(rows)
+      val nParts = 1 + trial
+      val h = shuffled.grouped(math.max(1, shuffled.size / nParts)).map { chunk =>
+        val heap = new graft.functions.TopKHeap(7)
+        chunk.foreach { case (s, i) => heap.offer(s, i) }
+        heap
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < b.size) { a.offer(b.scores(i), b.ids(i)); i += 1 }
+        a
+      }
+      assert(h.sortedPairs.toSeq == want,
+        s"trial $trial: heap fold diverged from sort-take-k")
+    }
+    import spark.implicits._
+    val df = rows.toDF("score", "id")
+    df.createOrReplaceTempView("topk_probe")
+    val viaSql = spark.sql(
+      """SELECT inline(top_k(score, CAST(id AS BIGINT), 7))
+         FROM topk_probe""").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(viaSql == want, "SQL-registered top_k diverged from reference")
+  }
+
   test("no unbounded cartesian in the vector pipelines (s05/s06/d06)") {
     // s05 regressed-to-all-pairs was round 1's one scale-killer: pin that
     // every corpus-sized vector join is an EQUALITY join (hash-joinable),

@@ -368,6 +368,86 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"stream-stream join: got ${got.size} pairs, want ${want.size}")
   }
 
+  test("e23's watermark emulation reconciles with a real withWatermark stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Replay e23's arrival model (event_id order + deterministic straggler
+    // jitter) through a REAL streaming window aggregation and reconcile
+    // the engine's numRowsDroppedByWatermark with the batch emulation.
+    // The engine drops an input row when its whole WINDOW is behind the
+    // watermark (window_end <= wm) — a strict subset of e23's per-event
+    // lateness (ts < wm) — so: engine drops == window-end emulation, and
+    // both ≤ the per-event late count.
+    val delayMs = 600000L
+    val hourUs = 3600000000L
+    val rows = Tables.load(spark, sf, "events")
+      .select($"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    def jitter(id: Long): Long = {
+      val h = BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arr:$id".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16).toLong
+      if (h % 20 == 0) 2L else if (h % 100 == 7) 5L else 0L
+    }
+    val batches = rows
+      .map { case (id, ts) => (id / 50 + jitter(id), id, ts) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(t => (t._2, t._3)) }
+
+    def tUs(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")).count()
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_audit_out").start()
+    try {
+      batches.foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // Reconcile against the engine's OBSERVED batching (processAllAvailable
+      // may coalesce adjacent chunks): walk the data batches in order,
+      // re-associate our rows by numInputRows, and check per batch that
+      //  (a) the reported watermark is exactly e23's rule — (ms-truncated
+      //      max event time over PRIOR batches) − delay;
+      //  (b) the engine dropped exactly the WINDOWS wholly behind that
+      //      watermark (window_end <= wm): the dropped-row metric sits
+      //      above the partial aggregate, so same-window late events
+      //      merge to one dropped row — the aggregation form of e23's
+      //      per-event ts < wm lateness.
+      val progresses = q.recentProgress.filter(_.numInputRows > 0)
+      val flat = batches.flatten
+      assert(progresses.map(_.numInputRows).sum == flat.length.toLong,
+        "progress log lost rows — cannot reconcile")
+      var idx = 0
+      var maxUs = Long.MinValue
+      var totalDropped = 0L
+      progresses.foreach { p =>
+        val n = p.numInputRows.toInt
+        val rows = flat.slice(idx, idx + n); idx += n
+        val wmUs = Option(p.eventTime.get("watermark"))
+          .map(s => java.time.Instant.parse(s))
+          .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          .getOrElse(0L)
+        val expWmUs = if (maxUs == Long.MinValue) 0L else (maxUs / 1000 - delayMs) * 1000
+        assert(wmUs == expWmUs,
+          s"batch ${p.batchId}: engine watermark $wmUs != emulated $expWmUs")
+        val expDrop = rows.map { case (_, ts) => tUs(ts) / hourUs }
+          .filter(w => (w + 1) * hourUs <= wmUs).distinct.size
+        val gotDrop = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        assert(gotDrop == expDrop,
+          s"batch ${p.batchId}: engine dropped $gotDrop, window-end emulation says $expDrop (wm=$wmUs)")
+        totalDropped += gotDrop
+        rows.foreach { case (_, ts) => maxUs = math.max(maxUs, tUs(ts)) }
+      }
+      assert(totalDropped > 0, "arrival schedule produced no dropped rows — vacuous")
+    } finally q.stop()
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
