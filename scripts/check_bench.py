@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Per-family perf regression gate.
+
+Usage: python3 scripts/check_bench.py [BENCH_BUDGET.json [BENCH_LOCAL.json]]
+
+Compares the freshest local bench run against the committed per-family
+budgets. Families (q/r/t/d/s/e/m/p — the name prefix before the digits)
+are the gating unit: individual sub-second queries swing with GC/loop
+noise, but a family subtotal only moves when a shared stage (signature
+pipeline, a join strategy, codegen) actually regresses.
+
+Budget semantics: each family has a ceiling in wall seconds at the
+budget's SF/CPU shape (sf0.1, local bench harness, min-of-3). A family
+over its ceiling fails the gate. New families (operators added since the
+budget was last refreshed) warn rather than fail — refresh the budget
+with --refresh once their cost is intentional.
+
+  python3 scripts/check_bench.py --refresh   # rewrite budgets from
+                                             # BENCH_LOCAL.json * margin
+"""
+import json
+import sys
+from pathlib import Path
+
+MARGIN = 1.6  # headroom over the measured family total when refreshing
+
+
+def load(p):
+    return json.loads(Path(p).read_text())
+
+
+def refresh(budget_path, local_path):
+    local = load(local_path)
+    fams = local.get("families") or {}
+    if not fams:
+        print(f"no 'families' key in {local_path} — rerun graft.Bench first")
+        return 1
+    budget = {
+        "sf": local.get("sf"),
+        "margin": MARGIN,
+        "families": {f: round(v * MARGIN, 2) for f, v in sorted(fams.items())},
+        "total": round(local["value"] * MARGIN, 2),
+        "sigstore_build": round(local.get("sigstore_build", 0.0) * MARGIN, 2),
+    }
+    Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
+    print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
+    return 0
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    budget_path = args[0] if len(args) > 0 else "BENCH_BUDGET.json"
+    local_path = args[1] if len(args) > 1 else "BENCH_LOCAL.json"
+    if "--refresh" in argv:
+        return refresh(budget_path, local_path)
+    budget, local = load(budget_path), load(local_path)
+    fams = local.get("families") or {}
+    n_fail = 0
+    for fam, ceiling in sorted(budget["families"].items()):
+        got = fams.get(fam)
+        if got is None:
+            print(f"warn {fam}: in budget but absent from local run")
+            continue
+        status = "FAIL" if got > ceiling else "ok"
+        n_fail += got > ceiling
+        print(f"{status:4} {fam:3} {got:7.2f}s / budget {ceiling:.2f}s")
+    for fam in sorted(set(fams) - set(budget["families"])):
+        print(f"warn {fam}: new family, no budget yet ({fams[fam]:.2f}s) — "
+              f"run --refresh once intentional")
+    sig = local.get("sigstore_build")
+    if sig is not None and "sigstore_build" in budget:
+        status = "FAIL" if sig > budget["sigstore_build"] else "ok"
+        n_fail += sig > budget["sigstore_build"]
+        print(f"{status:4} sigstore_build {sig:.2f}s / budget {budget['sigstore_build']:.2f}s")
+    if local["value"] > budget["total"]:
+        n_fail += 1
+        print(f"FAIL total {local['value']:.2f}s / budget {budget['total']:.2f}s")
+    else:
+        print(f"ok   total {local['value']:.2f}s / budget {budget['total']:.2f}s")
+    print(("PASS" if n_fail == 0 else "FAIL") + f" ({n_fail} over budget)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

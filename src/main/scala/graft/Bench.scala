@@ -71,8 +71,14 @@ object Bench {
     // BENCH_LOCAL.json in round 3, and a consumer still parsing a
     // "queries" key would silently compute per-query stats from the
     // ~12-entry subset. The renamed key makes stale parsers fail loudly.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    // Per-family subtotals (family = name prefix before the digits:
+    // q/r/t/d/s/e/m/p): the unit scripts/check_bench.py budgets against —
+    // family sums are stable where individual sub-second queries are
+    // GC-noise, so regressions gate at the level that actually moves.
+    val families = results.groupBy(_._1.takeWhile(!_.isDigit))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }

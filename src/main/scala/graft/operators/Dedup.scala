@@ -909,6 +909,62 @@ object Dedup {
                CAST(SUM((n_tokens * 1000000) // n_copies) AS BIGINT) AS effective_utokens,
                (ROUND(1.0 - CAST(SUM((n_tokens * 1000000) // n_copies) AS BIGINT)
                  / (CAST(SUM(n_tokens) AS BIGINT) * 1000000.0), 6) + 0.0) AS discount
-        FROM sized GROUP BY source ORDER BY source"""))
+        FROM sized GROUP BY source ORDER BY source""")),
+
+    // ── d18: canonical-URL dedup — the FIRST dedup pass every web corpus ──
+    // runs, before any content hashing: the same page re-crawled under
+    // http/https, with/without www., trailing slash, or tracking params is
+    // one document. URLs are synthesized from doc_id (the corpus carries
+    // no url column) with all four variant axes, then normalized by a
+    // deterministic string chain — scheme strip, www. strip, query strip,
+    // trailing-slash strip — and exact-deduped d01-style on the canonical
+    // form. Single scan + one hash groupBy on a uniform string key; no
+    // pairwise anything. n_variants counts how many distinct raw spellings
+    // collapsed into each canonical group.
+    GQuery("d18_url_dedup",
+      (s, d) => {
+        import s.implicits._
+        val raw = docs(s, d).select($"doc_id",
+          concat(
+            when($"doc_id" % 2 === 0, "https://").otherwise("http://"),
+            when($"doc_id" % 5 === 0, "www.").otherwise(""),
+            lit("host"), ($"doc_id" % 7).cast(StringType),
+            lit(".example"), ($"doc_id" % 3).cast(StringType),
+            lit(".org/p/"), ($"doc_id" % 10).cast(StringType),
+            when($"doc_id" % 4 === 0, "/").otherwise(""),
+            when($"doc_id" % 2 === 1, "?utm_source=feed&ref=home").otherwise("")
+          ).as("url"))
+        raw
+          .withColumn("canonical_url",
+            regexp_replace(
+              substring_index(
+                regexp_replace($"url", "^https?://(www\\.)?", ""), "?", 1),
+              "/$", ""))
+          .groupBy($"canonical_url")
+          .agg(count(lit(1)).as("n_copies"),
+            min($"doc_id").as("keeper"),
+            countDistinct($"url").as("n_variants"))
+          .filter($"n_copies" > 1)
+          .orderBy($"canonical_url")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 concat((CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END),
+                        (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END),
+                        'host', (doc_id % 7), '.example', (doc_id % 3),
+                        '.org/p/', (doc_id % 10),
+                        (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+                        (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&ref=home' ELSE '' END)) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id, url,
+                 regexp_replace(split_part(
+                   regexp_replace(url, '^https?://(www\.)?', ''), '?', 1), '/$', '') AS canonical_url
+          FROM raw)
+        SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS keeper,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+        FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+        ORDER BY canonical_url"""))
   )
 }

@@ -978,6 +978,44 @@ object EventOps {
         SELECT delay_sec, n_events, n_late, late_ratio, acceptable,
                acceptable AND delay_sec = MIN(CASE WHEN acceptable THEN delay_sec END) OVER ()
                  AS chosen
-        FROM fin ORDER BY delay_sec"""))
+        FROM fin ORDER BY delay_sec""")),
+
+    // ── e26: dwell time — per event, time until the user's NEXT event, ──
+    // counted as engagement only within the e02 session discipline (gaps
+    // over 30 min are absence, not dwell — the same 1800s cutoff, so the
+    // two operators tell one consistent story). One lead() window per
+    // user (single shuffle on user_id), then a per-event-type rollup:
+    // which surfaces hold attention, which are exits. Mean dwell divides
+    // an exact BIGINT micros sum — floats appear only in the final
+    // division.
+    GQuery("e26_dwell_time",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        ev(s, d)
+          .withColumn("gap_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+          .filter($"gap_us".isNotNull && $"gap_us" <= 1800000000L)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_dwells"),
+            sum($"gap_us").as("total_dwell_us"),
+            max($"gap_us").as("max_dwell_us"))
+          .select($"event_type", $"n_dwells", $"total_dwell_us", $"max_dwell_us",
+            roundz($"total_dwell_us".cast(DoubleType) / $"n_dwells" / 1000000.0, 6)
+              .as("mean_dwell_sec"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH x AS (
+          SELECT event_type,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                   - epoch_us(ts) AS gap_us
+          FROM events),
+        dw AS (SELECT event_type, gap_us FROM x
+               WHERE gap_us IS NOT NULL AND gap_us <= 1800000000)
+        SELECT event_type, COUNT(*) AS n_dwells,
+               CAST(SUM(gap_us) AS BIGINT) AS total_dwell_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_dwell_us,
+               (ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) + 0.0) AS mean_dwell_sec
+        FROM dw GROUP BY event_type ORDER BY event_type"""))
   )
 }

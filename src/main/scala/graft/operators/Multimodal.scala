@@ -397,7 +397,55 @@ object Multimodal {
                (ROUND(CAST(SUM(CASE WHEN score > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
                  / CAST(COUNT(*) AS DOUBLE), 6) + 0.0) AS kept_ratio,
                (ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_score
-        FROM scored GROUP BY label ORDER BY label"""))
+        FROM scored GROUP BY label ORDER BY label""")),
+
+    // ── m10: resolution/aspect profile — the asset-inventory report a ──
+    // vision-pipeline runs before choosing train-time resize targets:
+    // per (content_type, resolution class) counts, widescreen share, and
+    // byte mass. Dimensions come from m01's stub decoder (length-derived
+    // fake width/height — a real decoder swaps into the same columns);
+    // the aspect test is integer cross-multiplied (w*3 >= h*4 ⇔ w/h ≥
+    // 4:3) so no float boundary exists. Single scan + one small groupBy;
+    // blobs contribute only their byte counts.
+    GQuery("m10_resolution_profile",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+              ($"doc_id" % 3 + 1).cast(IntegerType)).as("content_type"),
+            (length($"text") % 640 + 1).cast(LongType).as("w"),
+            (length($"text") % 480 + 1).cast(LongType).as("h"),
+            length($"text").cast(LongType).as("n_bytes"))
+          .withColumn("res_class",
+            when($"w" * $"h" >= 200000L, "hi")
+              .when($"w" * $"h" >= 50000L, "mid")
+              .otherwise("lo"))
+          .groupBy($"content_type", $"res_class")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when($"w" * 3 >= $"h" * 4, 1L).otherwise(0L)).as("n_wide"),
+            sum($"n_bytes").as("total_bytes"))
+          .orderBy($"content_type", $"res_class")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS content_type,
+                 CAST(strlen(text) % 640 + 1 AS BIGINT) AS w,
+                 CAST(strlen(text) % 480 + 1 AS BIGINT) AS h,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes
+          FROM documents),
+        c AS (SELECT content_type,
+                     CASE WHEN w * h >= 200000 THEN 'hi'
+                          WHEN w * h >= 50000 THEN 'mid'
+                          ELSE 'lo' END AS res_class,
+                     CASE WHEN w * 3 >= h * 4 THEN 1 ELSE 0 END AS wide, n_bytes
+              FROM a)
+        SELECT content_type, res_class, COUNT(*) AS n_assets,
+               CAST(SUM(wide) AS BIGINT) AS n_wide,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        FROM c GROUP BY content_type, res_class
+        ORDER BY content_type, res_class"""))
   )
 
   /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */

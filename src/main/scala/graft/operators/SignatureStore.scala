@@ -33,6 +33,12 @@ object SignatureStore {
   /** Session conf holding the store base directory; unset = inline. */
   val ConfKey = "spark.graft.sigstore.dir"
 
+  /** Bucket count for the table-format store ([[materializeTable]]).
+    * Matches the session's shuffle partitioning at test scale; at 100 TB
+    * you size it so one bucket ≈ one comfortable task (e.g. 4096).
+    */
+  val DefaultBuckets = 32
+
   private def corpusKey(corpusDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -41,18 +47,33 @@ object SignatureStore {
   def storeDir(s: SparkSession, corpusDir: String): Option[String] =
     s.conf.getOption(ConfKey).map(b => s"$b/${corpusKey(corpusDir)}")
 
+  /** Catalog table name for a store facet ("sig" / "comp"). */
+  def tableName(facet: String, corpusDir: String): String =
+    s"graft_${facet}_${corpusKey(corpusDir).take(12)}"
+
   private def ready(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
-  /** The banded-signature frame from the store, when materialized. */
+  private def tableIfPresent(s: SparkSession, facet: String,
+                             corpusDir: String): Option[DataFrame] =
+    Some(tableName(facet, corpusDir)).filter(s.catalog.tableExists)
+      .map(s.table(_))
+
+  /** The banded-signature frame from the store, when materialized.
+    * The bucketed catalog table ([[materializeTable]]) wins over the
+    * plain parquet directory: same rows, but its doc_id bucketing lets
+    * downstream doc_id joins/aggregates skip the Exchange.
+    */
   def signaturesIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/signatures").filter(ready)
-      .map(s.read.parquet(_))
+    tableIfPresent(s, "sig", corpusDir)
+      .orElse(storeDir(s, corpusDir).map(d => s"$d/signatures").filter(ready)
+        .map(s.read.parquet(_)))
 
   /** The converged component labels from the store, when materialized. */
   def componentsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/components").filter(ready)
-      .map(s.read.parquet(_))
+    tableIfPresent(s, "comp", corpusDir)
+      .orElse(storeDir(s, corpusDir).map(d => s"$d/components").filter(ready)
+        .map(s.read.parquet(_)))
 
   /** Build (or rebuild) the store for a corpus: one signature pass, one
     * component convergence, both written as parquet. Requires [[ConfKey]]
@@ -78,8 +99,50 @@ object SignatureStore {
     dir
   }
 
+  /** Table-format store: the same two facets written as EXTERNAL parquet
+    * tables bucketed + sorted on `doc_id` (files under the [[ConfKey]]
+    * store dir, metadata in the session catalog — a shared metastore in a
+    * real deployment). Bucketing is the piece the plain parquet store
+    * can't give: every consumer that joins or aggregates on doc_id
+    * (signature lookup for candidate pairs, component→document joins in
+    * d08/p06/p15/p16) reads pre-partitioned data, so the store side of
+    * those joins ships ZERO Exchange — and a signatures⋈components join
+    * (both tables, same bucket count) shuffles nothing at all.
+    * SignatureStoreSpec pins both properties plus bit-level equality with
+    * the inline pipeline.
+    *
+    * Returns (signatureTable, componentTable).
+    */
+  def materializeTable(s: SparkSession, corpusDir: String,
+                       buckets: Int = DefaultBuckets): (String, String) = {
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to materialize"))
+    val sigT = tableName("sig", corpusDir)
+    val compT = tableName("comp", corpusDir)
+    s.sql(s"DROP TABLE IF EXISTS $sigT")
+    s.sql(s"DROP TABLE IF EXISTS $compT")
+    Dedup.releaseSignatures()
+    Dedup.signatureFrame(Tables.load(s, corpusDir, "documents"))
+      .write.format("parquet").option("path", s"$dir/sig_table")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(sigT)
+    Dedup.releaseSignatures()
+    // the component convergence now consumes the bucketed signature table;
+    // schema stays (node, label) — node IS the doc_id, and bucketing keys
+    // on column position in the join, not the name
+    Dedup.dupComponents(s, corpusDir)
+      .write.format("parquet").option("path", s"$dir/comp_table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .mode("overwrite").saveAsTable(compT)
+    Dedup.releaseSignatures()
+    (sigT, compT)
+  }
+
   /** Remove the store for a corpus (tests; explicit invalidation). */
-  def drop(s: SparkSession, corpusDir: String): Unit =
+  def drop(s: SparkSession, corpusDir: String): Unit = {
+    Seq("sig", "comp").map(tableName(_, corpusDir))
+      .filter(s.catalog.tableExists)
+      .foreach(t => s.sql(s"DROP TABLE $t"))
     storeDir(s, corpusDir).foreach { d =>
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p))
@@ -88,4 +151,5 @@ object SignatureStore {
       }
       rm(java.nio.file.Paths.get(d))
     }
+  }
 }

@@ -660,6 +660,50 @@ object Similarity {
                  / (sqrt(${dotSql("aug.va", "aug.va", 65)})
                     * sqrt(${dotSql("qv.qa", "qv.qa", 65)})), 6) + 0.0) AS aug_cos
         FROM aug, qv
-        ORDER BY dot DESC, vec_id ASC LIMIT 10"""))
+        ORDER BY dot DESC, vec_id ASC LIMIT 10""")),
+
+    // ── s15: dedup-threshold sweep — the calibration curve behind every ──
+    // "cosine ≥ θ means duplicate" policy decision: pair count and mean
+    // similarity at each candidate threshold, computed over the sign-LSH
+    // candidate pairs (d06's bucket-equality shape — NEVER all pairs, so
+    // the sweep costs the same as one dedup pass at any corpus size). The
+    // grid explodes AFTER the pair join (7 small rows per candidate pair,
+    // not 7 re-joins); mean goes through an exact DECIMAL sum of the
+    // 4-dp-rounded cosines so both engines divide identical numerators.
+    GQuery("s15_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+          .select($"vec_id", asDouble($"embedding").as("v"),
+            signBucket($"embedding", 4).as("bucket"))
+        val pairs = e.as("x").join(e.as("y"),
+            $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+          .select(roundz(cosineSim($"x.v", $"y.v"), 4).as("cos"))
+        val grid = (30 to 60 by 5).map(_ / 100.0)
+        pairs
+          .select($"cos", explode(array(grid.map(lit(_)): _*)).as("threshold"))
+          .filter($"cos" >= $"threshold")
+          .groupBy($"threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            sumd($"cos".cast(DecimalType(10, 4))).as("sum_cos"))
+          .select($"threshold", $"n_pairs",
+            roundz($"sum_cos" / $"n_pairs", 6).as("mean_cos"))
+          .orderBy($"threshold")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                           + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                           + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        p AS (SELECT (ROUND(${cosSql("x.v", "y.v")}, 4) + 0.0) AS cos
+              FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        g AS (SELECT cos, t.threshold
+              FROM p, (SELECT unnest(CAST([0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6] AS DOUBLE[])) AS threshold) t
+              WHERE cos >= t.threshold)
+        SELECT threshold, COUNT(*) AS n_pairs,
+               (ROUND(CAST(SUM(CAST(cos AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_cos
+        FROM g GROUP BY threshold ORDER BY threshold"""))
   )
 }

@@ -833,6 +833,48 @@ object TextOps {
         SELECT bucket, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                (ROUND(CAST(SUM(log_ppl) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_log_ppl
-        FROM bucketed GROUP BY bucket ORDER BY bucket"""))
+        FROM bucketed GROUP BY bucket ORDER BY bucket""")),
+
+    // ── t23: code-vs-prose detection — the routing decision every mixed ──
+    // crawl makes before tokenizer/quality settings diverge per modality.
+    // Two single-scan signals: symbol density (chars from the code
+    // alphabet {}();=<>[] as a fraction of all chars — regexp_replace
+    // DELETES them and the length delta counts them, one codegen'd pass,
+    // no explode) and keyword rate (tokens from a tiny language-keyword
+    // list). The keep/route decision compares in INTEGER cross-multiplied
+    // form (n_sym*100 > n_chars*3, not n_sym/n_chars > 0.03) so the
+    // boolean can never diverge across engines on a float boundary.
+    GQuery("t23_code_detect",
+      (s, d) => {
+        import s.implicits._
+        val kws = Seq("def", "return", "import", "class", "val", "if", "else", "for")
+        docs(s, d)
+          .select($"doc_id",
+            length($"text").cast(LongType).as("n_chars"),
+            size(tokens($"text")).cast(LongType).as("n_tokens"),
+            (length($"text") -
+              length(regexp_replace($"text", "[{}();=<>\\[\\]]", ""))).cast(LongType).as("n_sym"),
+            countIn(tokens($"text"), kws).cast(LongType).as("n_kw"))
+          .select($"doc_id",
+            roundz($"n_sym".cast(DoubleType) / greatest($"n_chars", lit(1L)), 6).as("sym_ratio"),
+            roundz($"n_kw".cast(DoubleType) / greatest($"n_tokens", lit(1L)), 6).as("kw_rate"),
+            ($"n_sym" * 100 > $"n_chars" * 3 || $"n_kw" * 20 > $"n_tokens").as("is_code"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(strlen(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(strlen(text)
+                      - strlen(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')) AS BIGINT) AS n_sym,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('def','return','import','class','val','if','else','for'))) AS BIGINT) AS n_kw
+          FROM documents)
+        SELECT doc_id,
+               (ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_chars, 1), 6) + 0.0) AS sym_ratio,
+               (ROUND(CAST(n_kw AS DOUBLE) / GREATEST(n_tokens, 1), 6) + 0.0) AS kw_rate,
+               (n_sym * 100 > n_chars * 3) OR (n_kw * 20 > n_tokens) AS is_code
+        FROM f ORDER BY doc_id"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, SignatureStore}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The materialized signature/component store must be a pure plan swap:
@@ -65,6 +66,40 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(d08Paths.exists(p => p.contains(key) && p.contains("components")),
         s"d08 plan does not scan the materialized component store: $d08Paths")
     } finally {
+      spark.conf.unset(SignatureStore.ConfKey)
+      Dedup.releaseSignatures()
+    }
+  }
+
+  test("table-format store: results equal inline, store-side joins shuffle-free") {
+    assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty,
+      "test precondition: session must start without a store conf")
+    val inline = runAll()
+    val base = java.nio.file.Files.createTempDirectory("graft_sigstore_t").toString
+    spark.conf.set(SignatureStore.ConfKey, base)
+    try {
+      val (sigT, compT) = SignatureStore.materializeTable(spark, sf)
+      assert(spark.catalog.tableExists(sigT) && spark.catalog.tableExists(compT))
+      // pure plan swap: every consumer reads the bucketed tables (the
+      // catalog hook wins over the parquet-dir facet) yet renders the
+      // identical rows, signed zeros and all
+      val viaTable = runAll()
+      consumers.foreach { n =>
+        assert(viaTable(n) == inline(n), s"$n: table-store read diverged from inline")
+      }
+      // the bucketing payoff: signatures ⋈ components on the doc id —
+      // both tables bucketed+sorted the same way — plans with ZERO
+      // Exchange. The merge hint keeps AQE from broadcasting the (tiny at
+      // test SF) component side, which would skip bucketing entirely; at
+      // corpus scale both sides are large and sort-merge is the real plan.
+      val joined = spark.table(sigT).hint("merge")
+        .join(spark.table(compT), col("doc_id") === col("node"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"store-side join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join over buckets")
+      assert(joined.count() > 0, "store join produced no rows")
+    } finally {
+      SignatureStore.drop(spark, sf)
       spark.conf.unset(SignatureStore.ConfKey)
       Dedup.releaseSignatures()
     }
