@@ -307,6 +307,34 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     val d16 = planOf("d16_prefix_dedup")
     assert(!d16.contains("Join") && "HashAggregate".r.findAllIn(d16).size >= 2,
       s"d16: expected join-free two-phase aggregate:\n$d16")
+    // ── round-5b additions ──
+    // t23: pure per-row scoring — a join or aggregate appearing here means
+    // the keyword/symbol signals stopped being single-scan expressions.
+    val t23 = planOf("t23_code_detect")
+    assert(!t23.contains("Join") && !t23.contains("HashAggregate"),
+      s"t23: expected a join-free, aggregate-free scan:\n$t23")
+    // d18: canonicalization is a column chain; dedup is d01's two-phase
+    // hash aggregate on the canonical key — never a self-join.
+    val d18 = planOf("d18_url_dedup")
+    assert(!d18.contains("Join") && "HashAggregate".r.findAllIn(d18).size >= 2,
+      s"d18: expected join-free two-phase aggregate:\n$d18")
+    // s15: the sweep rides d06's bucket-equality candidates; the grid
+    // explodes after the join, so no cartesian/nested-loop may appear.
+    val s15 = planOf("s15_threshold_sweep")
+    assert(!s15.contains("CartesianProduct") && !s15.contains("BroadcastNestedLoopJoin"),
+      s"s15: threshold sweep went pairwise:\n$s15")
+    assert(s15.contains("HashJoin") || s15.contains("SortMergeJoin"),
+      s"s15: bucket equality join disappeared:\n$s15")
+    // e26: one lead() window per user + a tiny rollup — no join.
+    val e26 = planOf("e26_dwell_time")
+    assert(!e26.contains("Join") && e26.contains("Window"),
+      s"e26: expected join-free windowed plan:\n$e26")
+    // m10/p22: single-scan two-phase aggregates.
+    Seq("m10_resolution_profile", "p22_pack_efficiency").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Join") && "HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: expected join-free two-phase aggregate:\n$p")
+    }
   }
 
   test("graft-registry DataSource V2: reads, matches the in-memory dims, prunes columns") {

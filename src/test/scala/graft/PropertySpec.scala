@@ -262,4 +262,57 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(bad == 0, "adjacent sessions closer than the 30-min gap")
   }
+
+  test("round-5b operator invariants: d18/s15/e26/m10/p22/t23") {
+    import spark.implicits._
+    // d18: every surviving group is a real dup group, variants can't
+    // outnumber copies, and total deduped rows never exceed the corpus
+    val d18 = SparkEntry.queries("d18_url_dedup")(spark, sf)
+      .select($"n_copies", $"n_variants").collect()
+    assert(d18.nonEmpty, "d18: no duplicate URL groups at test SF — oracle is vacuous")
+    d18.foreach { r =>
+      assert(r.getLong(0) >= 2 && r.getLong(1) <= r.getLong(0),
+        s"d18: n_variants > n_copies or singleton group: $r")
+    }
+    // s15: pair count is monotonically non-increasing in the threshold,
+    // and the mean similarity of kept pairs is at least the threshold
+    val s15 = SparkEntry.queries("s15_threshold_sweep")(spark, sf)
+      .orderBy($"threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    s15.sliding(2).foreach {
+      case Array((t1, n1, _), (t2, n2, _)) =>
+        assert(n2 <= n1, s"s15: pair count grew from θ=$t1 ($n1) to θ=$t2 ($n2)")
+      case _ =>
+    }
+    s15.foreach { case (t, _, mean) =>
+      assert(mean >= t, s"s15: mean cosine $mean below its own threshold $t")
+    }
+    // e26: dwell is capped by the session cutoff on both the max and mean
+    SparkEntry.queries("e26_dwell_time")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("max_dwell_us") <= 1800000000L,
+        s"e26: dwell beyond the 30-min session cutoff: $r")
+      assert(r.getAs[Double]("mean_dwell_sec") <= 1800.0, s"e26: mean dwell over cutoff: $r")
+    }
+    // m10: classes partition the corpus; widescreen share is a subset
+    val m10 = SparkEntry.queries("m10_resolution_profile")(spark, sf).collect()
+    val corpusN = Tables.load(spark, sf, "documents").count()
+    assert(m10.map(_.getAs[Long]("n_assets")).sum == corpusN,
+      "m10: resolution classes do not partition the corpus")
+    m10.foreach(r => assert(r.getAs[Long]("n_wide") <= r.getAs[Long]("n_assets")))
+    // p22: shard arithmetic is exact and waste is bounded by one shard
+    SparkEntry.queries("p22_pack_efficiency")(spark, sf).collect().foreach { r =>
+      val (total, shards, waste) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_shards"), r.getAs[Long]("waste_tokens"))
+      assert(shards * 500 == total + waste && waste >= 0 && waste < 500,
+        s"p22: shard arithmetic broken: $r")
+      val fill = r.getAs[Double]("fill_rate")
+      assert(fill > 0.0 && fill <= 1.0, s"p22: fill_rate out of range: $r")
+    }
+    // t23: both signals are rates in [0,1]
+    SparkEntry.queries("t23_code_detect")(spark, sf).collect().foreach { r =>
+      val (sym, kw) = (r.getAs[Double]("sym_ratio"), r.getAs[Double]("kw_rate"))
+      assert(sym >= 0.0 && sym <= 1.0 && kw >= 0.0 && kw <= 1.0,
+        s"t23: signal out of [0,1]: $r")
+    }
+  }
 }
