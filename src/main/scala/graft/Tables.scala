@@ -13,7 +13,8 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else raw(spark, dir, name)
+    else graft.sources.CorpusLayout.ifPresent(spark, dir, name)
+      .getOrElse(raw(spark, dir, name))
 
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

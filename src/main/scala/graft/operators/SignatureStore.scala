@@ -138,6 +138,40 @@ object SignatureStore {
     (sigT, compT)
   }
 
+  /** Append a batch of NEW documents' signatures to the table-format
+    * store — the nightly-ingest path. Signatures are per-document and
+    * corpus-independent (see [[Dedup.signatureFrame]]), so appending the
+    * new batch's rows is EXACTLY what a full rebuild would compute for
+    * them: no read-modify-write, no re-touch of existing rows, and the
+    * write lands bucket-aligned (same bucketBy spec), so consumers keep
+    * their shuffle-free plans. This is the store-side half of
+    * [[IncrementalDedup]]'s contract: new×store + new×new candidate
+    * pairs come from joining the appended rows against the table.
+    *
+    * Component labels are deliberately NOT appended: new edges can merge
+    * existing components, so labels are a global fixpoint — refresh them
+    * via [[materializeTable]] (or serve merges incrementally through
+    * IncrementalDedup's pair stream) once a batch lands.
+    *
+    * The caller owns batch dedup: appending the same doc_id twice stores
+    * two identical rows, like any append-only ingest.
+    */
+  def appendTable(s: SparkSession, corpusDir: String, newDocs: DataFrame,
+                  buckets: Int = DefaultBuckets): Unit = {
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to append"))
+    val sigT = tableName("sig", corpusDir)
+    // first batch creates the table (day-0 bootstrap IS an append of the
+    // whole corpus); later batches land alongside with the same bucket spec
+    val mode = if (s.catalog.tableExists(sigT)) "append" else "overwrite"
+    Dedup.signatureFrame(newDocs)
+      .write.format("parquet").option("path", s"$dir/sig_table")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode(mode).saveAsTable(sigT)
+    // the memoized frame may hold the pre-append table snapshot
+    Dedup.releaseSignatures()
+  }
+
   /** Remove the store for a corpus (tests; explicit invalidation). */
   def drop(s: SparkSession, corpusDir: String): Unit = {
     Seq("sig", "comp").map(tableName(_, corpusDir))

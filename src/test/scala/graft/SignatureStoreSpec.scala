@@ -105,6 +105,36 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("append-table: batch append equals a full rebuild, bit for bit") {
+    import spark.implicits._
+    assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty)
+    val base = java.nio.file.Files.createTempDirectory("graft_sigstore_a").toString
+    spark.conf.set(SignatureStore.ConfKey, base)
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val sigT = SignatureStore.tableName("sig", sf)
+      // day 0: the even half bootstraps the table; day 1: the odd half
+      // lands as a nightly batch
+      SignatureStore.appendTable(spark, sf, docs.filter($"doc_id" % 2 === 0))
+      SignatureStore.appendTable(spark, sf, docs.filter($"doc_id" % 2 === 1))
+      val viaStore = spark.table(sigT).orderBy($"doc_id")
+        .collect().map(_.toString).toSeq
+      val full = Dedup.signatureFrame(docs).orderBy($"doc_id")
+        .collect().map(_.toString).toSeq
+      assert(viaStore == full, "appended store diverged from a full rebuild")
+      // appended files keep the bucket layout: a doc_id-keyed aggregate
+      // over the table plans without a shuffle exchange
+      val agg = spark.table(sigT).groupBy($"doc_id").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"append broke the bucket layout — doc_id aggregate shuffles:\n$plan")
+    } finally {
+      SignatureStore.drop(spark, sf)
+      spark.conf.unset(SignatureStore.ConfKey)
+      Dedup.releaseSignatures()
+    }
+  }
+
   test("materialize without the conf fails loudly; drop removes the store") {
     assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty)
     intercept[IllegalStateException](SignatureStore.materialize(spark, sf))
