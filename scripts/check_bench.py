@@ -40,8 +40,10 @@ def refresh(budget_path, local_path):
         "margin": MARGIN,
         "families": {f: round(v * MARGIN, 2) for f, v in sorted(fams.items())},
         "total": round(local["value"] * MARGIN, 2),
-        "sigstore_build": round(local.get("sigstore_build", 0.0) * MARGIN, 2),
     }
+    for k in sorted(local):
+        if k.endswith("_build"):
+            budget[k] = round(local[k] * MARGIN, 2)
     Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
     print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
     return 0
@@ -67,11 +69,12 @@ def main(argv):
     for fam in sorted(set(fams) - set(budget["families"])):
         print(f"warn {fam}: new family, no budget yet ({fams[fam]:.2f}s) — "
               f"run --refresh once intentional")
-    sig = local.get("sigstore_build")
-    if sig is not None and "sigstore_build" in budget:
-        status = "FAIL" if sig > budget["sigstore_build"] else "ok"
-        n_fail += sig > budget["sigstore_build"]
-        print(f"{status:4} sigstore_build {sig:.2f}s / budget {budget['sigstore_build']:.2f}s")
+    for k in sorted(budget):
+        if not k.endswith("_build") or local.get(k) is None:
+            continue
+        status = "FAIL" if local[k] > budget[k] else "ok"
+        n_fail += local[k] > budget[k]
+        print(f"{status:4} {k} {local[k]:.2f}s / budget {budget[k]:.2f}s")
     if local["value"] > budget["total"]:
         n_fail += 1
         print(f"FAIL total {local['value']:.2f}s / budget {budget['total']:.2f}s")

@@ -1016,6 +1016,51 @@ object EventOps {
                CAST(SUM(gap_us) AS BIGINT) AS total_dwell_us,
                CAST(MAX(gap_us) AS BIGINT) AS max_dwell_us,
                (ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) + 0.0) AS mean_dwell_sec
-        FROM dw GROUP BY event_type ORDER BY event_type"""))
+        FROM dw GROUP BY event_type ORDER BY event_type""")),
+
+    // ── e27: bot regularity — users whose inter-event gaps are TOO ──
+    // regular (coefficient of variation under 0.9 — organic arrivals are
+    // Poisson-ish with CV ≈ 1) are schedulers, not people: the
+    // traffic-quality filter run before event streams feed any training
+    // mix. The flag needs a variance, and variance is where cross-engine
+    // float drift lives — so the test is algebra, not floats:
+    // std < 0.9·mean  ⇔  100·(n·Σx² − (Σx)²) < 81·(Σx)², evaluated
+    // in DECIMAL(38,0) (Σx² ≤ ~3e22 at any plausible per-user volume;
+    // both engines compute the identical integers). One lag() window per
+    // user + a per-user rollup; doubles appear only in the reported
+    // rounded mean.
+    GQuery("e27_bot_regularity",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val dec = DecimalType(38, 0)
+        ev(s, d)
+          .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .filter($"gap_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap_us".cast(dec)).as("sx"),
+            sum(($"gap_us".cast(dec) * $"gap_us".cast(dec))).as("sxx"))
+          .filter($"n_gaps" >= 5)
+          .select($"user_id", $"n_gaps",
+            roundz($"sx".cast(DoubleType) / $"n_gaps" / 1000000.0, 6).as("mean_gap_sec"),
+            (lit(100).cast(dec) * ($"n_gaps".cast(dec) * $"sxx" - $"sx" * $"sx")
+              < lit(81).cast(dec) * $"sx" * $"sx").as("is_bot"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+          FROM events),
+        a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                     SUM(CAST(gap_us AS DECIMAL(38,0))) AS sx,
+                     SUM(CAST(gap_us AS DECIMAL(38,0)) * CAST(gap_us AS DECIMAL(38,0))) AS sxx
+              FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_gaps,
+               (ROUND(CAST(sx AS DOUBLE) / n_gaps / 1000000.0, 6) + 0.0) AS mean_gap_sec,
+               100 * (CAST(n_gaps AS DECIMAL(38,0)) * sxx - sx * sx) < 81 * (sx * sx) AS is_bot
+        FROM a WHERE n_gaps >= 5 ORDER BY user_id"""))
   )
 }

@@ -48,13 +48,44 @@ object CorpusIngest {
     */
   def ingest(stream: DataFrame, outPath: String,
              horizon: String = "24 hours"): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val admitted = gate(stream)
+    val admitted = dedup(gate(stream), horizon)
+      .select("doc_id", "ts", "n_tokens", "quality", "ch", "bucket")
+    ParquetSink.sink(admitted, outPath)
+  }
+
+  private def dedup(gated: DataFrame, horizon: String): DataFrame =
+    gated
       .withWatermark("ts", horizon)
       // dropDuplicatesWithinWatermark, NOT dropDuplicates("ch"): a keyed
       // dedup that omits the event-time column never expires its state —
       // the within-watermark variant is the bounded form.
       .dropDuplicatesWithinWatermark("ch")
-      .select("doc_id", "ts", "n_tokens", "quality", "ch", "bucket")
-    ParquetSink.sink(admitted, outPath)
+
+  /** Routing key for the per-destination corpus layout: head languages
+    * keep their own lane, the tail pools into 'other'; each lane splits
+    * into a hi/lo quality tier at the 0.75 cut. Pure column expressions —
+    * valid on batch and streaming frames, so the router spec can compare
+    * the two directly.
+    */
+  def route(admitted: DataFrame): DataFrame = {
+    import admitted.sparkSession.implicits._
+    admitted.withColumn("route",
+      concat(
+        when($"lang".isin("en", "de", "zh"), $"lang").otherwise(lit("other")),
+        lit("_"),
+        when($"quality" >= 0.75, "hi").otherwise("lo")))
+  }
+
+  /** The routed ingest: gate → bounded dedup → route → parquet sink
+    * partitioned by (route, batch_id). Downstream per-language/per-tier
+    * training pipelines read their slice with partition pruning — no
+    * post-hoc filtering scan over the whole admitted corpus — and replay
+    * idempotency is per (route, batch) leaf. Input must carry `lang`.
+    */
+  def ingestRouted(stream: DataFrame, outPath: String,
+                   horizon: String = "24 hours"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val admitted = route(dedup(gate(stream), horizon))
+      .select("doc_id", "ts", "n_tokens", "quality", "ch", "bucket", "route")
+    ParquetSink.sink(admitted, outPath, routeCols = Seq("route"))
   }
 }

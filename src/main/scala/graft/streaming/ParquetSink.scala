@@ -24,18 +24,26 @@ object ParquetSink {
 
   /** Write one micro-batch idempotently (safe to call again with the same
     * batchId after a retry — the partition is replaced, never doubled).
+    *
+    * `routeCols`: optional partition columns layered ABOVE batch_id
+    * (e.g. a lang/quality route) — readers prune on them, and replay
+    * idempotency is untouched because batch_id stays in the partitioning
+    * (a replayed batch rewrites exactly its own (route, batch_id)
+    * leaves).
     */
-  def writeBatch(df: DataFrame, batchId: Long, path: String): Unit = {
+  def writeBatch(df: DataFrame, batchId: Long, path: String,
+                 routeCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // Dynamic mode scopes mode("overwrite") to the partitions present in
     // THIS write (just batch_id=batchId), not the whole table.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      .write.mode("overwrite").partitionBy(routeCols :+ "batch_id": _*).parquet(path)
   }
 
   /** Attach the idempotent sink to a stream (caller starts/stops). */
-  def sink(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+  def sink(stream: DataFrame, path: String,
+           routeCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch(
-      (df: DataFrame, id: Long) => writeBatch(df, id, path))
+      (df: DataFrame, id: Long) => writeBatch(df, id, path, routeCols))
 }

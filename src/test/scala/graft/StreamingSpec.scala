@@ -252,6 +252,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"state not expired by TTL: peak=$peak final=$fin (${stateRows.mkString(",")})")
   }
 
+  test("routed ingest partitions by (route, batch_id) and equals the batch router") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_route_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_route_out").toString + "/t"
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", lit(java.sql.Timestamp.valueOf(t)))
+    val wave1 = stamped(docs.filter($"doc_id" < 250), "2024-01-01 10:00:00")
+    val wave2 = stamped(docs.filter($"doc_id" >= 250), "2024-01-01 10:05:00")
+    wave1.coalesce(1).write.mode("overwrite").parquet(s"$inDir/w0")
+    wave2.coalesce(1).write.mode("overwrite").parquet(s"$inDir/w1")
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/w0").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val q = graft.streaming.CorpusIngest.ingestRouted(stream, outDir)
+      .option("checkpointLocation", outDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // per-(doc, route) assignment matches the batch gate + router exactly
+    val streamed = spark.read.parquet(outDir)
+      .select($"doc_id", $"route").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.streaming.CorpusIngest.route(
+        graft.streaming.CorpusIngest.gate(wave1.unionByName(wave2)))
+      .select($"doc_id", $"route").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, "routed streaming output diverges from the batch router")
+    // the layout is physically routed: route=... partition dirs exist and
+    // a single-route read prunes to that lane's files
+    val routes = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("route=")).toSet
+    assert(routes.size >= 2, s"expected multiple route lanes, got $routes")
+    val oneRoute = streamed.head._2
+    val pruned = spark.read.parquet(outDir).filter($"route" === oneRoute)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val scanned = filesScanned(pruned)
+    val allFiles = filesScanned(spark.read.parquet(outDir))
+    assert(scanned < allFiles,
+      s"route filter did not prune partitions ($scanned of $allFiles files)")
+    assert(pruned.count() > 0)
+  }
+
   test("streaming corpus ingest equals the batch gate with first-arrival dedup") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text", $"n_chars")
