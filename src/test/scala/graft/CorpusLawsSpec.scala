@@ -263,6 +263,34 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("law: e27 flags a planted scheduler and clears a bursty human") {
+    // semantics, not just cross-engine agreement: a metronome user (exact
+    // 60s gaps, CV = 0) MUST flag; a bursty user (alternating 10s/3600s
+    // gaps, CV ≈ 1 of the mean) MUST NOT.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, offsetSec: Long): Row =
+      Row(id, new java.sql.Timestamp(base + offsetSec * 1000L), user, "click", 1.0)
+    val bot = (0 until 40).map(i => ev(i.toLong, 1L, 60L * i))
+    val human = (0 until 40).map { i =>
+      // cumulative alternating gaps: 10s, 3600s, 10s, ...
+      val off = (i / 2) * 3610L + (i % 2) * 10L
+      ev(100L + i, 2L, off)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(bot ++ human, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flags = SparkEntry.queries("e27_bot_regularity")(spark, dir)
+      .select("user_id", "is_bot").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L), "metronome user not flagged as bot")
+    assert(!flags(2L), "bursty human incorrectly flagged")
+  }
+
   test("law: e23 lateness audit is consistent (late ⊆ events, ratio in [0,1])") {
     val rows = SparkEntry.queries("e23_late_event_audit")(spark, sf)
       .select("n_events", "n_late", "late_ratio").collect()

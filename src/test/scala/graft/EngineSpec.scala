@@ -448,6 +448,43 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    import spark.implicits._
+    // The other runtime rewrite that matters at 100 TB: a selective dim
+    // filter becomes a bloom filter PUSHED INTO the fact scan, so the
+    // fact side drops non-joining rows before the shuffle instead of
+    // shipping them. Broadcast is disabled (a broadcast join needs no
+    // bloom) and the application-side size threshold lowered so
+    // test-scale bytes qualify; the injection logic is the real one.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    spark.range(200000)
+      .select(($"id" % 1000).as("k"), concat(lit("pad-pad-pad-"), $"id").as("pad"))
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(1000)
+      .select($"id".as("dk"), ($"id" % 50).as("cat"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"cat" === 7)  // 2% of keys
+      val joined = fact.join(dim, $"k" === $"dk").groupBy($"cat").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"runtime bloom filter not injected into the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("e24's user-written BETWEEN join is rewritten off the nested loop") {
     // e24 declares the theta join a user would write; the cached plan must
     // carry BinnedRangeJoinRule's equi-join, not BroadcastNestedLoopJoin.
