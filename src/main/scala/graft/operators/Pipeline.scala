@@ -952,6 +952,52 @@ object Pipeline {
         SELECT lang, source, n_docs, total_tokens, n_shards,
                CAST(n_shards * 500 - total_tokens AS BIGINT) AS waste_tokens,
                (ROUND(CAST(total_tokens AS DOUBLE) / (n_shards * 500), 6) + 0.0) AS fill_rate
-        FROM s ORDER BY lang, source"""))
+        FROM s ORDER BY lang, source""")),
+
+    // ── p23: temperature-scaled source mixing — sampling shares ∝ ──
+    // mass^(1/T) with T=2 (multilingual-LM rebalancing: big sources
+    // damped toward the mean, scarce sources boosted; T=1 is
+    // proportional, T→∞ uniform). All corpus-sized work is ONE two-phase
+    // groupBy; everything after runs on the |sources|-row frame. Float
+    // discipline: each sqrt is rounded then fixed as DECIMAL(18,6) so
+    // the normalizing sum is EXACT (a raw double Σ over sources would be
+    // addition-order-dependent across engines); shares divide the exact
+    // numerators once.
+    GQuery("p23_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy()
+        docs(s, d)
+          .select($"source", size(split($"text", " ")).cast("long").as("n"))
+          .groupBy($"source").agg(sum($"n").as("raw_tokens"))
+          .withColumn("w",
+            roundz(sqrt($"raw_tokens".cast(DoubleType)), 6).cast(DecimalType(18, 6)))
+          .withColumn("total_tokens", sum($"raw_tokens").over(wAll))
+          .withColumn("total_w", sum($"w").over(wAll))
+          .select($"source", $"raw_tokens",
+            roundz($"raw_tokens".cast(DoubleType) / $"total_tokens", 6).as("raw_share"),
+            roundz($"w".cast(DoubleType) / $"total_w".cast(DoubleType), 6).as("temp_share"))
+          .withColumn("upsample", roundz($"temp_share" / $"raw_share", 6))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH src AS (
+          SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS raw_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, raw_tokens,
+                     CAST((ROUND(sqrt(CAST(raw_tokens AS DOUBLE)), 6) + 0.0) AS DECIMAL(18,6)) AS w
+              FROM src),
+        t AS (SELECT source, raw_tokens, w,
+                     CAST(SUM(raw_tokens) OVER () AS BIGINT) AS total_tokens,
+                     SUM(w) OVER () AS total_w
+              FROM w),
+        f AS (SELECT source, raw_tokens,
+                     (ROUND(CAST(raw_tokens AS DOUBLE) / total_tokens, 6) + 0.0) AS raw_share,
+                     (ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE), 6) + 0.0) AS temp_share
+              FROM t)
+        SELECT source, raw_tokens, raw_share, temp_share,
+               (ROUND(temp_share / raw_share, 6) + 0.0) AS upsample
+        FROM f ORDER BY source"""))
   )
 }

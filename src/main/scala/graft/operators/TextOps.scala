@@ -875,6 +875,52 @@ object TextOps {
                (ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_chars, 1), 6) + 0.0) AS sym_ratio,
                (ROUND(CAST(n_kw AS DOUBLE) / GREATEST(n_tokens, 1), 6) + 0.0) AS kw_rate,
                (n_sym * 100 > n_chars * 3) OR (n_kw * 20 > n_tokens) AS is_code
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ── t24: vocabulary coverage curve — corpus token share covered by ──
+    // the top-k word types, for k in {5,10,15,20,25}: the curve tokenizer
+    // sizing reads (where does coverage flatten?) and t17's OOV rate
+    // generalized from one vocab size to the whole frontier. One word
+    // count (two-phase agg), a rank window + running sum over the TINY
+    // type table (|vocab| rows, never the corpus), then 5 threshold rows
+    // read off the running curve. Total (freq DESC, word ASC) order makes
+    // rank and cumulative sums engine-identical; coverage divides exact
+    // BIGINT token counts.
+    GQuery("t24_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(explode(tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("f"))
+        val wOrd = Window.orderBy($"f".desc, $"w".asc)
+        val curve = counts
+          .withColumn("rk", row_number().over(wOrd))
+          .withColumn("cum_f", sum($"f").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = counts.agg(sum($"f").as("total_tokens"))
+        curve.filter($"rk" % 5 === 0 && $"rk" <= 25)
+          .crossJoin(total)
+          .select($"rk".cast(LongType).as("vocab_size"), $"cum_f".as("covered_tokens"),
+            $"total_tokens",
+            roundz($"cum_f".cast(DoubleType) / $"total_tokens", 6).as("coverage"))
+          .orderBy($"vocab_size")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT w, COUNT(*) AS f
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        curve AS (
+          SELECT w, f,
+                 ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rk,
+                 CAST(SUM(f) OVER (ORDER BY f DESC, w ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_f
+          FROM counts),
+        tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total_tokens FROM counts)
+        SELECT CAST(rk AS BIGINT) AS vocab_size, cum_f AS covered_tokens, total_tokens,
+               (ROUND(CAST(cum_f AS DOUBLE) / total_tokens, 6) + 0.0) AS coverage
+        FROM curve, tot WHERE rk % 5 = 0 AND rk <= 25
+        ORDER BY vocab_size"""))
   )
 }
