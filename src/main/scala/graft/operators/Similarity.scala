@@ -704,6 +704,90 @@ object Similarity {
               WHERE cos >= t.threshold)
         SELECT threshold, COUNT(*) AS n_pairs,
                (ROUND(CAST(SUM(CAST(cos AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_cos
-        FROM g GROUP BY threshold ORDER BY threshold"""))
+        FROM g GROUP BY threshold ORDER BY threshold""")),
+
+    // ── s16: BM25 lexical retrieval — top-5 documents per query for a ──
+    // small query workload (the query-based curation / eval-retrieval
+    // primitive the embedding family can't express: exact term matching
+    // with tf saturation and length normalization, Robertson k1=1.2
+    // b=0.75). Plan discipline: the tiny query-term table broadcasts and
+    // filters the exploded token stream MAP-SIDE, so the only
+    // corpus-sized shuffle carries matched (query, doc, term) tokens —
+    // a few per mille of the corpus — not the full token stream; df and
+    // the 1-row avgdl/N stats then derive from that matched frame and
+    // broadcast back. Per-term contributions are rounded 6dp and summed
+    // in exact DECIMAL (a float Σ over terms is addition-order-dependent
+    // and engines group differently); the per-query ranking window runs
+    // on the matched set only. At 100 TB the shape is unchanged: query
+    // sets are always broadcast-sized, and everything downstream of the
+    // map-side filter is proportional to hits, not corpus.
+    GQuery("s16_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions.tokens
+        val docsDf = Tables.load(s, d, "documents")
+        val q = Seq(1 -> "hash", 1 -> "join", 2 -> "window", 2 -> "agg",
+          2 -> "stream", 3 -> "vector", 3 -> "scan", 4 -> "slow",
+          4 -> "query", 4 -> "filter").toDF("query_id", "word")
+        // dl rides the same scan as the explode: no second corpus pass,
+        // no doc_id re-join — it's constant per doc so it can key the agg.
+        val tf = docsDf
+          .select($"doc_id", size(tokens($"text")).cast(LongType).as("dl"),
+            explode(tokens($"text")).as("word"))
+          .join(broadcast(q), "word")
+          .groupBy($"query_id", $"doc_id", $"dl", $"word")
+          .agg(count(lit(1)).as("tf"))
+        val stats = docsDf
+          .select(size(tokens($"text")).cast(LongType).as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val dfreq = tf.select($"word", $"doc_id").distinct()
+          .groupBy($"word").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+        tf.join(broadcast(dfreq), "word")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", roundz(
+            log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+              * ($"tf" * 2.2)
+              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
+          .groupBy($"query_id", $"doc_id")
+          .agg(sumd($"contrib".cast(DecimalType(12, 6))).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"rn", $"doc_id", $"score")
+          .orderBy($"query_id", $"rn")
+      },
+      Some("""
+        WITH q(query_id, word) AS (VALUES
+          (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'stream'),
+          (3,'vector'),(3,'scan'),(4,'slow'),(4,'query'),(4,'filter')),
+        toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        tf AS (SELECT query_id, doc_id, dl, word, COUNT(*) AS tf
+               FROM toks JOIN q USING (word)
+               GROUP BY query_id, doc_id, dl, word),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+                           / COUNT(*) AS avgdl
+                  FROM documents),
+        dfreq AS (SELECT word, COUNT(*) AS df
+                  FROM (SELECT DISTINCT word, doc_id FROM tf) GROUP BY word),
+        scored AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(CAST((ROUND(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) + 0.0)
+                   AS DECIMAL(12,6))) AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (word) CROSS JOIN stats
+          GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, rn, doc_id, score FROM ranked WHERE rn <= 5
+        ORDER BY query_id, rn"""))
   )
 }

@@ -335,6 +335,15 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("Join") && "HashAggregate".r.findAllIn(p).size >= 2,
         s"$name: expected join-free two-phase aggregate:\n$p")
     }
+    // s16: the query-term table must filter the exploded token stream via
+    // a BROADCAST hash join (a shuffled join would re-partition the whole
+    // token stream against a 10-row table), and nothing in the retrieval
+    // pipeline may go pairwise.
+    val s16 = planOf("s16_bm25_topk")
+    assert(s16.contains("BroadcastHashJoin"),
+      s"s16: query-term filter not a broadcast join:\n$s16")
+    assert(!s16.contains("CartesianProduct"),
+      s"s16: BM25 pipeline grew a cartesian:\n$s16")
   }
 
   test("graft-registry DataSource V2: reads, matches the in-memory dims, prunes columns") {
