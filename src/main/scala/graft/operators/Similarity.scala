@@ -788,6 +788,155 @@ object Similarity {
                       ORDER BY score DESC, doc_id ASC) AS rn
           FROM scored)
         SELECT query_id, rn, doc_id, score FROM ranked WHERE rn <= 5
-        ORDER BY query_id, rn"""))
+        ORDER BY query_id, rn""")),
+
+    // ── s17: IVF probe sweep — the recall-vs-cost tuning curve for the ──
+    // s06/s08 family: for nprobe ∈ {1..4}, mean recall@3 against exact
+    // brute force and mean fraction of the corpus scanned, over a 10-query
+    // workload (answers "what nprobe do we serve at?" the way e25 answers
+    // the watermark-delay question — with a table, not a guess). Shapes
+    // are all reused: centroid ranking and the probe grid live on
+    // |queries|×k rows, candidates come from the cell EQUALITY join
+    // (s08's discipline — never a corpus broadcast or all-pairs), both
+    // ranking windows partition per query(,nprobe) over hits. The exact
+    // arm IS s11's truth pass; at 100 TB it runs on a sampled workload
+    // (queries are always broadcast-sized) while the swept arm's cost per
+    // nprobe is nprobe/k of one corpus scan. Aggregation discipline:
+    // recall numerators and scanned counts are BIGINT sums (exact), one
+    // double division each at the 4-row end; missing (query, nprobe)
+    // cells (a probe set whose only member was the query itself)
+    // contribute 0 via the 40-row base left join, not by dropping rows.
+    GQuery("s17_ivf_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val eRaw = emb(s, d)
+        val cent = centroids(eRaw)
+        val e = eRaw.select($"vec_id", asDouble($"embedding").as("v"))
+        val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"v".as("qv"))
+        val n1 = e.agg((count(lit(1)) - 1).cast(DoubleType).as("n_corpus"))
+        // per-query cell ranking (|q|×k rows) and the nprobe grid
+        val wCell = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell".asc)
+        val cellRank = cent.join(broadcast(q))
+          .select($"query_id", $"c_label".as("cell"),
+            roundz(cosineSim($"centroid", $"qv"), 4).as("qcos"))
+          .withColumn("crk", row_number().over(wCell))
+        val grid = (1 to 4).map(lit(_))
+        val queryCells = cellRank
+          .select($"query_id", $"cell", $"crk", explode(array(grid: _*)).as("nprobe"))
+          .filter($"crk" <= $"nprobe")
+          .select($"query_id", $"nprobe", $"cell")
+        // corpus → nearest cell (s06's assignment shape)
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+        val assign = e.join(broadcast(cent))
+          .select($"vec_id", $"v", $"c_label",
+            roundz(cosineSim($"v", $"centroid"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+          .select($"vec_id", $"v", $"c_label".as("cell"))
+        // candidates per (query, nprobe): cell equality join, self excluded
+        val cands = assign.join(broadcast(queryCells), "cell")
+          .filter($"vec_id" =!= $"query_id")
+          .join(broadcast(q), "query_id")
+          .select($"query_id", $"nprobe", $"vec_id",
+            roundz(cosineSim($"v", $"qv"), 4).as("cos"))
+        val wAnn = Window.partitionBy($"query_id", $"nprobe")
+          .orderBy($"cos".desc, $"vec_id".asc)
+        val annTop = cands
+          .withColumn("rn", row_number().over(wAnn)).filter($"rn" <= 3)
+          .groupBy($"query_id", $"nprobe")
+          .agg(sort_array(collect_list(struct($"rn", $"vec_id"))).as("sx"))
+          .select($"query_id", $"nprobe",
+            transform($"sx", x => x.getField("vec_id")).as("an"))
+        val scanned = cands.groupBy($"query_id", $"nprobe")
+          .agg(count(lit(1)).as("n_scanned"))
+        // exact truth per query (s11's arm)
+        val wEx = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+        val exact = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id", roundz(cosineSim($"v", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wEx)).filter($"rn" <= 3)
+          .groupBy($"query_id")
+          .agg(sort_array(collect_list(struct($"rn", $"vec_id"))).as("sx"))
+          .select($"query_id", transform($"sx", x => x.getField("vec_id")).as("ex"))
+        // 40-row base so empty probe sets count as recall 0, not a dropped row
+        val nprobes = s.range(1, 5).select($"id".cast("int").as("nprobe"))
+        val base = q.select($"query_id").crossJoin(broadcast(nprobes))
+        base
+          .join(annTop, Seq("query_id", "nprobe"), "left")
+          .join(scanned, Seq("query_id", "nprobe"), "left")
+          .join(broadcast(exact), "query_id")
+          .select($"nprobe",
+            size(array_intersect(coalesce($"an", array().cast("array<bigint>")), $"ex"))
+              .cast(LongType).as("hit"),
+            coalesce($"n_scanned", lit(0L)).as("n_scanned"))
+          .groupBy($"nprobe")
+          .agg(count(lit(1)).as("n_queries"),
+            sum($"hit").as("hits"), sum($"n_scanned").as("tot_scanned"))
+          .crossJoin(broadcast(n1))
+          .select($"nprobe", $"n_queries",
+            roundz($"hits".cast(DoubleType) / ($"n_queries" * 3.0), 6).as("mean_recall_at_3"),
+            roundz($"tot_scanned".cast(DoubleType) / ($"n_queries" * $"n_corpus"), 6)
+              .as("mean_scanned_frac"))
+          .orderBy($"nprobe")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $centSql,
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        n1 AS (SELECT CAST(COUNT(*) - 1 AS DOUBLE) AS n_corpus FROM e),
+        cellrank AS (
+          SELECT query_id, c_label AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (ROUND(${cosSql("cent.centroid", "q.qv")}, 4) + 0.0) DESC,
+                            c_label ASC) AS crk
+          FROM cent, q),
+        querycells AS (
+          SELECT query_id, g.nprobe, cell
+          FROM cellrank, (SELECT unnest([1, 2, 3, 4]) AS nprobe) g
+          WHERE crk <= g.nprobe),
+        assign_scored AS (
+          SELECT vec_id, v, c_label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY (ROUND(${cosSql("e.v", "cent.centroid")}, 4) + 0.0) DESC,
+                            c_label ASC) AS rn
+          FROM e, cent),
+        assign AS (SELECT vec_id, v, c_label AS cell FROM assign_scored WHERE rn = 1),
+        cands AS (
+          SELECT qc.query_id, qc.nprobe, a.vec_id,
+                 (ROUND(${cosSql("a.v", "q.qv")}, 4) + 0.0) AS cos
+          FROM assign a JOIN querycells qc USING (cell)
+          JOIN q ON q.query_id = qc.query_id
+          WHERE a.vec_id <> qc.query_id),
+        ann_scored AS (
+          SELECT query_id, nprobe, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, nprobe
+                   ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM cands),
+        anntop AS (SELECT query_id, nprobe, list(vec_id ORDER BY rn) AS an
+                   FROM ann_scored WHERE rn <= 3 GROUP BY query_id, nprobe),
+        scanned AS (SELECT query_id, nprobe, COUNT(*) AS n_scanned
+                    FROM cands GROUP BY query_id, nprobe),
+        ex_scored AS (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) DESC,
+                            vec_id ASC) AS rn
+          FROM e, q WHERE vec_id <> query_id),
+        ex AS (SELECT query_id, list(vec_id ORDER BY rn) AS ex
+               FROM ex_scored WHERE rn <= 3 GROUP BY query_id),
+        base AS (SELECT query_id, g.nprobe
+                 FROM q, (SELECT unnest([1, 2, 3, 4]) AS nprobe) g),
+        per AS (
+          SELECT b.nprobe,
+                 CAST(len(list_intersect(COALESCE(a.an, []::BIGINT[]), ex.ex)) AS BIGINT) AS hit,
+                 COALESCE(s.n_scanned, 0) AS n_scanned
+          FROM base b
+          LEFT JOIN anntop a ON a.query_id = b.query_id AND a.nprobe = b.nprobe
+          LEFT JOIN scanned s ON s.query_id = b.query_id AND s.nprobe = b.nprobe
+          JOIN ex ON ex.query_id = b.query_id)
+        SELECT nprobe, COUNT(*) AS n_queries,
+               (ROUND(CAST(SUM(hit) AS DOUBLE) / (COUNT(*) * 3.0), 6) + 0.0) AS mean_recall_at_3,
+               (ROUND(CAST(SUM(n_scanned) AS DOUBLE) / (COUNT(*) * n_corpus), 6) + 0.0) AS mean_scanned_frac
+        FROM per, n1
+        GROUP BY nprobe, n_corpus ORDER BY nprobe"""))
   )
 }

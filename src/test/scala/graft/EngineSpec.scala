@@ -344,6 +344,30 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"s16: query-term filter not a broadcast join:\n$s16")
     assert(!s16.contains("CartesianProduct"),
       s"s16: BM25 pipeline grew a cartesian:\n$s16")
+    // s17: candidates must come from the cell EQUALITY join (s08's
+    // discipline); the only nested loops are the intentional broadcast
+    // crosses against |q|-row / 1-row frames, never a CartesianProduct.
+    val s17 = planOf("s17_ivf_probe_sweep")
+    assert(s17.contains("BroadcastHashJoin"),
+      s"s17: cell equality join disappeared:\n$s17")
+    assert(!s17.contains("CartesianProduct"),
+      s"s17: probe sweep grew a cartesian:\n$s17")
+  }
+
+  test("s17 tuning curve is monotone: recall and scanned fraction rise with nprobe") {
+    // The sweep's defining invariant — probing more cells can only add
+    // candidates, so recall@3 and scanned fraction are nondecreasing in
+    // nprobe (a non-monotone row means the probe grid or the candidate
+    // join silently broke). Values themselves are the oracle's job.
+    val rows = SparkEntry.queries("s17_ivf_probe_sweep")(spark, sf)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.length == 4, s"expected 4 nprobe rows, got ${rows.length}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) >= a.getDouble(2),
+        s"recall fell from nprobe=${a.getInt(0)} to ${b.getInt(0)}")
+      assert(b.getDouble(3) > a.getDouble(3),
+        s"scanned fraction did not rise from nprobe=${a.getInt(0)} to ${b.getInt(0)}")
+    }
   }
 
   test("graft-registry DataSource V2: reads, matches the in-memory dims, prunes columns") {
