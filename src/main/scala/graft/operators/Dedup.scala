@@ -965,6 +965,103 @@ object Dedup {
         SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS keeper,
                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
         FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
-        ORDER BY canonical_url"""))
+        ORDER BY canonical_url""")),
+
+    // ── d19: LSH band tuning — the (bands × rows) calibration table for ──
+    // the d02 family (the dedup-policy question e25 answers for
+    // watermarks and s17 for IVF probes): for each re-banding of the 16
+    // minhashes — (8,2) permissive, (4,4) production, (2,8) strict —
+    // the MEASURED candidate volume and mean estimated Jaccard on this
+    // corpus, next to the closed-form catch probability
+    // 1-(1-θ^r)^b at θ ∈ {0.3, 0.5, 0.7}. Re-banding reads the SAME
+    // signature frame every d02 consumer shares (materialized store when
+    // present — minhashes are never recomputed); candidates per config
+    // come from d02's band-equality join discipline, so each config costs
+    // one bounded equality join, never a pairwise pass. Theory columns
+    // are computed ONCE in Scala and inlined as literals on BOTH engines
+    // (pow() is not correctly-rounded in either; a plan-time constant
+    // cannot diverge). Mean est-Jaccard: per-pair estimates are exact
+    // dyadic (k/16), rounded then DECIMAL-exact summed; a config whose
+    // candidate set is empty reports 0 via the 3-row base left join.
+    GQuery("d19_band_tuning",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d)
+        val configs = Seq((8, 2), (4, 4), (2, 8))
+        def catchP(b: Int, r: Int, theta: Double): Double = {
+          val p = 1.0 - math.pow(1.0 - math.pow(theta, r), b)
+          math.rint(p * 1e6) / 1e6
+        }
+        val banded = configs.map { case (nb, r) =>
+          val bandStructs = (0 until nb).map { i =>
+            struct(lit(i).as("band_id"),
+              concat_ws("_", (0 until r).map(j => col(s"m${i * r + j}")): _*).as("bkey"))
+          }
+          sig.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+            .select(lit(nb).as("n_bands"), $"doc_id",
+              $"bk.band_id".as("band_id"), $"bk.bkey".as("bkey"))
+        }.reduce(_ unionByName _)
+        val pairs = banded.as("x").join(banded.as("y"),
+            $"x.n_bands" === $"y.n_bands" && $"x.band_id" === $"y.band_id" &&
+              $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.n_bands".as("n_bands"), $"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val si = sig.select($"doc_id".as("i"),
+          array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_i"))
+        val sj = sig.select($"doc_id".as("j"),
+          array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig_j"))
+        val agg = pairs.join(si, "i").join(sj, "j")
+          .select($"n_bands", roundz(
+            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b), x => x))
+              .cast(DoubleType) / NumPerms, 6).as("est"))
+          .groupBy($"n_bands")
+          .agg(count(lit(1)).as("n_pairs"),
+            sumd($"est".cast(DecimalType(10, 6))).as("sum_est"))
+        val base = configs.map { case (nb, r) =>
+          (nb, r, catchP(nb, r, 0.3), catchP(nb, r, 0.5), catchP(nb, r, 0.7))
+        }.toDF("n_bands", "rows_per_band", "p_catch_at_30", "p_catch_at_50", "p_catch_at_70")
+        base.join(agg, Seq("n_bands"), "left")
+          .select($"n_bands", $"rows_per_band",
+            coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            coalesce(roundz($"sum_est" / $"n_pairs", 6), lit(0.0)).as("mean_est_jaccard"),
+            $"p_catch_at_30", $"p_catch_at_50", $"p_catch_at_70")
+          .orderBy($"n_bands".desc)
+      },
+      Some {
+        def catchP(b: Int, r: Int, theta: Double): Double = {
+          val p = 1.0 - math.pow(1.0 - math.pow(theta, r), b)
+          math.rint(p * 1e6) / 1e6
+        }
+        val cfgRows = Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+          s"($b, $r, ${catchP(b, r, 0.3)}, ${catchP(b, r, 0.5)}, ${catchP(b, r, 0.7)})"
+        }.mkString(", ")
+        s"""
+        WITH $sigSql,
+        cfg(n_bands, rows_per_band, p_catch_at_30, p_catch_at_50, p_catch_at_70) AS (
+          VALUES $cfgRows),
+        bx AS (SELECT s.doc_id, c.n_bands, c.rows_per_band,
+                      unnest(range(c.n_bands)) AS band_id, s.sig
+               FROM sig s, cfg c),
+        banded AS (SELECT n_bands, doc_id, band_id,
+                          array_to_string(sig[band_id*rows_per_band+1 :
+                                              band_id*rows_per_band+rows_per_band], '_') AS bkey
+                   FROM bx),
+        prs AS (SELECT DISTINCT x.n_bands, x.doc_id AS i, y.doc_id AS j
+                FROM banded x JOIN banded y
+                  ON x.n_bands = y.n_bands AND x.band_id = y.band_id
+                 AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        est AS (SELECT p.n_bands,
+                       (ROUND(CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16, 6) + 0.0) AS est
+                FROM prs p JOIN sig si ON p.i = si.doc_id JOIN sig sj ON p.j = sj.doc_id),
+        agg AS (SELECT n_bands, COUNT(*) AS n_pairs,
+                       CAST(SUM(CAST(est AS DECIMAL(10,6))) AS DOUBLE) AS sum_est
+                FROM est GROUP BY n_bands)
+        SELECT c.n_bands, c.rows_per_band,
+               COALESCE(a.n_pairs, 0) AS n_pairs,
+               COALESCE((ROUND(a.sum_est / a.n_pairs, 6) + 0.0), 0.0) AS mean_est_jaccard,
+               c.p_catch_at_30, c.p_catch_at_50, c.p_catch_at_70
+        FROM cfg c LEFT JOIN agg a USING (n_bands)
+        ORDER BY c.n_bands DESC"""
+      })
   )
 }

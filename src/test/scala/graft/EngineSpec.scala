@@ -352,6 +352,14 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"s17: cell equality join disappeared:\n$s17")
     assert(!s17.contains("CartesianProduct"),
       s"s17: probe sweep grew a cartesian:\n$s17")
+    // d19: every per-config candidate set comes from the band-equality
+    // join (d02's discipline) — a re-banding sweep must never degenerate
+    // to a pairwise pass over documents.
+    val d19 = planOf("d19_band_tuning")
+    assert(!d19.contains("CartesianProduct") && !d19.contains("BroadcastNestedLoopJoin"),
+      s"d19: band sweep went pairwise:\n$d19")
+    assert(d19.contains("HashJoin") || d19.contains("SortMergeJoin"),
+      s"d19: band equality join disappeared:\n$d19")
   }
 
   test("s17 tuning curve is monotone: recall and scanned fraction rise with nprobe") {
