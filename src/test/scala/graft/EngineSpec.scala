@@ -362,6 +362,25 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"d19: band equality join disappeared:\n$d19")
   }
 
+  test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {
+    // Containment law: an (n/2, 2r) band key is the concat of two (n, r)
+    // keys, so docs sharing a stricter band necessarily share both of its
+    // halves — candidates(2,8) ⊆ candidates(4,4) ⊆ candidates(8,2), and
+    // n_pairs must be nonincreasing as rows_per_band grows. The theory
+    // columns must strictly fall with r at every θ (the S-curve steepens).
+    val rows = SparkEntry.queries("d19_band_tuning")(spark, sf)
+      .orderBy(col("n_bands").desc).collect()
+    assert(rows.length == 3, s"expected 3 configs, got ${rows.length}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2),
+        s"candidates grew from (${a.getInt(0)},${a.getInt(1)}) to (${b.getInt(0)},${b.getInt(1)})")
+      Seq(4, 5, 6).foreach { c =>
+        assert(b.getDouble(c) < a.getDouble(c),
+          s"catch probability did not fall with rows_per_band (col $c)")
+      }
+    }
+  }
+
   test("s17 tuning curve is monotone: recall and scanned fraction rise with nprobe") {
     // The sweep's defining invariant — probing more cells can only add
     // candidates, so recall@3 and scanned fraction are nondecreasing in
