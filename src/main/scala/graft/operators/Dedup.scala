@@ -983,6 +983,33 @@ object Dedup {
     // cannot diverge). Mean est-Jaccard: per-pair estimates are exact
     // dyadic (k/16), rounded then DECIMAL-exact summed; a config whose
     // candidate set is empty reports 0 via the 3-row base left join.
+    // ── d20: duplicate-cluster size distribution — the dedup impact ──
+    // report a pipeline owner reads before deciding keep-one vs
+    // soft-weight (d17): how many clusters exist at each size and how
+    // much document mass sits in them (one mega-cluster of boilerplate
+    // dominates savings; thousands of pairs don't). Rides d08's
+    // converged component labels (memoized frame / materialized store —
+    // the O(diameter) propagation is never re-run here); everything
+    // after is two partial-agg'd groupBys over (label) then (size) —
+    // rows shrink monotonically, nothing re-touches documents.
+    GQuery("d20_cluster_stats",
+      (s, d) => {
+        import s.implicits._
+        dupComponents(s, d)
+          .groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select($"cluster_size", $"n_clusters",
+            ($"cluster_size" * $"n_clusters").cast(LongType).as("n_docs"))
+          .orderBy($"cluster_size")
+      },
+      Some(s"""
+        WITH RECURSIVE $componentSql,
+        sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")),
+
     GQuery("d19_band_tuning",
       (s, d) => {
         import s.implicits._

@@ -360,6 +360,12 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"d19: band sweep went pairwise:\n$d19")
     assert(d19.contains("HashJoin") || d19.contains("SortMergeJoin"),
       s"d19: band equality join disappeared:\n$d19")
+    // d20: the impact report rides d08's converged labels — after the
+    // component frame, only label/size aggregates may appear, never a
+    // join and never a re-touch of documents.
+    val d20 = planOf("d20_cluster_stats")
+    assert(!d20.contains("Join") && "HashAggregate".r.findAllIn(d20).size >= 2,
+      s"d20: expected join-free aggregates over the component frame:\n$d20")
   }
 
   test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {
