@@ -27,6 +27,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // isAdjustedToUTC=false micros columns (the current events.parquet
+      // encoding) read as plain TimestampType, not TIMESTAMP_NTZ: the
+      // engine's temporal semantics are instant-based in a UTC session.
+      // Tables.events also casts defensively for externally built sessions.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

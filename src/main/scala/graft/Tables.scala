@@ -26,16 +26,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as LongType —
-    * normalize to a micros TimestampType column (lossless: generator emits
-    * micro-precision values).
+  /** events.ts normalized to a session-TZ micros TimestampType column, for
+    * any of the three physical encodings the generator has shipped:
+    * TIMESTAMP(NANOS) (read as LongType via
+    * spark.sql.legacy.parquet.nanosAsLong — lossless: values are
+    * micro-precision), TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ unless NTZ inference is off), and plain UTC micros.
+    * Every engine operator downstream assumes TimestampType in a UTC
+    * session, so the normalization happens HERE, once, not per-operator.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     // Defensive for sessions not built by GraftSession: without this
-    // session conf Spark 4 refuses to read the TIMESTAMP(NANOS) column.
+    // session conf Spark 4 refuses to read a TIMESTAMP(NANOS) column.
     // Deliberately NOT restored after the read — the lazy plan re-reads
     // the conf at execution time, so save/restore would re-break the scan.
     // Scope of the documented leak: other TIMESTAMP(NANOS) parquet columns
@@ -45,7 +49,11 @@ object Tables {
     df.schema("ts").dataType match {
       // integer DIV: ns values (~1.7e18) overflow double-precision division
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => df
+      // naive wall-clock → instant, interpreted in the session TZ (UTC):
+      // the same instants the NTZ-inference-off read produces, and the
+      // same naive values the DuckDB oracle sees
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -1061,6 +1061,61 @@ object EventOps {
         SELECT user_id, n_gaps,
                (ROUND(CAST(sx AS DOUBLE) / n_gaps / 1000000.0, 6) + 0.0) AS mean_gap_sec,
                100 * (CAST(n_gaps AS DECIMAL(38,0)) * sxx - sx * sx) < 81 * (sx * sx) AS is_bot
-        FROM a WHERE n_gaps >= 5 ORDER BY user_id"""))
+        FROM a WHERE n_gaps >= 5 ORDER BY user_id""")),
+
+    // ── e28: lag-1 autocorrelation of the hourly rate series per event ──
+    // type — the one-number seasonality/burstiness probe (r≈0: Poisson-
+    // like arrivals; r→1: smooth daily cycles; r<0: alternating bursts —
+    // the complement of e27's per-user regularity, at the traffic level).
+    // One hourly groupBy (two-phase agg over the corpus), then a lag
+    // window and the Pearson sums over the per-type HOURS frame — rows =
+    // #types × #hours in range, never event-count-sized; partitioned by
+    // type, so no global window. All five Pearson sums are over exact
+    // BIGINT counts; the closed-form r is one fixed double expression
+    // over those exact sums (identical bits both engines, SURVEY §6).
+    GQuery("e28_rate_autocorr",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val hourly = ev(s, d)
+          .groupBy($"event_type",
+            date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour")
+        val pairs = hourly
+          .withColumn("prev", lag($"n", 1).over(w))
+          .filter($"prev".isNotNull)
+        pairs.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"n").as("sy"), sum($"prev").as("sx"),
+            sum($"n" * $"prev").as("sxy"),
+            sum($"n" * $"n").as("sy2"), sum($"prev" * $"prev").as("sx2"))
+          .select($"event_type", $"n_pairs",
+            roundz(($"n_pairs" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+              (sqrt(($"n_pairs" * $"sx2" - $"sx" * $"sx").cast(DoubleType)) *
+               sqrt(($"n_pairs" * $"sy2" - $"sy" * $"sy").cast(DoubleType))), 4)
+              .as("autocorr_lag1"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, hour),
+        pairs AS (
+          SELECT event_type, n,
+                 LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+          FROM hourly),
+        sums AS (
+          SELECT event_type, COUNT(*) AS n_pairs,
+                 CAST(SUM(n) AS BIGINT) AS sy, CAST(SUM(prev) AS BIGINT) AS sx,
+                 CAST(SUM(n * prev) AS BIGINT) AS sxy,
+                 CAST(SUM(n * n) AS BIGINT) AS sy2, CAST(SUM(prev * prev) AS BIGINT) AS sx2
+          FROM pairs WHERE prev IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n_pairs,
+               (ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(n_pairs * sx2 - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(n_pairs * sy2 - sy * sy AS DOUBLE))), 4) + 0.0) AS autocorr_lag1
+        FROM sums ORDER BY event_type"""))
   )
 }

@@ -445,7 +445,69 @@ object Multimodal {
                CAST(SUM(wide) AS BIGINT) AS n_wide,
                CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
         FROM c GROUP BY content_type, res_class
-        ORDER BY content_type, res_class"""))
+        ORDER BY content_type, res_class""")),
+
+    // ── m11: perceptual near-dup — SimHash over FRAME hashes (d03's ──
+    // discipline lifted from text shingles to media frames): two assets
+    // are near-dups when they share most 256-byte frames (re-muxed /
+    // re-tagged copies of the same content — byte-identical fails m06's
+    // exact hash, frame-level survives). Per asset: explode m02's frame
+    // chunks, one hash per frame, 32-bit majority-vote simhash in a
+    // single two-phase aggregate; candidates = pairs sharing one of 4
+    // byte-chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified
+    // by exact bit_count. Candidate count is bounded by chunk-bucket
+    // collisions, never pairwise over assets; frame bytes collapse to one
+    // 64-bit hash before any shuffle (blobs never move — the §2.G rule).
+    // A production decoder swaps the substring chunker for real frame
+    // extraction at the same seam as m02.
+    GQuery("m11_phash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val frames = Tables.load(s, d, "documents")
+          .filter(length($"text") > 0)
+          .select($"doc_id",
+            explode(expr("sequence(0L, least((length(text) + 255) DIV 256 - 1, 1999L))")).as("fidx"),
+            $"text")
+          .select($"doc_id",
+            graft.functions.TextFunctions.hash64(
+              expr("substring(text, fidx * 256 + 1, 256)")).as("h"))
+        val votes = (0 until 32).map(b =>
+          sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+        val phash = frames.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+          .select($"doc_id",
+            (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("phash"))
+        val chunks = phash.select($"doc_id", $"phash",
+          posexplode(array((0 until 4).map(c => shiftright($"phash", c * 8).bitwiseAND(255)): _*)))
+          .toDF("doc_id", "phash", "chunk", "ckey")
+        chunks.as("x").join(chunks.as("y"),
+            $"x.chunk" === $"y.chunk" && $"x.ckey" === $"y.ckey" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
+            expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 3)
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(substr(text, CAST(f.f AS INT) * 256 + 1, 256)), 1, 15) AS BIGINT) AS h
+          FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
+          WHERE length(text) > 0 AND f.f <= (length(text) + 255) // 256 - 1),
+        votes AS (SELECT doc_id, b.b AS b,
+                         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM frames, (SELECT unnest(range(32)) AS b) b
+                  GROUP BY doc_id, b.b),
+        ph AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS phash
+               FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, phash, c.c AS chunk, (phash >> (c.c*8)) & 255 AS ckey
+                   FROM ph, (SELECT unnest(range(4)) AS c) c),
+        pairs AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j, x.phash AS pi, y.phash AS pj
+                  FROM chunks x JOIN chunks y
+                    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+        SELECT i, j, CAST(bit_count(xor(pi, pj)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(pi, pj)) <= 3
+        ORDER BY i, j"""))
   )
 
   /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */

@@ -937,6 +937,83 @@ object Similarity {
                (ROUND(CAST(SUM(hit) AS DOUBLE) / (COUNT(*) * 3.0), 6) + 0.0) AS mean_recall_at_3,
                (ROUND(CAST(SUM(n_scanned) AS DOUBLE) / (COUNT(*) * n_corpus), 6) + 0.0) AS mean_scanned_frac
         FROM per, n1
-        GROUP BY nprobe, n_corpus ORDER BY nprobe"""))
+        GROUP BY nprobe, n_corpus ORDER BY nprobe""")),
+
+    // ── s18: one NN-descent refinement round over s05's LSH-seeded k-NN ──
+    // graph — the standard way a cheap approximate graph converges toward
+    // the true one (Dong et al., WWW'11): a node's improved neighbors
+    // hide among its neighbors' neighbors. Candidates = current edges ∪
+    // 2-hop paths through the UNDIRECTED graph (reverse edges included:
+    // "x is my neighbor" is evidence in both directions), rescored
+    // exactly, per-src top-2. Every stage is an equality join on vec ids;
+    // candidate count is bounded by (2k)² per node regardless of corpus
+    // size — no pairwise stage, no broadcast of the corpus. At 100 TB the
+    // graph table is materialized like the signature store and each
+    // descent round is this same bounded self-join. PropertySpec pins the
+    // invariant that makes it NN-DESCENT: refinement never loses quality
+    // (per-src best cos is monotonically non-decreasing vs s05).
+    GQuery("s18_nn_descent",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
+          signBucket($"embedding", 6).as("bucket"))
+        // s05's seed graph: 1-bit-probe LSH candidates, per-src top-2
+        val probes = e.select($"vec_id".as("src"), $"v".as("xv"),
+          explode(array(($"bucket" +:
+            (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
+        val wSeed = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
+            $"probe" === $"bucket" && $"src" =!= $"dst")
+          .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wSeed))
+          .filter($"rn" <= 2)
+          .select($"src", $"dst")
+        // undirected edge set, then 2-hop candidates ∪ the current edges
+        val und = knn.union(knn.select($"dst", $"src")).toDF("a", "b").distinct()
+        val hop2 = und.as("g1").join(und.as("g2"), $"g1.b" === $"g2.a")
+          .select($"g1.a".as("src"), $"g2.b".as("dst"))
+          .filter($"src" =!= $"dst")
+        val cand = hop2.union(knn).distinct()
+        val wRef = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        cand
+          .join(e.select($"vec_id".as("src"), $"v".as("xv")), "src")
+          .join(e.select($"vec_id".as("dst"), $"v".as("yv")), "dst")
+          .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wRef))
+          .filter($"rn" <= 2)
+          .select($"src", $"rn", $"dst", $"cos")
+          .orderBy($"src", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          (${signBucketSql("embedding", 6)}) AS bucket
+                   FROM embeddings),
+        probes AS (SELECT vec_id AS src, v AS xv,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                  xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
+                   FROM e),
+        seed_scored AS (SELECT src, e.vec_id AS dst,
+                               ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) DESC,
+                                          e.vec_id ASC) AS rn
+                        FROM probes JOIN e ON probes.probe = e.bucket
+                                          AND probes.src <> e.vec_id),
+        knn AS (SELECT src, dst FROM seed_scored WHERE rn <= 2),
+        und AS (SELECT src AS a, dst AS b FROM knn
+                UNION SELECT dst, src FROM knn),
+        cand AS (SELECT DISTINCT g1.a AS src, g2.b AS dst
+                 FROM und g1 JOIN und g2 ON g1.b = g2.a
+                 WHERE g1.a <> g2.b
+                 UNION SELECT src, dst FROM knn),
+        ref AS (SELECT cand.src, cand.dst,
+                       (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY cand.src
+                         ORDER BY (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) DESC,
+                                  cand.dst ASC) AS rn
+                FROM cand JOIN e ex ON cand.src = ex.vec_id
+                          JOIN e ey ON cand.dst = ey.vec_id)
+        SELECT src, rn, dst, cos FROM ref WHERE rn <= 2
+        ORDER BY src, rn"""))
   )
 }

@@ -881,8 +881,9 @@ object TextOps {
     // the top-k word types, for k in {5,10,15,20,25}: the curve tokenizer
     // sizing reads (where does coverage flatten?) and t17's OOV rate
     // generalized from one vocab size to the whole frontier. One word
-    // count (two-phase agg), a rank window + running sum over the TINY
-    // type table (|vocab| rows, never the corpus), then 5 threshold rows
+    // count (two-phase agg), a TakeOrdered top-25 of the type table,
+    // then a rank window + running sum over those 25 rows (never the
+    // |vocab|-sized table, never the corpus), then 5 threshold rows
     // read off the running curve. Total (freq DESC, word ASC) order makes
     // rank and cumulative sums engine-identical; coverage divides exact
     // BIGINT token counts.
@@ -894,7 +895,11 @@ object TextOps {
           .select(explode(tokens($"text")).as("w"))
           .groupBy($"w").agg(count(lit(1)).as("f"))
         val wOrd = Window.orderBy($"f".desc, $"w".asc)
+        // TakeOrdered the 25 types the curve can reference BEFORE the
+        // global window: the single-partition rank/running-sum then runs
+        // over 25 rows, never the |vocab|-sized type table
         val curve = counts
+          .orderBy($"f".desc, $"w".asc).limit(25)
           .withColumn("rk", row_number().over(wOrd))
           .withColumn("cum_f", sum($"f").over(
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -921,6 +926,44 @@ object TextOps {
         SELECT CAST(rk AS BIGINT) AS vocab_size, cum_f AS covered_tokens, total_tokens,
                (ROUND(CAST(cum_f AS DOUBLE) / total_tokens, 6) + 0.0) AS coverage
         FROM curve, tot WHERE rk % 5 = 0 AND rk <= 25
-        ORDER BY vocab_size"""))
+        ORDER BY vocab_size""")),
+
+    // ── t25: lexical diversity — per-document type-token ratio and ──
+    // hapax-legomena fraction, the two standard one-pass diversity
+    // signals (low TTR = templated/repetitive text, high hapax = noisy
+    // OCR or genuinely rich vocabulary; filters and data-mix dashboards
+    // threshold on both). One explode → per-(doc, word) count → per-doc
+    // aggregate: two partial-agg'd shuffles on (doc_id, w) then doc_id,
+    // never a vocab-wide or corpus-wide stage; the per-doc frame is the
+    // output. Ratios divide exact BIGINTs once and are roundz'd.
+    GQuery("t25_lexical_diversity",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("f"))
+          .groupBy($"doc_id")
+          .agg(sum($"f").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when($"f" === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select($"doc_id", $"n_tokens", $"n_types",
+            roundz($"n_types".cast(DoubleType) / $"n_tokens", 6).as("ttr"),
+            roundz($"n_hapax".cast(DoubleType) / $"n_types", 6).as("hapax_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH wf AS (
+          SELECT doc_id, w, COUNT(*) AS f
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        agg AS (
+          SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_types,
+                 CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          FROM wf GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_types,
+               (ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0.0) AS ttr,
+               (ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) + 0.0) AS hapax_frac
+        FROM agg ORDER BY doc_id"""))
   )
 }
