@@ -1089,6 +1089,99 @@ object Dedup {
                c.p_catch_at_30, c.p_catch_at_50, c.p_catch_at_70
         FROM cfg c LEFT JOIN agg a USING (n_bands)
         ORDER BY c.n_bands DESC"""
-      })
+      }),
+
+    // ── d21: Bloom-filter decontamination — d10's eval-gram probe ──
+    // re-expressed as a Bloom membership test (m = 2^16 bits, k = 3
+    // salted hashes), WITH its own calibration: per train doc, the
+    // Bloom hit count beside the exact hit count and a false-positive
+    // flag. The 100 TB rationale: d10 broadcasts the eval GRAM SET
+    // (grows with the eval corpus); a Bloom filter broadcasts a fixed
+    // 8 KB bitset regardless of eval size. Relationally the bitset is
+    // the distinct-position table (≤ 2^16 rows — bounded by the FILTER
+    // size, not the eval corpus) and the probe is an equality join on
+    // position: a train gram hits iff all 3 of its salted positions
+    // are present. Train grams explode ×3 to (slot, pos) AFTER
+    // collapsing to 64-bit hashes (text never re-shuffles), the
+    // position join is broadcast + map-side, and the 3-of-3 test is a
+    // per-gram grouped count — no stage is ever eval-corpus-sized.
+    // One-sidedness (bloom ⊇ exact, so false_positive is the only
+    // error class) is law-pinned in PropertySpec.
+    GQuery("d21_bloom_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val m = 65536
+        val base = docs(s, d)
+          .select($"doc_id", $"text",
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+        def grams(df: DataFrame) = df
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+          .select($"doc_id", hash64($"g").as("h"))
+        def slotPos(slot: Int) =
+          (hash64(concat(lit(s"b$slot:"), $"h".cast(StringType))) % m).as(s"p$slot")
+        val traing = grams(base.filter($"bucket" < 90))
+        val evalg = grams(base.filter($"bucket" >= 90)).select($"h").distinct()
+        // the "bitset": distinct bit positions set by any eval gram
+        val evalPos = evalg
+          .select(explode(array(slotPos(0), slotPos(1), slotPos(2))).as("pos"))
+          .distinct()
+        val bloomDoc = traing
+          .select($"doc_id", $"h", posexplode(array(slotPos(0), slotPos(1), slotPos(2))))
+          .toDF("doc_id", "h", "slot", "pos")
+          .join(broadcast(evalPos), "pos")
+          .groupBy($"doc_id", $"h")
+          .agg(countDistinct($"slot").as("n_slots"))
+          .filter($"n_slots" === 3)
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_bloom"))
+        val exactDoc = traing.join(broadcast(evalg), "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+        traing.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(bloomDoc, Seq("doc_id"), "left")
+          .join(exactDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_bloom", lit(0L)).as("n_bloom_hits"),
+            coalesce($"n_exact", lit(0L)).as("n_exact_hits"),
+            (coalesce($"n_bloom", lit(0L)) > 0).as("bloom_flagged"),
+            (coalesce($"n_bloom", lit(0L)) > 0 &&
+              coalesce($"n_exact", lit(0L)) === 0).as("false_positive"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 AS bucket
+          FROM documents),
+        ts AS (SELECT doc_id, bucket, string_split(text, ' ') AS ts FROM base),
+        grams AS (
+          SELECT doc_id, bucket,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(ts) - 11),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                          ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' ||
+                          ts[i+8] || ' ' || ts[i+9] || ' ' || ts[i+10] || ' ' || ts[i+11] || ' ' ||
+                          ts[i+12])))), 1, 15) AS BIGINT) AS h
+          FROM ts),
+        evalg AS (SELECT DISTINCT h FROM grams WHERE bucket >= 90),
+        evalpos AS (SELECT DISTINCT
+                      CAST('0x' || substr(md5('b' || s.s || ':' || h), 1, 15) AS BIGINT) % 65536 AS pos
+                    FROM evalg, (SELECT unnest(range(3)) AS s) s),
+        traing AS (SELECT doc_id, h FROM grams WHERE bucket < 90),
+        tslot AS (SELECT doc_id, h, s.s AS slot,
+                         CAST('0x' || substr(md5('b' || s.s || ':' || h), 1, 15) AS BIGINT) % 65536 AS pos
+                  FROM traing, (SELECT unnest(range(3)) AS s) s),
+        bloomg AS (SELECT doc_id, h FROM tslot JOIN evalpos USING (pos)
+                   GROUP BY doc_id, h HAVING COUNT(DISTINCT slot) = 3),
+        bloomdoc AS (SELECT doc_id, COUNT(*) AS n_bloom FROM bloomg GROUP BY doc_id),
+        exactdoc AS (SELECT doc_id, COUNT(*) AS n_exact
+                     FROM traing JOIN evalg USING (h) GROUP BY doc_id),
+        per AS (SELECT doc_id, COUNT(*) AS n_grams FROM traing GROUP BY doc_id)
+        SELECT per.doc_id, per.n_grams,
+               CAST(COALESCE(b.n_bloom, 0) AS BIGINT) AS n_bloom_hits,
+               CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact_hits,
+               (COALESCE(b.n_bloom, 0) > 0) AS bloom_flagged,
+               (COALESCE(b.n_bloom, 0) > 0 AND COALESCE(e.n_exact, 0) = 0) AS false_positive
+        FROM per LEFT JOIN bloomdoc b ON per.doc_id = b.doc_id
+                 LEFT JOIN exactdoc e ON per.doc_id = e.doc_id
+        ORDER BY per.doc_id"""))
   )
 }

@@ -998,6 +998,76 @@ object Pipeline {
               FROM t)
         SELECT source, raw_tokens, raw_share, temp_share,
                (ROUND(temp_share / raw_share, 6) + 0.0) AS upsample
-        FROM f ORDER BY source"""))
+        FROM f ORDER BY source""")),
+
+    // ── p24: cross-split leakage audit — p01's hash split crossed with ──
+    // d10's 13-gram probe: how many validation/test documents share any
+    // 13-gram with the TRAIN split (the eval-integrity number a
+    // pipeline owner signs off on before publishing a benchmark score;
+    // p01 guarantees id-disjointness, this measures CONTENT
+    // disjointness). Plan: grams collapse to 64-bit hashes in-scan
+    // (text never re-shuffles), the train side reduces to a DISTINCT
+    // hash set, and each held-out doc's grams semi-join it on the
+    // uniform hash key — at 100 TB that's a hash-partitioned equality
+    // join where the probe side is the small 20% split, and the train
+    // gram set never materializes per-doc state. Output is the 2-row
+    // per-split report: integer counts plus one rounded division.
+    GQuery("p24_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"text",
+            (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+        def grams(df: DataFrame) = df
+          .select($"doc_id", $"split",
+            explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+          .select($"doc_id", $"split", hash64($"g").as("h"))
+        val traing = grams(base.filter($"split" === "train")).select($"h").distinct()
+        val heldg = grams(base.filter($"split" =!= "train"))
+        val leaked = heldg.join(traing, Seq("h"), "left_semi")
+          .select($"doc_id", $"split").distinct()
+          .groupBy($"split").agg(count(lit(1)).as("n_leaked"))
+        base.filter($"split" =!= "train")
+          .groupBy($"split").agg(count(lit(1)).as("n_docs"))
+          .join(leaked, Seq("split"), "left")
+          .select($"split", $"n_docs",
+            coalesce($"n_leaked", lit(0L)).as("n_leaked"),
+            roundz(coalesce($"n_leaked", lit(0L)).cast(DoubleType) / $"n_docs", 6)
+              .as("leak_frac"))
+          .orderBy($"split")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 < 90 THEN 'validation'
+                      ELSE 'test' END AS split
+          FROM documents),
+        ts AS (SELECT doc_id, split, string_split(text, ' ') AS ts FROM base),
+        grams AS (
+          SELECT doc_id, split,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(ts) - 11),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                          ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' ||
+                          ts[i+8] || ' ' || ts[i+9] || ' ' || ts[i+10] || ' ' || ts[i+11] || ' ' ||
+                          ts[i+12])))), 1, 15) AS BIGINT) AS h
+          FROM ts),
+        traing AS (SELECT DISTINCT h FROM grams WHERE split = 'train'),
+        leaked AS (SELECT split, COUNT(*) AS n_leaked FROM (
+                     SELECT DISTINCT g.doc_id, g.split
+                     FROM grams g SEMI JOIN traing t ON g.h = t.h
+                     WHERE g.split <> 'train') GROUP BY split),
+        per AS (SELECT split, COUNT(*) AS n_docs FROM base
+                WHERE split <> 'train' GROUP BY split)
+        SELECT per.split, per.n_docs,
+               CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+               (ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / per.n_docs, 6) + 0.0) AS leak_frac
+        FROM per LEFT JOIN leaked l ON per.split = l.split
+        ORDER BY per.split"""))
   )
 }

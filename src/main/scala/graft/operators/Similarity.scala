@@ -36,6 +36,74 @@ object Similarity {
       .select($"c_label", transform($"pm", x => x.getField("m")).as("centroid"))
   }
 
+  /** BM25-scored (query_id, doc_id, score) frame for the fixed 4-query
+    * 10-term workload (Robertson k1=1.2, b=0.75) — s16's scoring stage,
+    * shared with s19's fusion. Plan discipline (see s16's comment): the
+    * query-term table broadcasts and filters the exploded token stream
+    * MAP-SIDE so the only corpus-sized shuffle carries matched tokens;
+    * df/avgdl derive from the matched frame and broadcast back; per-term
+    * contributions are rounded 6dp then DECIMAL-summed (float Σ is
+    * addition-order-dependent and engines group differently).
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docsDf = Tables.load(s, d, "documents")
+    val q = Seq(1 -> "hash", 1 -> "join", 2 -> "window", 2 -> "agg",
+      2 -> "stream", 3 -> "vector", 3 -> "scan", 4 -> "slow",
+      4 -> "query", 4 -> "filter").toDF("query_id", "word")
+    // dl rides the same scan as the explode: no second corpus pass,
+    // no doc_id re-join — it's constant per doc so it can key the agg.
+    val tf = docsDf
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("dl"),
+        explode(tokens($"text")).as("word"))
+      .join(broadcast(q), "word")
+      .groupBy($"query_id", $"doc_id", $"dl", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val stats = docsDf
+      .select(size(tokens($"text")).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val dfreq = tf.select($"word", $"doc_id").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", roundz(
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * ($"tf" * 2.2)
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sumd($"contrib".cast(DecimalType(12, 6))).as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25Scored]]: CTEs `q` … `scored(query_id, doc_id,
+    * score)`, to be spliced after WITH.
+    */
+  private val bm25ScoredSql = """q(query_id, word) AS (VALUES
+          (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'stream'),
+          (3,'vector'),(3,'scan'),(4,'slow'),(4,'query'),(4,'filter')),
+        toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        tf AS (SELECT query_id, doc_id, dl, word, COUNT(*) AS tf
+               FROM toks JOIN q USING (word)
+               GROUP BY query_id, doc_id, dl, word),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+                           / COUNT(*) AS avgdl
+                  FROM documents),
+        dfreq AS (SELECT word, COUNT(*) AS df
+                  FROM (SELECT DISTINCT word, doc_id FROM tf) GROUP BY word),
+        scored AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(CAST((ROUND(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) + 0.0)
+                   AS DECIMAL(12,6))) AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (word) CROSS JOIN stats
+          GROUP BY query_id, doc_id)"""
+
   /** DuckDB mirror of [[centroids]] (expects a CTE `e(vec_id, label, v)`). */
   private[operators] val centSql = """
         coords AS (SELECT label AS c_label, p.p AS pos, sum(v[p.p]) / count(*) AS m
@@ -725,64 +793,15 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        import graft.functions.TextFunctions.tokens
-        val docsDf = Tables.load(s, d, "documents")
-        val q = Seq(1 -> "hash", 1 -> "join", 2 -> "window", 2 -> "agg",
-          2 -> "stream", 3 -> "vector", 3 -> "scan", 4 -> "slow",
-          4 -> "query", 4 -> "filter").toDF("query_id", "word")
-        // dl rides the same scan as the explode: no second corpus pass,
-        // no doc_id re-join — it's constant per doc so it can key the agg.
-        val tf = docsDf
-          .select($"doc_id", size(tokens($"text")).cast(LongType).as("dl"),
-            explode(tokens($"text")).as("word"))
-          .join(broadcast(q), "word")
-          .groupBy($"query_id", $"doc_id", $"dl", $"word")
-          .agg(count(lit(1)).as("tf"))
-        val stats = docsDf
-          .select(size(tokens($"text")).cast(LongType).as("dl"))
-          .agg(count(lit(1)).as("n_docs"),
-            (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-        val dfreq = tf.select($"word", $"doc_id").distinct()
-          .groupBy($"word").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
-        tf.join(broadcast(dfreq), "word")
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib", roundz(
-            log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
-              * ($"tf" * 2.2)
-              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
-          .groupBy($"query_id", $"doc_id")
-          .agg(sumd($"contrib".cast(DecimalType(12, 6))).as("score"))
+        bm25Scored(s, d)
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"query_id", $"rn", $"doc_id", $"score")
           .orderBy($"query_id", $"rn")
       },
-      Some("""
-        WITH q(query_id, word) AS (VALUES
-          (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'stream'),
-          (3,'vector'),(3,'scan'),(4,'slow'),(4,'query'),(4,'filter')),
-        toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                        unnest(string_split(text, ' ')) AS word
-                 FROM documents),
-        tf AS (SELECT query_id, doc_id, dl, word, COUNT(*) AS tf
-               FROM toks JOIN q USING (word)
-               GROUP BY query_id, doc_id, dl, word),
-        stats AS (SELECT COUNT(*) AS n_docs,
-                         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
-                           / COUNT(*) AS avgdl
-                  FROM documents),
-        dfreq AS (SELECT word, COUNT(*) AS df
-                  FROM (SELECT DISTINCT word, doc_id FROM tf) GROUP BY word),
-        scored AS (
-          SELECT query_id, doc_id,
-                 CAST(SUM(CAST((ROUND(
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) + 0.0)
-                   AS DECIMAL(12,6))) AS DOUBLE) AS score
-          FROM tf JOIN dfreq USING (word) CROSS JOIN stats
-          GROUP BY query_id, doc_id),
+      Some(s"""
+        WITH $bm25ScoredSql,
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY score DESC, doc_id ASC) AS rn
@@ -1014,6 +1033,76 @@ object Similarity {
                 FROM cand JOIN e ex ON cand.src = ex.vec_id
                           JOIN e ey ON cand.dst = ey.vec_id)
         SELECT src, rn, dst, cos FROM ref WHERE rn <= 2
-        ORDER BY src, rn"""))
+        ORDER BY src, rn""")),
+
+    // ── s19: hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of ──
+    // the BM25 lexical arm (s16's scored frame, shared helper) and an
+    // embedding-cosine arm over the SAME item space (doc_id ≡ vec_id,
+    // m04's pairing; the per-query vector is the query_id's own
+    // embedding — the encoder-stub seam, same as m03: production swaps
+    // in a real query encoder, the fusion plan is unchanged). RRF is
+    // THE standard way to combine rankers without score calibration:
+    // score = Σ 1/(60+rank), missing arm contributes 0. Plan: each arm
+    // reduces to a ≤10-row-per-query shortlist BEFORE fusion (ranking
+    // windows over hit-sized frames), fusion is a full-outer equality
+    // join of two tiny shortlists + one fixed double expression —
+    // 1/(60+r) of an INTEGER rank is bit-identical cross-engine, no
+    // score normalization anywhere. At 100 TB each arm scales on its
+    // own terms (s16's map-side filter; s02/s06-style ANN for the
+    // vector arm) and fusion cost stays |queries|×20.
+    GQuery("s19_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wLex = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+        val lex = bm25Scored(s, d)
+          .withColumn("lex_rank", row_number().over(wLex))
+          .filter($"lex_rank" <= 10)
+          .select($"query_id", $"doc_id", $"lex_rank")
+        val e = emb(s, d)
+        val qv = e.filter($"vec_id".between(1, 4))
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+        val wVec = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
+        val vec = e.join(broadcast(qv), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("doc_id"),
+            roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
+          .withColumn("vec_rank", row_number().over(wVec))
+          .filter($"vec_rank" <= 10)
+          .select($"query_id", $"doc_id", $"vec_rank")
+        val wFuse = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id".asc)
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .select($"query_id", $"doc_id", $"lex_rank", $"vec_rank",
+            roundz(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"vec_rank"), lit(0.0)), 6).as("rrf_score"))
+          .withColumn("rn", row_number().over(wFuse))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"rn", $"doc_id", $"lex_rank", $"vec_rank", $"rrf_score")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""
+        WITH $bm25ScoredSql,
+        lex AS (SELECT query_id, doc_id, lex_rank FROM (
+                  SELECT query_id, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS lex_rank
+                  FROM scored) WHERE lex_rank <= 10),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 4),
+        vec AS (SELECT query_id, doc_id, vec_rank FROM (
+                  SELECT query_id, e.vec_id AS doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY (ROUND(${cosSql("e.v", "qv.qv")}, 4) + 0.0) DESC,
+                                    e.vec_id ASC) AS vec_rank
+                  FROM e, qv WHERE e.vec_id <> qv.query_id) WHERE vec_rank <= 10),
+        fused AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+                         (ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+                                COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0), 6) + 0.0) AS rrf_score
+                  FROM lex FULL JOIN vec USING (query_id, doc_id)),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, doc_id ASC) AS rn
+                   FROM fused)
+        SELECT query_id, rn, doc_id, lex_rank, vec_rank, rrf_score
+        FROM ranked WHERE rn <= 5
+        ORDER BY query_id, rn"""))
   )
 }

@@ -964,6 +964,54 @@ object TextOps {
         SELECT doc_id, n_tokens, n_types,
                (ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0.0) AS ttr,
                (ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) + 0.0) AS hapax_frac
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    // ── t26: word burstiness — variance-to-mean ratio (VMR) of per-doc ──
+    // counts across ALL documents for the top-10 corpus words (Church &
+    // Gale): VMR ≈ 1 is Poisson scatter (function words / boilerplate
+    // vocabulary), VMR ≫ 1 means the word clumps in few docs (content
+    // words) — the signal that separates stopword-ish tokens from
+    // topical ones when building filter lists. Two-pass plan with s16's
+    // discipline: pass 1 = t06's two-phase word count → TakeOrdered
+    // top-10 (broadcast-able); pass 2 re-scans the corpus once with the
+    // top-word set as a map-side broadcast semi-filter, so the only
+    // (doc, word) shuffle carries matched tokens. Zero-count docs enter
+    // the moments via N = corpus size (1-row broadcast), not via
+    // materialized zeros. VMR = (N·Σc² − (Σc)²)/(N·Σc): exact BIGINT
+    // numerator/denominator, ONE double division — bit-stable on both
+    // engines, no mean/variance intermediate rounding.
+    GQuery("t26_word_burstiness",
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        val top = toks.groupBy($"w").agg(count(lit(1)).as("total_f"))
+          .orderBy($"total_f".desc, $"w".asc).limit(10)
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val perDoc = toks.join(broadcast(top.select($"w")), "w")
+          .groupBy($"w", $"doc_id").agg(count(lit(1)).as("c"))
+        perDoc.groupBy($"w")
+          .agg(count(lit(1)).as("df"),
+            sum($"c").as("sc"), sum($"c" * $"c").as("scc"))
+          .join(broadcast(top), "w")
+          .crossJoin(broadcast(n))
+          .select($"w".as("word"), $"total_f", $"df",
+            roundz(($"n_docs" * $"scc" - $"sc" * $"sc").cast(DoubleType) /
+              ($"n_docs" * $"sc"), 6).as("vmr"))
+          .orderBy($"total_f".desc, $"word".asc)
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        top AS (SELECT w, COUNT(*) AS total_f FROM toks GROUP BY w
+                ORDER BY total_f DESC, w ASC LIMIT 10),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        per AS (SELECT t.w, t.doc_id, COUNT(*) AS c
+                FROM toks t JOIN top USING (w) GROUP BY t.w, t.doc_id),
+        mom AS (SELECT w, COUNT(*) AS df,
+                       CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+                FROM per GROUP BY w)
+        SELECT mom.w AS word, top.total_f, mom.df,
+               (ROUND(CAST(n_docs * scc - sc * sc AS DOUBLE) / (n_docs * sc), 6) + 0.0) AS vmr
+        FROM mom JOIN top USING (w) CROSS JOIN n
+        ORDER BY top.total_f DESC, word ASC"""))
   )
 }

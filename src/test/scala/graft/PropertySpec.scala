@@ -315,4 +315,79 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"t23: signal out of [0,1]: $r")
     }
   }
+
+  test("round-6 operator invariants: d21/s19/p24/t26") {
+    import spark.implicits._
+    // d21: the Bloom filter is ONE-SIDED — an exact hit can never be
+    // missed (no false negatives), per-doc Bloom hit counts dominate
+    // exact counts, and the false_positive flag is exactly the
+    // bloom-and-not-exact case. Non-vacuity: some exact hit must exist
+    // at test SF or the whole calibration is untested.
+    val d21 = SparkEntry.queries("d21_bloom_decontaminate")(spark, sf).collect()
+    assert(d21.exists(_.getAs[Long]("n_exact_hits") > 0), "d21: exact probe vacuous at test SF")
+    assert(d21.exists(_.getAs[Boolean]("false_positive")) ||
+      d21.forall(r => r.getAs[Long]("n_bloom_hits") == r.getAs[Long]("n_exact_hits")),
+      "d21: bloom counts diverge from exact without any FP flag")
+    d21.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_exact_hits"),
+        s"d21: false negative (bloom < exact): $r")
+      assert(r.getAs[Long]("n_exact_hits") == 0 || r.getAs[Boolean]("bloom_flagged"),
+        s"d21: exact-contaminated doc not bloom-flagged: $r")
+      assert(r.getAs[Boolean]("false_positive") ==
+        (r.getAs[Long]("n_bloom_hits") > 0 && r.getAs[Long]("n_exact_hits") == 0),
+        s"d21: false_positive flag inconsistent: $r")
+    }
+    // s19: every fused doc comes from at least one arm shortlist, the
+    // score is the RRF of its ranks bit-for-bit, and a doc that leads
+    // the vector arm agrees with s03's exact top-1 (shared item space,
+    // same 4dp rounding).
+    val s19 = SparkEntry.queries("s19_rrf_fusion")(spark, sf).collect()
+    assert(s19.nonEmpty)
+    s19.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Integer]("lex_rank")).map(_.toInt)
+      val vec = Option(r.getAs[java.lang.Integer]("vec_rank")).map(_.toInt)
+      assert(lex.nonEmpty || vec.nonEmpty, s"s19: fused doc in neither shortlist: $r")
+      val want = math.rint((lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vec.map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(r.getAs[Double]("rrf_score") == want, s"s19: score != RRF of ranks: $r")
+    }
+    val s03top1 = SparkEntry.queries("s03_knn_join")(spark, sf).collect()
+      .filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    s19.filter(r => Option(r.getAs[java.lang.Integer]("vec_rank")).exists(_ == 1))
+      .foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        s03top1.get(q).foreach(v =>
+          assert(r.getAs[Long]("doc_id") == v, s"s19: vec-arm top-1 disagrees with s03: $r"))
+      }
+    // p24: the two held-out splits cover exactly the non-train corpus
+    // (p01's buckets), and leaked counts stay within their splits.
+    val p24 = SparkEntry.queries("p24_split_leakage")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_leaked"))).toMap
+    assert(p24.keySet == Set("validation", "test"), s"p24: unexpected splits: ${p24.keySet}")
+    val splitCounts = SparkEntry.queries("p01_split_assign")(spark, sf)
+      .groupBy($"split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    p24.foreach { case (split, (nDocs, nLeaked)) =>
+      assert(nDocs == splitCounts(split), s"p24: $split size != p01's split size")
+      assert(nLeaked >= 0 && nLeaked <= nDocs, s"p24: leaked outside [0, n_docs] for $split")
+    }
+    // t26: VMR is non-negative (Cauchy–Schwarz over the N-doc count
+    // vector, zeros included), df never exceeds the corpus, and the
+    // top-word mass agrees with an independent corpus count.
+    val t26 = SparkEntry.queries("t26_word_burstiness")(spark, sf).collect()
+    assert(t26.length == 10)
+    val n = Tables.load(spark, sf, "documents").count()
+    val freqs = Tables.load(spark, sf, "documents")
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").count().collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count")).toMap
+    t26.foreach { r =>
+      assert(r.getAs[Double]("vmr") >= 0.0, s"t26: negative VMR: $r")
+      assert(r.getAs[Long]("df") <= n, s"t26: df beyond corpus: $r")
+      assert(r.getAs[Long]("total_f") == freqs(r.getAs[String]("word")),
+        s"t26: total_f disagrees with independent count: $r")
+    }
+  }
 }
