@@ -1182,6 +1182,55 @@ object Dedup {
                (COALESCE(b.n_bloom, 0) > 0 AND COALESCE(e.n_exact, 0) = 0) AS false_positive
         FROM per LEFT JOIN bloomdoc b ON per.doc_id = b.doc_id
                  LEFT JOIN exactdoc e ON per.doc_id = e.doc_id
-        ORDER BY per.doc_id"""))
+        ORDER BY per.doc_id""")),
+
+    // ── d22: substring-level duplication — the practical approximation ──
+    // of suffix-array substring dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better"): 64-CHAR windows at
+    // stride 16 (windows ignore token boundaries, so they catch
+    // re-wrapped/re-punctuated copies that token shingles miss), hashed
+    // in-scan, cross-doc doc-frequency on the hash, per-doc duplicated-
+    // window fraction + an up-to-stride×n char-mass estimate. This is
+    // the per-doc evidence frame a substring-cut pass consumes. Plan =
+    // d09's segment discipline at character granularity: windows
+    // collapse to 64-bit hashes before any shuffle (text never moves),
+    // doc-frequency is a two-phase agg on the uniform hash key, and the
+    // join-back is co-partitioned on that key — no stage is ever
+    // pairwise in documents.
+    GQuery("d22_substring_dupes",
+      (s, d) => {
+        import s.implicits._
+        val wins = docs(s, d)
+          .filter(length($"text") >= 64)
+          .select($"doc_id",
+            explode(expr("sequence(0L, (length(text) - 64) DIV 16)")).as("i"),
+            $"text")
+          .select($"doc_id",
+            hash64(expr("substring(text, i * 16 + 1, 64)")).as("h"))
+          .distinct()
+        val docFreq = wins.groupBy($"h").agg(count(lit(1)).as("df"))
+        wins.join(docFreq, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+          .select($"doc_id", $"n_windows", $"n_dup_windows",
+            roundz($"n_dup_windows".cast(DoubleType) / $"n_windows", 6).as("dup_win_frac"),
+            ($"n_dup_windows" * 16).cast(LongType).as("dup_chars_bound"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH wins AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(substr(text, CAST(i.i AS INT) * 16 + 1, 64)), 1, 15) AS BIGINT) AS h
+          FROM documents, (SELECT unnest(range(0, 2000)) AS i) i
+          WHERE length(text) >= 64 AND i.i <= (length(text) - 64) // 16),
+        freq AS (SELECT h, COUNT(*) AS df FROM wins GROUP BY h)
+        SELECT w.doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+               (ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS dup_win_frac,
+               CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 16 AS BIGINT) AS dup_chars_bound
+        FROM wins w JOIN freq f USING (h)
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id"""))
   )
 }

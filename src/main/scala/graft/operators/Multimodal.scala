@@ -507,7 +507,64 @@ object Multimodal {
                     ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
         SELECT i, j, CAST(bit_count(xor(pi, pj)) AS INT) AS hamming
         FROM pairs WHERE bit_count(xor(pi, pj)) <= 3
-        ORDER BY i, j"""))
+        ORDER BY i, j""")),
+
+    // ── m12: motion profile — per-asset mean/max frame-to-frame ──
+    // signature distance (m08's lag signal rolled up to the asset level,
+    // at a finer 64-byte frame rate): static slideware scores near 0,
+    // high-motion content scores high — the signal that routes video
+    // between keyframe-only and dense sampling, and flags stuck/frozen
+    // captures. Plan: frames collapse to 64-bit hashes in the scan
+    // (blobs never shuffle), ONE per-doc lag window over ≤9 frames per
+    // asset, then a per-doc rollup — work ∝ frames, output ∝ assets.
+    // Mean divides exact BIGINT sums once; the is_static flag compares
+    // integer cross-products so no float boundary can flip it.
+    GQuery("m12_motion_profile",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = Tables.load(s, d, "documents")
+          .filter(length($"text") >= 128)
+          .select($"doc_id", $"text", posexplode(expr(
+            "sequence(0L, least((length(text) + 63) DIV 64 - 1, 1999L))")))
+          .select($"doc_id", $"pos".cast("int").as("frame_idx"),
+            graft.functions.TextFunctions.hash64(
+              expr("substring(text, pos * 64 + 1, 64)")).as("sig"))
+        val w = Window.partitionBy($"doc_id").orderBy($"frame_idx".asc)
+        frames
+          .withColumn("prev_sig", lag($"sig", 1).over(w))
+          .filter($"prev_sig".isNotNull)
+          .select($"doc_id", expr("bit_count(sig ^ prev_sig)").cast(LongType).as("h"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_transitions"),
+            sum($"h").as("sh"), max($"h").as("max_hamming"))
+          .select($"doc_id", $"n_transitions",
+            roundz($"sh".cast(DoubleType) / $"n_transitions", 6).as("mean_hamming"),
+            $"max_hamming",
+            // mean < 10 without dividing: sh < 10·n — integer algebra
+            ($"sh" < $"n_transitions" * 10).as("is_static"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+                 CAST(('0x' || substr(md5(substr(text, CAST(f.f AS INT) * 64 + 1, 64)), 1, 15)) AS BIGINT) AS sig
+          FROM documents, (SELECT unnest(range(0, 2000)) AS f) f
+          WHERE length(text) >= 128 AND f.f <= (length(text) + 63) // 64 - 1),
+        lagged AS (
+          SELECT doc_id, sig,
+                 lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS prev_sig
+          FROM frames),
+        hams AS (SELECT doc_id, CAST(bit_count(xor(sig, prev_sig)) AS BIGINT) AS h
+                 FROM lagged WHERE prev_sig IS NOT NULL),
+        agg AS (SELECT doc_id, COUNT(*) AS n_transitions,
+                       CAST(SUM(h) AS BIGINT) AS sh, CAST(MAX(h) AS BIGINT) AS max_hamming
+                FROM hams GROUP BY doc_id)
+        SELECT doc_id, n_transitions,
+               (ROUND(CAST(sh AS DOUBLE) / n_transitions, 6) + 0.0) AS mean_hamming,
+               max_hamming,
+               (sh < n_transitions * 10) AS is_static
+        FROM agg ORDER BY doc_id"""))
   )
 
   /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */

@@ -1103,6 +1103,93 @@ object Similarity {
                    FROM fused)
         SELECT query_id, rn, doc_id, lex_rank, vec_rank, rrf_score
         FROM ranked WHERE rn <= 5
-        ORDER BY query_id, rn"""))
+        ORDER BY query_id, rn""")),
+
+    // ── s20: MMR diversified retrieval — maximal marginal relevance ──
+    // (Carbonell & Goldstein, λ=0.7) re-ranks a top-8 cosine shortlist
+    // into 3 picks that trade relevance against redundancy: pick 1 =
+    // most relevant; each later pick maximizes λ·rel − (1−λ)·max-sim-to-
+    // already-picked. The dedup-aware retrieval shape (a near-dup pair
+    // in a shortlist wastes a context slot). MMR is inherently
+    // sequential, but k is a CONSTANT (3): each round is a window argmax
+    // + equality join over the |q|×8 SHORTLIST frame — the corpus is
+    // touched exactly once, by the arm that builds the shortlist (s03
+    // brute force here; any ANN variant at scale). All similarities
+    // rounded 4dp before the fixed λ-expression (rounded 6dp), so every
+    // argmax compares identical doubles on both engines.
+    GQuery("s20_mmr_diversify",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+        val q = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"v".as("qv"))
+        val wRel = Window.partitionBy($"query_id").orderBy($"rel".desc, $"vec_id".asc)
+        // shortlist: top-8 by relevance, vectors carried for the MMR sims.
+        // Each pick is broadcast within its query partition via
+        // first_value over the ranking window — no self-join, the whole
+        // MMR recursion is one lineage over the |q|×8 frame.
+        val shortlist = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id", $"v", roundz(cosineSim($"v", $"qv"), 4).as("rel"))
+          .withColumn("rn", row_number().over(wRel))
+          .filter($"rn" <= 8)
+          .drop("rn")
+          .withColumn("p1", first($"vec_id").over(wRel))
+          .withColumn("p1v", first($"v").over(wRel))
+        val s2 = shortlist.filter($"vec_id" =!= $"p1")
+          .withColumn("mmr2", roundz(
+            lit(0.7) * $"rel" - lit(0.3) * roundz(cosineSim($"v", $"p1v"), 4), 6))
+        val wM2 = Window.partitionBy($"query_id").orderBy($"mmr2".desc, $"vec_id".asc)
+        val s2x = s2
+          .withColumn("p2", first($"vec_id").over(wM2))
+          .withColumn("p2v", first($"v").over(wM2))
+        val s3 = s2x.filter($"vec_id" =!= $"p2")
+          .withColumn("mmr3", roundz(
+            lit(0.7) * $"rel" - lit(0.3) *
+              greatest(roundz(cosineSim($"v", $"p1v"), 4),
+                roundz(cosineSim($"v", $"p2v"), 4)), 6))
+        val wM3 = Window.partitionBy($"query_id").orderBy($"mmr3".desc, $"vec_id".asc)
+        val picks1 = shortlist.filter($"vec_id" === $"p1")
+          .select($"query_id", lit(1).as("pick"), $"vec_id", $"rel".as("mmr_score"))
+        val picks2 = s2x.filter($"vec_id" === $"p2")
+          .select($"query_id", lit(2).as("pick"), $"vec_id", $"mmr2".as("mmr_score"))
+        val picks3 = s3.withColumn("rn3", row_number().over(wM3)).filter($"rn3" === 1)
+          .select($"query_id", lit(3).as("pick"), $"vec_id", $"mmr3".as("mmr_score"))
+        picks1.unionByName(picks2).unionByName(picks3)
+          .orderBy($"query_id", $"pick")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        sl AS (SELECT query_id, vec_id, v, rel FROM (
+                 SELECT q.query_id, e.vec_id, e.v,
+                        (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) AS rel,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY (ROUND(${cosSql("e.v", "q.qv")}, 4) + 0.0) DESC,
+                                   e.vec_id ASC) AS rn
+                 FROM e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 8),
+        p1 AS (SELECT query_id, vec_id AS p1, v AS p1v, rel AS rel1 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, vec_id ASC) AS rn FROM sl) WHERE rn = 1),
+        s2 AS (SELECT sl.query_id, sl.vec_id, sl.v, sl.rel, p1.p1, p1.p1v,
+                      (ROUND(0.7 * sl.rel - 0.3 * (ROUND(${cosSql("sl.v", "p1.p1v")}, 4) + 0.0), 6) + 0.0) AS mmr
+               FROM sl JOIN p1 USING (query_id) WHERE sl.vec_id <> p1.p1),
+        p2 AS (SELECT query_id, vec_id AS p2, v AS p2v, mmr AS mmr2 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY mmr DESC, vec_id ASC) AS rn FROM s2) WHERE rn = 1),
+        s3 AS (SELECT s2.query_id, s2.vec_id,
+                      (ROUND(0.7 * s2.rel - 0.3 * GREATEST(
+                        (ROUND(${cosSql("s2.v", "s2.p1v")}, 4) + 0.0),
+                        (ROUND(${cosSql("s2.v", "p2.p2v")}, 4) + 0.0)), 6) + 0.0) AS mmr
+               FROM s2 JOIN p2 USING (query_id) WHERE s2.vec_id <> p2.p2),
+        p3 AS (SELECT query_id, vec_id AS p3, mmr AS mmr3 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY mmr DESC, vec_id ASC) AS rn FROM s3) WHERE rn = 1)
+        SELECT query_id, pick, vec_id, mmr_score FROM (
+          SELECT query_id, 1 AS pick, p1 AS vec_id, rel1 AS mmr_score FROM p1
+          UNION ALL
+          SELECT query_id, 2, p2, mmr2 FROM p2
+          UNION ALL
+          SELECT query_id, 3, p3, mmr3 FROM p3)
+        ORDER BY query_id, pick"""))
   )
 }

@@ -1012,6 +1012,47 @@ object TextOps {
         SELECT mom.w AS word, top.total_f, mom.df,
                (ROUND(CAST(n_docs * scc - sc * sc AS DOUBLE) / (n_docs * sc), 6) + 0.0) AS vmr
         FROM mom JOIN top USING (w) CROSS JOIN n
-        ORDER BY top.total_f DESC, word ASC"""))
+        ORDER BY top.total_f DESC, word ASC""")),
+
+    // ── t27: n-gram novelty curve — per document (in doc_id ingestion ──
+    // order), the fraction of its distinct 3-gram shingles never seen in
+    // any EARLIER document: the marginal-information signal behind "is
+    // this feed still adding content or just re-crawling?" and the
+    // data-mix diminishing-returns curve. Novelty is defined against
+    // first occurrence, so it needs no window over the corpus: gram →
+    // min(doc_id) is ONE two-phase agg on the 64-bit gram hash, and the
+    // join-back is co-partitioned on the same key (d09's discipline) —
+    // a gram is novel for exactly its first doc. Per-doc fraction
+    // divides exact BIGINTs once.
+    GQuery("t27_gram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val grams = docs(s, d)
+          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 3))).as("g"))
+          .select($"doc_id", hash64($"g").as("h"))
+        val first = grams.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        grams.join(first, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .select($"doc_id", $"n_grams", $"n_novel",
+            roundz($"n_novel".cast(DoubleType) / $"n_grams", 6).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest(list_distinct(
+                   list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))), 1, 15) AS BIGINT) AS h
+          FROM ts),
+        first AS (SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY h)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               (ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS novelty
+        FROM grams g JOIN first f USING (h)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id"""))
   )
 }

@@ -390,4 +390,62 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"t26: total_f disagrees with independent count: $r")
     }
   }
+
+  test("round-6b operator invariants: d22/t27/m12/s20") {
+    import spark.implicits._
+    // d22: dup windows are bounded by windows, and duplication is
+    // symmetric — a duplicated window lives in ≥2 docs, so dup mass
+    // can never be concentrated in exactly one doc.
+    val d22 = SparkEntry.queries("d22_substring_dupes")(spark, sf).collect()
+    assert(d22.nonEmpty)
+    d22.foreach { r =>
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"), s"d22: $r")
+      assert(r.getAs[Double]("dup_win_frac") >= 0.0 && r.getAs[Double]("dup_win_frac") <= 1.0)
+    }
+    val nDupDocs = d22.count(_.getAs[Long]("n_dup_windows") > 0)
+    assert(nDupDocs != 1, "d22: exactly one doc carries dup windows — symmetry broken")
+    // t27: the earliest document is 100% novel, novelty ∈ [0,1], and
+    // total novel grams across docs = the corpus' distinct gram count
+    // (every gram is novel exactly once).
+    val t27 = SparkEntry.queries("t27_gram_novelty")(spark, sf).collect()
+    val firstDoc = t27.map(_.getAs[Long]("doc_id")).min
+    t27.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0, s"t27: novelty out of range: $r")
+      if (r.getAs[Long]("doc_id") == firstDoc)
+        assert(nov == 1.0, s"t27: first doc not fully novel: $r")
+    }
+    val distinctGrams = Tables.load(spark, sf, "documents")
+      .select(explode(array_distinct(shingles(tokens($"text"), 3))).as("g"))
+      .select(hash64($"g").as("h")).distinct().count()
+    assert(t27.map(_.getAs[Long]("n_novel")).sum == distinctGrams,
+      "t27: novel grams don't sum to the distinct gram count")
+    // m12: hamming of a 60-bit signature is ≤ 60, mean ≤ max, and the
+    // is_static flag is exactly the integer-algebra mean<10 test.
+    SparkEntry.queries("m12_motion_profile")(spark, sf).collect().foreach { r =>
+      val (nT, mean, mx) = (r.getAs[Long]("n_transitions"),
+        r.getAs[Double]("mean_hamming"), r.getAs[Long]("max_hamming"))
+      assert(mx <= 60 && mean <= mx + 1e-9, s"m12: hamming bounds broken: $r")
+      assert(r.getAs[Boolean]("is_static") == (mean < 10.0) ||
+        math.abs(mean - 10.0) < 1e-6, s"m12: is_static flag inconsistent: $r")
+      assert(nT >= 1)
+    }
+    // s20: three DISTINCT picks per query, and pick 1 is the plain
+    // relevance argmax — s03's exact top-1 on the shared query set.
+    val s20 = SparkEntry.queries("s20_mmr_diversify")(spark, sf).collect()
+    val byQuery = s20.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"s20: query $q has ${rows.length} picks")
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 3,
+        s"s20: repeated pick for query $q")
+    }
+    val s03top1 = SparkEntry.queries("s03_knn_join")(spark, sf).collect()
+      .filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    s20.filter(_.getAs[Int]("pick") == 1).foreach { r =>
+      s03top1.get(r.getAs[Long]("query_id")).foreach(v =>
+        assert(r.getAs[Long]("vec_id") == v,
+          s"s20: pick 1 disagrees with s03 exact top-1: $r"))
+    }
+  }
 }
