@@ -1135,6 +1135,7 @@ object Similarity {
           .drop("rn")
           .withColumn("p1", first($"vec_id").over(wRel))
           .withColumn("p1v", first($"v").over(wRel))
+          .withColumn("rel1", first($"rel").over(wRel))
         val s2 = shortlist.filter($"vec_id" =!= $"p1")
           .withColumn("mmr2", roundz(
             lit(0.7) * $"rel" - lit(0.3) * roundz(cosineSim($"v", $"p1v"), 4), 6))
@@ -1142,19 +1143,21 @@ object Similarity {
         val s2x = s2
           .withColumn("p2", first($"vec_id").over(wM2))
           .withColumn("p2v", first($"v").over(wM2))
+          .withColumn("mmr2sc", first($"mmr2").over(wM2))
         val s3 = s2x.filter($"vec_id" =!= $"p2")
           .withColumn("mmr3", roundz(
             lit(0.7) * $"rel" - lit(0.3) *
               greatest(roundz(cosineSim($"v", $"p1v"), 4),
                 roundz(cosineSim($"v", $"p2v"), 4)), 6))
         val wM3 = Window.partitionBy($"query_id").orderBy($"mmr3".desc, $"vec_id".asc)
-        val picks1 = shortlist.filter($"vec_id" === $"p1")
-          .select($"query_id", lit(1).as("pick"), $"vec_id", $"rel".as("mmr_score"))
-        val picks2 = s2x.filter($"vec_id" === $"p2")
-          .select($"query_id", lit(2).as("pick"), $"vec_id", $"mmr2".as("mmr_score"))
-        val picks3 = s3.withColumn("rn3", row_number().over(wM3)).filter($"rn3" === 1)
-          .select($"query_id", lit(3).as("pick"), $"vec_id", $"mmr3".as("mmr_score"))
-        picks1.unionByName(picks2).unionByName(picks3)
+        // one surviving row per query carries all three picks; inline()
+        // melts it to (pick, vec_id, mmr_score) — no union, so the
+        // shortlist lineage (and its corpus scan) exists exactly once.
+        s3.withColumn("rn3", row_number().over(wM3)).filter($"rn3" === 1)
+          .select($"query_id", inline(array(
+            struct(lit(1).as("pick"), $"p1".as("vec_id"), $"rel1".as("mmr_score")),
+            struct(lit(2).as("pick"), $"p2".as("vec_id"), $"mmr2sc".as("mmr_score")),
+            struct(lit(3).as("pick"), $"vec_id", $"mmr3".as("mmr_score")))))
           .orderBy($"query_id", $"pick")
       },
       Some(s"""

@@ -368,6 +368,80 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"d20: expected join-free aggregates over the component frame:\n$d20")
   }
 
+  test("round-6 operators keep their scale shapes") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // e28/m12: one lag window + partial-agg rollups — never a join.
+    Seq("e28_rate_autocorr", "m12_motion_profile").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Join") && p.contains("Window"),
+        s"$name: expected join-free windowed plan:\n$p")
+    }
+    // t25: two partial-agg'd groupBys, join-free.
+    val t25 = planOf("t25_lexical_diversity")
+    assert(!t25.contains("Join") && "HashAggregate".r.findAllIn(t25).size >= 2,
+      s"t25: expected join-free two-phase aggregates:\n$t25")
+    // m11: candidate pairs come from the 4-chunk EQUALITY join over
+    // 8-bit buckets — a cartesian over assets is exactly what the
+    // pigeonhole construction exists to avoid.
+    val m11 = planOf("m11_phash_neardup")
+    assert(!m11.contains("CartesianProduct") && !m11.contains("BroadcastNestedLoopJoin"),
+      s"m11: perceptual near-dup went pairwise:\n$m11")
+    assert(m11.contains("HashJoin") || m11.contains("SortMergeJoin"),
+      s"m11: chunk equality join disappeared:\n$m11")
+    // s18: seed graph + 2-hop expansion + rescoring are ALL equality
+    // joins on vec ids / buckets; no stage may go pairwise.
+    val s18 = planOf("s18_nn_descent")
+    assert(!s18.contains("CartesianProduct"),
+      s"s18: NN-descent grew a cartesian:\n$s18")
+    assert(s18.contains("HashJoin") || s18.contains("SortMergeJoin"),
+      s"s18: equality joins disappeared:\n$s18")
+    // d21: the Bloom probe is a BROADCAST join on the bounded position
+    // table — shuffling the train gram stream against a ≤2^16-row set
+    // would be the scale regression.
+    val d21 = planOf("d21_bloom_decontaminate")
+    assert(d21.contains("BroadcastHashJoin"),
+      s"d21: position probe not a broadcast join:\n$d21")
+    assert(!d21.contains("CartesianProduct"),
+      s"d21: bloom probe grew a cartesian:\n$d21")
+    // t26: pass 2's top-word filter must hit the token stream MAP-SIDE
+    // (broadcast), s16's discipline.
+    val t26 = planOf("t26_word_burstiness")
+    assert(t26.contains("BroadcastHashJoin"),
+      s"t26: top-word filter not a broadcast join:\n$t26")
+    // p24: the train-gram membership probe is an equality (semi) join on
+    // the uniform hash key.
+    val p24 = planOf("p24_split_leakage")
+    assert(!p24.contains("CartesianProduct") && !p24.contains("BroadcastNestedLoopJoin"),
+      s"p24: leakage probe went pairwise:\n$p24")
+    assert(p24.contains("HashJoin") || p24.contains("SortMergeJoin"),
+      s"p24: gram equality join disappeared:\n$p24")
+    // d22/t27: d09's co-partitioned join-back discipline — equality join
+    // on the window/gram hash, never pairwise.
+    Seq("d22_substring_dupes", "t27_gram_novelty").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: join-back went pairwise:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: hash equality join disappeared:\n$p")
+    }
+    // s19: both arms and the fusion are equality/broadcast joins; the
+    // only nested loops allowed are the two intentional tiny-frame
+    // broadcasts — the 4-row query-vector frame (s03's shape) and the
+    // 1-row BM25 avgdl/N stats cross.
+    val s19 = planOf("s19_rrf_fusion")
+    assert(!s19.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(s19).size <= 2,
+      s"s19: fusion pipeline went pairwise beyond the tiny-frame broadcasts:\n$s19")
+    // s20: the MMR recursion must stay on the shortlist — windows, plus
+    // at most the one intentional query broadcast.
+    val s20 = planOf("s20_mmr_diversify")
+    assert(!s20.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(s20).size <= 1,
+      s"s20: MMR left the shortlist frame:\n$s20")
+    assert(s20.contains("Window"), s"s20: pick windows disappeared:\n$s20")
+  }
+
   test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {
     // Containment law: an (n/2, 2r) band key is the concat of two (n, r)
     // keys, so docs sharing a stricter band necessarily share both of its
