@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.GQuery.roundz
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized IVF index — the production/serving form of the s04/s06/
+  * s08/s17 vector family (SURVEY §2.E), mirroring [[SignatureStore]]'s
+  * discipline on the embedding side.
+  *
+  * Inline, every probe query recomputes centroids (a full corpus agg) and
+  * every vector's nearest-centroid assignment (corpus × k scoring) before
+  * it can scan a cell. At 100 TB you do that ONCE: write the k×d centroid
+  * table and the per-vector cell assignment next to the corpus, with the
+  * assignment **partitioned by cell** — then a probe query reads ONLY the
+  * nprobe/k slice of the corpus off disk. The cell filter lands in the
+  * scan's PartitionFilters (pinned by VectorIndexStoreSpec), which is the
+  * physical form of "IVF visits nprobe cells": file-level skipping, not a
+  * post-scan filter. This is exactly how s06's Scaladoc says the operator
+  * deploys ("corpus partitioned by cell → partition-pruned scan") — the
+  * store makes that claim runnable instead of rhetorical.
+  *
+  * Same opt-in/refresh contract as [[SignatureStore]]: [[ConfKey]] names
+  * a base directory; the driver's Verify gate never sets it, so the
+  * DuckDB oracle keeps exercising the real inline pipeline; refresh is
+  * the caller's responsibility and keys on the corpus path.
+  */
+object VectorIndexStore {
+
+  /** Session conf holding the store base directory; unset = inline. */
+  val ConfKey = "spark.graft.vecindex.dir"
+
+  private def corpusKey(corpusDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Store directory for a corpus, if the session opted in. */
+  def storeDir(s: SparkSession, corpusDir: String): Option[String] =
+    s.conf.getOption(ConfKey).map(b => s"$b/${corpusKey(corpusDir)}")
+
+  private def ready(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** Inline centroid table: per-label element-wise means (s04's form —
+    * k×d doubles, always broadcast-able).
+    */
+  def centroidFrame(s: SparkSession, corpusDir: String): DataFrame =
+    Similarity.centroids(
+      Tables.load(s, corpusDir, "embeddings"))
+
+  /** Inline cell assignment for EVERY vector: nearest centroid by the
+    * family's shared (roundz(cos,4) DESC, c_label ASC) order — identical
+    * to the assignment s06 computes on the fly, but corpus-wide and
+    * query-independent (an index property, so it can be materialized).
+    */
+  def assignmentFrame(s: SparkSession, corpusDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, corpusDir, "embeddings")
+    val cent = centroidFrame(s, corpusDir)
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+    e.join(broadcast(cent))
+      .select($"vec_id", $"embedding", $"c_label",
+        roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_label".as("cell"))
+  }
+
+  /** Build (or rebuild) the store: the tiny centroid table as plain
+    * parquet, the assignment partitioned by cell (one directory per
+    * cell — the unit the probe path prunes on). Requires [[ConfKey]].
+    */
+  def materialize(s: SparkSession, corpusDir: String): String = {
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to materialize"))
+    centroidFrame(s, corpusDir)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignmentFrame(s, corpusDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    dir
+  }
+
+  /** Store facets, when materialized. */
+  def centroidsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
+    storeDir(s, corpusDir).map(d => s"$d/centroids").filter(ready)
+      .map(s.read.parquet(_))
+
+  def assignmentsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
+    storeDir(s, corpusDir).map(d => s"$d/assignments").filter(ready)
+      .map(s.read.parquet(_))
+
+  /** Store-read IVF probe: top-k by exact cosine among the vectors whose
+    * cell is one of the query's `nprobe` nearest centroid cells — s06's
+    * semantics served FROM the store. The two scale properties:
+    *
+    *  - centroid ranking touches only the k-row centroid parquet;
+    *  - the assignment scan carries `cell IN (probes)` as a PARTITION
+    *    filter — Spark enumerates the matching cell directories and the
+    *    non-probed (k − nprobe)/k of the corpus is never read.
+    *
+    * `probes` is collected driver-side deliberately: it is nprobe cell
+    * ids (k-bounded metadata, the same class of driver state as s06's
+    * broadcast probe list), and inlining the ids as literals is what
+    * lets the scan prune STATICALLY, before any join runs.
+    */
+  def probe(s: SparkSession, corpusDir: String, queryVecId: Long,
+            nprobe: Int = 2, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val q = Tables.load(s, corpusDir, "embeddings")
+      .filter($"vec_id" === queryVecId)
+      .select(asDouble($"embedding").as("qv"))
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"no materialized index under $ConfKey"))
+    val probes = cent.join(broadcast(q))
+      .select($"c_label", roundz(cosineSim($"centroid", $"qv"), 4).as("qcos"))
+      .orderBy($"qcos".desc, $"c_label".asc).limit(nprobe)
+      .select($"c_label").as[Int].collect().toSeq
+    assignmentsIfPresent(s, corpusDir).get
+      .filter($"cell".isin(probes: _*) && $"vec_id" =!= queryVecId)
+      .join(broadcast(q))
+      .select($"vec_id", $"cell",
+        roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(topK)
+  }
+
+  /** Drop the store for a corpus (files only; no catalog state). */
+  def drop(s: SparkSession, corpusDir: String): Unit =
+    storeDir(s, corpusDir).foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.delete(p)
+        }
+        rm(root)
+      }
+    }
+}

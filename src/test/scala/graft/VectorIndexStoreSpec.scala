@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.VectorIndexStore
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialized IVF index: store-read ≡ inline, and — the reason the
+  * store exists — the probe's cell filter must reach the scan as a
+  * PARTITION filter, so the non-probed cells are pruned at the file
+  * level, never read and post-filtered.
+  */
+class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withStore[A](f: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory("vecindex").toString
+    spark.conf.set(VectorIndexStore.ConfKey, base)
+    try f(base)
+    finally {
+      VectorIndexStore.drop(spark, sf)
+      spark.conf.unset(VectorIndexStore.ConfKey)
+    }
+  }
+
+  test("store-read assignments and centroids equal the inline frames") {
+    import spark.implicits._
+    withStore { _ =>
+      VectorIndexStore.materialize(spark, sf)
+      val inline = VectorIndexStore.assignmentFrame(spark, sf)
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val stored = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stored == inline, "store-read assignment diverges from inline")
+      val centInline = VectorIndexStore.centroidFrame(spark, sf)
+        .select($"c_label", $"centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val centStored = VectorIndexStore.centroidsIfPresent(spark, sf).get
+        .select($"c_label", $"centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(centStored == centInline, "store-read centroids diverge from inline")
+    }
+  }
+
+  test("probe matches s06's inline result and prunes non-probed cells at the partition level") {
+    import spark.implicits._
+    withStore { _ =>
+      VectorIndexStore.materialize(spark, sf)
+      val probe = VectorIndexStore.probe(spark, sf, queryVecId = 0L)
+      // same semantics as the inline operator (s06 probes vec 0, nprobe=2)
+      val got = probe.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val want = SparkEntry.queries("s06_ivf_ann")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(got.toSeq == want.toSeq, "store probe diverges from inline s06")
+      // the scale property: the assignment scan must carry the cell
+      // filter as a PARTITION filter (file skipping), and the scan's
+      // selected partitions must be exactly nprobe of the k cells
+      val plan = probe.queryExecution.executedPlan
+      // query stages are leaf nodes for collect(): descend explicitly
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val assignScans = scans(plan).filter(_.output.exists(_.name == "cell"))
+      assert(assignScans.nonEmpty, s"no assignment scan in the probe plan:\n$plan")
+      val sc = assignScans.head
+      assert(sc.partitionFilters.nonEmpty,
+        s"cell filter did not become a partition filter:\n$plan")
+      val selected = sc.selectedPartitions.partitionCount
+      val totalCells = VectorIndexStore.centroidsIfPresent(spark, sf).get.count()
+      assert(selected == 2 && selected < totalCells,
+        s"expected 2 of $totalCells cells selected, got $selected")
+    }
+  }
+}
