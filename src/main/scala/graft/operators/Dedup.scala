@@ -24,6 +24,57 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
+  // ── Bloom decontamination primitives (d21 + StreamingDecontaminate) ──
+  // m = 2^16 bits, k = 3 salted hashes over the shared 13-gram hash64.
+  // Shared so the streaming probe IS the batch probe: one code path,
+  // stream ≡ batch by construction.
+
+  /** Bloom filter size in bits (2^16 → an 8 KB bitset at scale). */
+  val BloomBits = 65536
+
+  /** Distinct 13-gram hashes per document — (doc_id, h). */
+  private[graft] def gram13Frame(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf
+      .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+      .select($"doc_id", hash64($"g").as("h"))
+  }
+
+  /** Bit position of gram hash `h` under salt `slot` (0..2). */
+  private def bloomPos(h: org.apache.spark.sql.Column, slot: Int) =
+    hash64(concat(lit(s"b$slot:"), h.cast(StringType))) % BloomBits
+
+  /** The "bitset": distinct bit positions set by any eval gram — bounded
+    * by [[BloomBits]] rows no matter how large the eval corpus grows.
+    */
+  private[graft] def bloomPositionFrame(evalGrams: DataFrame): DataFrame =
+    evalGrams
+      .select(explode(array(bloomPos(col("h"), 0), bloomPos(col("h"), 1),
+        bloomPos(col("h"), 2))).as("pos"))
+      .distinct()
+
+  /** Per-doc Bloom probe: a gram hits iff ALL 3 of its salted positions
+    * are present — (doc_id, n_grams, n_bloom_hits, bloom_flagged).
+    */
+  private[graft] def bloomProbeFrame(grams: DataFrame,
+                                     positions: DataFrame): DataFrame = {
+    val slotted = grams
+      .select(col("doc_id"), col("h"),
+        posexplode(array(bloomPos(col("h"), 0), bloomPos(col("h"), 1),
+          bloomPos(col("h"), 2))))
+      .toDF("doc_id", "h", "slot", "pos")
+    val hits = slotted.join(broadcast(positions), "pos")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === 3)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom_hits"),
+        (coalesce(col("n_bloom"), lit(0L)) > 0).as("bloom_flagged"))
+  }
+
   // MinHash parameters (shared with StreamingDedup): 16 permutations,
   // 4 bands × 4 rows. P(candidate | jaccard j) = 1-(1-j^4)^4: ≈0 for
   // background pairs, 0.9988 at j=0.95 (an 8-perm/2-band family measurably
@@ -1110,39 +1161,20 @@ object Dedup {
     GQuery("d21_bloom_decontaminate",
       (s, d) => {
         import s.implicits._
-        val m = 65536
         val base = docs(s, d)
           .select($"doc_id", $"text",
             (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
-        def grams(df: DataFrame) = df
-          .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
-          .select($"doc_id", hash64($"g").as("h"))
-        def slotPos(slot: Int) =
-          (hash64(concat(lit(s"b$slot:"), $"h".cast(StringType))) % m).as(s"p$slot")
-        val traing = grams(base.filter($"bucket" < 90))
-        val evalg = grams(base.filter($"bucket" >= 90)).select($"h").distinct()
-        // the "bitset": distinct bit positions set by any eval gram
-        val evalPos = evalg
-          .select(explode(array(slotPos(0), slotPos(1), slotPos(2))).as("pos"))
-          .distinct()
-        val bloomDoc = traing
-          .select($"doc_id", $"h", posexplode(array(slotPos(0), slotPos(1), slotPos(2))))
-          .toDF("doc_id", "h", "slot", "pos")
-          .join(broadcast(evalPos), "pos")
-          .groupBy($"doc_id", $"h")
-          .agg(countDistinct($"slot").as("n_slots"))
-          .filter($"n_slots" === 3)
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_bloom"))
+        val traing = gram13Frame(base.filter($"bucket" < 90))
+        val evalg = gram13Frame(base.filter($"bucket" >= 90)).select($"h").distinct()
+        val probe = bloomProbeFrame(traing, bloomPositionFrame(evalg))
         val exactDoc = traing.join(broadcast(evalg), "h")
           .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
-        traing.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-          .join(bloomDoc, Seq("doc_id"), "left")
+        probe
           .join(exactDoc, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_grams",
-            coalesce($"n_bloom", lit(0L)).as("n_bloom_hits"),
+          .select($"doc_id", $"n_grams", $"n_bloom_hits",
             coalesce($"n_exact", lit(0L)).as("n_exact_hits"),
-            (coalesce($"n_bloom", lit(0L)) > 0).as("bloom_flagged"),
-            (coalesce($"n_bloom", lit(0L)) > 0 &&
+            $"bloom_flagged",
+            ($"bloom_flagged" &&
               coalesce($"n_exact", lit(0L)) === 0).as("false_positive"))
           .orderBy($"doc_id")
       },

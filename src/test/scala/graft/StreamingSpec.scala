@@ -494,6 +494,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Bloom decontamination equals the batch probe across waves") {
+    import spark.implicits._
+    import graft.streaming.StreamingDecontaminate
+    // train-side docs arrive in two waves; the eval bitset is static
+    val positions = StreamingDecontaminate.evalPositions(spark, sf).cache()
+    assert(positions.count() > 0 && positions.count() <= graft.operators.Dedup.BloomBits,
+      "bitset not bounded by the Bloom size")
+    val trainDocs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text",
+        (graft.functions.TextFunctions.hash64(
+          concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
+      .filter($"bucket" < 90)
+      .select($"doc_id", $"text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_decon_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_decon_out").toString + "/t"
+    trainDocs.filter($"doc_id" < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/w0")
+    trainDocs.filter($"doc_id" >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/w1")
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/w0").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val q = StreamingDecontaminate.probeWriter(stream, positions, outDir)
+      .option("checkpointLocation", outDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(outDir)
+      .select($"doc_id", $"n_grams", $"n_bloom_hits", $"bloom_flagged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    // the batch truth is d21's bloom columns (same helpers, full corpus)
+    val batch = SparkEntry.queries("d21_bloom_decontaminate")(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_bloom_hits", $"bloom_flagged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed == batch, "streaming decontamination diverges from the batch probe")
+    assert(streamed.exists(_._4), "no flagged doc at test SF — probe vacuous")
+    positions.unpersist()
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
