@@ -126,6 +126,35 @@ object VectorIndexStore {
       .limit(topK)
   }
 
+  /** Assign NEW vectors against the FROZEN stored centroids and append
+    * them to the cell-partitioned assignment — the serving-time index
+    * update (the IVF analog of [[SignatureStore.appendTable]]'s
+    * contract): centroids are an index property you retrain offline;
+    * between retrains, arriving vectors route to existing cells, each
+    * append touching only the cell directories its vectors land in.
+    * Because assignment is a pure function of (vector, centroids),
+    * append ≡ rebuild for the same centroid generation — spec-pinned.
+    *
+    * `newVecs`: (vec_id, embedding) rows not yet in the index.
+    */
+  def appendAssignments(s: SparkSession, corpusDir: String,
+                        newVecs: DataFrame): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to append"))
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"no materialized index under $ConfKey"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+    newVecs
+      .join(broadcast(cent))
+      .select($"vec_id", $"embedding", $"c_label",
+        roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_label".as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
   /** Drop the store for a corpus (files only; no catalog state). */
   def drop(s: SparkSession, corpusDir: String): Unit =
     storeDir(s, corpusDir).foreach { d =>

@@ -79,4 +79,46 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
         s"expected 2 of $totalCells cells selected, got $selected")
     }
   }
+
+  test("streamed appends against frozen centroids converge to the full rebuild") {
+    import spark.implicits._
+    withStore { base =>
+      // yesterday's index: full-corpus centroids, assignments for only
+      // the first 400 vectors
+      val dir = VectorIndexStore.storeDir(spark, sf).get
+      VectorIndexStore.centroidFrame(spark, sf)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      VectorIndexStore.assignmentFrame(spark, sf)
+        .filter($"vec_id" < 400)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+      // today's vectors arrive as a 2-wave stream through VectorIngest
+      val newVecs = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" >= 400).select($"vec_id", $"embedding")
+      val inDir = java.nio.file.Files.createTempDirectory("graft_vec_in").toString
+      newVecs.filter($"vec_id" < 450).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/w0")
+      newVecs.filter($"vec_id" >= 450).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/w1")
+      val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/w0").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      val q = graft.streaming.VectorIngest.ingestWriter(stream, sf)
+        .option("checkpointLocation", inDir + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      // the streamed index equals a from-scratch rebuild (assignment is
+      // a pure function of vector × frozen centroids)
+      val stored = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val truth = VectorIndexStore.assignmentFrame(spark, sf)
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stored == truth, "streamed appends diverge from the full rebuild")
+      // and the probe serves the freshly appended vectors
+      val probed = VectorIndexStore.probe(spark, sf, queryVecId = 0L).collect()
+      val want = SparkEntry.queries("s06_ivf_ann")(spark, sf).collect()
+      assert(probed.map(_.getLong(0)).toSeq == want.map(_.getLong(0)).toSeq,
+        "probe over the streamed index diverges from inline s06")
+    }
+  }
 }
