@@ -1116,6 +1116,52 @@ object EventOps {
                (ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
                       (sqrt(CAST(n_pairs * sx2 - sx * sx AS DOUBLE)) *
                        sqrt(CAST(n_pairs * sy2 - sy * sy AS DOUBLE))), 4) + 0.0) AS autocorr_lag1
-        FROM sums ORDER BY event_type"""))
+        FROM sums ORDER BY event_type""")),
+
+    // ── e29: weekly retention-rate triangle — e04's count triangle ──
+    // lifted to the report analysts actually read: per signup cohort
+    // (first-seen week), the FRACTION of the cohort still active at
+    // each week offset. The only new machinery over e04 is the
+    // normalization: cohort size = the triangle's own offset-0 cell,
+    // broadcast down the cohort via a window over the TINY
+    // (cohorts × offsets) aggregate — events are touched exactly twice
+    // (first-seen agg + distinct user-weeks), both user_id-keyed
+    // shuffles, and the rate divides exact BIGINTs once.
+    GQuery("e29_retention_rate",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val weeks = ev(s, d)
+          .select($"user_id", to_date(date_trunc("week", $"ts")).as("w")).distinct()
+        val first = weeks.groupBy($"user_id").agg(min($"w").as("w0"))
+        val tri = weeks.join(first, Seq("user_id"))
+          .select(date_format($"w0", "yyyy-MM-dd").as("cohort_week"),
+            (datediff($"w", $"w0") / 7).cast(IntegerType).as("offset_weeks"),
+            $"user_id")
+          .groupBy($"cohort_week", $"offset_weeks")
+          .agg(countDistinct($"user_id").as("n_active"))
+        val wC = Window.partitionBy($"cohort_week")
+        tri
+          .withColumn("cohort_size",
+            max(when($"offset_weeks" === 0, $"n_active")).over(wC))
+          .select($"cohort_week", $"offset_weeks", $"n_active", $"cohort_size",
+            roundz($"n_active".cast(DoubleType) / $"cohort_size", 6).as("retention"))
+          .orderBy($"cohort_week", $"offset_weeks")
+      },
+      Some("""
+        WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+                       FROM events),
+        first AS (SELECT user_id, MIN(w) AS w0 FROM weeks GROUP BY user_id),
+        tri AS (SELECT strftime(first.w0, '%Y-%m-%d') AS cohort_week,
+                       CAST(date_diff('day', first.w0, weeks.w) // 7 AS INT) AS offset_weeks,
+                       CAST(COUNT(DISTINCT weeks.user_id) AS BIGINT) AS n_active
+                FROM weeks JOIN first ON weeks.user_id = first.user_id
+                GROUP BY cohort_week, offset_weeks),
+        sized AS (SELECT *, CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active END)
+                              OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+                  FROM tri)
+        SELECT cohort_week, offset_weeks, n_active, cohort_size,
+               (ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) + 0.0) AS retention
+        FROM sized ORDER BY cohort_week, offset_weeks"""))
   )
 }

@@ -1068,6 +1068,77 @@ object Pipeline {
                CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
                (ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / per.n_docs, 6) + 0.0) AS leak_frac
         FROM per LEFT JOIN leaked l ON per.split = l.split
-        ORDER BY per.split"""))
+        ORDER BY per.split""")),
+
+    // ── p25: dedup-aware epoch budget — the number a pipeline owner ──
+    // actually trains on: d17's per-source EFFECTIVE token mass (copies
+    // discounted to weight 1/n) re-mixed through p23's sqrt-temperature,
+    // then allocated against a fixed 100k-token epoch budget, with the
+    // implied epochs-over-source (>1 ⇒ that source repeats within one
+    // epoch). Composes the two upstream disciplines unchanged: the
+    // dedup discount stays exact integer micro-tokens, each sqrt weight
+    // is rounded then FIXED as DECIMAL so the normalizing sum is exact,
+    // and every output rate is one rounded double expression. The only
+    // corpus-sized work is d17's hash groupBy; everything after lives
+    // on |sources| rows.
+    GQuery("p25_dedup_budget",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy()
+        val base = docs(s, d).select($"doc_id", $"source", $"text")
+        val clones = base.filter($"doc_id" % 13 === 0)
+        val corpus = base
+          .unionAll(clones.select((-$"doc_id" * 2 - 1).as("doc_id"), $"source", $"text"))
+          .unionAll(clones.select((-$"doc_id" * 2 - 2).as("doc_id"), $"source", $"text"))
+          .select($"source",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            md5($"text").as("h"))
+        val eff = corpus
+          .join(corpus.groupBy($"h").agg(count(lit(1)).as("n_copies")), "h")
+          .groupBy($"source")
+          .agg(sum(expr("(n_tokens * 1000000) DIV n_copies")).as("eff_utokens"))
+        eff
+          .withColumn("w",
+            roundz(sqrt($"eff_utokens".cast(DoubleType) / 1000000.0), 6)
+              .cast(DecimalType(18, 6)))
+          .withColumn("total_w", sum($"w").over(wAll))
+          .select($"source",
+            expr("eff_utokens DIV 1000000").as("effective_tokens"),
+            roundz($"w".cast(DoubleType) / $"total_w".cast(DoubleType), 6).as("temp_share"))
+          .withColumn("alloc_tokens", roundz($"temp_share" * 100000, 4))
+          .withColumn("epochs_over_source",
+            roundz($"alloc_tokens" / $"effective_tokens".cast(DoubleType), 6))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH clones AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 13 = 0),
+        corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL SELECT -doc_id * 2 - 1, source, text FROM clones
+          UNION ALL SELECT -doc_id * 2 - 2, source, text FROM clones),
+        hashed AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5(text) AS h
+          FROM corpus),
+        eff AS (
+          SELECT source,
+                 CAST(SUM((n_tokens * 1000000) // c.n_copies) AS BIGINT) AS eff_utokens
+          FROM hashed JOIN (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY h) c
+          USING (h)
+          GROUP BY source),
+        w AS (SELECT source, eff_utokens,
+                     CAST((ROUND(sqrt(CAST(eff_utokens AS DOUBLE) / 1000000.0), 6) + 0.0)
+                       AS DECIMAL(18,6)) AS w
+              FROM eff),
+        t AS (SELECT source, eff_utokens, w, SUM(w) OVER () AS total_w FROM w),
+        f AS (SELECT source,
+                     CAST(eff_utokens // 1000000 AS BIGINT) AS effective_tokens,
+                     (ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE), 6) + 0.0) AS temp_share
+              FROM t),
+        a AS (SELECT *, (ROUND(temp_share * 100000, 4) + 0.0) AS alloc_tokens FROM f)
+        SELECT source, effective_tokens, temp_share, alloc_tokens,
+               (ROUND(alloc_tokens / CAST(effective_tokens AS DOUBLE), 6) + 0.0) AS epochs_over_source
+        FROM a ORDER BY source"""))
   )
 }

@@ -1053,6 +1053,38 @@ object TextOps {
                (ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS novelty
         FROM grams g JOIN first f USING (h)
         GROUP BY g.doc_id
-        ORDER BY g.doc_id"""))
+        ORDER BY g.doc_id""")),
+
+    // ── t28: per-source length profile — token-length quartiles + ──
+    // extremes per source (the packing/padding planner's input: mix
+    // design needs to know WHERE the long tails live before p19's
+    // chunked packing and t19's winsorized bounds are tuned per feed).
+    // One in-scan token count, one two-phase groupBy on the tiny source
+    // key; percentile interpolation over BIGINT counts yields at worst
+    // binary-exact halves (q42's discipline), rounded 4dp both engines.
+    GQuery("t28_length_profile",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"source", size(tokens($"text")).cast(LongType).as("n"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n").as("min_tokens"),
+            roundz(expr("percentile(n, 0.25)"), 4).as("p25_tokens"),
+            roundz(expr("percentile(n, 0.5)"), 4).as("p50_tokens"),
+            roundz(expr("percentile(n, 0.75)"), 4).as("p75_tokens"),
+            max($"n").as("max_tokens"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH n AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(MIN(n) AS BIGINT) AS min_tokens,
+               (ROUND(quantile_cont(n, 0.25), 4) + 0.0) AS p25_tokens,
+               (ROUND(quantile_cont(n, 0.5), 4) + 0.0) AS p50_tokens,
+               (ROUND(quantile_cont(n, 0.75), 4) + 0.0) AS p75_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens
+        FROM n GROUP BY source ORDER BY source"""))
   )
 }

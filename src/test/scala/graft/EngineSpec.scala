@@ -440,6 +440,18 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       "BroadcastNestedLoopJoin".r.findAllIn(s20).size <= 1,
       s"s20: MMR left the shortlist frame:\n$s20")
     assert(s20.contains("Window"), s"s20: pick windows disappeared:\n$s20")
+    // t28: one scan, two-phase aggregate on the tiny source key.
+    val t28 = planOf("t28_length_profile")
+    assert(!t28.contains("Join") && "HashAggregate".r.findAllIn(t28).size >= 2,
+      s"t28: expected join-free two-phase aggregate:\n$t28")
+    // e29/p25: user_id-/hash-keyed equality joins plus a window over the
+    // tiny aggregate — never pairwise.
+    Seq("e29_retention_rate", "p25_dedup_budget").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: went pairwise:\n$p")
+      assert(p.contains("Window"), s"$name: normalization window disappeared:\n$p")
+    }
   }
 
   test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {

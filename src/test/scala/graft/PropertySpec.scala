@@ -448,4 +448,47 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
           s"s20: pick 1 disagrees with s03 exact top-1: $r"))
     }
   }
+
+  test("round-6c operator invariants: t28/e29/p25") {
+    import spark.implicits._
+    // t28: quartiles are ordered and docs partition the corpus
+    val t28 = SparkEntry.queries("t28_length_profile")(spark, sf).collect()
+    assert(t28.nonEmpty)
+    t28.foreach { r =>
+      val (mn, p25, p50, p75, mx) = (r.getAs[Long]("min_tokens").toDouble,
+        r.getAs[Double]("p25_tokens"), r.getAs[Double]("p50_tokens"),
+        r.getAs[Double]("p75_tokens"), r.getAs[Long]("max_tokens").toDouble)
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx,
+        s"t28: quartiles out of order: $r")
+    }
+    assert(t28.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.load(spark, sf, "documents").count(),
+      "t28: sources do not partition the corpus")
+    // e29: the triangle normalizes itself — offset 0 is always rate 1,
+    // every rate ∈ (0, 1], cohort_size is the cohort's own offset-0 cell
+    val e29 = SparkEntry.queries("e29_retention_rate")(spark, sf).collect()
+    assert(e29.nonEmpty)
+    e29.foreach { r =>
+      val rate = r.getAs[Double]("retention")
+      assert(rate > 0.0 && rate <= 1.0, s"e29: rate out of range: $r")
+      if (r.getAs[Int]("offset_weeks") == 0)
+        assert(rate == 1.0 &&
+          r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"),
+          s"e29: offset-0 cell not its own cohort size: $r")
+    }
+    // p25: shares sum to ~1, allocations to ~the 100k budget, and the
+    // effective mass agrees with d17 (same dedup discount) per source
+    val p25 = SparkEntry.queries("p25_dedup_budget")(spark, sf).collect()
+    val shareSum = p25.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"p25: shares sum to $shareSum")
+    val allocSum = p25.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(allocSum - 100000.0) < 10.0, s"p25: allocations sum to $allocSum")
+    val d17eff = SparkEntry.queries("d17_soft_dedup_weight")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("effective_utokens") / 1000000L).toMap
+    p25.foreach { r =>
+      assert(r.getAs[Long]("effective_tokens") == d17eff(r.getAs[String]("source")),
+        s"p25: effective mass disagrees with d17: $r")
+    }
+  }
 }
