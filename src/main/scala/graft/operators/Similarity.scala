@@ -982,12 +982,16 @@ object Similarity {
           explode(array(($"bucket" +:
             (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
         val wSeed = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        // localCheckpoint: the seed graph feeds BOTH the undirected edge
+        // set and the candidate union — without it Spark re-runs the LSH
+        // join + ranking window once per consumer (d08's discipline).
         val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
             $"probe" === $"bucket" && $"src" =!= $"dst")
           .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(wSeed))
           .filter($"rn" <= 2)
           .select($"src", $"dst")
+          .localCheckpoint()
         // undirected edge set, then 2-hop candidates ∪ the current edges
         val und = knn.union(knn.select($"dst", $"src")).toDF("a", "b").distinct()
         val hop2 = und.as("g1").join(und.as("g2"), $"g1.b" === $"g2.a")
