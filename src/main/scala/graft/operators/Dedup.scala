@@ -1263,6 +1263,77 @@ object Dedup {
                CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 16 AS BIGINT) AS dup_chars_bound
         FROM wins w JOIN freq f USING (h)
         GROUP BY w.doc_id
-        ORDER BY w.doc_id"""))
+        ORDER BY w.doc_id""")),
+
+    // ── d23: centrality-based cluster representatives — pick each dup ──
+    // cluster's keeper by PageRank over the near-dup graph instead of
+    // min-id (d01/d08's policy): the most-connected copy is the
+    // best-linked, most-canonical version of the content, which matters
+    // when clusters mix a clean original with mangled re-crawls. Three
+    // power-iteration rounds (damping 0.85) over d02's LSH-bounded pair
+    // graph, then a per-component argmax against d08's converged labels
+    // (memoized/store — the component fixpoint is never re-run here).
+    // Float discipline: each node's per-round contribution r/deg is
+    // rounded 6dp then FIXED as DECIMAL, so the neighbor sum is exact
+    // and every iteration is bit-identical cross-engine (a raw double Σ
+    // over neighbors is addition-order-dependent). Work per round = one
+    // equality join on the edge list + a grouped sum — edge-bounded,
+    // never corpus-pairwise.
+    GQuery("d23_central_representative",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pairs = minhashPairs(s, d).select($"i", $"j")
+        val und = pairs.union(pairs.select($"j", $"i")).toDF("node", "nbr")
+          .localCheckpoint()
+        val deg = und.groupBy($"node").agg(count(lit(1)).as("deg"))
+        val r3 = (1 to 3).foldLeft(deg.select($"node", lit(1.0).as("r"))) { (r, _) =>
+          val contrib = r.join(deg, "node")
+            .select($"node".as("nbr"),
+              roundz($"r" / $"deg", 6).cast(DecimalType(12, 6)).as("c"))
+          und.join(contrib, "nbr")
+            .groupBy($"node").agg(sumd($"c").as("inflow"))
+            .select($"node",
+              roundz(lit(0.15) + lit(0.85) * $"inflow", 6).as("r"))
+        }
+        val comp = dupComponents(s, d)
+        val w = Window.partitionBy($"component").orderBy($"r".desc, $"node".asc)
+        val sizes = comp.groupBy($"label".as("component")).agg(count(lit(1)).as("n_docs"))
+        comp.select($"node", $"label".as("component")).join(r3, "node")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .join(sizes, "component")
+          .select($"component", $"node".as("representative"),
+            $"r".as("rep_score"), $"n_docs")
+          .orderBy($"component")
+      },
+      Some(s"""
+        WITH RECURSIVE $componentSql,
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY node),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+        c0 AS (SELECT r0.node, CAST((ROUND(r / deg, 6) + 0.0) AS DECIMAL(12,6)) AS c
+               FROM r0 JOIN deg ON r0.node = deg.node),
+        r1 AS (SELECT e.src AS node,
+                      (ROUND(0.15 + 0.85 * CAST(SUM(c) AS DOUBLE), 6) + 0.0) AS r
+               FROM edges e JOIN c0 ON c0.node = e.dst GROUP BY e.src),
+        c1 AS (SELECT r1.node, CAST((ROUND(r / deg, 6) + 0.0) AS DECIMAL(12,6)) AS c
+               FROM r1 JOIN deg ON r1.node = deg.node),
+        r2 AS (SELECT e.src AS node,
+                      (ROUND(0.15 + 0.85 * CAST(SUM(c) AS DOUBLE), 6) + 0.0) AS r
+               FROM edges e JOIN c1 ON c1.node = e.dst GROUP BY e.src),
+        c2 AS (SELECT r2.node, CAST((ROUND(r / deg, 6) + 0.0) AS DECIMAL(12,6)) AS c
+               FROM r2 JOIN deg ON r2.node = deg.node),
+        r3 AS (SELECT e.src AS node,
+                      (ROUND(0.15 + 0.85 * CAST(SUM(c) AS DOUBLE), 6) + 0.0) AS r
+               FROM edges e JOIN c2 ON c2.node = e.dst GROUP BY e.src),
+        ranked AS (SELECT comp.component, comp.node, r3.r,
+                          ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY r3.r DESC, comp.node ASC) AS rn
+                   FROM comp JOIN r3 ON r3.node = comp.node),
+        sizes AS (SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY component)
+        SELECT ranked.component, ranked.node AS representative, ranked.r AS rep_score,
+               CAST(sizes.n_docs AS BIGINT) AS n_docs
+        FROM ranked JOIN sizes ON ranked.component = sizes.component
+        WHERE rn = 1 ORDER BY ranked.component"""))
   )
 }

@@ -1162,6 +1162,76 @@ object EventOps {
                   FROM tri)
         SELECT cohort_week, offset_weeks, n_active, cohort_size,
                (ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) + 0.0) AS retention
-        FROM sized ORDER BY cohort_week, offset_weeks"""))
+        FROM sized ORDER BY cohort_week, offset_weeks""")),
+
+    // ── e30: seasonal forecast backtest — holds out the LAST day, ──
+    // forecasts its hourly per-type counts two ways (diurnal profile =
+    // per-(type, hour-of-day) mean over all earlier days; persistence =
+    // the previous day's same hour), and reports each forecast's MAE:
+    // the one-table answer to "is the diurnal cycle signal or noise?"
+    // (e18 found the peaks; this scores whether they predict). Scored
+    // hours = hours where BOTH forecasts exist (inner joins — no
+    // imputation policy smuggled in). Everything after the hourly
+    // rollup lives on ≤ |types|×24 rows; the mean divides exact BIGINT
+    // sums, each |error| is rounded then DECIMAL-summed, one division
+    // per MAE — and the winner flag compares the two ROUNDED MAEs so it
+    // cannot flip on a ulp cross-engine.
+    GQuery("e30_seasonal_backtest",
+      (s, d) => {
+        import s.implicits._
+        val hourly = ev(s, d)
+          .groupBy($"event_type", to_date($"ts").as("day"), hour($"ts").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val lastDay = hourly.agg(max($"day").as("last_day"))
+        val withLast = hourly.join(broadcast(lastDay))
+        val test = withLast.filter($"day" === $"last_day")
+          .select($"event_type", $"h", $"n".as("actual"))
+        val profile = withLast.filter($"day" < $"last_day")
+          .groupBy($"event_type", $"h")
+          .agg(roundz(sum($"n").cast(DoubleType) / count(lit(1)), 6).as("fc_seasonal"))
+        val persist = withLast.filter($"day" === date_sub($"last_day", 1))
+          .select($"event_type", $"h", $"n".cast(DoubleType).as("fc_persist"))
+        test.join(profile, Seq("event_type", "h"))
+          .join(persist, Seq("event_type", "h"))
+          .select($"event_type",
+            roundz(abs($"fc_seasonal" - $"actual"), 6)
+              .cast(DecimalType(14, 6)).as("e_seasonal"),
+            roundz(abs($"fc_persist" - $"actual"), 6)
+              .cast(DecimalType(14, 6)).as("e_persist"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_scored"),
+            roundz(sumd($"e_seasonal") / count(lit(1)), 6).as("mae_seasonal"),
+            roundz(sumd($"e_persist") / count(lit(1)), 6).as("mae_persist"))
+          .withColumn("seasonal_wins", $"mae_seasonal" < $"mae_persist")
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS h,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, day, h),
+        last AS (SELECT MAX(day) AS last_day FROM hourly),
+        test AS (SELECT event_type, h, n AS actual FROM hourly, last
+                 WHERE day = last_day),
+        profile AS (SELECT event_type, h,
+                           (ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) + 0.0) AS fc_seasonal
+                    FROM hourly, last WHERE day < last_day
+                    GROUP BY event_type, h),
+        persist AS (SELECT event_type, h, CAST(n AS DOUBLE) AS fc_persist
+                    FROM hourly, last WHERE day = last_day - 1),
+        scored AS (
+          SELECT t.event_type,
+                 CAST((ROUND(abs(fc_seasonal - actual), 6) + 0.0) AS DECIMAL(14,6)) AS e_seasonal,
+                 CAST((ROUND(abs(fc_persist - actual), 6) + 0.0) AS DECIMAL(14,6)) AS e_persist
+          FROM test t JOIN profile p ON t.event_type = p.event_type AND t.h = p.h
+                      JOIN persist q ON t.event_type = q.event_type AND t.h = q.h),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n_scored,
+                 (ROUND(CAST(SUM(e_seasonal) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mae_seasonal,
+                 (ROUND(CAST(SUM(e_persist) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mae_persist
+          FROM scored GROUP BY event_type)
+        SELECT event_type, n_scored, mae_seasonal, mae_persist,
+               (mae_seasonal < mae_persist) AS seasonal_wins
+        FROM agg ORDER BY event_type"""))
   )
 }

@@ -452,6 +452,21 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
         s"$name: went pairwise:\n$p")
       assert(p.contains("Window"), s"$name: normalization window disappeared:\n$p")
     }
+    // d23: every PageRank round is an equality join on the edge list —
+    // the iteration must never go pairwise over documents.
+    val d23 = planOf("d23_central_representative")
+    assert(!d23.contains("CartesianProduct") && !d23.contains("BroadcastNestedLoopJoin"),
+      s"d23: centrality iteration went pairwise:\n$d23")
+    assert(d23.contains("HashJoin") || d23.contains("SortMergeJoin"),
+      s"d23: edge equality joins disappeared:\n$d23")
+    // e30: everything after the hourly rollup is equality joins over
+    // ≤ |types|×24 rows; the only nested loops are the 1-row last-day
+    // broadcasts.
+    val e30 = planOf("e30_seasonal_backtest")
+    assert(!e30.contains("CartesianProduct"),
+      s"e30: backtest grew a cartesian:\n$e30")
+    assert(e30.contains("HashJoin") || e30.contains("SortMergeJoin"),
+      s"e30: forecast equality joins disappeared:\n$e30")
   }
 
   test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {

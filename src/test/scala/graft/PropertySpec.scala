@@ -491,4 +491,38 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"p25: effective mass disagrees with d17: $r")
     }
   }
+
+  test("round-6d operator invariants: d23/e30") {
+    import spark.implicits._
+    // d23: one representative per component, drawn FROM the component,
+    // with the PageRank floor 0.15 respected; the component set and the
+    // per-cluster sizes agree with d08's converged labels.
+    val d23 = SparkEntry.queries("d23_central_representative")(spark, sf).collect()
+    assert(d23.nonEmpty)
+    val compSizes = SparkEntry.queries("d08_dup_components")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("component"))
+    assert(d23.map(_.getAs[Long]("component")).toSet == compSizes.keySet,
+      "d23: component set diverges from d08")
+    d23.foreach { r =>
+      val comp = r.getAs[Long]("component")
+      val members = compSizes(comp).map(_.getAs[Long]("doc_id")).toSet
+      assert(members.contains(r.getAs[Long]("representative")),
+        s"d23: representative outside its component: $r")
+      assert(r.getAs[Long]("n_docs") == members.size,
+        s"d23: cluster size disagrees with d08: $r")
+      assert(r.getAs[Double]("rep_score") >= 0.15 - 1e-9,
+        s"d23: PageRank below the damping floor: $r")
+    }
+    // e30: MAEs are non-negative, at most 24 hours scored per type, and
+    // the winner flag is exactly the comparison of the two rounded MAEs
+    val e30 = SparkEntry.queries("e30_seasonal_backtest")(spark, sf).collect()
+    assert(e30.nonEmpty)
+    e30.foreach { r =>
+      val (ms, mp) = (r.getAs[Double]("mae_seasonal"), r.getAs[Double]("mae_persist"))
+      assert(ms >= 0.0 && mp >= 0.0, s"e30: negative MAE: $r")
+      assert(r.getAs[Long]("n_scored") <= 24, s"e30: more than 24 hours scored: $r")
+      assert(r.getAs[Boolean]("seasonal_wins") == (ms < mp),
+        s"e30: winner flag inconsistent: $r")
+    }
+  }
 }
