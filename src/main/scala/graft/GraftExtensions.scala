@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see BinnedRangeJoinRule; off unless spark.graft.binjoin.width > 0).
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
 
+    // Whole-operator tier: AsOfJoinPlan → AsOfJoinExec (sorted-merge
+    // as-of join; see graft.plans.AsOfJoin).
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

@@ -1232,6 +1232,48 @@ object EventOps {
           FROM scored GROUP BY event_type)
         SELECT event_type, n_scored, mae_seasonal, mae_persist,
                (mae_seasonal < mae_persist) AS seasonal_wins
-        FROM agg ORDER BY event_type"""))
+        FROM agg ORDER BY event_type""")),
+
+    // ── e31: the custom AsOfJoinExec operator (graft.plans.AsOfJoin — ──
+    // logical node + planner strategy + physical sorted-merge, the
+    // whole-operator Catalyst tier) driven through the driver gate:
+    // every error event picks up the user's latest earlier-or-equal
+    // purchase, verified against DuckDB's NATIVE ASOF LEFT JOIN. Unlike
+    // e06's same-table union+window composition, this is the general
+    // two-table form: each side shuffles once on user_id, sorts by
+    // (key, time), and the physical merge holds ONE row of state — no
+    // window, no union, no per-row probe. Timestamps surface as exact
+    // epoch micros; p_value is raw (no (user, ts) purchase ties at any
+    // test SF — AsOfJoinSpec pins the semantics, this pins the values).
+    GQuery("e31_asof_exec",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts")
+          // output = left ++ right columns; right's join key repeats → rename
+          .toDF("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"pts").as("p_ts_us"),
+            $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id"""))
   )
 }

@@ -467,6 +467,13 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       s"e30: backtest grew a cartesian:\n$e30")
     assert(e30.contains("HashJoin") || e30.contains("SortMergeJoin"),
       s"e30: forecast equality joins disappeared:\n$e30")
+    // e31: must run on the CUSTOM physical operator — a SortMergeJoin,
+    // Window, or Union here means the strategy stopped firing and the
+    // query silently fell back to a composed plan.
+    val e31 = planOf("e31_asof_exec")
+    assert(e31.contains("AsOfJoin"), s"e31: AsOfJoinExec not planned:\n$e31")
+    assert(!e31.contains("SortMergeJoin") && !e31.contains("Window") &&
+      !e31.contains("Union"), s"e31: fell back to a composed plan:\n$e31")
   }
 
   test("d19 band sweep is monotone: stricter configs only shrink the candidate set") {
