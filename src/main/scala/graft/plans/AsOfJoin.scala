@@ -69,8 +69,18 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+  /** Both sides clustered on their key with an EXACT partition count:
+    * doExecute zip-aligns partitions positionally, so the two shuffles
+    * must stay identically partitioned. Pinning requiredNumPartitions
+    * makes the exchanges non-coalescable — AQE's partition coalescing
+    * (which may merge the two sides differently) never applies, the
+    * alignment zipPartitions depends on is guaranteed by construction.
+    */
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(leftKey :: Nil, requiredNumPartitions = n) ::
+      ClusteredDistribution(rightKey :: Nil, requiredNumPartitions = n) :: Nil
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
