@@ -49,10 +49,20 @@ object Tables {
     df.schema("ts").dataType match {
       // integer DIV: ns values (~1.7e18) overflow double-precision division
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      // naive wall-clock → instant, interpreted in the session TZ (UTC):
-      // the same instants the NTZ-inference-off read produces, and the
-      // same naive values the DuckDB oracle sees
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      // naive wall-clock → instant, interpreted in the session TZ: only
+      // correct when that TZ is UTC (the cast would silently shift every
+      // instant in, say, America/New_York — and this branch exists
+      // precisely for sessions NOT built by GraftSession). Fail loudly
+      // with the fix instead of corrupting every temporal operator.
+      case TimestampNTZType =>
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC")
+          throw new IllegalStateException(
+            s"events.ts read as TIMESTAMP_NTZ in a non-UTC session ($tz): " +
+              "build the session with GraftSession.builder, or set " +
+              "spark.sql.session.timeZone=UTC (engine temporal semantics " +
+              "are instant-based in UTC)")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -1164,7 +1164,10 @@ object Dedup {
         val base = docs(s, d)
           .select($"doc_id", $"text",
             (hash64(concat(lit("split:"), $"doc_id")) % 100).as("bucket"))
-        val traing = gram13Frame(base.filter($"bucket" < 90))
+        // three consumers (slot explode, n_grams rollup, exact probe) —
+        // checkpoint so the tokenize/shingle/md5 pass runs once
+        // (s18/d08's multi-consumer discipline)
+        val traing = gram13Frame(base.filter($"bucket" < 90)).localCheckpoint()
         val evalg = gram13Frame(base.filter($"bucket" >= 90)).select($"h").distinct()
         val probe = bloomProbeFrame(traing, bloomPositionFrame(evalg))
         val exactDoc = traing.join(broadcast(evalg), "h")
@@ -1235,7 +1238,9 @@ object Dedup {
         val wins = docs(s, d)
           .filter(length($"text") >= 64)
           .select($"doc_id",
-            explode(expr("sequence(0L, (length(text) - 64) DIV 16)")).as("i"),
+            // cap mirrors the oracle's range(0, 2000) bound (m11/m12's
+            // discipline) — without it a >32k-char doc diverges
+            explode(expr("sequence(0L, least((length(text) - 64) DIV 16, 1999L))")).as("i"),
             $"text")
           .select($"doc_id",
             hash64(expr("substring(text, i * 16 + 1, 64)")).as("h"))

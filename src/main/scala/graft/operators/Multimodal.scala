@@ -455,10 +455,18 @@ object Multimodal {
     // chunks, one hash per frame, 32-bit majority-vote simhash in a
     // single two-phase aggregate; candidates = pairs sharing one of 4
     // byte-chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified
-    // by exact bit_count. Candidate count is bounded by chunk-bucket
-    // collisions, never pairwise over assets; frame bytes collapse to one
-    // 64-bit hash before any shuffle (blobs never move — the §2.G rule).
-    // A production decoder swaps the substring chunker for real frame
+    // by exact bit_count. SCALE KNOB: 8-bit chunks collide at 1/256, so
+    // expected random-candidate volume is ~n²/128 — fine to ~10^4
+    // assets, quadratic beyond. The growth path is WIDTH, not fewer
+    // chunks: a 2×60-bit simhash cut into 4 chunks of 30 bits keeps the
+    // same hamming ≤ 3 pigeonhole guarantee at 2^-30 collision
+    // (~n²/2^28 — sub-linear to 10^8 assets); chunk count must stay
+    // θ+1 = 4 or recall loses its guarantee (measured here: 15-bit
+    // chunks at θ=9 catch 2/10 true pairs — don't trade guarantee for
+    // width). Candidates stay bounded by chunk-bucket collisions, never
+    // pairwise over assets; frame bytes collapse to one 64-bit hash
+    // before any shuffle (blobs never move — the §2.G rule). A
+    // production decoder swaps the substring chunker for real frame
     // extraction at the same seam as m02.
     GQuery("m11_phash_neardup",
       (s, d) => {

@@ -117,7 +117,10 @@ object VectorIndexStore {
       .select($"c_label", roundz(cosineSim($"centroid", $"qv"), 4).as("qcos"))
       .orderBy($"qcos".desc, $"c_label".asc).limit(nprobe)
       .select($"c_label").as[Int].collect().toSeq
-    assignmentsIfPresent(s, corpusDir).get
+    assignmentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"index under $ConfKey has centroids but no assignments — " +
+          "materialize() incomplete or still running"))
       .filter($"cell".isin(probes: _*) && $"vec_id" =!= queryVecId)
       .join(broadcast(q))
       .select($"vec_id", $"cell",
@@ -155,15 +158,20 @@ object VectorIndexStore {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
-  /** Drop the store for a corpus (files only; no catalog state). */
+  /** Drop the store for a corpus (files only; no catalog state).
+    * deleteIfExists + closed directory streams: tolerant of concurrent
+    * cleanup and leak-free on deep trees.
+    */
   def drop(s: SparkSession, corpusDir: String): Unit =
     storeDir(s, corpusDir).foreach { d =>
       val root = java.nio.file.Paths.get(d)
       if (java.nio.file.Files.exists(root)) {
         def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
-          java.nio.file.Files.delete(p)
+          if (java.nio.file.Files.isDirectory(p)) {
+            val children = java.nio.file.Files.list(p)
+            try children.forEach(rm(_)) finally children.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
         }
         rm(root)
       }

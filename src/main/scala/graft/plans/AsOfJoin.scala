@@ -116,19 +116,31 @@ case class AsOfJoinExec(
       var lastKey: InternalRow = null
       lIter.map { lrow =>
         val lkRow = lKeyP(lrow)
-        val lTime = lTimeP(lrow).getLong(0)
+        val lkNull = lkRow.isNullAt(0)
+        val ltRow = lTimeP(lrow)
+        val ltNull = ltRow.isNullAt(0)
+        val lTime = if (ltNull) Long.MinValue else ltRow.getLong(0)
         var advance = rBuf.hasNext
         while (advance) {
-          val c = keyOrd.compare(rKeyP(rBuf.head), lkRow)
-          if (c < 0 || (c == 0 && rTimeP(rBuf.head).getLong(0) <= lTime)) {
+          val rkRow = rKeyP(rBuf.head)
+          val rtRow = rTimeP(rBuf.head)
+          val c = keyOrd.compare(rkRow, lkRow)
+          // NULL keys/times sort first; consume them so the merge keeps
+          // moving, but never record them as a match (SQL equality and
+          // the time bound are both false on NULL — DuckDB ASOF agrees)
+          if (c < 0 || (c == 0 && (rtRow.isNullAt(0) ||
+              (!ltNull && rtRow.getLong(0) <= lTime)))) {
             val r = rBuf.next()
-            lastMatch = r.copy()
-            lastKey = rKeyP(lastMatch).copy()
+            if (!rkRow.isNullAt(0) && !rtRow.isNullAt(0)) {
+              lastMatch = r.copy()
+              lastKey = rKeyP(lastMatch).copy()
+            }
             advance = rBuf.hasNext
           } else advance = false
         }
         val m =
-          if (lastMatch != null && keyOrd.compare(lastKey, lkRow) == 0) lastMatch
+          if (!lkNull && !ltNull && lastMatch != null &&
+              keyOrd.compare(lastKey, lkRow) == 0) lastMatch
           else nullRight
         resultP(joined(lrow, m)).copy()
       }

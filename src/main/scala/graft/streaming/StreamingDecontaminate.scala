@@ -41,9 +41,12 @@ object StreamingDecontaminate {
       Dedup.gram13Frame(evalDocs).select($"h").distinct())
   }
 
-  /** Per-batch probe: exactly the batch operator's flag frame. */
+  /** Per-batch probe: exactly the batch operator's flag frame. The gram
+    * frame feeds two consumers inside bloomProbeFrame — checkpoint so
+    * each micro-batch tokenizes/hashes once.
+    */
   def probeBatch(batch: DataFrame, positions: DataFrame): DataFrame =
-    Dedup.bloomProbeFrame(Dedup.gram13Frame(batch), positions)
+    Dedup.bloomProbeFrame(Dedup.gram13Frame(batch).localCheckpoint(), positions)
 
   /** Attach the probe to a document stream (doc_id, text, ...): every
     * micro-batch is flagged against the static bitset and written

@@ -47,6 +47,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.values.exists(_ != -1L), "no matched case at test SF — vacuous")
   }
 
+  test("NULL keys and NULL times never match (SQL equality / DuckDB ASOF semantics)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "l-match"),
+      (Some(1L), None, "l-null-time"),
+      (None, Some(ts("2024-01-01 10:00:00")), "l-null-key"),
+      (Some(2L), Some(ts("2024-01-01 10:00:00")), "l-no-purchase"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), "r-valid"),
+      (Some(1L), None, "r-null-time"),
+      (None, Some(ts("2024-01-01 09:00:00")), "r-null-key"))
+      .toDF("user_id", "pts", "rtag")
+    val got = graft.plans.AsOf.join(left, right, "user_id", "ts", "pts")
+      .toDF("user_id", "ts", "tag", "r_user_id", "pts", "rtag")
+      .select($"tag", $"rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("l-match") == Some("r-valid"), s"valid row should match r-valid: $got")
+    assert(got("l-null-time").isEmpty, s"NULL left time must not match: $got")
+    assert(got("l-null-key").isEmpty, s"NULL left key must not match r-null-key: $got")
+    assert(got("l-no-purchase").isEmpty, s"keyless user must not match: $got")
+  }
+
   test("as-of join plans as AsOfJoinExec with one Exchange per side") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
