@@ -1274,6 +1274,130 @@ object EventOps {
                p.p_value
         FROM errors e ASOF LEFT JOIN purchases p
           ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id""")),
+
+    // ── e32: as-of with TOLERANCE (pandas merge_asof surface) — the ──
+    // backward match only counts within 1 hour: "the purchase context of
+    // an error, if recent enough to be context". Same merge pass as e31;
+    // tolerance is a per-row comparison against the one-row merge state,
+    // so the plan (and its 100 TB story) is identical. Oracle = DuckDB's
+    // native ASOF pick, null-ed past the tolerance horizon — exactly the
+    // backward+tolerance semantics (the latest-≤ row either is within
+    // tolerance or no row is).
+    GQuery("e32_asof_tolerance",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts",
+            "backward", Some(3600000000L))
+          .toDF("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"pts").as("p_ts_us"),
+            $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               CASE WHEN epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+                    THEN epoch_us(p.pts) END AS p_ts_us,
+               CASE WHEN epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+                    THEN p.p_value END AS p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id""")),
+
+    // ── e33: FORWARD as-of — for every error, the user's FIRST purchase ──
+    // at-or-after it ("did the error block conversion?"). The merge
+    // consumes only strictly-earlier right rows and matches on the
+    // un-consumed head: still one pass, ZERO rows of buffered state.
+    // DuckDB's ASOF with a <= inequality is the native forward oracle.
+    GQuery("e33_asof_forward",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts",
+            "forward", None)
+          .toDF("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"pts").as("p_ts_us"),
+            $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts <= p.pts
+        ORDER BY e.event_id""")),
+
+    // ── e34: NEAREST as-of — the closest purchase on either side of ──
+    // each error, exact-distance ties resolving backward (deterministic).
+    // The merge keeps the backward candidate (one row) and peeks the
+    // forward head — still one pass, one row of state. Oracle composes
+    // DuckDB's two native ASOF directions and picks the closer, the same
+    // tie rule: no single-construct nearest exists in SQL, which is what
+    // the operator is for.
+    GQuery("e34_asof_nearest",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts",
+            "nearest", None)
+          .toDF("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"pts").as("p_ts_us"),
+            $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL
+                         OR epoch_us(e.ts) - epoch_us(b.pts)
+                            <= epoch_us(f.pts) - epoch_us(e.ts))
+                    THEN epoch_us(b.pts) ELSE epoch_us(f.pts) END AS p_ts_us,
+               CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL
+                         OR epoch_us(e.ts) - epoch_us(b.pts)
+                            <= epoch_us(f.pts) - epoch_us(e.ts))
+                    THEN b.p_value ELSE f.p_value END AS p_value
+        FROM errors e
+        ASOF LEFT JOIN purchases b
+          ON e.user_id = b.user_id AND e.ts >= b.pts
+        ASOF LEFT JOIN purchases f
+          ON e.user_id = f.user_id AND e.ts <= f.pts
         ORDER BY e.event_id"""))
   )
 }

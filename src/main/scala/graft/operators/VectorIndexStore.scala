@@ -129,6 +129,54 @@ object VectorIndexStore {
       .limit(topK)
   }
 
+  /** Store-read IVF probe for a query WORKLOAD — s08's batch shape served
+    * FROM the store, where [[probe]] serves one vector per call. `queries`
+    * is a (query_id, qv) frame; each query explodes to its `nprobe`
+    * nearest centroid cells (ranked against the k-row centroid parquet,
+    * broadcast), candidates come from an EQUALITY join on the cell id,
+    * and each query keeps its exact-cosine top-`topK`.
+    *
+    * The scale property, same as [[probe]]'s but workload-wide: the UNION
+    * of probed cells (≤ |queries|×nprobe ids, k-bounded metadata — the
+    * same class of driver state as probe()'s nprobe collect) is inlined
+    * as literals, so the cell-partitioned assignment scan prunes
+    * STATICALLY — selected partitions == |probed cells|, spec-pinned.
+    * The corpus side never shuffles: the probe frame broadcasts onto it.
+    *
+    * `corpusPredicate` optionally restricts the candidate corpus (tenant
+    * or recency filters; the spec uses it to reproduce s08's corpus
+    * split exactly).
+    */
+  def probeBatch(s: SparkSession, corpusDir: String, queries: DataFrame,
+                 nprobe: Int = 2, topK: Int = 3,
+                 corpusPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"no materialized index under $ConfKey"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
+    val qprobe = queries
+      .join(broadcast(cent))
+      .select($"query_id", $"qv", $"c_label",
+        roundz(cosineSim($"qv", $"centroid"), 4).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
+      .select($"query_id", $"qv", $"c_label".as("cell"))
+    val cells = qprobe.select($"cell").distinct().as[Int].collect().toSeq
+    val assign0 = assignmentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"index under $ConfKey has centroids but no assignments — " +
+          "materialize() incomplete or still running"))
+      .filter($"cell".isin(cells: _*))
+    val assign = corpusPredicate.fold(assign0)(assign0.filter)
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    assign.join(broadcast(qprobe), "cell")
+      .select($"query_id", $"vec_id",
+        roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(wRank)).filter($"rn" <= topK)
+      .select($"query_id", $"rn", $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Assign NEW vectors against the FROZEN stored centroids and append
     * them to the cell-partitioned assignment — the serving-time index
     * update (the IVF analog of [[SignatureStore.appendTable]]'s

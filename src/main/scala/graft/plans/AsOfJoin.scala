@@ -7,6 +7,30 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Match direction for the as-of join — pandas `merge_asof`'s surface.
+  *
+  *  - [[AsOfDirection.Backward]]: the LAST right row with time ≤ left time
+  *    (the kdb/Flink temporal-join default).
+  *  - [[AsOfDirection.Forward]]: the FIRST right row with time ≥ left time.
+  *  - [[AsOfDirection.Nearest]]: whichever of the two is closer in time;
+  *    exact-distance ties resolve backward (the earlier row), so the
+  *    result is deterministic.
+  */
+sealed abstract class AsOfDirection(val name: String) extends Serializable
+object AsOfDirection {
+  case object Backward extends AsOfDirection("backward")
+  case object Forward extends AsOfDirection("forward")
+  case object Nearest extends AsOfDirection("nearest")
+  def parse(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got '$other'")
+  }
+}
 
 /** As-of join as a first-class engine operator — the whole-operator tier
   * of the custom-Catalyst ladder (SURVEY §2.H): a logical node, a planner
@@ -14,19 +38,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `SparkSessionExtensions.injectPlannerStrategy`.
   *
   * Semantics (the kdb/pandas `asof` / Flink temporal-join staple Spark
-  * lacks natively): for every LEFT row, append the LAST right row with
-  * the same key whose time is ≤ the left row's time; nulls when no such
-  * row exists. e06 composes the same-table case from a union + window;
-  * this operator serves the general two-table case without materializing
-  * a merged stream: each side shuffles ONCE on its key (co-partitioned
-  * by EnsureRequirements), sorts by (key, time) — both properties the
-  * planner can satisfy for free from bucketed/sorted tables — and the
-  * physical operator is a single forward merge pass per partition:
-  * O(|L| + |R|), no window state, no per-row probe, no right-side
-  * buffering beyond ONE row. At 100 TB that is the plan you want for
-  * "enrich every event with the latest earlier dimension version":
-  * a dimension-versions table joined as-of, never exploded or windowed
-  * over the fact stream.
+  * lacks natively): for every LEFT row, append the right row with the
+  * same key selected by `direction` (backward = last at-or-before,
+  * forward = first at-or-after, nearest = closer of the two), optionally
+  * bounded by `tolerance` (max |Δtime| in the time column's long unit —
+  * microseconds for timestamps, inclusive, as in pandas); nulls when no
+  * such row exists. e06 composes the same-table case from a union +
+  * window; this operator serves the general two-table case without
+  * materializing a merged stream: each side shuffles ONCE on its key
+  * (co-partitioned by EnsureRequirements), sorts by (key, time) — both
+  * properties the planner can satisfy for free from bucketed/sorted
+  * tables — and the physical operator is a single forward merge pass per
+  * partition: O(|L| + |R|), no window state, no per-row probe, no
+  * right-side buffering beyond ONE row (the backward candidate; forward
+  * and nearest additionally peek at — never buffer — the merge head).
+  * At 100 TB that is the plan you want for "enrich every event with the
+  * latest earlier dimension version": a dimension-versions table joined
+  * as-of, never exploded or windowed over the fact stream.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -34,7 +62,9 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    direction: AsOfDirection = AsOfDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,8 +77,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +94,9 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    direction: AsOfDirection,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -75,6 +107,22 @@ case class AsOfJoinExec(
     * makes the exchanges non-coalescable — AQE's partition coalescing
     * (which may merge the two sides differently) never applies, the
     * alignment zipPartitions depends on is guaranteed by construction.
+    *
+    * Skew tradeoff (deliberate, documented): the pin also opts out of
+    * AQE's skew-join splitting, so ONE pathologically hot key lands in
+    * one partition — same worst case as any hash-partitioned merge join
+    * on that key. AQE's own skew splitting could not help here even if
+    * enabled: splitting a key's right side across tasks would break the
+    * "last earlier row" scan, which needs the key's full right history
+    * in one sorted run. The mitigations that actually work at 100 TB
+    * are upstream of the operator and preserved by it: (a) raise
+    * spark.sql.shuffle.partitions — the pin tracks it; (b) pre-reduce
+    * the right side to the rows that can ever win (e.g. latest version
+    * per (key, coarse time bucket)) before joining; (c) for a key so hot
+    * it exceeds one task's memory/time budget, range-split THAT key by
+    * time with a per-slice seed row (the last right row before each
+    * slice) — a two-pass composition AsOfJoinSpec documents; the hot-key
+    * spec pins that correctness under 50%-skew is unaffected.
     */
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = Some(conf.numShufflePartitions)
@@ -100,6 +148,8 @@ case class AsOfJoinExec(
     val rightOut = right.output
     val allOut = output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val dir = direction
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // projections/orderings are codegen'd per-partition (not serialized)
       val lKeyP = UnsafeProjection.create(Seq(lk), leftOut)
@@ -111,9 +161,34 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // ONE row of merge state: the latest right row consumed, + its key
+      // Backward candidate: the latest valid right row consumed, with its
+      // key and time. The row must be copied (held across the merge); the
+      // key copy is one 1-field UnsafeRow per CONSUMED right row, not per
+      // comparison.
       var lastMatch: InternalRow = null
       var lastKey: InternalRow = null
+      var lastTime = 0L
+      // Merge-head cache: key/time of rBuf.head are projected ONCE per
+      // head row, not once per comparison — the projection buffers stay
+      // valid until the next projection call, which only happens after
+      // the cached head is consumed.
+      var headValid = false
+      var headKey: InternalRow = null
+      var headKeyNull = false
+      var headTimeNull = false
+      var headTime = 0L
+      def refreshHead(): Unit = {
+        headKey = rKeyP(rBuf.head)
+        headKeyNull = headKey.isNullAt(0)
+        val t = rTimeP(rBuf.head)
+        headTimeNull = t.isNullAt(0)
+        headTime = if (headTimeNull) 0L else t.getLong(0)
+        headValid = true
+      }
+      // Forward mode consumes only strictly-earlier right rows, so a right
+      // row at exactly the left time stays at the head as the match;
+      // backward/nearest consume at-or-before (ties belong to backward).
+      val strictBefore = dir == AsOfDirection.Forward
       lIter.map { lrow =>
         val lkRow = lKeyP(lrow)
         val lkNull = lkRow.isNullAt(0)
@@ -122,39 +197,75 @@ case class AsOfJoinExec(
         val lTime = if (ltNull) Long.MinValue else ltRow.getLong(0)
         var advance = rBuf.hasNext
         while (advance) {
-          val rkRow = rKeyP(rBuf.head)
-          val rtRow = rTimeP(rBuf.head)
-          val c = keyOrd.compare(rkRow, lkRow)
+          if (!headValid) refreshHead()
+          val c = keyOrd.compare(headKey, lkRow)
           // NULL keys/times sort first; consume them so the merge keeps
           // moving, but never record them as a match (SQL equality and
           // the time bound are both false on NULL — DuckDB ASOF agrees)
-          if (c < 0 || (c == 0 && (rtRow.isNullAt(0) ||
-              (!ltNull && rtRow.getLong(0) <= lTime)))) {
+          val timeOk = !ltNull &&
+            (if (strictBefore) headTime < lTime else headTime <= lTime)
+          if (c < 0 || (c == 0 && (headTimeNull || timeOk))) {
             val r = rBuf.next()
-            if (!rkRow.isNullAt(0) && !rtRow.isNullAt(0)) {
+            // forward mode never reads the backward candidate — skip the copies
+            if (!headKeyNull && !headTimeNull && !strictBefore) {
               lastMatch = r.copy()
-              lastKey = rKeyP(lastMatch).copy()
+              lastKey = headKey.copy()
+              lastTime = headTime
             }
+            headValid = false
             advance = rBuf.hasNext
           } else advance = false
         }
+        val lValid = !lkNull && !ltNull
+        val backOk = lValid && dir != AsOfDirection.Forward &&
+          lastMatch != null && keyOrd.compare(lastKey, lkRow) == 0 &&
+          lTime - lastTime <= tol
+        // Forward candidate = the UNCONSUMED merge head (first same-key
+        // row at-or-after lTime) — peeked, never buffered.
+        val fwdOk = lValid && dir != AsOfDirection.Backward && rBuf.hasNext && {
+          if (!headValid) refreshHead()
+          !headKeyNull && !headTimeNull &&
+            keyOrd.compare(headKey, lkRow) == 0 && headTime - lTime <= tol
+        }
         val m =
-          if (!lkNull && !ltNull && lastMatch != null &&
-              keyOrd.compare(lastKey, lkRow) == 0) lastMatch
+          if (backOk && fwdOk) {
+            // nearest: both in tolerance — closer wins, ties backward
+            if (lTime - lastTime <= headTime - lTime) lastMatch else rBuf.head
+          } else if (backOk) lastMatch
+          else if (fwdOk) rBuf.head
           else nullRight
-        resultP(joined(lrow, m)).copy()
+        // No defensive copy: SparkPlan iterators may reuse rows; buffering
+        // consumers (sort, agg) copy on their side, like SortMergeJoinExec.
+        resultP(joined(lrow, m))
       }
     }
   }
 }
 
-/** DataFrame-level API: `AsOf.join(facts, versions, "user_id", "ts", "ts")`.
-  * Columns are resolved by NAME against each side's analyzed plan, so the
-  * operator composes with any upstream DataFrame lineage.
+/** DataFrame-level API: `AsOf.join(facts, versions, "user_id", "ts", "ts")`,
+  * optionally with `direction` (backward|forward|nearest) and `tolerance`
+  * (max |Δtime| in the time column's long unit — micros for timestamps,
+  * inclusive). Columns are resolved by NAME against each side's analyzed
+  * plan, so the operator composes with any upstream DataFrame lineage.
+  *
+  * Custom logical nodes bypass the analyzer's implicit-cast coercion, so
+  * the types that a built-in join would silently reconcile are validated
+  * here instead: key types must match exactly (an int-vs-long mismatch
+  * would hash to different partitions AND compare through the left-typed
+  * ordering — silently wrong), and both time columns must be long-backed
+  * (Timestamp/TimestampNTZ/Long — the merge reads epoch micros via
+  * getLong) and of the same type.
   */
 object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String): DataFrame =
+    join(left, right, key, leftTime, rightTime, "backward", None)
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           direction: String, tolerance: Option[Long]): DataFrame = {
+    val dir = AsOfDirection.parse(direction)
+    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -168,9 +279,19 @@ object AsOf {
     val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
       rPlan0.output.map(a =>
         org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+    val (lkA, rkA) = (attr(lPlan, key), attr(rPlan, key))
+    val (ltA, rtA) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    def longBacked(dt: DataType): Boolean =
+      dt == TimestampType || dt == TimestampNTZType || dt == LongType
+    require(lkA.dataType == rkA.dataType,
+      s"as-of key types must match exactly: left $key is ${lkA.dataType}, " +
+        s"right $key is ${rkA.dataType} (cast explicitly before joining)")
+    require(longBacked(ltA.dataType),
+      s"as-of left time $leftTime must be Timestamp/TimestampNTZ/Long, got ${ltA.dataType}")
+    require(ltA.dataType == rtA.dataType,
+      s"as-of time types must match exactly: left $leftTime is ${ltA.dataType}, " +
+        s"right $rightTime is ${rtA.dataType} (cast explicitly before joining)")
     GraftPlanBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan, key), attr(rPlan, key),
-        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      AsOfJoinPlan(lPlan, rPlan, lkA, rkA, ltA, rtA, dir, tolerance))
   }
 }

@@ -80,6 +80,55 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("probeBatch matches inline s08 and prunes to exactly the probed cell union") {
+    import spark.implicits._
+    withStore { _ =>
+      VectorIndexStore.materialize(spark, sf)
+      // s08's workload: queries = vec_id < 5, corpus = vec_id >= 5
+      val queries = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val batch = VectorIndexStore.probeBatch(spark, sf, queries,
+        nprobe = 2, topK = 3, corpusPredicate = Some($"vec_id" >= 5))
+      val got = batch.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val want = SparkEntry.queries("s08_ivf_knn_join")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == want.toSeq, "probeBatch diverges from inline s08")
+      // scale pin: the assignment scan's selected partitions == the probed
+      // cell union (< all cells), via a PARTITION filter — file skipping,
+      // not a post-scan filter, exactly like the single-query probe
+      val plan = batch.queryExecution.executedPlan
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val assignScans = scans(plan).filter(_.output.exists(_.name == "cell"))
+      assert(assignScans.nonEmpty, s"no assignment scan in the batch plan:\n$plan")
+      val sc = assignScans.head
+      assert(sc.partitionFilters.nonEmpty,
+        s"cell union did not become a partition filter:\n$plan")
+      // recompute the probed cell union independently (≤ |q|×nprobe of k)
+      val cent = VectorIndexStore.centroidsIfPresent(spark, sf).get
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
+      val probedCells = queries.join(broadcast(cent))
+        .select($"query_id", $"c_label",
+          GQuery.roundz(graft.functions.VectorFunctions.cosineSim($"qv", $"centroid"), 4).as("qcos"))
+        .withColumn("rn", row_number().over(wq))
+        .filter($"rn" <= 2).select($"c_label").distinct().count()
+      val selected = sc.selectedPartitions.partitionCount
+      val totalCells = cent.count()
+      assert(selected == probedCells && selected < totalCells,
+        s"expected $probedCells of $totalCells cells selected, got $selected")
+    }
+  }
+
   test("streamed appends against frozen centroids converge to the full rebuild") {
     import spark.implicits._
     withStore { base =>
