@@ -244,10 +244,97 @@ object Dedup {
         SignatureStore.componentsIfPresent(s, d).getOrElse(computeComponents(s, d)))
     }
 
-  private def computeComponents(s: SparkSession, d: String): DataFrame = {
+  private def computeComponents(s: SparkSession, d: String): DataFrame =
+    starComponents(minhashPairs(s, d).select(col("i"), col("j")))._1
+      .localCheckpoint()
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (the MapReduce-era two-primitive contraction: each round is two
+    * equality join+agg passes and the graph contracts toward stars in
+    * O(log n) rounds REGARDLESS of component diameter). Min-label
+    * propagation ([[minLabelComponents]], the previous engine path, kept
+    * for the PropertySpec round-count law) needs O(diameter) hops — a
+    * long-chain dup cluster (template spam that mutates a little per
+    * copy) turns that into dozens of rounds at 100 TB, each a full
+    * shuffle. Both converge to the identical labeling: every node points
+    * at its component's MIN id, so d08/p06/d20/d23 and the DuckDB
+    * recursive-CTE oracle are unchanged.
+    *
+    *  - large-star: every node hands its larger neighbors to the min of
+    *    its closed neighborhood — long chains fold in half;
+    *  - small-star: every node re-points its smaller neighbors (and
+    *    itself) at that min — stars flatten to depth 1.
+    *
+    * Edges stay canonically oriented (u > v) between rounds; convergence
+    * = the (count, hash-sum) checksum of the edge set stabilizing. At
+    * the fixpoint the edge set IS the (child, root) star list.
+    *
+    * Returns (labels(node,label), rounds) — rounds exposed for the law.
+    */
+  private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = minhashPairs(s, d).select($"i", $"j")
-    val edges = pairs.union(pairs.select($"j", $"i")).toDF("src", "dst")
+    val raw = pairs.toDF("a", "b")
+    // nodes from the RAW pair list (self-loop-only nodes still label
+    // themselves, matching min-label propagation); edges canonical u > v
+    val nodes = raw.select($"a".as("node")).union(raw.select($"b".as("node")))
+      .distinct().localCheckpoint()
+    var edges = raw
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      // hash masked to 32 bits so the ANSI-mode sum can't overflow
+      // (≤2^31 edges × 2^32 < 2^63)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64($"u", $"v").bitwiseAND(lit(0xFFFFFFFFL)))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      sym.filter($"v" > $"u").join(mins, "u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input is (u > v)-oriented; m = min of u's closed smaller-neighborhood
+      val mins = e.groupBy($"u").agg(min($"v").as("m"))
+      e.join(mins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+    }
+    var rounds = 0
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    while (!converged) {
+      // one round = large-star then small-star, fused into ONE
+      // checkpointed plan (Catalyst pipelines the two join+agg passes;
+      // the loop's latency is driver-job-bound, not data-bound)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      val sum = checksum(next)
+      converged = sum == prev
+      prev = sum
+      edges = next
+    }
+    val labels = nodes
+      .join(edges.select($"u".as("node"), $"v".as("lbl")), Seq("node"), "left")
+      .select($"node", coalesce($"lbl", $"node").as("label"))
+    (labels, rounds)
+  }
+
+  /** The O(diameter) min-label propagation this engine used before
+    * [[starComponents]] — retained as the reference algorithm for the
+    * PropertySpec law that pins the round-count win (and as a second
+    * independent implementation for label parity). Returns
+    * (labels(node,label), hops-until-stable).
+    */
+  private[graft] def minLabelComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.toDF("i", "j")
+      .union(pairs.toDF("a", "b").select($"b", $"a")).toDF("src", "dst")
       .localCheckpoint()
     val nodes = edges.select($"src".as("node")).distinct()
     var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
@@ -259,22 +346,17 @@ object Dedup {
         .union(lbl)
         .groupBy($"node").agg(min($"label").as("label"))
     var prevSum = labelSum(labels)
+    var hops = 0
     var converged = false
     while (!converged) {
-      // Three hops fused into one checkpointed plan: Catalyst pipelines
-      // the join+agg stages, cutting the driver-side job count (the
-      // loop's latency is job-scheduling-bound, not data-bound — under
-      // CPU contention every extra tiny job amplifies). Near-dup
-      // clusters are shallow, so 3 hops usually converge in ONE
-      // checkpoint round; the post-convergence hops are no-op joins over
-      // an already-stable label frame.
-      val prop = propagate(propagate(propagate(labels))).localCheckpoint()
+      val prop = propagate(labels).localCheckpoint()
+      hops += 1
       val newSum = labelSum(prop)
       converged = newSum == prevSum
       prevSum = newSum
       labels = prop
     }
-    labels
+    (labels, hops)
   }
 
   /** DuckDB mirror of [[dupComponents]]: recursive-CTE transitive closure

@@ -223,6 +223,47 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql == got, "sign_bits SQL registration diverges from the Column DSL")
   }
 
+  // ── Connected-components laws: the star contraction that backs d08. ──
+
+  test("CC law: star rounds are O(log n) on a path graph where min-label needs O(n)") {
+    import spark.implicits._
+    // adversarial long chain (template spam that mutates a little per
+    // copy): the diameter-bound worst case for label propagation
+    val n = 48
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
+    val (starLbl, starRounds) = graft.operators.Dedup.starComponents(path)
+    val (minLbl, hops) = graft.operators.Dedup.minLabelComponents(path)
+    val sMap = starLbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mMap = minLbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sMap == mMap, "star labels diverge from min-label on the path graph")
+    assert(sMap.size == n && sMap.values.forall(_ == 0L),
+      "path graph must collapse to one component rooted at 0")
+    val log2n = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(starRounds <= log2n + 2,
+      s"star rounds $starRounds not O(log n) (n=$n, ceil(log2)=$log2n)")
+    assert(hops >= n / 2, s"min-label hops $hops suspiciously small — law is vacuous")
+    assert(starRounds * 3 < hops,
+      s"star ($starRounds rounds) should beat min-label ($hops hops) >3x on a chain")
+  }
+
+  test("CC law: star == min-label on random graphs (self-loops, dups) and the real LSH pair graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // multigraph noise: duplicate edges, self loops, both orientations
+    val gen = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).toDF("i", "j")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(graft.operators.Dedup.starComponents(gen)._1) ==
+      labelsOf(graft.operators.Dedup.minLabelComponents(gen)._1),
+      "star CC diverges from min-label CC on the generated multigraph")
+    // the engine's real edge frame (what d08 consumes at test SF)
+    val real = SparkEntry.queries("d02_minhash_lsh")(spark, sf).select($"i", $"j")
+    assert(labelsOf(graft.operators.Dedup.starComponents(real)._1) ==
+      labelsOf(graft.operators.Dedup.minLabelComponents(real)._1),
+      "star CC diverges from min-label CC on the real LSH pair graph")
+  }
+
   test("t13 entropy bounds: 0 <= H <= ln(n_types), H = 0 iff one type") {
     import spark.implicits._
     val rows = SparkEntry.queries("t13_token_entropy")(spark, sf)
