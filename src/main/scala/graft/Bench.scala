@@ -26,6 +26,25 @@ object Bench {
     // re-running the whole signature pipeline. That is also how 100 TB
     // runs: nobody computes minhashes seven times per corpus.
     val storeBase = java.nio.file.Files.createTempDirectory("graft_bench_sigstore")
+    // JIT/codegen warm-up for the BUILD stages at the smallest SF before
+    // the timed builds: the first heavy job otherwise pays Janino
+    // compilation + classloading INSIDE the timed window — the committed
+    // r06 artifact recorded sigstore_build ~30% hot for exactly this
+    // reason, and the round-over-round diff read as a regression that
+    // wasn't there. sf0.001 compiles the same operator code paths for
+    // cents; the timed build at the target SF then measures the work.
+    val warmSf = "/root/testdata/sf0.001"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(warmSf))) {
+      val warmBase = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+      spark.conf.set(graft.operators.SignatureStore.ConfKey, warmBase.toString)
+      spark.conf.set(graft.sources.CorpusLayout.ConfKey, warmBase.toString)
+      try {
+        graft.operators.SignatureStore.materialize(spark, warmSf)
+        graft.sources.CorpusLayout.materialize(spark, warmSf)
+      } catch { case _: Throwable => () }
+      graft.operators.Dedup.releaseSignatures()
+      System.gc()
+    }
     spark.conf.set(graft.operators.SignatureStore.ConfKey, storeBase.toString)
     val storeT0 = System.nanoTime()
     graft.operators.SignatureStore.materialize(spark, sfDir)

@@ -25,12 +25,38 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
   // ── Bloom decontamination primitives (d21 + StreamingDecontaminate) ──
-  // m = 2^16 bits, k = 3 salted hashes over the shared 13-gram hash64.
-  // Shared so the streaming probe IS the batch probe: one code path,
-  // stream ≡ batch by construction.
+  // m = BloomBits (default 2^16, sized via bloomBitsFor for large eval
+  // suites), k = 3 salted hashes over the shared 13-gram hash64. Shared
+  // so the streaming probe IS the batch probe: one code path, stream ≡
+  // batch by construction.
 
-  /** Bloom filter size in bits (2^16 → an 8 KB bitset at scale). */
+  /** Default Bloom filter size in bits (2^16 → an 8 KB bitset at scale).
+    *
+    * SATURATION BOUND: with k=3 salted positions the false-positive rate
+    * is ≈ (1 − e^(−3n/m))^3 for n distinct eval grams in m bits — at
+    * n ≈ m/3 the filter is ~42% FP and by n ≈ m it flags essentially
+    * every training doc. The default is sized for suite-sized eval
+    * splits (≈2k grams → FP ≈ 3·10⁻⁵); for a larger eval corpus size
+    * the filter with [[bloomBitsFor]] (≈14 bits/gram → FP ≈ 0.25%) —
+    * even a 10M-gram eval suite is then a 17 MB bitset, still a cheap
+    * broadcast, and the position frame stays bounded by m regardless of
+    * further eval growth. CorpusLawsSpec pins both sides: the default
+    * DOES saturate at 50k grams, and the sized filter restores the FP
+    * floor on the same data.
+    */
   val BloomBits = 65536
+
+  /** Bloom size for an eval corpus of `evalGrams` distinct grams: the
+    * next power of two ≥ bitsPerGram·n (14 bits/gram ≈ 0.25% FP at k=3),
+    * never below the default, capped at 2^30 (128 MB — past that, split
+    * the eval suite).
+    */
+  def bloomBitsFor(evalGrams: Long, bitsPerGram: Int = 14): Int = {
+    val want = math.max(BloomBits.toLong, evalGrams * bitsPerGram)
+    var m = BloomBits
+    while (m < want && m < (1 << 30)) m <<= 1
+    m
+  }
 
   /** Distinct 13-gram hashes per document — (doc_id, h). */
   private[graft] def gram13Frame(docsDf: DataFrame): DataFrame = {
@@ -41,27 +67,29 @@ object Dedup {
   }
 
   /** Bit position of gram hash `h` under salt `slot` (0..2). */
-  private def bloomPos(h: org.apache.spark.sql.Column, slot: Int) =
-    hash64(concat(lit(s"b$slot:"), h.cast(StringType))) % BloomBits
+  private def bloomPos(h: org.apache.spark.sql.Column, slot: Int, bits: Int) =
+    hash64(concat(lit(s"b$slot:"), h.cast(StringType))) % bits
 
   /** The "bitset": distinct bit positions set by any eval gram — bounded
     * by [[BloomBits]] rows no matter how large the eval corpus grows.
     */
-  private[graft] def bloomPositionFrame(evalGrams: DataFrame): DataFrame =
+  private[graft] def bloomPositionFrame(evalGrams: DataFrame,
+                                        bits: Int = BloomBits): DataFrame =
     evalGrams
-      .select(explode(array(bloomPos(col("h"), 0), bloomPos(col("h"), 1),
-        bloomPos(col("h"), 2))).as("pos"))
+      .select(explode(array(bloomPos(col("h"), 0, bits), bloomPos(col("h"), 1, bits),
+        bloomPos(col("h"), 2, bits))).as("pos"))
       .distinct()
 
   /** Per-doc Bloom probe: a gram hits iff ALL 3 of its salted positions
     * are present — (doc_id, n_grams, n_bloom_hits, bloom_flagged).
     */
   private[graft] def bloomProbeFrame(grams: DataFrame,
-                                     positions: DataFrame): DataFrame = {
+                                     positions: DataFrame,
+                                     bits: Int = BloomBits): DataFrame = {
     val slotted = grams
       .select(col("doc_id"), col("h"),
-        posexplode(array(bloomPos(col("h"), 0), bloomPos(col("h"), 1),
-          bloomPos(col("h"), 2))))
+        posexplode(array(bloomPos(col("h"), 0, bits), bloomPos(col("h"), 1, bits),
+          bloomPos(col("h"), 2, bits))))
       .toDF("doc_id", "h", "slot", "pos")
     val hits = slotted.join(broadcast(positions), "pos")
       .groupBy(col("doc_id"), col("h"))

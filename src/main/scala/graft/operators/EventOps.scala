@@ -1078,13 +1078,16 @@ object EventOps {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val hourly = ev(s, d)
-          .groupBy($"event_type",
-            date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+          .groupBy($"event_type", unix_micros(date_trunc("hour", $"ts")).as("hour_us"))
           .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy($"event_type").orderBy($"hour")
+        val w = Window.partitionBy($"event_type").orderBy($"hour_us")
+        // only TRUE adjacent-hour pairs enter the Pearson sums: a missing
+        // (zero-count) hour must not make non-consecutive hours count as a
+        // lag-1 pair — that biases r for sparse types
         val pairs = hourly
           .withColumn("prev", lag($"n", 1).over(w))
-          .filter($"prev".isNotNull)
+          .withColumn("prev_us", lag($"hour_us", 1).over(w))
+          .filter($"prev".isNotNull && $"hour_us" - $"prev_us" === 3600000000L)
         pairs.groupBy($"event_type")
           .agg(count(lit(1)).as("n_pairs"),
             sum($"n").as("sy"), sum($"prev").as("sx"),
@@ -1099,19 +1102,22 @@ object EventOps {
       },
       Some("""
         WITH hourly AS (
-          SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+          SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
                  COUNT(*) AS n
-          FROM events GROUP BY event_type, hour),
+          FROM events GROUP BY event_type, hour_us),
         pairs AS (
-          SELECT event_type, n,
-                 LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev
-          FROM hourly),
+          SELECT event_type, n, hour_us,
+                 LAG(n, 1) OVER w AS prev,
+                 LAG(hour_us, 1) OVER w AS prev_us
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)),
         sums AS (
           SELECT event_type, COUNT(*) AS n_pairs,
                  CAST(SUM(n) AS BIGINT) AS sy, CAST(SUM(prev) AS BIGINT) AS sx,
                  CAST(SUM(n * prev) AS BIGINT) AS sxy,
                  CAST(SUM(n * n) AS BIGINT) AS sy2, CAST(SUM(prev * prev) AS BIGINT) AS sx2
-          FROM pairs WHERE prev IS NOT NULL GROUP BY event_type)
+          FROM pairs WHERE prev IS NOT NULL AND hour_us - prev_us = 3600000000
+          GROUP BY event_type)
         SELECT event_type, n_pairs,
                (ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
                       (sqrt(CAST(n_pairs * sx2 - sx * sx AS DOUBLE)) *

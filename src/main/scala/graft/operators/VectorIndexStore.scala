@@ -77,8 +77,14 @@ object VectorIndexStore {
       s"$ConfKey is not set on this session — nowhere to materialize"))
     centroidFrame(s, corpusDir)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // batch_id = -1 marks the base build; streamed appends land under
+    // their own (cell, batch_id) leaves so replays overwrite in place
+    // (see appendAssignments). cell stays the TOP partition level — the
+    // probe's pruning unit.
     assignmentFrame(s, corpusDir)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$dir/assignments")
     dir
   }
 
@@ -89,7 +95,7 @@ object VectorIndexStore {
 
   def assignmentsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
     storeDir(s, corpusDir).map(d => s"$d/assignments").filter(ready)
-      .map(s.read.parquet(_))
+      .map(s.read.parquet(_).drop("batch_id"))
 
   /** Store-read IVF probe: top-k by exact cosine among the vectors whose
     * cell is one of the query's `nprobe` nearest centroid cells — s06's
@@ -186,10 +192,18 @@ object VectorIndexStore {
     * Because assignment is a pure function of (vector, centroids),
     * append ≡ rebuild for the same centroid generation — spec-pinned.
     *
+    * REPLAY-IDEMPOTENT by construction (ParquetSink.writeBatch's recipe):
+    * every append carries a `batchId` and lands in its own
+    * (cell, batch_id) leaves under dynamic partition overwrite, so a
+    * recovered/replayed micro-batch REPLACES its previous attempt instead
+    * of double-inserting beside it. The batch id is the idempotency key;
+    * no manifest or compaction needed, and cell-level pruning is
+    * untouched (cell stays the top partition level).
+    *
     * `newVecs`: (vec_id, embedding) rows not yet in the index.
     */
   def appendAssignments(s: SparkSession, corpusDir: String,
-                        newVecs: DataFrame): Unit = {
+                        newVecs: DataFrame, batchId: Long): Unit = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
@@ -203,7 +217,13 @@ object VectorIndexStore {
         roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"c_label".as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+      .withColumn("batch_id", lit(batchId))
+      // per-WRITE dynamic mode: overwrite touches only the (cell,
+      // batch_id) leaves present in this batch, never the whole table —
+      // and the session's global overwrite mode is left alone
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$dir/assignments")
   }
 
   /** Drop the store for a corpus (files only; no catalog state).

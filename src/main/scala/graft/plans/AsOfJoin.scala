@@ -119,10 +119,11 @@ case class AsOfJoinExec(
     * spark.sql.shuffle.partitions — the pin tracks it; (b) pre-reduce
     * the right side to the rows that can ever win (e.g. latest version
     * per (key, coarse time bucket)) before joining; (c) for a key so hot
-    * it exceeds one task's memory/time budget, range-split THAT key by
-    * time with a per-slice seed row (the last right row before each
-    * slice) — a two-pass composition AsOfJoinSpec documents; the hot-key
-    * spec pins that correctness under 50%-skew is unaffected.
+    * it exceeds one task's memory/time budget, [[AsOf.joinSliced]] — the
+    * implemented two-pass composition that re-keys on (key, time slice)
+    * with per-slice boundary seeds; AsOfJoinSpec pins both that plain
+    * correctness under 50%-skew is unaffected AND that joinSliced
+    * spreads the hot key across partitions with identical results.
     */
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = Some(conf.numShufflePartitions)
@@ -283,7 +284,10 @@ object AsOf {
     val (ltA, rtA) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
     def longBacked(dt: DataType): Boolean =
       dt == TimestampType || dt == TimestampNTZType || dt == LongType
-    require(lkA.dataType == rkA.dataType,
+    // nullability-insensitive (two sides of a real pipeline rarely agree
+    // on it) but otherwise EXACT — int-vs-long etc. stays an error
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lkA.dataType, rkA.dataType, ignoreNullability = true),
       s"as-of key types must match exactly: left $key is ${lkA.dataType}, " +
         s"right $key is ${rkA.dataType} (cast explicitly before joining)")
     require(longBacked(ltA.dataType),
@@ -293,5 +297,144 @@ object AsOf {
         s"right $rightTime is ${rtA.dataType} (cast explicitly before joining)")
     GraftPlanBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lPlan, rPlan, lkA, rkA, ltA, rtA, dir, tolerance))
+  }
+
+  /** COMPOSITE-KEY as-of join — the production shape where the match key
+    * is (tenant, user) or (symbol, venue): the keys pack into one struct
+    * column (the same composite-key mechanism [[joinSliced]] uses for its
+    * slice re-keying; the merge's hash partitioning and natural ordering
+    * both handle struct keys), and SQL multi-key NULL semantics are
+    * preserved explicitly — a NULL in ANY key field never matches, which
+    * the struct comparison alone would not guarantee: right rows with a
+    * null field drop (never emittable), left rows bypass the join and
+    * surface unmatched.
+    */
+  def joinMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTime: String, rightTime: String,
+                direction: String = "backward",
+                tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    if (keys.size == 1)
+      return join(left, right, keys.head, leftTime, rightTime, direction, tolerance)
+    // functions._ exports `left`/`right` — hold the params first
+    val (lDf, rDf) = (left, right)
+    import org.apache.spark.sql.functions._
+    def anyNull(timeCol: String) =
+      keys.map(col(_).isNull).reduce(_ || _) || col(timeCol).isNull
+    def mk = struct(keys.map(col): _*)
+    val lAll = lDf.withColumn("__k", mk)
+    val l2 = lAll.filter(!anyNull(leftTime))
+    val lNull = lAll.filter(anyNull(leftTime))
+    val r2 = rDf.filter(!anyNull(rightTime)).withColumn("__k", mk)
+    val joined = join(l2, r2, "__k", leftTime, rightTime, direction, tolerance)
+      .toDF((lAll.columns ++ r2.columns.map("r_" + _)).toIndexedSeq: _*)
+      .drop("__k", "r___k")
+    val nullOut = lNull.drop("__k")
+      .select(col("*") +:
+        rDf.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as("r_" + f.name)).toIndexedSeq: _*)
+    joined.unionByName(nullOut)
+  }
+
+  /** HOT-KEY-SAFE as-of join: the two-pass time-sliced composition the
+    * [[AsOfJoinExec]] Scaladoc prescribes for a key too hot for one task.
+    * The join key becomes (key, floor(time / sliceUs)), so a hot key's
+    * rows spread across up to ⌈span/sliceUs⌉ partitions instead of one;
+    * semantics are restored by SEEDING each slice with the rows that can
+    * reach across its boundary:
+    *
+    *  - backward/nearest: the latest right row from any EARLIER slice
+    *    (the reigning match for left rows before their slice's first
+    *    in-slice right row);
+    *  - forward/nearest: the earliest right row from any LATER slice.
+    *
+    * Seed construction never touches the hot key's full row set in one
+    * task: the per-(key, slice) boundary rows come from a window
+    * PARTITIONED BY (key, slice) — already spread — and the cross-slice
+    * propagation runs on the boundary frame (≤ |keys|×|slices| rows).
+    * Each left slice gains at most one seed per needed direction, so the
+    * union grows the right side by ≤ 2·|keys|×|slices| rows.
+    *
+    * Equivalence with [[join]] is exact for backward and forward, and
+    * for nearest whenever matched times are unambiguous (exact-tie right
+    * rows may swap which equal-distance row is reported — same
+    * tie-dependence the unsliced merge has); AsOfJoinSpec pins parity on
+    * a planted 50%-skew corpus for all three directions plus tolerance,
+    * and that the hot key's output actually spans multiple partitions.
+    */
+  def joinSliced(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String,
+                 direction: String, tolerance: Option[Long],
+                 sliceUs: Long): DataFrame = {
+    require(sliceUs > 0, s"sliceUs must be positive, got $sliceUs")
+    val dir = AsOfDirection.parse(direction)
+    // functions._ exports `left`/`right` — hold the params first
+    val (lDf, rDf) = (left, right)
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    def us(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      if (dt == LongType) c else unix_micros(c)
+    val ltType = lDf.schema(leftTime).dataType
+    val rtType = rDf.schema(rightTime).dataType
+
+    // NULL keys/times never match in the unsliced operator; the struct
+    // key would instead GROUP them, so: null right rows drop (they can
+    // never be emitted), null left rows bypass the join and re-enter the
+    // output with null right columns.
+    val lAll = lDf
+      .withColumn("__slice", floor(us(col(leftTime), ltType) / sliceUs))
+      .withColumn("__k", struct(col(key).as("k"), col("__slice").as("s")))
+    val l2 = lAll.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val lNull = lAll.filter(col(key).isNull || col(leftTime).isNull)
+    val r1 = rDf
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .withColumn("__slice", floor(us(col(rightTime), rtType) / sliceUs))
+
+    // per-(key, slice) boundary rows — window partitioned by the SLICED
+    // key, so the hot key is already spread here
+    def boundary(desc: Boolean): DataFrame = {
+      val ord = if (desc) col(rightTime).desc else col(rightTime).asc
+      val w = Window.partitionBy(col(key), col("__slice")).orderBy(ord)
+      r1.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+    // left slices that need seeding (≤ |keys|×|slices| rows)
+    val targets = l2.select(col(key).as("__tk"), col("__slice").as("__ts")).distinct()
+
+    // seed = the single boundary row from the nearest earlier (or later)
+    // slice, per target slice: a boundary×target equality join on the key
+    // (both frames slice-bounded), then keep the closest slice
+    def seeds(earlier: Boolean): DataFrame = {
+      val b = boundary(desc = earlier)
+      val cond = col(key) === col("__tk") &&
+        (if (earlier) col("__slice") < col("__ts") else col("__slice") > col("__ts"))
+      val ord =
+        if (earlier) Seq(col("__slice").desc, col(rightTime).desc)
+        else Seq(col("__slice").asc, col(rightTime).asc)
+      val w = Window.partitionBy(col("__tk"), col("__ts")).orderBy(ord: _*)
+      b.join(targets, cond)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select((rDf.columns.map(col) :+
+          col("__ts").as("__slice")).toIndexedSeq: _*)
+    }
+    val needBack = dir != AsOfDirection.Forward
+    val needFwd = dir != AsOfDirection.Backward
+    val rSeeded = Seq(
+      Some(r1.select((rDf.columns.map(col) :+ col("__slice")).toIndexedSeq: _*)),
+      if (needBack) Some(seeds(earlier = true)) else None,
+      if (needFwd) Some(seeds(earlier = false)) else None
+    ).flatten.reduce(_ unionByName _)
+      .withColumn("__k", struct(col(key).as("k"), col("__slice").as("s")))
+
+    val joined = join(l2, rSeeded, "__k", leftTime, rightTime, direction, tolerance)
+      .toDF((l2.columns ++ rSeeded.columns.map("r_" + _)).toIndexedSeq: _*)
+      .drop("__slice", "__k", "r___slice", "r___k")
+    val nullOut = lNull.drop("__slice", "__k")
+      .select(col("*") +:
+        rDf.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as("r_" + f.name)).toIndexedSeq: _*)
+    joined.unionByName(nullOut)
   }
 }

@@ -103,36 +103,84 @@ private[sources] class RegistryTable(table: String) extends Table with SupportsR
     new RegistryScanBuilder(table)
 }
 
+/** Predicate pushdown ([[SupportsPushDownFilters]]): the filters a real
+  * registry SERVICE could evaluate server-side — equality / IN / not-null
+  * on atomic columns (`filetype = 'pdf'`, `method IN ('cli','python')`) —
+  * are accepted and evaluated inside the scan, so the client never
+  * receives the rows at all; anything richer is returned as residual and
+  * Spark keeps its post-scan Filter. Accepted filters surface in the scan
+  * description (`filters=[...]`, the DSv2 analog of parquet's
+  * PushedFilters — spec-pinned) and are REMOVED from the post-scan plan
+  * by V2ScanRelationPushDown, so the source is authoritative for them.
+  */
 private[sources] class RegistryScanBuilder(table: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = RegistryData.schemaOf(table)
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RegistryScan(table, required)
+  private def atomic(col: String): Boolean =
+    RegistryData.schemaOf(table).fields
+      .exists(f => f.name == col && !f.dataType.isInstanceOf[ArrayType])
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => atomic(a)
+    case In(a, _)      => atomic(a)
+    case IsNotNull(a)  => atomic(a)
+    case _             => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (take, residual) = filters.partition(supported)
+    pushed = take
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new RegistryScan(table, required, pushed)
 }
 
-private[sources] class RegistryScan(table: String, required: StructType)
-    extends Scan with Batch {
+private[sources] class RegistryScan(table: String, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftRegistryScan(table=$table, columns=[${required.fieldNames.mkString(", ")}])"
+    s"GraftRegistryScan(table=$table, columns=[${required.fieldNames.mkString(", ")}]" +
+      s", filters=[${filters.mkString(", ")}])"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(RegistryPartition(table, required.fieldNames))
+    Array(RegistryPartition(table, required.fieldNames, filters))
   override def createReaderFactory(): PartitionReaderFactory = RegistryReaderFactory
 }
 
-private[sources] case class RegistryPartition(table: String, columns: Array[String])
-    extends InputPartition
+private[sources] case class RegistryPartition(table: String, columns: Array[String],
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends InputPartition
 
 private[sources] object RegistryReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
+  /** Evaluate an accepted filter against the raw (pre-conversion) row —
+    * what the backing service would do server-side.
+    */
+  private def eval(f: Filter, row: Seq[Any], full: StructType): Boolean = f match {
+    case EqualTo(a, v) => row(full.fieldIndex(a)) == v
+    case In(a, vs)     => vs.contains(row(full.fieldIndex(a)))
+    case IsNotNull(a)  => row(full.fieldIndex(a)) != null
+    case other => throw new IllegalStateException(
+      s"unexpected pushed filter $other — RegistryScanBuilder.supported out of sync")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RegistryPartition]
     val full = RegistryData.schemaOf(p.table)
     val indices = p.columns.map(full.fieldIndex)
     val rows = RegistryData.rows(p.table).iterator
+      .filter(r => p.filters.forall(eval(_, r, full)))
     new PartitionReader[InternalRow] {
       private var current: Seq[Any] = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }

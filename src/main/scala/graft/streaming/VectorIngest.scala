@@ -15,12 +15,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * to, and the next [[VectorIndexStore.probe]] sees them — a
   * continuously warm ANN index between offline centroid retrains.
   *
-  * Durability note: appendAssignments is a plain parquet append, so a
-  * replayed micro-batch would double its vectors — callers that need
-  * exactly-once route the stream through a dedup (vec_id is a natural
-  * key; [[CorpusIngest]]'s watermarked dropDuplicates pattern) or
-  * compact on vec_id at read time. The spec exercises the
-  * single-delivery path.
+  * Durability: REPLAY-IDEMPOTENT by construction — the micro-batch id
+  * flows into [[VectorIndexStore.appendAssignments]], which lands each
+  * batch in its own (cell, batch_id) leaves under dynamic partition
+  * overwrite (ParquetSink.writeBatch's recipe), so a recovered/replayed
+  * batch replaces its previous attempt instead of double-inserting.
+  * Spec-pinned: a re-delivered batch leaves the index byte-identical.
   */
 object VectorIngest {
 
@@ -29,10 +29,10 @@ object VectorIngest {
     */
   def ingestWriter(stream: DataFrame,
                    corpusDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       if (!batch.isEmpty)
         VectorIndexStore.appendAssignments(s, corpusDir,
-          batch.select("vec_id", "embedding"))
+          batch.select("vec_id", "embedding"), batchId)
     }
 }

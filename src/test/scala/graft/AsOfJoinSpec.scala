@@ -156,6 +156,98 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("joinSliced: hot key parity with the unsliced operator, and the key actually spreads") {
+    import spark.implicits._
+    // 50% of both sides on key 42 — the case the fixed-partition pin
+    // cannot split. Time-sliced composition must (a) produce the same
+    // matches, (b) spread the hot key across partitions. Values compared
+    // on the matched TIME (tie-safe, like the reference test above).
+    val rnd = new scala.util.Random(23)
+    def key(i: Long): Long = if (i % 2 == 0) 42L else 1 + rnd.nextInt(60).toLong
+    val left = (1L to 3000L).map(i => (key(i), rnd.nextInt(100000).toLong, i))
+      .toDF("k", "t", "lid")
+    val right = (1L to 3000L).map(i => (key(i), rnd.nextInt(100000).toLong, 10000L + i))
+      .toDF("k", "t", "rid")
+    // null rows on both sides: joinSliced must keep the operator's
+    // null semantics (left nulls surface unmatched, right nulls drop)
+    val lN = Seq((Option.empty[Long], Option(5L), 99990L),
+      (Option(42L), Option.empty[Long], 99991L))
+      .toDF("k", "t", "lid")
+    val rN = Seq((Option.empty[Long], Option(5L), 99992L)).toDF("k", "t", "rid")
+    val lAll = left.select($"k".cast("long").as("k"), $"t".cast("long").as("t"), $"lid")
+      .unionByName(lN.select($"k", $"t", $"lid"))
+    val rAll = right.select($"k".cast("long").as("k"), $"t".cast("long").as("t"), $"rid")
+      .unionByName(rN.select($"k", $"t", $"rid"))
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(500L))) {
+      def matches(df: org.apache.spark.sql.DataFrame, timeCol: String) =
+        df.select($"lid", coalesce(col(timeCol), lit(-1L))).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = matches(
+        AsOf.join(lAll, rAll, "k", "t", "t", dir, tol)
+          .toDF("k", "t", "lid", "rk", "rt", "rid"), "rt")
+      val sliced = matches(
+        AsOf.joinSliced(lAll, rAll, "k", "t", "t", dir, tol, sliceUs = 10000L), "r_t")
+      assert(sliced == plain, {
+        val diff = plain.collect { case (k, v) if sliced.get(k) != Some(v) =>
+          s"$k: sliced ${sliced.get(k)}, plain $v" }.take(5)
+        s"dir=$dir tol=$tol joinSliced diverges: ${diff.mkString("; ")}"
+      })
+      assert(plain(99990L) == -1L && plain(99991L) == -1L,
+        "null left rows must surface unmatched — null path vacuous")
+    }
+    // distribution: the hot key's output rows span multiple partitions
+    // under joinSliced (slices re-key the shuffle), one partition without
+    def hotParts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .filter($"k" === 42L).select($"p").distinct().count()
+    val plainParts = hotParts(AsOf.join(lAll, rAll, "k", "t", "t")
+      .toDF("k", "t", "lid", "rk", "rt", "rid"))
+    val slicedParts = hotParts(
+      AsOf.joinSliced(lAll, rAll, "k", "t", "t", "backward", None, sliceUs = 10000L))
+    assert(plainParts == 1L, s"unsliced hot key should sit in 1 partition, got $plainParts")
+    assert(slicedParts > 1L, s"joinSliced did not spread the hot key ($slicedParts partition)")
+  }
+
+  test("joinMulti: composite (k1,k2) key equals the packed-single-key join; null fields never match") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // left k1 range is a superset of right's, so every direction has
+    // unmatched rows even with nearest + generous tolerance
+    val left = (1L to 1500L).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i))
+      .toDF("k1", "k2", "t", "lid")
+    val right = (1L to 1200L).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, 10000L + i))
+      .toDF("k1", "k2", "t", "rid")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val multi = AsOf.joinMulti(left, right, Seq("k1", "k2"), "t", "t", dir, Some(800L))
+        .select($"lid", coalesce($"r_rid", lit(-1L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: the same join with the composite packed into ONE key
+      val packed = AsOf.join(
+          left.withColumn("kk", $"k1" * 1000 + $"k2"),
+          right.withColumn("kk", $"k1" * 1000 + $"k2"),
+          "kk", "t", "t", dir, Some(800L))
+        .toDF("k1", "k2", "t", "lid", "kk",
+          "r_k1", "r_k2", "r_t", "r_rid", "r_kk")
+        .select($"lid", coalesce($"r_rid", lit(-1L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(multi == packed, s"dir=$dir: composite key diverges from packed key")
+      assert(multi.values.exists(_ == -1L) && multi.values.exists(_ != -1L),
+        s"dir=$dir vacuous (no matched or no unmatched rows)")
+    }
+    // a NULL in any key field must never match (SQL multi-key equality)
+    val lN = Seq((Option(1L), Option.empty[Long], Option(10L), 1L),
+      (Option(1L), Option(2L), Option(10L), 2L)).toDF("k1", "k2", "t", "lid")
+    val rN = Seq((Option(1L), Option.empty[Long], Option(5L), 91L),
+      (Option(1L), Option(2L), Option(5L), 92L)).toDF("k1", "k2", "t", "rid")
+    val got = AsOf.joinMulti(lN, rN, Seq("k1", "k2"), "t", "t")
+      .select($"lid", $"r_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> -1L, 2L -> 92L),
+      s"null key-field semantics wrong: $got (null field matched or valid pair missed)")
+  }
+
   test("type mismatches and bad params are rejected, not silently wrong") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lid")

@@ -209,6 +209,62 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q24 HLL law: rel error ≤ 5σ across scalacheck-varied cardinalities (log-spread)") {
+    import spark.implicits._
+    // The single-point sf-corpus probe above can't catch an HLL regression
+    // that only shows at other scales (sparse→dense representation switch,
+    // merge path, large-range correction). Generate true cardinalities
+    // log-uniformly across 1..10^5, all groups in ONE job, values spread
+    // over 32 partitions so the per-partition sketches actually MERGE.
+    val expGen = Gen.chooseNum(0, 50) // n = 10^(e/10): 1 .. 100k log-spread
+    val cards = (0 until 28)
+      .flatMap(i => expGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .map(e => math.max(1, math.pow(10.0, e / 10.0).toInt))
+      .distinct.sorted
+    val df = cards.zipWithIndex
+      .flatMap { case (n, gid) => (0 until n).map(v => (gid, v.toLong)) }
+      .toDF("gid", "v")
+      .repartition(32)
+    val got = df.groupBy($"gid")
+      .agg(approx_count_distinct($"v", 0.02).as("est")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cards.size >= 10 && cards.last >= 10000,
+      s"generator degenerated (cards=$cards) — law is vacuous")
+    cards.zipWithIndex.foreach { case (n, gid) =>
+      val rel = math.abs(got(gid).toDouble - n) / n
+      // rsd=0.02 → 5σ = 10%; tiny cardinalities are exact in the sparse
+      // representation, so the same bound holds across the whole range
+      assert(rel <= 0.10,
+        f"HLL at true card $n: est=${got(gid)} rel-err=$rel%.4f > 10%%")
+    }
+  }
+
+  test("Bloom law: the default geometry saturates at 50k eval grams; bloomBitsFor restores the FP floor") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // disjoint hash ranges → every bloom hit is a FALSE positive
+    val nEval = 50000L
+    val evalg = spark.range(nEval).select((col("id") + 1000000000L).as("h"))
+    val traing = spark.range(4000)
+      .select((col("id") % 400).as("doc_id"), col("id").as("h"))
+    def fpRate(bits: Int): Double = {
+      val probe = Dedup.bloomProbeFrame(traing,
+        Dedup.bloomPositionFrame(evalg, bits), bits)
+      val r = probe.agg(sum($"n_bloom_hits"), sum($"n_grams")).first()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val fpDefault = fpRate(Dedup.BloomBits)
+    assert(fpDefault > 0.5,
+      f"default 2^16 filter should saturate at $nEval grams, FP=$fpDefault%.3f — " +
+        "saturation bound in the Scaladoc is wrong")
+    val sized = Dedup.bloomBitsFor(nEval)
+    assert(sized >= nEval * 14 && Integer.bitCount(sized) == 1,
+      s"bloomBitsFor($nEval) = $sized is not the next power of two >= 14 bits/gram")
+    val fpSized = fpRate(sized)
+    assert(fpSized <= 0.02,
+      f"sized filter ($sized bits) should hold FP <= 2%%, got $fpSized%.4f")
+  }
+
   test("law: s14 norm-augmented cosine order IS inner-product order") {
     // the entire point of the Bachrach reduction: on the real embeddings,
     // ranking by the augmented cosine must reproduce ranking by raw dot.

@@ -528,9 +528,34 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     // 1-field rows (the scan description carries the pruned column list)
     val pruned = usages.select(col("extractor_id"))
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftRegistryScan(table=usages, columns=[extractor_id])"),
+    assert(plan.contains("GraftRegistryScan(table=usages, columns=[extractor_id]"),
       s"projection did not prune at the source:\n$plan")
     assert(pruned.distinct().count() == 4)
+  }
+
+  test("graft-registry V2: predicates push into the scan; richer ones stay residual") {
+    import org.apache.spark.sql.functions.{col, length}
+    val usages = spark.read.format("graft-registry").option("table", "usages").load()
+    // equality + IN land in the scan (the registry-service-evaluable set)
+    val pushed = usages.filter(col("method") === "cli")
+      .filter(col("extractor_id").isin("yadg", "h5grove"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(method,cli)") && plan.contains("In(extractor_id"),
+      s"filters did not reach the scan description (DSv2 PushedFilters analog):\n$plan")
+    assert(pushed.collect().map(_.getString(0)).sorted.toSeq == Seq("h5grove", "yadg"),
+      "pushed-filter scan returns wrong rows")
+    // pushed filters are REMOVED from the post-scan plan (the source is
+    // authoritative): no FilterExec survives above this scan
+    assert(!plan.contains("Filter ("),
+      s"accepted filters were re-applied post-scan:\n$plan")
+    // a filter the service can't evaluate stays residual post-scan and
+    // never appears in the scan description
+    val residual = usages.filter(length(col("command")) > 40)
+    val rplan = residual.queryExecution.executedPlan.toString
+    assert(!rplan.contains("filters=[Length") && !rplan.contains("GreaterThan(length"),
+      s"unsupported filter leaked into the scan:\n$rplan")
+    assert(rplan.contains("Filter"), s"residual filter missing post-scan:\n$rplan")
+    assert(residual.count() == 4)
   }
 
   test("sources round-trip: parquet, csv, json, partitioned write") {

@@ -414,6 +414,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"stream-stream join: got ${got.size} pairs, want ${want.size}")
   }
 
+  test("streaming as-of enrichment equals batch AsOf.join across waves with late data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(t: java.sql.Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val enriched = graft.streaming.StreamingAsOf.enrich(
+      evIn.toDF().toDF("user_id", "event_id", "ts"),
+      vIn.toDF().toDF("user_id", "vts", "payload"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    try {
+      // wave 1 — versions k1@10:00/12:00; events spanning them + keyless k2.
+      // max ts 12:30 → watermark 11:30 after this batch: e1/e2/e5 final.
+      vIn.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 12:00:00"), 2.0))
+      evIn.addData((1L, 1L, ts("2024-01-01 09:30:00")),
+        (1L, 2L, ts("2024-01-01 10:30:00")),
+        (1L, 3L, ts("2024-01-01 11:50:00")),
+        (1L, 4L, ts("2024-01-01 12:30:00")),
+        (2L, 5L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      // wave 2 — LATE version 11:40 (cross-batch out-of-order, inside the
+      // watermark) must win e3's match while e3 is still pending; late
+      // event e6@11:35 must NOT see it. k3's e7 pushes the watermark on.
+      vIn.addData((1L, ts("2024-01-01 11:40:00"), 1.5))
+      evIn.addData((1L, 6L, ts("2024-01-01 11:35:00")),
+        (3L, 7L, ts("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      // two sentinel waves: each advances the watermark the PREVIOUS wave
+      // established into effect (wm updates after a batch completes)
+      evIn.addData((4L, 8L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      evIn.addData((4L, 9L, ts("2024-01-01 21:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("asof_out")
+      .filter($"event_id" <= 7).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    // batch truth: the custom AsOf operator over the complete inputs
+    val evB = Seq((1L, 1L, ts("2024-01-01 09:30:00")), (1L, 2L, ts("2024-01-01 10:30:00")),
+      (1L, 3L, ts("2024-01-01 11:50:00")), (1L, 4L, ts("2024-01-01 12:30:00")),
+      (2L, 5L, ts("2024-01-01 10:15:00")), (1L, 6L, ts("2024-01-01 11:35:00")),
+      (3L, 7L, ts("2024-01-01 14:30:00"))).toDF("user_id", "event_id", "ts")
+    val vB = Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (1L, ts("2024-01-01 11:40:00"), 1.5)).toDF("user_id", "vts", "payload")
+    val want = graft.plans.AsOf.join(evB, vB, "user_id", "ts", "vts")
+      .toDF("user_id", "event_id", "ts", "r_user_id", "vts", "payload")
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(4)) -1L else us(r.getTimestamp(4)),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toMap
+    assert(got.size == 7, s"expected all 7 events flushed, got ${got.keySet}")
+    assert(got == want, s"stream diverges from batch AsOf:\n got $got\nwant $want")
+    // the late-version case actually exercised what it claims
+    assert(want(3L)._2 == 1.5, "e3 should match the late 11:40 version — test vacuous")
+    assert(want(6L)._2 == 1.0, "e6 (before 11:40) must not see the late version")
+  }
+
   test("e23's watermark emulation reconciles with a real withWatermark stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

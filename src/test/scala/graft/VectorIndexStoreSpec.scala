@@ -129,6 +129,34 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a replayed append batch replaces its previous attempt (idempotent by construction)") {
+    import spark.implicits._
+    withStore { _ =>
+      val dir = VectorIndexStore.storeDir(spark, sf).get
+      VectorIndexStore.centroidFrame(spark, sf)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      VectorIndexStore.assignmentFrame(spark, sf).filter($"vec_id" < 400)
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("cell", "batch_id")
+        .parquet(s"$dir/assignments")
+      val newVecs = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" >= 400).select($"vec_id", $"embedding")
+      // deliver batch 7, then REPLAY it (the foreachBatch crash-recovery
+      // case): the index must not double the batch's vectors
+      VectorIndexStore.appendAssignments(spark, sf, newVecs, batchId = 7L)
+      val once = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .groupBy($"vec_id").count().filter($"count" > 1).count()
+      assert(once == 0, "duplicates before any replay — test broken")
+      VectorIndexStore.appendAssignments(spark, sf, newVecs, batchId = 7L)
+      val dupes = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .groupBy($"vec_id").count().filter($"count" > 1).count()
+      assert(dupes == 0, s"replayed batch double-inserted $dupes vec_ids")
+      val total = VectorIndexStore.assignmentsIfPresent(spark, sf).get.count()
+      val expect = Tables.load(spark, sf, "embeddings").count()
+      assert(total == expect, s"index has $total rows, corpus has $expect")
+    }
+  }
+
   test("streamed appends against frozen centroids converge to the full rebuild") {
     import spark.implicits._
     withStore { base =>
@@ -139,7 +167,9 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
         .write.mode("overwrite").parquet(s"$dir/centroids")
       VectorIndexStore.assignmentFrame(spark, sf)
         .filter($"vec_id" < 400)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("cell", "batch_id")
+        .parquet(s"$dir/assignments")
       // today's vectors arrive as a 2-wave stream through VectorIngest
       val newVecs = Tables.load(spark, sf, "embeddings")
         .filter($"vec_id" >= 400).select($"vec_id", $"embedding")
