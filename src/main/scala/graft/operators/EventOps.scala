@@ -1404,6 +1404,44 @@ object EventOps {
           ON e.user_id = b.user_id AND e.ts >= b.pts
         ASOF LEFT JOIN purchases f
           ON e.user_id = f.user_id AND e.ts <= f.pts
+        ORDER BY e.event_id""")),
+
+    // ── e35: the HOT-KEY-SAFE as-of composition (AsOf.joinSliced) under ──
+    // the oracle gate: same semantics as e31, but the join key becomes
+    // (user_id, 6-hour slice) with per-slice boundary seeds, so a user
+    // hot enough to blow one task's budget spreads across ⌈span/6 h⌉
+    // partitions. Equivalence with the plain operator is exact, which is
+    // precisely what gating on e31's DuckDB ASOF oracle proves — the
+    // whole seed machinery (boundary windows, cross-slice propagation,
+    // null routing) is value-checked cross-engine, not just spec'd.
+    GQuery("e35_asof_sliced",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.joinSliced(errors, purchases, "user_id", "ts", "pts",
+            "backward", None, sliceUs = 6L * 3600000000L)
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"r_pts").as("p_ts_us"),
+            $"r_p_value".as("p_value"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
         ORDER BY e.event_id"""))
   )
 }

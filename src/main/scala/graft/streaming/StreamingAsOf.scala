@@ -104,6 +104,34 @@ object StreamingAsOf extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** STREAM-STATIC as-of enrichment — the common production shape: the
+    * versioned dimension is a TABLE (static within a run, swappable
+    * between micro-batches, like [[EventStreams.weightedWindowCounts]]'s
+    * broadcast dim). No cross-batch state is needed at all: an event's
+    * match depends only on the event and the dim, so each micro-batch
+    * runs the SAME custom AsOfJoinExec the batch operator plans
+    * (foreachBatch hands a plain batch frame) and lands idempotently via
+    * [[ParquetSink.writeBatch]]. One code path with e31's operator —
+    * stream ≡ batch by construction, replay-safe, arrival-order-free
+    * (unlike the stream-stream [[enrich]], which must watermark-gate
+    * finality because versions can still arrive).
+    */
+  def enrichStaticWriter(stream: DataFrame, versions: DataFrame,
+                         key: String, leftTime: String, rightTime: String,
+                         outPath: String, direction: String = "backward",
+                         tolerance: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val outCols = (stream.columns ++ versions.columns.map("r_" + _)).toIndexedSeq
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        ParquetSink.writeBatch(
+          graft.plans.AsOf.join(batch, versions, key, leftTime, rightTime,
+              direction, tolerance)
+            .toDF(outCols: _*),
+          id, outPath)
+    }
+  }
+
   /** Streaming as-of enrichment with a 1 h watermark horizon: rows later
     * than that are dropped (the same finality contract every event-time
     * operator has). The identical call works in batch for the parity pin

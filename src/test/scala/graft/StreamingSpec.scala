@@ -477,6 +477,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(want(6L)._2 == 1.0, "e6 (before 11:40) must not see the late version")
   }
 
+  test("stream-static as-of enrichment equals batch AsOf.join (arrival-order-free)") {
+    import spark.implicits._
+    // real tables: error events stream in two UNORDERED waves (odd/even
+    // ids — no time ordering across batches, which stream-static as-of
+    // tolerates because the dim is complete), purchases are the static
+    // versioned dim
+    val events = Tables.load(spark, sf, "events")
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_asof_static").toString
+    errors.filter($"event_id" % 2 === 0).write.mode("overwrite").parquet(s"$inDir/a")
+    errors.filter($"event_id" % 2 === 1).write.mode("overwrite").parquet(s"$inDir/b")
+    val stream = spark.readStream.schema(errors.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val q = graft.streaming.StreamingAsOf.enrichStaticWriter(
+        stream, purchases, "user_id", "ts", "pts", s"${inDir}_out",
+        "backward", Some(3600000000L))
+      .option("checkpointLocation", s"${inDir}_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id",
+        coalesce(unix_micros($"r_pts"), lit(-1L)),
+        coalesce($"r_p_value", lit(-1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = key(spark.read.parquet(s"${inDir}_out").drop("batch_id"))
+    val want = key(graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts",
+        "backward", Some(3600000000L))
+      .toDF((errors.columns ++ purchases.columns.map("r_" + _)).toIndexedSeq: _*))
+    assert(want.nonEmpty && want.exists(_._2 != -1L) && want.exists(_._2 == -1L),
+      "batch truth vacuous (no matches or no unmatched)")
+    assert(got == want,
+      s"stream-static as-of diverges from batch: got ${got.size}, want ${want.size}")
+  }
+
   test("e23's watermark emulation reconciles with a real withWatermark stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
