@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, ShingleExpr, SignBitsExpr, TopKAgg}
+import graft.functions.{CosineSim, DotProduct, HeavyHittersAgg, ShingleExpr, SignBitsExpr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, _) => TopKAgg(exprs(0), exprs(1), k)
         case other => throw new IllegalArgumentException(
           s"top_k(score, id, k): k must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(word, capacity) - Misra-Gries heavy-hitter candidates as array<struct<word,est>>"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(c: Int, _) => HeavyHittersAgg(exprs(0), c)
+        case other => throw new IllegalArgumentException(
+          s"heavy_hitters(word, capacity): capacity must be an integer literal, got $other")
       }))
 
     e.injectFunction((

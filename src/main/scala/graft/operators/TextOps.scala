@@ -1085,6 +1085,45 @@ object TextOps {
                (ROUND(quantile_cont(n, 0.5), 4) + 0.0) AS p50_tokens,
                (ROUND(quantile_cont(n, 0.75), 4) + 0.0) AS p75_tokens,
                CAST(MAX(n) AS BIGINT) AS max_tokens
-        FROM n GROUP BY source ORDER BY source"""))
+        FROM n GROUP BY source ORDER BY source""")),
+
+    // ── t29: exact heavy hitters by sketch-then-recount — which words ──
+    // exceed φ=1% of all corpus tokens. Phase 1: a Misra–Gries
+    // TypedImperativeAggregate (functions.HeavyHittersAgg, capacity 128)
+    // folds every token map-side into a fixed 128-slot sketch, so the
+    // only vocabulary-wide pass shuffles ≤128 counters per task — never
+    // one row per distinct word (t06's exact two-phase shape, which at
+    // 100 TB shuffles a billions-entry vocabulary). Phase 2: the ≤128
+    // candidates broadcast back as a semi-filter and ONLY matching
+    // tokens enter an exact groupBy recount, then the φ·n threshold.
+    // MG guarantees every word with freq > n/129 is a candidate, and
+    // φ=1% > 1/129 — so the final answer is provably EXACT and
+    // oracle-checkable even though the sketch itself is approximate.
+    GQuery("t29_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.HeavyHittersAgg.heavyHitters
+        val toks = docs(s, d).select(explode(tokens($"text")).as("word"))
+        val cand = toks
+          .select(heavyHitters($"word", 128).as("hh"))
+          .select(explode($"hh.word").as("word"))
+        val total = toks.agg(count(lit(1)).as("n_tokens"))
+        toks.join(broadcast(cand), "word")
+          .groupBy($"word")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .filter($"n" > $"n_tokens" * lit(0.01))
+          .select($"word", $"n",
+            roundz($"n" / $"n_tokens", 5).as("share"))
+          .orderBy($"n".desc, $"word".asc)
+      },
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks)
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+               (ROUND(COUNT(*) / (SELECT CAST(n_tokens AS DOUBLE) FROM tot), 5) + 0.0) AS share
+        FROM toks GROUP BY word
+        HAVING CAST(COUNT(*) AS BIGINT) > (SELECT CAST(n_tokens AS DOUBLE) FROM tot) * CAST(0.01 AS DOUBLE)
+        ORDER BY n DESC, word ASC"""))
   )
 }

@@ -723,4 +723,37 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("t29 heavy hitters: two-phase MG sketch, broadcast recount, exact answer") {
+    import spark.implicits._
+    val qe = SparkEntry.queries("t29_heavy_hitters")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // Phase 1: the MG TypedImperativeAggregate must run as a two-phase
+    // object aggregate (partial map-side sketch + merge), so the only
+    // vocabulary-wide pass shuffles <=capacity counters per task.
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"heavy_hitters did not run as a two-phase object aggregate:\n$plan")
+    // Phase 2: candidates come back as a BROADCAST, never a shuffle of
+    // the token stream against the candidate list.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate recount is not a broadcast join:\n$plan")
+
+    // Exactness: sketch-then-recount == the plain exact computation.
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(tokens($"text")).as("word"))
+    val n = toks.count()
+    val want = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+      .filter($"n" > lit(n * 0.01)).select($"word", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("t29_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == want, s"sketch-then-recount diverged from exact:\ngot $rows\nwant $want")
+
+    // SQL surface: heavy_hitters is registered through the extension.
+    val viaSql = spark.sql(
+      """SELECT inline(heavy_hitters(w, 4)) FROM VALUES ('a'),('a'),('a'),('b'),('c') AS t(w)""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.head == ("a", 3L), s"SQL heavy_hitters wrong: ${viaSql.toList}")
+  }
 }

@@ -566,4 +566,59 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"e30: winner flag inconsistent: $r")
     }
   }
+
+  test("MG law: candidates cover all phi-heavy words with bounded error, any merge tree") {
+    // Misra–Gries guarantee (the contract t29's exactness rests on):
+    // after ANY partitioning of the stream into per-task sketches merged
+    // in ANY order, (1) every word with f(w) > n/(cap+1) is present, and
+    // (2) every estimate underestimates by at most n/(cap+1). Exercised
+    // on Zipf-skewed generated streams across random partition counts
+    // and merge orders — including merge trees, not just left folds.
+    val cap = 8
+    (1 to 6).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      // Zipf-ish: word w_i drawn with weight ~ 1/(i+1) over 40 types.
+      val weights = (0 until 40).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val n = 2000 + rnd.nextInt(3000)
+      val stream = Seq.fill(n) {
+        val x = rnd.nextDouble() * total
+        s"w${cum.indexWhere(x <= _)}"
+      }
+      val freq = stream.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val bound = n.toDouble / (cap + 1)
+
+      // random partitioning into 1..9 chunks, sketched independently
+      val nParts = 1 + rnd.nextInt(9)
+      val chunks = rnd.shuffle(stream).grouped(math.max(1, n / nParts)).toList
+      var sketches = chunks.map { c =>
+        val s = new graft.functions.MGSketch(cap)
+        c.foreach(s.add)
+        s
+      }
+      // random binary merge tree: repeatedly merge two random sketches
+      while (sketches.size > 1) {
+        val i = rnd.nextInt(sketches.size)
+        val j0 = rnd.nextInt(sketches.size - 1)
+        val j = if (j0 >= i) j0 + 1 else j0
+        val (a, b) = (sketches(i), sketches(j))
+        b.counts.foreach { case (w, c) => a.addCount(w, c) }
+        a.shrink()
+        sketches = a :: sketches.zipWithIndex
+          .filter { case (_, k) => k != i && k != j }.map(_._1)
+      }
+      val sk = sketches.head
+      assert(sk.counts.size <= cap, s"trial $trial: sketch overflowed capacity")
+      freq.foreach { case (w, f) =>
+        if (f > bound)
+          assert(sk.counts.contains(w),
+            s"trial $trial: heavy word $w (f=$f > $bound) missing from sketch")
+        val est = sk.counts.getOrElse(w, 0L)
+        assert(est <= f, s"trial $trial: $w overestimated: est=$est f=$f")
+        assert(f - est <= bound + 1e-9,
+          s"trial $trial: $w error ${f - est} exceeds bound $bound")
+      }
+    }
+  }
 }
