@@ -226,6 +226,221 @@ object VectorIndexStore {
       .parquet(s"$dir/assignments")
   }
 
+  // ── PQ facet: product-quantized RESIDUAL codes per cell (IVFADC) ──
+
+  /** PQ geometry shared with s12: 64-dim vectors → 8 subspaces × 8 dims;
+    * 16 codewords per subspace (4-bit codes).
+    */
+  val NumSubspaces = 8
+  val SubDim = 8
+  val NumCodewords = 16
+  /** Lloyd refinement rounds for the residual codebook. */
+  val CodebookIters = 2
+
+  private def dotSub(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Residual subvectors of every indexed vector against its OWN cell
+    * centroid: (vec_id, ss, vs). Textbook IVFADC quantizes residuals,
+    * not raw vectors — the coarse quantizer (the cell) already explains
+    * the between-cell structure, so the codebook's entire budget goes to
+    * the WITHIN-cell variation that actually ranks candidates inside a
+    * probed cell. (Quantizing raw vectors makes cell-mates share codes
+    * and ADC can no longer order them — measured recall collapse.)
+    */
+  private def residualSubvectors(s: SparkSession, corpusDir: String): DataFrame = {
+    import s.implicits._
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        "PQ facet needs the centroid facet — run materialize() first"))
+    assignmentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        "PQ facet needs the assignments facet — run materialize() first"))
+      .join(broadcast(cent), $"cell" === $"c_label")
+      .select($"vec_id",
+        zip_with(asDouble($"embedding"), $"centroid", (x, y) => x - y).as("r"))
+      .select($"vec_id", explode(sequence(lit(0), lit(NumSubspaces - 1))).as("ss"), $"r")
+      .select($"vec_id", $"ss", slice($"r", $"ss" * SubDim + 1, lit(SubDim)).as("vs"))
+  }
+
+  private def meansOf(asn: DataFrame): DataFrame = {
+    import asn.sparkSession.implicits._
+    asn.select($"cw_id", $"ss", posexplode($"vs"))
+      .groupBy($"cw_id", $"ss", $"pos")
+      .agg((sum($"col") / count(lit(1))).as("m"))
+      .groupBy($"cw_id", $"ss")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cw_id".as("c_label"), $"ss", transform($"pm", x => x.getField("m")).as("cw"))
+  }
+
+  /** Per-subspace residual codebook trained by k-means (deterministic
+    * hash-bucket init + [[CodebookIters]] Lloyd rounds): (c_label, ss,
+    * cw array<double>). NumCodewords×NumSubspaces×SubDim doubles —
+    * always broadcast-able, an index property independent of queries.
+    * Each Lloyd round is a broadcast join + two-phase agg over the
+    * subvector frame — the s10_kmeans_refine pattern, never pairwise.
+    */
+  def codebookFrame(s: SparkSession, corpusDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = residualSubvectors(s, corpusDir)
+    var cb = meansOf(sub.withColumn("cw_id", pmod(hash($"vec_id"), lit(NumCodewords))))
+    val wAsn = Window.partitionBy($"vec_id", $"ss").orderBy($"d2".asc, $"c_label".asc)
+    (1 to CodebookIters).foreach { _ =>
+      cb = meansOf(sub.join(broadcast(cb), Seq("ss"))
+        .select($"vec_id", $"ss", $"c_label", $"vs", dist2($"vs", $"cw").as("d2"))
+        .withColumn("rn", row_number().over(wAsn)).filter($"rn" === 1)
+        .select($"vec_id", $"ss", $"vs", $"c_label".as("cw_id")))
+    }
+    cb
+  }
+
+  /** Every vector's residual PQ code word ids plus its exact L2 norm,
+    * one row per vector: (vec_id, codes array<int> ordered by subspace,
+    * norm). NumSubspaces 4-bit codes + one double instead of 64 doubles
+    * — the ~16× memory/IO compression that lets the candidate scan stay
+    * in cache at 100 TB; raw vectors are only touched for the exact
+    * rerank of the ADC shortlist. The norm turns dot-product ADC into
+    * approximate COSINE at probe time (adc/|v|; |q| is a per-query
+    * constant) — without it, high-norm vectors crowd out true cosine
+    * neighbors.
+    */
+  def codesFrame(s: SparkSession, corpusDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norms = Tables.load(s, corpusDir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id",
+        sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)).as("norm"))
+    val wEnc = Window.partitionBy($"vec_id", $"ss").orderBy($"d2".asc, $"c_label".asc)
+    residualSubvectors(s, corpusDir)
+      .join(broadcast(codebookFrame(s, corpusDir)), Seq("ss"))
+      .select($"vec_id", $"ss", $"c_label", dist2($"vs", $"cw").as("d2"))
+      .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"ss", $"c_label"))).as("sc"))
+      .select($"vec_id", transform($"sc", x => x.getField("c_label")).as("codes"))
+      .join(norms, "vec_id")
+  }
+
+  /** Write the PQ facet next to an already-materialized index: the tiny
+    * codebook as plain parquet, the per-vector codes partitioned by the
+    * SAME cell key as the assignments — so the ADC candidate scan prunes
+    * to the probed cells exactly like the raw-vector path, but reads
+    * NumSubspaces ints per row instead of the full vector.
+    */
+  def materializePQ(s: SparkSession, corpusDir: String): String = {
+    import s.implicits._
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to materialize"))
+    val cellOf = assignmentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        "materializePQ needs the assignments facet — run materialize() first"))
+      .select($"vec_id", $"cell")
+    codebookFrame(s, corpusDir)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    codesFrame(s, corpusDir)
+      .join(cellOf, "vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/pq_codes")
+    dir
+  }
+
+  def codebookIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
+    storeDir(s, corpusDir).map(d => s"$d/pq_codebook").filter(ready)
+      .map(s.read.parquet(_))
+
+  def codesIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
+    storeDir(s, corpusDir).map(d => s"$d/pq_codes").filter(ready)
+      .map(s.read.parquet(_))
+
+  /** ADC workload probe — [[probeBatch]]'s shape with the candidate scan
+    * running over PQ CODES instead of raw vectors (the serving path when
+    * the raw corpus no longer fits the scan budget):
+    *
+    *  1. per-query centroid ranking against the broadcast centroid
+    *     table → probed cells, inlined as a static partition filter;
+    *  2. the query builds its ADC lookup table once — every (subspace,
+    *     codeword) dot product, |q|×NumSubspaces×k rows, broadcast;
+    *  3. candidates = pruned codes scan ⋈ probed-cell frame, scored by
+    *     SUMMING the LUT terms their codes select (DECIMAL-exact, no
+    *     vector arithmetic on the corpus side at all);
+    *  4. the per-query top-`shortlist` by ADC fetches raw vectors —
+    *     shortlist-sized, cell-pruned — for the exact-cosine top-`topK`.
+    *
+    * With `shortlist` ≥ the probed-cell candidate count the result is
+    * IDENTICAL to [[probeBatch]] (exact rerank of everything ADC saw) —
+    * spec-pinned; with a tight shortlist it is the classic IVFADC
+    * recall/IO trade, probed in the spec against the exact path.
+    */
+  def probeBatchADC(s: SparkSession, corpusDir: String, queries: DataFrame,
+                    nprobe: Int = 2, shortlist: Int = 20, topK: Int = 3,
+                    corpusPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"no materialized index under $ConfKey"))
+    val codebook = codebookIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        "no PQ facet under the index — run materializePQ() first"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
+    val qprobe = queries
+      .join(broadcast(cent))
+      .select($"query_id", $"qv", $"c_label",
+        roundz(cosineSim($"qv", $"centroid"), 4).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
+      .select($"query_id", $"qv", $"c_label".as("cell"))
+    val cells = qprobe.select($"cell").distinct().as[Int].collect().toSeq
+    // ADC lookup table: |q| × NumSubspaces × k rows — broadcast metadata
+    val lut = queries
+      .select($"query_id", asDouble($"qv").as("qdv"))
+      .select($"query_id", explode(sequence(lit(0), lit(NumSubspaces - 1))).as("ss"), $"qdv")
+      .select($"query_id", $"ss", slice($"qdv", $"ss" * SubDim + 1, lit(SubDim)).as("qs"))
+      .join(broadcast(codebook), Seq("ss"))
+      .select($"query_id", $"ss", $"c_label".as("code"),
+        roundz(dotSub($"qs", $"cw"), 4).cast(DecimalType(14, 4)).as("term"))
+    val codes0 = codesIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        "no PQ codes under the index — materializePQ() incomplete"))
+      .filter($"cell".isin(cells: _*))
+    val codes = corpusPredicate.fold(codes0)(codes0.filter)
+    // per-(query, probed cell) coarse term: q·centroid — the part of
+    // q·v the residual codes don't carry (IVFADC: q·v ≈ q·c + q·r)
+    val probeCells = qprobe
+      .join(broadcast(cent), $"cell" === $"c_label")
+      .select($"query_id", $"cell", dotSub(asDouble($"qv"), $"centroid").as("qc"))
+    val adc = codes
+      .join(broadcast(probeCells), "cell")
+      .select($"query_id", $"vec_id", $"norm", $"qc", posexplode($"codes"))
+      .withColumnRenamed("pos", "ss").withColumnRenamed("col", "code")
+      .join(broadcast(lut), Seq("query_id", "ss", "code"))
+      .groupBy($"query_id", $"vec_id", $"norm", $"qc")
+      // approximate cosine: PQ-approximated v·q over the EXACT stored
+      // |v| (|q| is a per-query constant — rank-invariant)
+      .agg((($"qc" + sum($"term").cast(DoubleType)) / $"norm").as("adc"))
+    val wShort = Window.partitionBy($"query_id").orderBy($"adc".desc, $"vec_id".asc)
+    val short = adc
+      .withColumn("rn", row_number().over(wShort)).filter($"rn" <= shortlist)
+      .select($"query_id", $"vec_id", $"adc")
+    // exact rerank: raw vectors only for the shortlist, still cell-pruned
+    val raw = assignmentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException("index has PQ codes but no assignments"))
+      .filter($"cell".isin(cells: _*))
+      .select($"vec_id", $"embedding")
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    raw.join(broadcast(short), "vec_id")
+      .join(broadcast(queries.select($"query_id", $"qv")), "query_id")
+      .select($"query_id", $"vec_id", $"adc",
+        roundz(cosineSim($"embedding", $"qv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(wRank)).filter($"rn" <= topK)
+      .select($"query_id", $"rn", $"vec_id", $"cos")
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Drop the store for a corpus (files only; no catalog state).
     * deleteIfExists + closed directory streams: tolerant of concurrent
     * cleanup and leak-free on deep trees.

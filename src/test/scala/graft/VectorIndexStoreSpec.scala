@@ -129,6 +129,77 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PQ facet: 8-int codes, cell-pruned ADC scan, exact when the shortlist covers, high recall when tight") {
+    import spark.implicits._
+    withStore { _ =>
+      VectorIndexStore.materialize(spark, sf)
+      VectorIndexStore.materializePQ(spark, sf)
+
+      // compression claim: one row per corpus vector, NumSubspaces small
+      // code ids each — the payload the candidate scan reads instead of
+      // the 64-double raw vector
+      val codes = VectorIndexStore.codesIfPresent(spark, sf).get
+      val nCorpus = Tables.load(spark, sf, "embeddings").count()
+      assert(codes.count() == nCorpus, "codes facet lost vectors")
+      val badLen = codes.filter(size($"codes") =!= VectorIndexStore.NumSubspaces).count()
+      assert(badLen == 0, "a vector's code array is not NumSubspaces long")
+
+      val queries = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val exact = VectorIndexStore.probeBatch(spark, sf, queries,
+        nprobe = 2, topK = 3, corpusPredicate = Some($"vec_id" >= 5))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+      // with a shortlist covering every probed-cell candidate, ADC+exact
+      // rerank must equal the raw-vector probeBatch bit for bit (the
+      // rerank is the same exact cosine over everything ADC saw)
+      val covered = VectorIndexStore.probeBatchADC(spark, sf, queries,
+        nprobe = 2, shortlist = nCorpus.toInt, topK = 3,
+        corpusPredicate = Some($"vec_id" >= 5))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(covered.toSeq == exact.toSeq,
+        "covering-shortlist ADC diverges from the raw-vector probeBatch")
+
+      // tight shortlist: the IVFADC trade — recall@3 vs the exact path
+      // must stay high (the ADC ordering is a good proxy for cosine)
+      val adc = VectorIndexStore.probeBatchADC(spark, sf, queries,
+        nprobe = 2, shortlist = 20, topK = 3,
+        corpusPredicate = Some($"vec_id" >= 5))
+      val got = adc.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = exact.map(r => (r._1, r._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = want.map { case (q, w) =>
+        got.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size
+      }
+      val meanRecall = recalls.sum / recalls.size
+      info(s"IVFADC shortlist=20 recall@3 vs exact-in-cells: $meanRecall")
+      assert(meanRecall >= 0.6, s"ADC shortlist recall too low: $meanRecall")
+
+      // scale pin: the CODES scan carries the probed-cell union as a
+      // PARTITION filter, same as the raw path
+      val plan = adc.queryExecution.executedPlan
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val codeScans = scans(plan).filter(_.output.exists(_.name == "codes"))
+      assert(codeScans.nonEmpty, s"no PQ-codes scan in the ADC plan:\n$plan")
+      val sc = codeScans.head
+      assert(sc.partitionFilters.nonEmpty,
+        s"probed cells did not become a partition filter on the codes scan:\n$plan")
+      val totalCells = VectorIndexStore.centroidsIfPresent(spark, sf).get.count()
+      assert(sc.selectedPartitions.partitionCount < totalCells,
+        "codes scan read every cell")
+    }
+  }
+
   test("a replayed append batch replaces its previous attempt (idempotent by construction)") {
     import spark.implicits._
     withStore { _ =>
