@@ -631,6 +631,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     positions.unpersist()
   }
 
+  test("streaming heavy hitters: folded sketch keeps the MG guarantee, recount equals batch t29, replay-safe") {
+    import spark.implicits._
+    import graft.streaming.StreamingHeavyHitters
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hh_in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hh_state").toString + "/s"
+    docs.filter($"doc_id" < 150).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/w0")
+    docs.filter($"doc_id" >= 150 && $"doc_id" < 350).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/w1")
+    docs.filter($"doc_id" >= 350).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/w2")
+    val stream = spark.readStream.schema(spark.read.parquet(s"$inDir/w0").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+    val q = StreamingHeavyHitters.ingestWriter(stream, stateDir)
+      .option("checkpointLocation", stateDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    // MG guarantee over the WHOLE stream after per-batch folding: every
+    // word with f > n/(cap+1) is a candidate, no estimate exceeds truth
+    val freq = docs.select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = freq.values.sum
+    val bound = n.toDouble / (StreamingHeavyHitters.Capacity + 1)
+    val cand = StreamingHeavyHitters.candidates(spark, stateDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cand.size <= StreamingHeavyHitters.Capacity, "state exceeded capacity")
+    freq.foreach { case (w, f) =>
+      if (f > bound) assert(cand.contains(w), s"heavy word $w (f=$f) lost by the stream fold")
+      assert(cand.getOrElse(w, 0L) <= f, s"$w overestimated")
+    }
+
+    // exact recount of the streamed candidates == the batch t29 answer
+    val streamed = StreamingHeavyHitters.exactHeavyHitters(docs, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = SparkEntry.queries("t29_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, "stream sketch + recount diverges from batch t29")
+
+    // replay: re-folding a batch must leave the state unchanged — it
+    // re-reads its PREDECESSOR snapshot, never its own (fresh state dir
+    // with explicit ids, so the check doesn't depend on the runner's
+    // batch-id assignment)
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_hh_replay").toString + "/s"
+    StreamingHeavyHitters.processBatch(spark.read.parquet(s"$inDir/w0"), 0L, replayDir)
+    StreamingHeavyHitters.processBatch(spark.read.parquet(s"$inDir/w1"), 1L, replayDir)
+    val before = StreamingHeavyHitters.candidates(spark, replayDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    StreamingHeavyHitters.processBatch(spark.read.parquet(s"$inDir/w1"), 1L, replayDir)
+    val after = StreamingHeavyHitters.candidates(spark, replayDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "replayed batch changed the sketch state")
+  }
+
   test("partition-local extraction produces per-file metadata") {
     import spark.implicits._
     val tasks = Tables.load(spark, sf, "documents")
