@@ -1284,6 +1284,45 @@ object Relational {
                    ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS rk
           FROM orders)
         SELECT o_orderpriority, rk, o_orderkey, total_price
-        FROM ranked WHERE rk <= 5 ORDER BY o_orderpriority, rk"""))
+        FROM ranked WHERE rk <= 5 ORDER BY o_orderpriority, rk""")),
+
+    // ── q50: RECURSIVE CTE — per-customer compounding balance chain ──
+    // (each order: balance = round(prev×1.01, 2) + amount). The per-step
+    // ROUNDING makes the fold non-associative, so no window frame or
+    // aggregate can express it — this is the shape that genuinely needs
+    // SQL recursion (Spark 4's WITH RECURSIVE; DuckDB runs the identical
+    // statement as the oracle). Scale: the recursion is SET-BASED — each
+    // iteration advances EVERY customer's chain one step via one
+    // co-partitioned equi-join of the ≤|customers|-row frontier with the
+    // ranked orders, so depth = the LONGEST chain (orders per customer,
+    // a bounded TPC-H property ~41 at any SF), never the row count.
+    // All arithmetic DECIMAL-exact; final balance < 2^53/100 so the
+    // DOUBLE surfacing is lossless on both engines.
+    GQuery("q50_recursive_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("g_orders")
+        s.sql(RecursiveBalanceSql("g_orders"))
+      },
+      Some(RecursiveBalanceSql("orders")))
   )
+
+  /** One SQL text, two engines: Spark runs it over the temp view, DuckDB
+    * over the parquet view — byte-identical semantics is the point.
+    */
+  private def RecursiveBalanceSql(ordersRel: String): String = s"""
+    WITH RECURSIVE ranked AS (
+      SELECT o_custkey AS cust,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS amt,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM $ordersRel),
+    chain(cust, rk, bal) AS (
+      SELECT cust, rk, CAST(amt AS DECIMAL(18,2)) FROM ranked WHERE rk = 1
+      UNION ALL
+      SELECT r.cust, r.rk,
+             CAST(ROUND(c.bal * CAST(1.01 AS DECIMAL(5,2)) + r.amt, 2) AS DECIMAL(18,2))
+      FROM chain c JOIN ranked r ON r.cust = c.cust AND r.rk = c.rk + 1)
+    SELECT cust, CAST(MAX(rk) AS BIGINT) AS n_orders,
+           CAST(MAX(bal) AS DOUBLE) AS final_bal
+    FROM chain GROUP BY cust ORDER BY cust"""
 }

@@ -724,6 +724,21 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q50 recursion runs as a bounded UnionLoop, never a materialized cross-step blowup") {
+    val qe = SparkEntry.queries("q50_recursive_cte")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"recursive CTE did not plan as UnionLoop:\n$plan")
+    // depth sanity: the longest chain (orders per customer) must sit far
+    // below Spark's recursion limit — the property that makes set-based
+    // recursion scale-safe at any SF (depth = chain length, not rows)
+    import spark.implicits._
+    val maxChain = Tables.load(spark, sf, "orders")
+      .groupBy($"o_custkey").count().agg(max($"count")).head().getLong(0)
+    val limit = spark.conf.get("spark.sql.cteRecursionLevelLimit").toLong
+    assert(maxChain < limit / 2,
+      s"longest chain $maxChain too close to the recursion limit $limit")
+  }
+
   test("t29 heavy hitters: two-phase MG sketch, broadcast recount, exact answer") {
     import spark.implicits._
     val qe = SparkEntry.queries("t29_heavy_hitters")(spark, sf).queryExecution

@@ -66,8 +66,14 @@ class OracleLintSpec extends AnyFunSuite with SparkTestBase {
       re.findAllMatchIn(sql).foreach { m =>
         val close = matchingParen(sql, m.end - 1)
         val rest = sql.drop(close + 1).take(12)
-        assert("""\s*\+\s*0\.0""".r.findPrefixOf(rest).isDefined,
-          s"${q.name}: ROUND( at offset ${m.start} not followed by + 0.0 — wrap as (ROUND(...) + 0.0)")
+        // `(ROUND(x, s) + 0.0)` normalizes IEEE -0.0 on DOUBLE rounds;
+        // `CAST(ROUND(x, s) AS DECIMAL(..))` is the other safe form —
+        // decimal arithmetic has no signed zero, so the hazard the +0.0
+        // guards against cannot arise (q50's recursive compounding).
+        val ok = """\s*\+\s*0\.0""".r.findPrefixOf(rest).isDefined ||
+          """(?i)\s*AS\s+DECIMAL""".r.findPrefixOf(rest).isDefined
+        assert(ok,
+          s"${q.name}: ROUND( at offset ${m.start} not followed by + 0.0 (or a DECIMAL cast) — wrap as (ROUND(...) + 0.0)")
       }
     }
   }
