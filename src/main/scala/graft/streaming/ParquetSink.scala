@@ -46,4 +46,80 @@ object ParquetSink {
            routeCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch(
       (df: DataFrame, id: Long) => writeBatch(df, id, path, routeCols))
+
+  // ── Compaction: the small-files answer for a long-lived sink ──
+  //
+  // A micro-batch sink accumulates one partition directory per batch —
+  // thousands of tiny files after a day of 10 s triggers, and every
+  // reader pays the listing + open cost (the classic streaming-at-scale
+  // failure mode). `compact` folds all batches up to the observed
+  // high-watermark into a few large (optionally sorted) files under a
+  // VERSIONED directory, and commits by rewriting one tiny watermark
+  // file — readers atomically switch to (compacted vN) ∪ (live batches
+  // > watermark). Exactly-once composes: a batch REPLAYED after it was
+  // compacted still overwrites its own batch_id partition in the live
+  // table, but `readOptimized` ignores batches ≤ the watermark — its
+  // rows already live in the compacted store — so the replay cannot
+  // double rows. Re-compaction is incremental: version N+1 = version N
+  // ∪ (watermark_N, watermark_N+1], then the pointer swings.
+
+  private def watermarkFile(compactDir: String) =
+    java.nio.file.Paths.get(compactDir, "_watermark.json")
+
+  /** (version, batch high-watermark) of the current compacted store. */
+  def compactionState(compactDir: String): Option[(Long, Long)] = {
+    val f = watermarkFile(compactDir)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val txt = java.nio.file.Files.readString(f)
+      val m = """"version"\s*:\s*(\d+).*"batch_hwm"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"corrupt watermark file: $txt"))
+      Some((m.group(1).toLong, m.group(2).toLong))
+    }
+  }
+
+  /** Fold every live batch ≤ the current max batch id into the next
+    * compacted version. Offline operation (run it between epochs or from
+    * a maintenance job); readers are never blocked — they follow the
+    * watermark pointer, which is swung only after the new version is
+    * fully written. Returns the new high-watermark.
+    */
+  def compact(s: org.apache.spark.sql.SparkSession, path: String, compactDir: String,
+              sortCols: Seq[String] = Nil, numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val live = s.read.parquet(path)
+    // partition-value inference may type batch_id as int — normalize
+    val hwm = live.agg(fmax(col("batch_id").cast("long"))).head().getLong(0)
+    val (prevVersion, prevHwm) = compactionState(compactDir).getOrElse((-1L, Long.MinValue))
+    val fresh = live.filter(col("batch_id") > prevHwm && col("batch_id") <= hwm)
+    val prev = if (prevVersion >= 0)
+      Some(s.read.parquet(s"$compactDir/v=$prevVersion")) else None
+    val all = prev.fold(fresh)(p => p.unionByName(fresh))
+    val arranged =
+      if (sortCols.nonEmpty)
+        all.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else all.coalesce(numFiles)
+    val version = prevVersion + 1
+    arranged.write.mode("overwrite").parquet(s"$compactDir/v=$version")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(compactDir))
+    java.nio.file.Files.writeString(watermarkFile(compactDir),
+      s"""{"version": $version, "batch_hwm": $hwm}""")
+    hwm
+  }
+
+  /** The read-optimized view: compacted store ∪ live batches above the
+    * watermark. Without a compaction yet, just the live table.
+    */
+  def readOptimized(s: org.apache.spark.sql.SparkSession, path: String,
+                    compactDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    compactionState(compactDir) match {
+      case None => s.read.parquet(path)
+      case Some((version, hwm)) =>
+        s.read.parquet(s"$compactDir/v=$version")
+          .unionByName(s.read.parquet(path).filter(col("batch_id") > hwm))
+    }
+  }
 }

@@ -631,6 +631,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     positions.unpersist()
   }
 
+  test("sink compaction: read-optimized view stays exact across compaction, late batches, and post-compaction replays") {
+    import spark.implicits._
+    import graft.streaming.ParquetSink
+    val events = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val raw = s"$base/raw"
+    val opt = s"$base/opt"
+    def wave(i: Int): org.apache.spark.sql.DataFrame =
+      events.filter(pmod($"event_id", lit(5)) === i)
+    // three micro-batches land through the idempotent sink
+    (0 to 2).foreach(i => ParquetSink.writeBatch(wave(i), i.toLong, raw))
+    val truth012 = (0 to 2).map(wave).reduce(_ union _).count()
+
+    // compact: one folded store, few files, identical content
+    ParquetSink.compact(spark, raw, opt, sortCols = Seq("user_id"), numFiles = 2)
+    val ro1 = ParquetSink.readOptimized(spark, raw, opt)
+    assert(ro1.count() == truth012, "compaction changed row count")
+    val compactedFiles = ro1.select(input_file_name()).distinct().count()
+    val rawFiles = spark.read.parquet(raw).select(input_file_name()).distinct().count()
+    assert(compactedFiles <= 2 && compactedFiles < rawFiles,
+      s"compaction did not shrink files: $compactedFiles vs $rawFiles")
+
+    // late batches after the compaction stay visible through the union
+    (3 to 4).foreach(i => ParquetSink.writeBatch(wave(i), i.toLong, raw))
+    val truthAll = events.count()
+    assert(ParquetSink.readOptimized(spark, raw, opt).count() == truthAll,
+      "live tail above the watermark lost")
+
+    // a batch REPLAYED after it was compacted must not double its rows:
+    // it overwrites its live partition, but the reader ignores batches
+    // <= the watermark
+    ParquetSink.writeBatch(wave(1), 1L, raw)
+    assert(ParquetSink.readOptimized(spark, raw, opt).count() == truthAll,
+      "post-compaction replay doubled rows")
+
+    // incremental re-compaction folds only the tail and swings the pointer
+    ParquetSink.compact(spark, raw, opt, sortCols = Seq("user_id"), numFiles = 2)
+    val ro2 = ParquetSink.readOptimized(spark, raw, opt)
+    assert(ro2.count() == truthAll, "re-compaction changed row count")
+    assert(ParquetSink.compactionState(opt).exists(_._1 == 1L), "version did not advance")
+    // content identity, not just count
+    val a = ro2.select($"event_id").as[Long].collect().sorted.toSeq
+    val b = events.select($"event_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "read-optimized content diverges from the event truth")
+  }
+
   test("streaming heavy hitters: folded sketch keeps the MG guarantee, recount equals batch t29, replay-safe") {
     import spark.implicits._
     import graft.streaming.StreamingHeavyHitters
