@@ -41,7 +41,13 @@ object Bench {
       try {
         graft.operators.SignatureStore.materialize(spark, warmSf)
         graft.sources.CorpusLayout.materialize(spark, warmSf)
-      } catch { case _: Throwable => () }
+      } catch {
+        // a failed warm-up means the timed build pays JIT cost — say so
+        // instead of silently producing a ~30%-hot artifact; fatal
+        // errors (OOM) must still propagate
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] WARM-UP FAILED (timed numbers will run cold): $e")
+      }
       graft.operators.Dedup.releaseSignatures()
       System.gc()
     }

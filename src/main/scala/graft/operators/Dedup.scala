@@ -37,7 +37,9 @@ object Dedup {
     * n ≈ m/3 the filter is ~42% FP and by n ≈ m it flags essentially
     * every training doc. The default is sized for suite-sized eval
     * splits (≈2k grams → FP ≈ 3·10⁻⁵); for a larger eval corpus size
-    * the filter with [[bloomBitsFor]] (≈14 bits/gram → FP ≈ 0.25%) —
+    * the filter with [[bloomBitsFor]] (≈14 bits/gram → FP ≈ 0.7% at the
+    * shared k=3; a k tuned to the density would do better, but k is
+    * fixed so the streaming probe IS the batch probe) —
     * even a 10M-gram eval suite is then a 17 MB bitset, still a cheap
     * broadcast, and the position frame stays bounded by m regardless of
     * further eval growth. CorpusLawsSpec pins both sides: the default
@@ -47,9 +49,9 @@ object Dedup {
   val BloomBits = 65536
 
   /** Bloom size for an eval corpus of `evalGrams` distinct grams: the
-    * next power of two ≥ bitsPerGram·n (14 bits/gram ≈ 0.25% FP at k=3),
-    * never below the default, capped at 2^30 (128 MB — past that, split
-    * the eval suite).
+    * next power of two ≥ bitsPerGram·n — (1−e^(−3n/m))^3 gives ≈0.7% FP
+    * at 14 bits/gram with the fixed k=3 — never below the default,
+    * capped at 2^30 (128 MB — past that, split the eval suite).
     */
   def bloomBitsFor(evalGrams: Long, bitsPerGram: Int = 14): Int = {
     val want = math.max(BloomBits.toLong, evalGrams * bitsPerGram)

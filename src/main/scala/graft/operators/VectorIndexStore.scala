@@ -153,13 +153,17 @@ object VectorIndexStore {
     * or recency filters; the spec uses it to reproduce s08's corpus
     * split exactly).
     */
-  def probeBatch(s: SparkSession, corpusDir: String, queries: DataFrame,
-                 nprobe: Int = 2, topK: Int = 3,
-                 corpusPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+  /** Per-query probed cells (query_id, qv, cell) ranked against the
+    * broadcast centroid table, plus the distinct probed-cell union
+    * (≤ |q|×nprobe ids — k-bounded driver metadata) for static partition
+    * pruning. ONE implementation shared by [[probeBatch]] and
+    * [[probeBatchADC]], so the ranking/tie/rounding discipline can never
+    * diverge between the exact and ADC paths.
+    */
+  private def probedCells(s: SparkSession, queries: DataFrame, cent: DataFrame,
+                          nprobe: Int): (DataFrame, Seq[Int]) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
-      throw new IllegalStateException(s"no materialized index under $ConfKey"))
     val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
     val qprobe = queries
       .join(broadcast(cent))
@@ -167,7 +171,17 @@ object VectorIndexStore {
         roundz(cosineSim($"qv", $"centroid"), 4).as("qcos"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
       .select($"query_id", $"qv", $"c_label".as("cell"))
-    val cells = qprobe.select($"cell").distinct().as[Int].collect().toSeq
+    (qprobe, qprobe.select($"cell").distinct().as[Int].collect().toSeq)
+  }
+
+  def probeBatch(s: SparkSession, corpusDir: String, queries: DataFrame,
+                 nprobe: Int = 2, topK: Int = 3,
+                 corpusPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"no materialized index under $ConfKey"))
+    val (qprobe, cells) = probedCells(s, queries, cent, nprobe)
     val assign0 = assignmentsIfPresent(s, corpusDir).getOrElse(
       throw new IllegalStateException(
         s"index under $ConfKey has centroids but no assignments — " +
@@ -387,14 +401,7 @@ object VectorIndexStore {
     val codebook = codebookIfPresent(s, corpusDir).getOrElse(
       throw new IllegalStateException(
         "no PQ facet under the index — run materializePQ() first"))
-    val wProbe = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"c_label".asc)
-    val qprobe = queries
-      .join(broadcast(cent))
-      .select($"query_id", $"qv", $"c_label",
-        roundz(cosineSim($"qv", $"centroid"), 4).as("qcos"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
-      .select($"query_id", $"qv", $"c_label".as("cell"))
-    val cells = qprobe.select($"cell").distinct().as[Int].collect().toSeq
+    val (qprobe, cells) = probedCells(s, queries, cent, nprobe)
     // ADC lookup table: |q| × NumSubspaces × k rows — broadcast metadata
     val lut = queries
       .select($"query_id", asDouble($"qv").as("qdv"))

@@ -73,13 +73,20 @@ object ZOrderLayout {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Observed [min, max] per column, one tiny driver-side agg. */
+  /** Observed [min, max] per column, one tiny driver-side agg. Empty
+    * input or an all-null column has no bounds — fail with a clear
+    * message instead of the NPE a null aggregate cell would throw.
+    */
   def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast(DoubleType)).as(s"lo_$c"),
       max(col(c).cast(DoubleType)).as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    cols.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"zValue column '$c' has no bounds (empty input or all-null column)")
+      (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   /** Rewrite `df` z-ordered on `cols` into `outDir` as `numFiles`

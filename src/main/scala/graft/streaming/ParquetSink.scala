@@ -89,9 +89,13 @@ object ParquetSink {
               sortCols: Seq[String] = Nil, numFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, max => fmax}
     val live = s.read.parquet(path)
-    // partition-value inference may type batch_id as int — normalize
-    val hwm = live.agg(fmax(col("batch_id").cast("long"))).head().getLong(0)
     val (prevVersion, prevHwm) = compactionState(compactDir).getOrElse((-1L, Long.MinValue))
+    // partition-value inference may type batch_id as int — normalize.
+    // All-empty batches leave max() null: nothing to compact, keep the
+    // current version instead of NPE-ing a maintenance job.
+    val hwmRow = live.agg(fmax(col("batch_id").cast("long"))).head()
+    if (hwmRow.isNullAt(0)) return prevHwm
+    val hwm = hwmRow.getLong(0)
     val fresh = live.filter(col("batch_id") > prevHwm && col("batch_id") <= hwm)
     val prev = if (prevVersion >= 0)
       Some(s.read.parquet(s"$compactDir/v=$prevVersion")) else None

@@ -47,10 +47,16 @@ object StreamingHeavyHitters {
     if (!java.nio.file.Files.exists(root)) Nil
     else {
       val s = java.nio.file.Files.list(root)
+      // only COMPLETE snapshots (_SUCCESS marker): a crash mid-write
+      // leaves a torn batch_id=N dir, and a reader landing on it would
+      // see a truncated sketch — the predecessor is the live state until
+      // the replay overwrites N (VectorIndexStore's ready() discipline)
       try s.iterator().asScala.toList
         .flatMap { p =>
           val n = p.getFileName.toString
-          if (n.startsWith("batch_id=")) Some(n.stripPrefix("batch_id=").toLong -> p)
+          if (n.startsWith("batch_id=") &&
+              java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+            Some(n.stripPrefix("batch_id=").toLong -> p)
           else None
         }
       finally s.close()

@@ -13,6 +13,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
 
+  /** All FileSourceScanExec nodes, descending through AQE query stages
+    * (leaf nodes for children()) — ONE walker for every partition-pruning
+    * assertion in this suite, so a new AQE node type can't silently make
+    * one copy vacuous.
+    */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+    val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(scans)
+  }
+
   private def withStore[A](f: String => A): A = {
     val base = java.nio.file.Files.createTempDirectory("vecindex").toString
     spark.conf.set(VectorIndexStore.ConfKey, base)
@@ -59,15 +74,6 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
       // selected partitions must be exactly nprobe of the k cells
       val plan = probe.queryExecution.executedPlan
       // query stages are leaf nodes for collect(): descend explicitly
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
-        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ kids.flatMap(scans)
-      }
       val assignScans = scans(plan).filter(_.output.exists(_.name == "cell"))
       assert(assignScans.nonEmpty, s"no assignment scan in the probe plan:\n$plan")
       val sc = assignScans.head
@@ -99,15 +105,6 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
       // cell union (< all cells), via a PARTITION filter — file skipping,
       // not a post-scan filter, exactly like the single-query probe
       val plan = batch.queryExecution.executedPlan
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
-        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ kids.flatMap(scans)
-      }
       val assignScans = scans(plan).filter(_.output.exists(_.name == "cell"))
       assert(assignScans.nonEmpty, s"no assignment scan in the batch plan:\n$plan")
       val sc = assignScans.head
@@ -180,15 +177,6 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
       // scale pin: the CODES scan carries the probed-cell union as a
       // PARTITION filter, same as the raw path
       val plan = adc.queryExecution.executedPlan
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
-        val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ kids.flatMap(scans)
-      }
       val codeScans = scans(plan).filter(_.output.exists(_.name == "codes"))
       assert(codeScans.nonEmpty, s"no PQ-codes scan in the ADC plan:\n$plan")
       val sc = codeScans.head
