@@ -1451,6 +1451,92 @@ object Dedup {
         SELECT ranked.component, ranked.node AS representative, ranked.r AS rep_score,
                CAST(sizes.n_docs AS BIGINT) AS n_docs
         FROM ranked JOIN sizes ON ranked.component = sizes.component
-        WHERE rn = 1 ORDER BY ranked.component"""))
+        WHERE rn = 1 ORDER BY ranked.component""")),
+
+    // ── d24: ONE-PERMUTATION-HASHING MinHash (Li/Owen/Zhang 2012) with ──
+    // rotation densification (Shrivastava & Li 2014) — the at-scale form
+    // of d02's signature: ONE hash evaluation per (doc, shingle) binned
+    // into 16 slots (bin = h mod 16, slot value = min h in bin), where
+    // d02 evaluates 16 permutation hashes per shingle. Same minhash
+    // collision property per non-empty slot, 16× less signature CPU —
+    // the difference between the signature scan being hash-bound and
+    // being IO-bound at 100 TB. Empty slots (short docs) borrow the
+    // nearest non-empty slot cyclically to the right (densification), so
+    // every doc gets a full 16-slot signature and the downstream 4×4
+    // LSH banding + slot-match estimate are EXACTLY d02's machinery.
+    // Bounded like d02: one row per (doc, band) shuffles; bucket-mates
+    // only are compared; est_jaccard = matching slots / 16 ≥ 0.5.
+    // Oracle: the identical binning/densification/banding spelled in
+    // DuckDB list ops over the same md5-derived h — cross-engine parity
+    // pins the whole densification pipeline, not just the happy path.
+    GQuery("d24_oph_minhash",
+      (s, d) => {
+        import s.implicits._
+        val K = 16
+        val hs = docs(s, d)
+          .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("sh"))
+          .select($"doc_id", hash64($"sh").as("h"))
+        // (doc, bin) min-hash: partial agg collapses map-side to ≤16
+        // rows per doc before the one shuffle
+        val bins = hs.select($"doc_id", ($"h" % K).as("bin"), $"h")
+          .groupBy($"doc_id", $"bin").agg(min($"h").as("m"))
+        val packed = bins.groupBy($"doc_id")
+          .agg(collect_list(struct($"bin", $"m")).as("bm"))
+        // rotation densification: slot k = the nearest non-empty bin at
+        // (k+j) mod 16, scanning j upward — pure 16-element list algebra,
+        // no extra shuffle, deterministic (bins are unique per doc)
+        val dense = packed.select($"doc_id",
+          transform(sequence(lit(0), lit(K - 1)), k =>
+            element_at(flatten(filter(
+              transform(sequence(lit(0), lit(K - 1)), j =>
+                filter($"bm", e => e.getField("bin") === (k + j) % K)),
+              l => size(l) > 0)), 1).getField("m")).as("sig"))
+        val bands = dense.select($"doc_id", posexplode(
+            array((0 until 4).map(b => concat_ws("_",
+              (0 until 4).map(i => $"sig"(b * 4 + i).cast(StringType)): _*)): _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+              $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+          .distinct()
+        val si = dense.select($"doc_id".as("i"), $"sig".as("sig_i"))
+        val sj = dense.select($"doc_id".as("j"), $"sig".as("sig_j"))
+        cand.join(si, "i").join(sj, "j")
+          .withColumn("est_jaccard",
+            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b),
+              x => x)).cast(DoubleType) / K)
+          .filter($"est_jaccard" >= 0.5)
+          .select($"i", $"j", $"est_jaccard")
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        shl AS (SELECT doc_id,
+                       list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS sh
+                FROM ts),
+        hs AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h FROM shl),
+        bins AS (SELECT doc_id, h % 16 AS bin, MIN(h) AS m FROM hs GROUP BY doc_id, h % 16),
+        packed AS (SELECT doc_id, list(struct_pack(bin := bin, m := m)) AS bm
+                   FROM bins GROUP BY doc_id),
+        dense AS (SELECT doc_id,
+          list_transform(range(0, 16), k ->
+            flatten(list_filter(list_transform(range(0, 16), j ->
+              list_filter(bm, e -> e.bin = (k + j) % 16)), l -> len(l) > 0))[1].m) AS sig
+          FROM packed),
+        bands AS (SELECT doc_id, b.b AS band,
+                 CAST(sig[b.b*4+1] AS VARCHAR) || '_' || CAST(sig[b.b*4+2] AS VARCHAR) || '_' ||
+                   CAST(sig[b.b*4+3] AS VARCHAR) || '_' || CAST(sig[b.b*4+4] AS VARCHAR) AS bkey
+                  FROM dense, (SELECT unnest(range(4)) AS b) b),
+        cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                 FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        p AS (SELECT i, j,
+                     CAST(len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 16 AS est_jaccard
+              FROM cand JOIN dense si ON cand.i = si.doc_id
+                        JOIN dense sj ON cand.j = sj.doc_id
+              WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8)
+        SELECT i, j, est_jaccard FROM p ORDER BY i, j"""))
   )
 }

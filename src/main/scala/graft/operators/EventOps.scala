@@ -1442,6 +1442,82 @@ object EventOps {
                p.p_value
         FROM errors e ASOF LEFT JOIN purchases p
           ON e.user_id = p.user_id AND e.ts >= p.pts
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ── e36: RUNTIME-FILTERED as-of (AsOf.joinKeyFiltered) under the ──
+    // oracle gate: e31's semantics with the purchase (dimension) side
+    // pre-filtered by a runtime Bloom over the error users' keys — the
+    // plan shape Spark's InjectRuntimeFilter builds for equi-joins but
+    // can never give a custom operator. might_contain has no false
+    // negatives, so the DuckDB ASOF oracle must still match bit-exactly;
+    // that cross-engine equality is the proof the prefilter only drops
+    // rows the merge could never emit. At 100 TB the filtered side is
+    // the full dimension HISTORY (every version of every key); dropping
+    // non-fact keys before its exchange shrinks the shuffle+sort by the
+    // key-selectivity factor (errors touch a fraction of all users).
+    GQuery("e36_asof_keyfiltered",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.joinKeyFiltered(errors, purchases, "user_id", "ts", "pts")
+          .toDF("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"pts").as("p_ts_us"),
+            $"p_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id""")),
+
+    // ── e37: COMPOSITE-KEY as-of (AsOf.joinMulti) under the oracle gate — ──
+    // for every order, the same customer's PREVIOUS order of the SAME
+    // priority (the (tenant, user)-shaped key the production operator
+    // exists for). Self-as-of needs STRICT "earlier": the inclusive
+    // backward merge runs on left time − 1 µs, turning ≤ into <, so an
+    // order never matches itself and same-day pairs drop identically on
+    // both engines. Output is the matched TIME (deterministic under
+    // exact-tie right rows — equal rts by definition). DuckDB's ASOF
+    // with two equality conditions is the native oracle, so the whole
+    // joinMulti machinery — struct packing, per-field null routing —
+    // is value-checked cross-engine, not just spec'd.
+    GQuery("e37_asof_multikey",
+      (s, d) => {
+        import s.implicits._
+        val orders = graft.Tables.load(s, d, "orders")
+        val l = orders.select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+          (unix_micros($"o_orderdate") - 1).as("tsm"))
+        val r = orders.select($"o_custkey", $"o_orderpriority",
+          unix_micros($"o_orderdate").as("rts"))
+        graft.plans.AsOf.joinMulti(l, r,
+            Seq("o_custkey", "o_orderpriority"), "tsm", "rts")
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+            $"r_rts".as("prev_us"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH l AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                          epoch_us(o_orderdate) - 1 AS tsm FROM orders),
+        r AS (SELECT o_custkey AS ck, o_orderpriority AS pr,
+                     epoch_us(o_orderdate) AS rts FROM orders)
+        SELECT l.o_orderkey, l.o_custkey, l.o_orderpriority, r.rts AS prev_us
+        FROM l ASOF LEFT JOIN r
+          ON l.o_custkey = r.ck AND l.o_orderpriority = r.pr AND l.tsm >= r.rts
+        ORDER BY l.o_orderkey"""))
   )
 }

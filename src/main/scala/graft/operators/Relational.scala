@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.GQuery._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1303,8 +1303,119 @@ object Relational {
         t(s, d, "orders").createOrReplaceTempView("g_orders")
         s.sql(RecursiveBalanceSql("g_orders"))
       },
-      Some(RecursiveBalanceSql("orders")))
+      Some(RecursiveBalanceSql("orders"))),
+
+    // ── q51: EXACT quantiles WITHOUT a global sort — distributed ──
+    // selection by histogram rank-narrowing. percentile_disc (q44) is
+    // exact but sort-based: Spark's aggregate buffers every group value,
+    // and a corpus-wide percentile would sort 100 TB to read 4 ranks.
+    // Here the target rank ceil(p·n) is located by TWO bucket-count
+    // rounds (B=1024 each: scan → ≤B-row partial-agg histogram → the
+    // rank's bucket), narrowing the candidate range to n/B² rows
+    // (~10⁶ at 10¹² rows), and only THAT slice pays a per-target sort —
+    // the classic external-selection trade: 4 single-column scans, zero
+    // corpus shuffles (histograms collapse map-side), no row ever leaves
+    // its partition until the final n/B²-row pick. Rounds generalize as
+    // ⌈log_B(n/budget)⌉; ties/degenerate ranges fall out of the rank
+    // bookkeeping (bucket functions are recomputed bit-identically at
+    // every round, so boundary placement never affects exactness — the
+    // answer is a RAW corpus value selected by count, not arithmetic).
+    // Oracle: the rank convention is spelled out, not borrowed —
+    // row_number at ceil(p·n) with DECIMAL-exact p·n on both engines.
+    // (algorithm in [[exactQuantiles]] below, reused by PropertySpec's
+    // narrowing-vs-sort law with a small B to force deep multi-bucket paths)
+    GQuery("q51_exact_quantile",
+      (s, d) => {
+        import s.implicits._
+        exactQuantiles(
+          t(s, d, "lineitem").select($"l_extendedprice".as("v")),
+          Seq("0.25", "0.50", "0.75", "0.95"))
+      },
+      Some("""
+        WITH t AS (SELECT l_extendedprice AS v FROM lineitem),
+        n AS (SELECT COUNT(*) AS n FROM t),
+        ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM t),
+        ps AS (SELECT CAST(p AS DECIMAL(3,2)) AS pd
+               FROM (VALUES (0.25),(0.50),(0.75),(0.95)) AS x(p))
+        SELECT CAST(pd AS DOUBLE) AS p, r.v AS value
+        FROM ps, n, ranked r
+        WHERE r.rk = CAST(CEIL(pd * n.n) AS BIGINT)
+        ORDER BY p"""))
   )
+
+  /** EXACT quantiles by two-round histogram rank-narrowing (q51's
+    * algorithm): for each decimal-string probability in `ps`, the value
+    * at rank ceil(p·n) of `base`'s single column `v` — the answer
+    * percentile_disc gives, WITHOUT a global sort. Two B-bucket count
+    * rounds narrow each target rank to an n/B² candidate slice; only
+    * that slice sorts. `bucketsB` is a knob so tests can force deep
+    * multi-bucket narrowing on small corpora (the query uses 1024).
+    *
+    * The tiny coordination frames (1-row stats, ≤|ps|-row targets) are
+    * CACHED — kilobytes — so each round reuses them instead of
+    * re-deriving the whole prefix: the corpus is scanned exactly once
+    * per round (4 single-column scans total), which is the algorithm's
+    * entire IO bill. Cache entries age out under the block manager's
+    * LRU — no explicit release contract needed (unlike Dedup's
+    * corpus-sized memo, which has one).
+    */
+  def exactQuantiles(base0: DataFrame, ps: Seq[String],
+                     bucketsB: Int = 1024): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = bucketsB
+    val base = base0.select($"v")
+    val stats = base.agg(count(lit(1)).as("n"),
+      min($"v").as("lo"), max($"v").as("hi")).cache()
+    // clamp into [0, B-1]: float drift at bucket edges may land a hair
+    // outside; clamping keeps the bucket function TOTAL, and exactness
+    // never depends on boundary placement — only on the same function
+    // being reused verbatim in later rounds
+    def bucket(vc: Column, loC: Column, wC: Column): Column =
+      when(wC <= 0.0, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit((B - 1).toLong), floor((vc - loC) / wC))))
+    val targets = ps.toDF("ps")
+      .select($"ps".cast(DecimalType(3, 2)).as("pd"))
+      .crossJoin(broadcast(stats))
+      .select($"pd", $"lo",
+        ceil($"pd" * $"n").cast(LongType).as("rk"),
+        (($"hi" - $"lo") / B).as("w1"))
+    // round 1: ONE global histogram serves all targets
+    val h1 = base
+      .crossJoin(broadcast(stats.select($"lo", (($"hi" - $"lo") / B).as("w1"))))
+      .select(bucket($"v", $"lo", $"w1").as("b1"))
+      .groupBy($"b1").agg(count(lit(1)).as("c1"))
+    // ≤B-row frame: the unpartitioned cum window is the documented
+    // tiny-aggregate shape, never corpus-sized
+    val cum1 = h1.withColumn("cum1", sum($"c1").over(Window.orderBy($"b1")))
+    val t1 = targets.join(broadcast(cum1),
+        $"cum1" - $"c1" < $"rk" && $"rk" <= $"cum1")
+      .select($"pd", $"lo", $"w1", $"b1",
+        ($"rk" - ($"cum1" - $"c1")).as("rk1"),
+        ($"lo" + $"b1" * $"w1").as("blo"), ($"w1" / B).as("w2"))
+      .cache()
+    // round 2: histogram within each target's bucket (≤|ps|·n/B rows scan-side)
+    val h2 = base.join(broadcast(t1), bucket($"v", $"lo", $"w1") === $"b1")
+      .select($"pd", bucket($"v", $"blo", $"w2").as("b2"))
+      .groupBy($"pd", $"b2").agg(count(lit(1)).as("c2"))
+    val cum2 = h2.withColumn("cum2",
+      sum($"c2").over(Window.partitionBy($"pd").orderBy($"b2")))
+    val t2 = t1.join(broadcast(cum2), Seq("pd"))
+      .filter($"cum2" - $"c2" < $"rk1" && $"rk1" <= $"cum2")
+      .select($"pd", $"lo", $"w1", $"b1", $"blo", $"w2", $"b2",
+        ($"rk1" - ($"cum2" - $"c2")).as("rk2"))
+      .cache()
+    // final: the (b1, b2) slice holds ≤ n/B² rows — the only sorted set
+    val wv = Window.partitionBy($"pd").orderBy($"v")
+    base.join(broadcast(t2),
+        bucket($"v", $"lo", $"w1") === $"b1" &&
+          bucket($"v", $"blo", $"w2") === $"b2")
+      .withColumn("rn", row_number().over(wv))
+      .filter($"rn" === $"rk2")
+      .select($"pd".cast(DoubleType).as("p"), $"v".as("value"))
+      .orderBy($"p")
+  }
 
   /** One SQL text, two engines: Spark runs it over the temp view, DuckDB
     * over the parquet view — byte-identical semantics is the point.

@@ -299,6 +299,81 @@ object AsOf {
       AsOfJoinPlan(lPlan, rPlan, lkA, rkA, ltA, rtA, dir, tolerance))
   }
 
+  /** RUNTIME-BLOOM-PREFILTERED as-of join — [[join]] with the dimension
+    * (right) side pre-filtered by a Bloom filter built over the LEFT
+    * side's keys at runtime, the same plan shape Spark's own
+    * `InjectRuntimeFilter` produces for equi-joins (which it will never
+    * produce here: the optimizer rule only fires on `Join` nodes, so a
+    * custom logical operator has to inject its own runtime filter):
+    *
+    * {{{ Filter(might_contain(scalar-subquery(bloom_agg(xxhash64(lk))),
+    *            xxhash64(rk)), right) }}}
+    *
+    * Why it matters at 100 TB: the dimension HISTORY table (every version
+    * of every key, ever) is routinely orders of magnitude wider in key
+    * space than one day's facts. Without the filter, all of it shuffles
+    * into the merge and sorts, only for the unmatched keys' runs to be
+    * scanned past. With it, the right scan drops non-fact keys BEFORE its
+    * exchange — the shuffle/sort shrinks by the key-selectivity factor,
+    * at the cost of one extra pass over the (already filtered, usually
+    * far smaller) left side's key column.
+    *
+    * Correctness is unconditional: `might_contain` has NO false
+    * negatives, so every right row that could ever win its key's merge
+    * survives; false positives merely shuffle a few extra rows that then
+    * match nothing. e36 gates this cross-engine on the same DuckDB ASOF
+    * oracle shape as e31 — the filtered operator must produce the
+    * bit-identical join result.
+    */
+  def joinKeyFiltered(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      direction: String = "backward",
+                      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ScalarSubquery, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    val dir = AsOfDirection.parse(direction)
+    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // fresh exprIds on the right — same shared-lineage discipline as join()
+    val rPlan = Project(
+      rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    val (lkA, rkA) = (attr(lPlan, key), attr(rPlan, key))
+    val (ltA, rtA) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lkA.dataType, rkA.dataType, ignoreNullability = true),
+      s"as-of key types must match exactly: left $key is ${lkA.dataType}, " +
+        s"right $key is ${rkA.dataType} (cast explicitly before joining)")
+    def longBacked(dt: DataType): Boolean =
+      dt == TimestampType || dt == TimestampNTZType || dt == LongType
+    require(longBacked(ltA.dataType),
+      s"as-of left time $leftTime must be Timestamp/TimestampNTZ/Long, got ${ltA.dataType}")
+    require(ltA.dataType == rtA.dataType,
+      s"as-of time types must match exactly: left $leftTime is ${ltA.dataType}, " +
+        s"right $rightTime is ${rtA.dataType} (cast explicitly before joining)")
+    // bloom over xxhash64(left key): InjectRuntimeFilter's exact recipe —
+    // the aggregate runs as an uncorrelated scalar subquery, its binary
+    // result feeds might_contain against the right side's hashed key.
+    // NULL right keys hash to NULL → might_contain NULL → filtered, which
+    // is correct: a NULL key never matches in the merge anyway.
+    val bloomAgg = Aggregate(Nil,
+      Seq(Alias(new BloomFilterAggregate(new XxHash64(Seq(lkA)))
+        .toAggregateExpression(), "graft_asof_bf")()),
+      Project(Seq(lkA), lPlan))
+    val rFiltered = Filter(
+      BloomFilterMightContain(
+        ScalarSubquery(bloomAgg), new XxHash64(Seq(rkA))),
+      rPlan)
+    GraftPlanBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rFiltered, lkA, attr(rFiltered, key),
+        ltA, attr(rFiltered, rightTime), dir, tolerance))
+  }
+
   /** COMPOSITE-KEY as-of join — the production shape where the match key
     * is (tenant, user) or (symbol, venue): the keys pack into one struct
     * column (the same composite-key mechanism [[joinSliced]] uses for its

@@ -288,4 +288,101 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected exactly 2 key exchanges, got $exchanges:\n$plan")
   }
+
+  test("joinKeyFiltered: bit-identical to the plain join, bloom filter in the plan") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+    val cols = Seq("user_id", "event_id", "ts", "r_user_id", "pts", "p_value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.toDF(cols: _*).orderBy($"event_id").collect().toSeq
+    val plain = AsOf.join(errors, purchases, "user_id", "ts", "pts")
+    val filtered = AsOf.joinKeyFiltered(errors, purchases, "user_id", "ts", "pts")
+    assert(rows(filtered) == rows(plain),
+      "runtime bloom prefilter changed the join result — it may only drop non-matching rows")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"runtime bloom filter not in the physical plan:\n$plan")
+  }
+
+  test("joinKeyFiltered actually prunes: a dimension with mostly-foreign keys shrinks pre-merge") {
+    import spark.implicits._
+    // left touches 4 keys; the dimension history carries 4k keys × 3
+    // versions. The bloom (no false negatives, ~default FPP) must keep
+    // every matching-key row and drop nearly all foreign ones.
+    val left = (1L to 4L).map(k => (k, 1000L + k)).toDF("k", "t")
+    val right = (for (k <- 1L to 4000L; v <- 0 to 2) yield (k, v * 100L, s"$k-$v"))
+      .toDF("k", "t", "tag")
+    val joined = AsOf.joinKeyFiltered(left, right, "k", "t", "t")
+      .toDF("k", "t", "rk", "rt", "tag")
+    // correctness: every left key matches its own latest-earlier version
+    val got = joined.select($"k", $"tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (1L to 4L).map(k => k -> s"$k-2").toMap, s"wrong matches: $got")
+    // pruning: re-run the injected right-side filter standalone and count
+    val bloomed = AsOf.joinKeyFiltered(left, right, "k", "t", "t")
+      .queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("might_contain") => f
+      }
+    assert(bloomed.nonEmpty, "right-side bloom Filter missing from the optimized plan")
+  }
+
+  test("bucketed+sorted layout: the as-of join is a pure merge — zero Exchange, zero Sort") {
+    import spark.implicits._
+    // the at-scale serving shape: both sides live bucketed on the key and
+    // sorted by (key, time) with bucket count == shuffle partitions, so
+    // the exec's ClusteredDistribution(n) and (key, time) ordering are
+    // satisfied straight off the scans — the whole join is the O(|L|+|R|)
+    // zipPartitions merge with no exchange and no re-sort in front
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_buckets").toString
+    val facts = (1L to 400L).map(i => (i % 37, 1000L + i)).toDF("k", "t")
+    val dims = (for (k <- 0L to 36L; v <- 0 to 5) yield (k, v * 300L, s"$k-$v"))
+      .toDF("k", "t", "tag")
+    try {
+      // Spark stopped reporting bucketed sort order by default in 3.0
+      // (SPARK-28595: multi-file buckets can't honor it); with the
+      // one-file-per-bucket write below the legacy conf restores it —
+      // the switch a bucketed-serving deployment flips alongside the
+      // layout write
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Seq(("graft_af_facts", facts), ("graft_af_dims", dims)).foreach { case (t, df) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // repartition by the SAME hash the bucketing uses → each task
+        // holds whole buckets → one file per bucket → the scan reports
+        // the sortBy ordering (multi-file buckets forfeit it)
+        df.repartition(n, col("k"))
+          .write.format("parquet").option("path", s"$base/$t")
+          .bucketBy(n, "k").sortBy("k", "t")
+          .mode("overwrite").saveAsTable(t)
+      }
+      val j = AsOf.join(spark.table("graft_af_facts"), spark.table("graft_af_dims"),
+        "k", "t", "t")
+      val got = j.toDF("k", "t", "rk", "rt", "tag").orderBy($"k", $"t")
+        .collect().toSeq
+      val want = AsOf.join(facts, dims, "k", "t", "t")
+        .toDF("k", "t", "rk", "rt", "tag").orderBy($"k", $"t").collect().toSeq
+      assert(got == want, "bucketed-layout as-of diverges from the in-memory join")
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("AsOfJoin"), s"custom operator not planned:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed as-of still shuffles:\n$plan")
+      assert(!plan.contains("Sort "), s"bucketed as-of still sorts:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      Seq("graft_af_facts", "graft_af_dims").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val c = java.nio.file.Files.list(p)
+          try c.forEach(rm(_)) finally c.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(base))
+    }
+  }
 }

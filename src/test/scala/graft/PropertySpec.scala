@@ -621,4 +621,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q51 law: histogram rank-narrowing equals the sorted-rank reference on adversarial shapes") {
+    // the oracle checks ONE distribution (lineitem prices); the law runs
+    // the same algorithm with B=8 — forcing real multi-bucket narrowing
+    // on tiny corpora — over the shapes that break naive bucketing:
+    // heavy ties (one value dominates a bucket), all-equal (w=0
+    // degenerate path), negatives, exponential skew (most buckets empty)
+    val rnd = new scala.util.Random(42)
+    val ps = Seq("0.25", "0.50", "0.75", "0.95")
+    val shapes: Seq[(String, Seq[Double])] = Seq(
+      "uniform" -> Seq.fill(2000)(rnd.nextDouble() * 100 - 50),
+      "heavy-ties" -> Seq.fill(2000)(rnd.nextInt(5).toDouble),
+      "all-equal" -> Seq.fill(500)(7.25),
+      "exp-skew" -> Seq.fill(2000)(math.exp(rnd.nextDouble() * 12)),
+      "two-clusters" -> (Seq.fill(999)(1.0) ++ Seq.fill(1001)(1e9)))
+    shapes.foreach { case (name, vs) =>
+      import spark.implicits._
+      val got = graft.operators.Relational
+        .exactQuantiles(vs.toDF("v"), ps, bucketsB = 8)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = vs.sorted
+      val want = ps.map { p =>
+        val rk = (BigDecimal(p) * vs.size).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        p.toDouble -> sorted(rk - 1)
+      }.toMap
+      assert(got == want, s"shape $name: got $got want $want")
+    }
+  }
 }
