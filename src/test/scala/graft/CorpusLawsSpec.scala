@@ -359,4 +359,42 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
         s"inconsistent lateness row ($n, $late, $ratio)")
     }
   }
+
+  test("d24 law: densified OPH signatures are total and pin exact dups at est 1.0") {
+    // identical texts ⇒ identical shingle sets ⇒ identical slot minima ⇒
+    // every band collides and est = 16/16 — regardless of how many of
+    // the 16 bins are actually occupied. Docs 3/4 have ONE shingle, so
+    // all 16 slots come from rotation densification of a single bin:
+    // the pair surfacing at 1.0 proves the densified tail, not just the
+    // happy path. Doc 5 shares no shingles with anyone — any pairing
+    // would need ≥8 random slot collisions of 60-bit minima.
+    val dir = writeCorpus(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (3L, "tiny doc here", "en", "s0"),
+      (4L, "tiny doc here", "en", "s0"),
+      (5L, "completely different words in this unrelated document body", "en", "s0")))
+    val got = SparkEntry.queries("d24_oph_minhash")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"exact dup (1,2) not at est 1.0: $got")
+    assert(got.get((3L, 4L)).contains(1.0),
+      s"one-shingle dup (3,4) must match via densified slots: $got")
+    assert(!got.keySet.exists { case (i, j) => i == 5L || j == 5L },
+      s"disjoint-shingle doc 5 must not pair: $got")
+    // and on the generated corpus (which plants verbatim copies): every
+    // identical-text pair with ≥3 tokens (a signature exists) surfaces
+    // at 1.0
+    val texts = corpusA.map(r => r._1 -> r._2)
+      .filter(_._2.split(" ").length >= 3)
+    val dupPairs = texts.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(dupPairs.nonEmpty, "no exact-dup ground truth in the generated corpus — vacuous")
+    val real = SparkEntry.queries("d24_oph_minhash")(spark, dirA)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    dupPairs.foreach { p =>
+      assert(real.get(p).contains(1.0), s"exact dup $p missing or below 1.0")
+    }
+  }
 }
