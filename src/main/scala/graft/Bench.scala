@@ -3,6 +3,40 @@ package graft
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds. */
 object Bench {
+
+  /** Total shuffle bytes WRITTEN by an executed plan — the number the
+    * scale claims in PLANS.md/SURVEY §5 rest on ("the corpus never
+    * shuffles", "one row per (doc, band)"), measured instead of
+    * asserted. Walks AQE final plans, subqueries, and cached-relation
+    * bodies; ReusedExchange shares its child's metric and is skipped,
+    * so a reused shuffle counts once, like its cost.
+    */
+  private[graft] def shuffleBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Long = {
+      if (!seen.add(p)) return 0L
+      val self = p match {
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case c: InMemoryTableScanExec => walk(c.relation.cachedPlan)
+        case other => other.children.map(walk).sum
+      }
+      val subs = p.subqueries.map(walk).sum
+      self + below + subs
+    }
+    walk(plan)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,10 +108,19 @@ object Bench {
     // GC/loop noise swap family orderings between runs). Cache (including
     // the memoized dedup signature frame) cleared between queries so each
     // timing stands alone.
+    var shuffleMb = Map.empty[String, Double]
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          // shuffle volume from the LAST run's executed plan (identical
+          // across runs — the plan is; read outside no timing concern:
+          // SQLMetrics are accumulator-backed, final once count returns)
+          if (i == 3) shuffleMb += name ->
+            math.round(shuffleBytes(df.queryExecution.executedPlan) / 1e4) / 100.0
+        } catch { case _: Throwable => () }
         spark.catalog.clearCache()
         graft.operators.Dedup.releaseSignatures()
         (System.nanoTime() - t0) / 1e9
@@ -111,7 +154,7 @@ object Bench {
     val families = results.groupBy(_._1.takeWhile(!_.isDigit))
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }
