@@ -1383,7 +1383,33 @@ object Relational {
               .cast(DoubleType).as("final_bal"))
           .orderBy($"cust")
       },
-      Some(RecursiveBalanceSql("orders")))
+      Some(RecursiveBalanceSql("orders"))),
+
+    // ── q53: GROUPED exact quantiles by rank-narrowing — q51's ──
+    // algorithm with a group key (exactQuantilesBy). The at-scale gap
+    // it closes vs q44: percentile_disc is exact but its aggregate
+    // BUFFERS every group value (a 10⁹-row group OOMs one task); here
+    // each narrowing round is a plain (group, bucket) count aggregate —
+    // partial map-side, ≤|groups|·1024 rows shuffled — and only each
+    // group's final n_g/B² slice sorts. Oracle: the same spelled-out
+    // rank convention as q51, per group.
+    GQuery("q53_grouped_quantile",
+      (s, d) => {
+        import s.implicits._
+        exactQuantilesBy(
+          t(s, d, "orders").select($"o_orderstatus", $"o_totalprice".as("v")),
+          Seq("o_orderstatus"), Seq("0.50", "0.95"))
+      },
+      Some("""
+        WITH t AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders),
+        n AS (SELECT g, COUNT(*) AS n FROM t GROUP BY g),
+        ranked AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk FROM t),
+        ps AS (SELECT CAST(p AS DECIMAL(3,2)) AS pd
+               FROM (VALUES (0.50),(0.95)) AS x(p))
+        SELECT r.g AS o_orderstatus, CAST(pd AS DOUBLE) AS p, r.v AS value
+        FROM ps, n, ranked r
+        WHERE r.g = n.g AND r.rk = CAST(CEIL(pd * n.n) AS BIGINT)
+        ORDER BY o_orderstatus, p"""))
   )
 
   /** EXACT quantiles by two-round histogram rank-narrowing (q51's
@@ -1403,13 +1429,32 @@ object Relational {
     * corpus-sized memo, which has one).
     */
   def exactQuantiles(base0: DataFrame, ps: Seq[String],
-                     bucketsB: Int = 1024): DataFrame = {
+                     bucketsB: Int = 1024): DataFrame =
+    exactQuantilesBy(base0, Seq.empty, ps, bucketsB)
+      .drop("__g")
+
+  /** GROUPED form of [[exactQuantiles]] (q53): exact per-group quantiles
+    * with NO per-group value buffering — where q44's percentile_disc
+    * aggregate holds every group value in its buffer (OOM at a 10⁹-row
+    * group), the narrowing rounds here are plain (keys, bucket) count
+    * aggregates: partial-agg map-side, ≤|groups|·B rows shuffled, and
+    * the only sorted sets are each group's final n_g/B² slice. All
+    * coordination frames stay |groups|-sized (broadcast); every join is
+    * a using-join on the group keys, so SQL name resolution — not
+    * positional luck — lines the sides up.
+    */
+  def exactQuantilesBy(base0: DataFrame, keys: Seq[String], ps: Seq[String],
+                       bucketsB: Int = 1024): DataFrame = {
     val s = base0.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val B = bucketsB
-    val base = base0.select($"v")
-    val stats = base.agg(count(lit(1)).as("n"),
+    // keyless callers get a constant group so ONE code path serves both
+    val (kNames, base) =
+      if (keys.nonEmpty) (keys, base0.select((keys.map(col) :+ $"v"): _*))
+      else (Seq("__g"), base0.select(lit(0).as("__g"), $"v"))
+    val kc = kNames.map(col)
+    val stats = base.groupBy(kc: _*).agg(count(lit(1)).as("n"),
       min($"v").as("lo"), max($"v").as("hi")).cache()
     // clamp into [0, B-1]: float drift at bucket edges may land a hair
     // outside; clamping keeps the bucket function TOTAL, and exactness
@@ -1421,43 +1466,47 @@ object Relational {
     val targets = ps.toDF("ps")
       .select($"ps".cast(DecimalType(3, 2)).as("pd"))
       .crossJoin(broadcast(stats))
-      .select($"pd", $"lo",
+      .select(kc ++ Seq($"pd", $"lo",
         ceil($"pd" * $"n").cast(LongType).as("rk"),
-        (($"hi" - $"lo") / B).as("w1"))
-    // round 1: ONE global histogram serves all targets
+        (($"hi" - $"lo") / B).as("w1")): _*)
+    // round 1: one per-group histogram serves every target of the group
     val h1 = base
-      .crossJoin(broadcast(stats.select($"lo", (($"hi" - $"lo") / B).as("w1"))))
-      .select(bucket($"v", $"lo", $"w1").as("b1"))
-      .groupBy($"b1").agg(count(lit(1)).as("c1"))
-    // ≤B-row frame: the unpartitioned cum window is the documented
-    // tiny-aggregate shape, never corpus-sized
-    val cum1 = h1.withColumn("cum1", sum($"c1").over(Window.orderBy($"b1")))
-    val t1 = targets.join(broadcast(cum1),
-        $"cum1" - $"c1" < $"rk" && $"rk" <= $"cum1")
-      .select($"pd", $"lo", $"w1", $"b1",
+      .join(broadcast(stats.select(kc ++ Seq($"lo",
+        (($"hi" - $"lo") / B).as("w1")): _*)), kNames)
+      .select(kc :+ bucket($"v", $"lo", $"w1").as("b1"): _*)
+      .groupBy(kc :+ $"b1": _*).agg(count(lit(1)).as("c1"))
+    // ≤|groups|·B-row frame: the cum window partitions by group — the
+    // documented tiny-aggregate shape, never corpus-sized
+    val cum1 = h1.withColumn("cum1",
+      sum($"c1").over(Window.partitionBy(kc: _*).orderBy($"b1")))
+    val t1 = targets.join(broadcast(cum1), kNames)
+      .filter($"cum1" - $"c1" < $"rk" && $"rk" <= $"cum1")
+      .select(kc ++ Seq($"pd", $"lo", $"w1", $"b1",
         ($"rk" - ($"cum1" - $"c1")).as("rk1"),
-        ($"lo" + $"b1" * $"w1").as("blo"), ($"w1" / B).as("w2"))
+        ($"lo" + $"b1" * $"w1").as("blo"), ($"w1" / B).as("w2")): _*)
       .cache()
     // round 2: histogram within each target's bucket (≤|ps|·n/B rows scan-side)
-    val h2 = base.join(broadcast(t1), bucket($"v", $"lo", $"w1") === $"b1")
-      .select($"pd", bucket($"v", $"blo", $"w2").as("b2"))
-      .groupBy($"pd", $"b2").agg(count(lit(1)).as("c2"))
+    val h2 = base.join(broadcast(t1), kNames)
+      .filter(bucket($"v", $"lo", $"w1") === $"b1")
+      .select(kc ++ Seq($"pd", bucket($"v", $"blo", $"w2").as("b2")): _*)
+      .groupBy(kc ++ Seq($"pd", $"b2"): _*).agg(count(lit(1)).as("c2"))
     val cum2 = h2.withColumn("cum2",
-      sum($"c2").over(Window.partitionBy($"pd").orderBy($"b2")))
-    val t2 = t1.join(broadcast(cum2), Seq("pd"))
+      sum($"c2").over(Window.partitionBy(kc :+ $"pd": _*).orderBy($"b2")))
+    val t2 = t1.join(broadcast(cum2), kNames :+ "pd")
       .filter($"cum2" - $"c2" < $"rk1" && $"rk1" <= $"cum2")
-      .select($"pd", $"lo", $"w1", $"b1", $"blo", $"w2", $"b2",
-        ($"rk1" - ($"cum2" - $"c2")).as("rk2"))
+      .select(kc ++ Seq($"pd", $"lo", $"w1", $"b1", $"blo", $"w2", $"b2",
+        ($"rk1" - ($"cum2" - $"c2")).as("rk2")): _*)
       .cache()
-    // final: the (b1, b2) slice holds ≤ n/B² rows — the only sorted set
-    val wv = Window.partitionBy($"pd").orderBy($"v")
-    base.join(broadcast(t2),
-        bucket($"v", $"lo", $"w1") === $"b1" &&
-          bucket($"v", $"blo", $"w2") === $"b2")
+    // final: each (group, b1, b2) slice holds ≤ n_g/B² rows — the only
+    // sorted sets in the whole plan
+    val wv = Window.partitionBy(kc :+ $"pd": _*).orderBy($"v")
+    base.join(broadcast(t2), kNames)
+      .filter(bucket($"v", $"lo", $"w1") === $"b1" &&
+        bucket($"v", $"blo", $"w2") === $"b2")
       .withColumn("rn", row_number().over(wv))
       .filter($"rn" === $"rk2")
-      .select($"pd".cast(DoubleType).as("p"), $"v".as("value"))
-      .orderBy($"p")
+      .select(kc ++ Seq($"pd".cast(DoubleType).as("p"), $"v".as("value")): _*)
+      .orderBy(kc :+ $"p": _*)
   }
 
   /** The ranked-orders frame both engines recurse over: one row per

@@ -648,5 +648,22 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }.toMap
       assert(got == want, s"shape $name: got $got want $want")
     }
+    // grouped form (q53's path): all five shapes as DISTINCT groups of
+    // one frame — per-group narrowing must reproduce each group's
+    // sorted-rank reference independently
+    import spark.implicits._
+    val grouped = shapes.flatMap { case (name, vs) => vs.map(v => (name, v)) }
+      .toDF("g", "v")
+    val gotG = graft.operators.Relational
+      .exactQuantilesBy(grouped, Seq("g"), ps, bucketsB = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val wantG = shapes.flatMap { case (name, vs) =>
+      val sorted = vs.sorted
+      ps.map { p =>
+        val rk = (BigDecimal(p) * vs.size).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        (name, p.toDouble) -> sorted(rk - 1)
+      }
+    }.toMap
+    assert(gotG == wantG, s"grouped narrowing diverges: got $gotG want $wantG")
   }
 }
