@@ -44,6 +44,14 @@ def refresh(budget_path, local_path):
     for k in sorted(local):
         if k.endswith("_build"):
             budget[k] = round(local[k] * MARGIN, 2)
+    # shuffle ceiling: the single-query max shuffle volume. Wall seconds
+    # drift with GC and machine load; shuffle bytes are a property of the
+    # PLAN — a query suddenly shuffling the corpus (a broadcast that fell
+    # back, a pushdown that stopped firing) blows straight through this
+    # even when its wall time hides in family noise.
+    sh = local.get("shuffle_mb") or {}
+    if sh:
+        budget["shuffle_mb_max"] = round(max(sh.values()) * MARGIN, 2)
     Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
     print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
     return 0
@@ -75,6 +83,16 @@ def main(argv):
         status = "FAIL" if local[k] > budget[k] else "ok"
         n_fail += local[k] > budget[k]
         print(f"{status:4} {k} {local[k]:.2f}s / budget {budget[k]:.2f}s")
+    sh = local.get("shuffle_mb") or {}
+    if sh and "shuffle_mb_max" in budget:
+        top = sorted(sh.items(), key=lambda kv: -kv[1])[:5]
+        mx_name, mx = top[0]
+        status = "FAIL" if mx > budget["shuffle_mb_max"] else "ok"
+        n_fail += mx > budget["shuffle_mb_max"]
+        print(f"{status:4} shuffle max {mx:.2f} MB ({mx_name}) / "
+              f"budget {budget['shuffle_mb_max']:.2f} MB")
+        print("     top shufflers: " +
+              ", ".join(f"{k}={v:.2f}MB" for k, v in top))
     if local["value"] > budget["total"]:
         n_fail += 1
         print(f"FAIL total {local['value']:.2f}s / budget {budget['total']:.2f}s")

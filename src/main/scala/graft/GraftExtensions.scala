@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, HeavyHittersAgg, ShingleExpr, SignBitsExpr, TopKAgg}
+import graft.functions.{CosineSim, DotProduct, HeavyHittersAgg, QuantileSketchAgg, ShingleExpr, SignBitsExpr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(c: Int, _) => HeavyHittersAgg(exprs(0), c)
         case other => throw new IllegalArgumentException(
           s"heavy_hitters(word, capacity): capacity must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      info("quantile_sketch", "quantile_sketch(v, k) - mergeable quantile summary as struct<items array<struct<v,w>>, n, err>"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(k: Int, _) => QuantileSketchAgg(exprs(0), k)
+        case other => throw new IllegalArgumentException(
+          s"quantile_sketch(v, k): k must be an integer literal, got $other")
       }))
 
     e.injectFunction((

@@ -40,6 +40,27 @@ object EventStreams extends Serializable {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Watermarked windowed per-type VALUE-quantile summaries — the
+    * streaming production form of q54's one-pass sketch (p50/p99 of a
+    * metric per hour, THE streaming-observability staple): each
+    * (window, event_type) group folds its values into a mergeable
+    * `quantile_sketch` whose buffer the streaming aggregation
+    * checkpoints between micro-batches — O(k·log n) bytes per open
+    * window, never the window's values. Windows emit on close (append
+    * mode + watermark). Consumers bracket-and-refine exactly like q54,
+    * or read approximate quantiles off the summary with the
+    * self-tracked ±err rank guarantee — which is what the parity spec
+    * checks against batch-exact ranks, the contract that holds under
+    * ANY micro-batch arrival/merge order (sketch CONTENTS don't).
+    */
+  def windowedQuantiles(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.quantileSketch(col("value"), k).as("sk"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("sk.n").as("n"), col("sk.err").as("err"), col("sk.items").as("items"))
+
   /** Watermarked SLIDING-window counts (2 h length, 1 h slide): every
     * event lands in exactly 2 overlapping epoch-aligned windows. One
     * plan serves batch (watermark is a no-op) and stream (state expires

@@ -771,4 +771,25 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(viaSql.head == ("a", 3L), s"SQL heavy_hitters wrong: ${viaSql.toList}")
   }
+
+  test("q54 sketch quantile: two-phase object aggregate, and the SQL function answers") {
+    import spark.implicits._
+    // the summary must build as partial map-side sketches + merge — the
+    // plan property that keeps the shuffle summary-sized, never
+    // value-sized (q54's whole reason to exist next to q44/q53)
+    val plan = SparkEntry.queries("q54_sketch_quantile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"quantile_sketch did not run as a two-phase object aggregate:\n$plan")
+    // SQL registration: exact summary on a no-compaction input (k larger
+    // than n ⇒ err must be 0 and items must be the raw values)
+    val row = spark.sql(
+      """SELECT s.err, s.n, s.items FROM
+        (SELECT quantile_sketch(v, 64) AS s
+         FROM VALUES (5.0D),(1.0D),(3.0D) AS t(v))""").collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 3L,
+      s"small-input sketch should be exact: $row")
+    val vs = row.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(0))
+    assert(vs == Seq(1.0, 3.0, 5.0), s"items not the sorted raw values: $vs")
+  }
 }

@@ -666,4 +666,53 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(gotG == wantG, s"grouped narrowing diverges: got $gotG want $wantG")
   }
+
+  test("MP law: quantile-sketch rank estimates stay within the self-tracked bound, any merge tree") {
+    // the contract q54's exact refine rests on: for EVERY value x,
+    // |R̂(x) − R(x)| ≤ err, where R̂ sums the weights of summary items
+    // ≤ x and err is the bound the sketch accumulated while compacting
+    // — across value shapes, chunkings, and random merge orders. Also:
+    // item weights must sum to n exactly (no mass lost), and the bound
+    // must stay USEFUL (≪ n) at realistic k.
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { trial =>
+      val n = 3000 + rnd.nextInt(5000)
+      val k = Seq(16, 64, 256, 1024)(trial % 4)
+      val data = Array.fill(n)(trial % 4 match {
+        case 0 => rnd.nextDouble() * 1000
+        case 1 => rnd.nextInt(10).toDouble // heavy ties
+        case 2 => math.exp(rnd.nextDouble() * 10) // exponential skew
+        case _ => rnd.nextGaussian() * 50
+      })
+      // random chunking, sketch each chunk, merge in random tree order
+      val nChunks = 1 + rnd.nextInt(8)
+      val chunks = data.grouped(math.max(1, n / nChunks)).toBuffer
+      val sketches = chunks.map { c =>
+        val s = new graft.functions.MPSketch(k)
+        c.foreach(s.add)
+        s
+      }
+      while (sketches.length > 1) {
+        val i = rnd.nextInt(sketches.length)
+        val a = sketches.remove(i)
+        val j = rnd.nextInt(sketches.length)
+        sketches(j).merge(a)
+      }
+      val sk = sketches.head
+      assert(sk.n == n, s"trial $trial: n ${sk.n} != $n")
+      val items = sk.items
+      assert(items.map(_._2).sum == n, s"trial $trial: weights lost mass")
+      val sorted = data.sorted
+      val probes = Array.fill(25)(data(rnd.nextInt(n))) ++
+        Seq(sorted.head - 1, sorted.last + 1, sorted(n / 2), sorted(n / 4))
+      probes.foreach { x =>
+        val rhat = items.iterator.filter(_._1 <= x).map(_._2).sum
+        val r = sorted.count(_ <= x)
+        assert(math.abs(rhat - r) <= sk.err,
+          s"trial $trial k=$k: |R̂−R| = ${math.abs(rhat - r)} > err ${sk.err} at x=$x")
+      }
+      if (k >= 256) assert(sk.err < n / 4,
+        s"trial $trial k=$k: bound ${sk.err} useless vs n=$n")
+    }
+  }
 }

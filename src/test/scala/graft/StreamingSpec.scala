@@ -749,4 +749,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val joined = out.join(viaSql, "doc_id").filter($"checksum" =!= $"m").count()
     assert(joined == 0)
   }
+
+  test("streaming windowed quantile sketches: counts conserved, rank bounds valid vs batch exact") {
+    import spark.implicits._
+    val batch = Tables.load(spark, sf, "events")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_qsk_in").toString
+    batch.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val q = EventStreams.windowedQuantiles(stream, k = 64)
+      .writeStream.outputMode("append").format("memory").queryName("qsk_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("qsk_out").collect()
+    assert(got.nonEmpty, "streaming emitted no closed windows")
+    // batch ground truth: the window's exact sorted values per (win, type)
+    val exact = batch.select($"ts", $"event_type", $"value").collect()
+      .map(r => ((r.getTimestamp(0).getTime / 3600000L) * 3600000L,
+        r.getString(1), r.getDouble(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k0, vs) => k0 -> vs.map(_._3).sorted }
+    got.foreach { r =>
+      val key = (r.getTimestamp(0).getTime, r.getString(1))
+      val (n, err) = (r.getLong(2), r.getLong(3))
+      val items = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(it => (it.getDouble(0), it.getLong(1)))
+      val truth = exact.getOrElse(key,
+        fail(s"streaming emitted unknown window $key"))
+      // mass conservation: the summary saw every row of its window,
+      // regardless of how micro-batches split it
+      assert(n == truth.length, s"$key: sketch n=$n != exact ${truth.length}")
+      assert(items.map(_._2).sum == n, s"$key: item weights lost mass")
+      // the self-tracked bound holds at the quartile probes — the
+      // contract that survives any arrival/merge order
+      Seq(0.25, 0.5, 0.75).foreach { p =>
+        val x = truth((p * (truth.length - 1)).toInt)
+        val rhat = items.iterator.filter(_._1 <= x).map(_._2).sum
+        val rTrue = truth.count(_ <= x)
+        assert(math.abs(rhat - rTrue) <= err,
+          s"$key p=$p: |R̂−R| ${math.abs(rhat - rTrue)} > err $err")
+      }
+    }
+  }
 }
