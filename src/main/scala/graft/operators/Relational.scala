@@ -1409,8 +1409,106 @@ object Relational {
         SELECT r.g AS o_orderstatus, CAST(pd AS DOUBLE) AS p, r.v AS value
         FROM ps, n, ranked r
         WHERE r.g = n.g AND r.rk = CAST(CEIL(pd * n.n) AS BIGINT)
-        ORDER BY o_orderstatus, p"""))
+        ORDER BY o_orderstatus, p""")),
+
+    // ── q54: grouped exact quantiles by SKETCH-then-refine — q53's ──
+    // answer from a different machine: ONE pass folds each group into a
+    // mergeable Munro–Paterson summary (quantile_sketch, O(k·log(n/k))
+    // state, shuffle carries the summary, never values), the summary's
+    // SELF-TRACKED rank-error bound brackets the target rank with
+    // (loV, hiV], and an exact pass counts below loV and sorts only the
+    // bracketed slice (≤ ~2·err rows per group). The sketch contents
+    // are merge-order-dependent; the BOUND holds for every order, so
+    // the refined answer is deterministic and oracle-exact — the same
+    // discipline as t29 (MG candidates → exact recount). vs q53: one
+    // narrowing pass instead of two, and the summary is reusable/
+    // streamable (windowed percentiles share the aggregate). Oracle:
+    // identical per-group rank convention — q53 and q54 are two plans
+    // pinned to one answer.
+    GQuery("q54_sketch_quantile",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.QuantileSketchAgg.quantileSketch
+        val base = t(s, d, "orders").select($"o_orderstatus", $"o_totalprice".as("v"))
+        val sk = base.groupBy($"o_orderstatus")
+          .agg(quantileSketch($"v", 1024).as("sk"))
+          .select($"o_orderstatus", $"sk.items".as("items"),
+            $"sk.n".as("n"), $"sk.err".as("err"))
+        val targets = Seq("0.50", "0.95").toDF("ps")
+          .select($"ps".cast(DecimalType(3, 2)).as("pd"))
+          .crossJoin(broadcast(sk))
+          .select($"o_orderstatus", $"pd", $"err", $"items",
+            ceil($"pd" * $"n").cast(LongType).as("rk"))
+        // bracket: cumulative weight over the ≤ k·log(n/k) summary items;
+        // RANGE frame (orderBy value) so ties carry their full tie-group
+        // weight — cum(x) IS the summary's rank estimate R̂(x)
+        val ex = targets
+          .select($"o_orderstatus", $"pd", $"rk", $"err", explode($"items").as("it"))
+          .select($"o_orderstatus", $"pd", $"rk", $"err",
+            $"it.v".as("iv"), $"it.w".as("iw"))
+        val cum = ex.withColumn("cum", sum($"iw").over(
+          Window.partitionBy($"o_orderstatus", $"pd").orderBy($"iv")))
+        // R(loV) ≤ R̂(loV)+err ≤ rk−1 < rk keeps loV strictly below the
+        // answer; R(hiV) ≥ R̂(hiV)−err ≥ rk keeps hiV at-or-above it
+        val bounds = cum.groupBy($"o_orderstatus", $"pd", $"rk")
+          .agg(max(when($"cum" <= $"rk" - $"err" - 1, $"iv")).as("loV"),
+            min(when($"cum" >= $"rk" + $"err", $"iv")).as("hiV"))
+          .select($"o_orderstatus", $"pd", $"rk",
+            coalesce($"loV", lit(Double.MinValue)).as("lo"),
+            coalesce($"hiV", lit(Double.MaxValue)).as("hi"))
+        // exact refine: count below the bracket, sort only inside it
+        val joined = base.join(broadcast(bounds), Seq("o_orderstatus"))
+        val below = joined.filter($"v" <= $"lo")
+          .groupBy($"o_orderstatus", $"pd").agg(count(lit(1)).as("below"))
+        val wv = Window.partitionBy($"o_orderstatus", $"pd").orderBy($"v")
+        joined.filter($"v" > $"lo" && $"v" <= $"hi")
+          .join(broadcast(below), Seq("o_orderstatus", "pd"), "left")
+          .withColumn("rn", row_number().over(wv))
+          .filter($"rn" === $"rk" - coalesce($"below", lit(0L)))
+          .select($"o_orderstatus", $"pd".cast(DoubleType).as("p"), $"v".as("value"))
+          .orderBy($"o_orderstatus", $"p")
+      },
+      Some("""
+        WITH t AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders),
+        n AS (SELECT g, COUNT(*) AS n FROM t GROUP BY g),
+        ranked AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk FROM t),
+        ps AS (SELECT CAST(p AS DECIMAL(3,2)) AS pd
+               FROM (VALUES (0.50),(0.95)) AS x(p))
+        SELECT r.g AS o_orderstatus, CAST(pd AS DOUBLE) AS p, r.v AS value
+        FROM ps, n, ranked r
+        WHERE r.g = n.g AND r.rk = CAST(CEIL(pd * n.n) AS BIGINT)
+        ORDER BY o_orderstatus, p""")),
+
+    // ── q55: LATERAL correlated subquery — "each customer's 3 most ──
+    // recent orders" in the SQL-standard LATERAL form, the SAME text on
+    // both engines. Spark de-correlates the ordered-limit subquery
+    // (window per domain) rather than re-executing it per outer row, so
+    // the convenient surface costs nothing at scale — the optimized
+    // plan is q09's partition-window family, one shuffle on the
+    // correlation key. Ties can't occur: o_orderkey breaks them.
+    GQuery("q55_lateral_topk",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("g_customer")
+        t(s, d, "orders").createOrReplaceTempView("g_orders_l")
+        s.sql(LateralTopkSql("g_customer", "g_orders_l"))
+      },
+      Some(LateralTopkSql("customer", "orders")))
   )
+
+  /** One LATERAL text, two engines (q55). The date stays INSIDE the
+    * lateral (it only ranks recency): raw timestamp outputs carry a TZ
+    * dtype on the Spark parquet side that DuckDB's naive timestamps
+    * don't, so cross-engine outputs stick to keys and decimals
+    * (SURVEY §6 discipline).
+    */
+  private def LateralTopkSql(cust: String, ord: String): String = s"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM $cust c,
+    LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+             FROM $ord o WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 3) o
+    ORDER BY c.c_custkey, o.o_orderkey"""
 
   /** EXACT quantiles by two-round histogram rank-narrowing (q51's
     * algorithm): for each decimal-string probability in `ps`, the value
