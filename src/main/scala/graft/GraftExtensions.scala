@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, HeavyHittersAgg, QuantileSketchAgg, ShingleExpr, SignBitsExpr, TopKAgg}
+import graft.functions.{CdcBoundsExpr, CosineSim, DotProduct, HeavyHittersAgg, QuantileSketchAgg, ShingleExpr, SignBitsExpr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(c: Int, _) => HeavyHittersAgg(exprs(0), c)
         case other => throw new IllegalArgumentException(
           s"heavy_hitters(word, capacity): capacity must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("cdc_bounds"),
+      info("cdc_bounds", "cdc_bounds(payload, maskBits, maxBytes) - content-defined chunk boundaries as array<struct<off,len>>"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (Literal(m: Int, _), Literal(x: Int, _)) => CdcBoundsExpr(exprs(0), m, x)
+        case other => throw new IllegalArgumentException(
+          s"cdc_bounds(payload, maskBits, maxBytes): maskBits/maxBytes must be integer literals, got $other")
       }))
 
     e.injectFunction((

@@ -572,7 +572,81 @@ object Multimodal {
                (ROUND(CAST(sh AS DOUBLE) / n_transitions, 6) + 0.0) AS mean_hamming,
                max_hamming,
                (sh < n_transitions * 10) AS is_static
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    // ── m13: CONTENT-DEFINED chunk dedup — the storage-dedup/rsync ──
+    // answer to m02's fixed frames: a rolling 16-byte Karp–Rabin window
+    // (codegen'd CdcBoundsExpr, one O(n) pass in-scan) cuts wherever
+    // the hash lands on a zero residue mod 2^6, so boundaries follow
+    // CONTENT — insert a byte and fixed frames all shift (zero dedup
+    // hits) while CDC boundaries resynchronize within ~window+mask
+    // bytes (law-pinned). Per-asset report: chunk count, chunks shared
+    // with ≥1 other asset, shared-byte fraction. Scale: boundaries and
+    // chunk md5s are computed IN the scan — the payload never shuffles,
+    // only ~len/64 16-byte hashes per asset; the share detection is a
+    // uniform hash groupBy (d01's shape). Oracle: the identical rolling
+    // hash spelled naively in DuckDB (per-position Σ byte·31^j mod 2^31
+    // — homomorphic to the rolling form, so boundaries match bitwise),
+    // over the same ASCII payload bytes m01 pinned char≡byte for.
+    GQuery("m13_cdc_dedup",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.CdcBoundsExpr.cdcBounds
+        val ch = Tables.load(s, d, "documents")
+          .filter(length($"text") > 0)
+          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+          .select($"doc_id", $"payload",
+            explode(cdcBounds($"payload", 6, 256)).as("c"))
+          .select($"doc_id", $"c.len".as("ln"),
+            md5($"payload".substr($"c.off" + 1, $"c.len")).as("h"))
+        val shared = ch.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2)
+          .select($"h", lit(1).as("is_sh"))
+        ch.join(shared, Seq("h"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"is_sh".isNotNull, 1L).otherwise(0L)).as("n_shared"),
+            roundz(sum(when($"is_sh".isNotNull, $"ln").otherwise(0L)) * lit(1.0)
+              / sum($"ln"), 4).as("shared_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, substr(text, 1, 256) AS s
+                      FROM documents WHERE strlen(text) > 0),
+        pos AS (SELECT doc_id, s, unnest(range(16, strlen(s) + 1)) AS i FROM docs),
+        hv AS (SELECT doc_id, i,
+                 list_sum(list_transform(range(0, 16), j ->
+                   CAST(ord(substr(s, CAST(i - j AS INT), 1)) % 256 AS BIGINT) *
+                     ([1,31,961,29791,923521,28629151,887503681,1742810335,340029185,1950970143,350532289,129082719,1854080641,1641925023,1507551809,1636949471])[CAST(j + 1 AS INT)]
+                 )) % 2147483648 AS h
+               FROM pos),
+        bnd AS (SELECT doc_id, i FROM hv WHERE h % 64 = 0),
+        bl AS (SELECT doc_id, list(i ORDER BY i) AS bs FROM bnd GROUP BY doc_id),
+        ends AS (SELECT d.doc_id, d.s,
+                   CASE WHEN bl.bs IS NULL THEN [CAST(strlen(d.s) AS BIGINT)]
+                        WHEN bs[len(bs)] = strlen(d.s) THEN bs
+                        ELSE list_append(bs, CAST(strlen(d.s) AS BIGINT)) END AS es
+                 FROM docs d LEFT JOIN bl ON d.doc_id = bl.doc_id),
+        chunks AS (SELECT doc_id, s,
+                     unnest(list_transform(range(1, len(es) + 1), ci ->
+                       struct_pack(
+                         off := CASE WHEN ci = 1 THEN 0 ELSE es[CAST(ci AS INT) - 1] END,
+                         ln := es[CAST(ci AS INT)] -
+                               (CASE WHEN ci = 1 THEN 0 ELSE es[CAST(ci AS INT) - 1] END)
+                       ))) AS c
+                   FROM ends),
+        ch AS (SELECT doc_id, c.ln AS ln,
+                      md5(substr(s, CAST(c.off + 1 AS INT), CAST(c.ln AS INT))) AS h
+               FROM chunks),
+        shared AS (SELECT h, 1 AS is_sh FROM ch GROUP BY h
+                   HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN sh.is_sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               (ROUND(SUM(CASE WHEN sh.is_sh IS NOT NULL THEN ln ELSE 0 END) * 1.0 / SUM(ln), 4) + 0.0) AS shared_frac
+        FROM ch LEFT JOIN shared sh ON ch.h = sh.h
+        GROUP BY ch.doc_id ORDER BY ch.doc_id"""))
   )
 
   /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */

@@ -715,4 +715,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"trial $trial k=$k: bound ${sk.err} useless vs n=$n")
     }
   }
+
+  test("CDC law: boundaries resynchronize after a front insertion; fixed frames never do") {
+    // the property m13 exists for: content-defined cuts depend only on
+    // the local 16-byte window, so prefixing ONE byte shifts every cut
+    // position by one but keeps the SAME cut set beyond the window —
+    // every chunk after the first surviving cut is byte-identical.
+    // Fixed-size frames (m02's shape) all shift and share nothing.
+    import graft.functions.CdcBoundsExpr
+    val rnd = new scala.util.Random(11)
+    (0 until 8).foreach { trial =>
+      val payload = Array.fill(2000)((rnd.nextInt(256) - 128).toByte)
+      val edited = 0x41.toByte +: payload
+      def chunks(bs: Array[Byte]): Seq[Seq[Byte]] =
+        CdcBoundsExpr.bounds(bs, 6, 1 << 20).toSeq
+          .map { case (o, l) => bs.slice(o, o + l).toSeq }
+      val (ca, cb) = (chunks(payload), chunks(edited))
+      assert(ca.nonEmpty && ca.map(_.length).sum == 2000, s"trial $trial: cover broken")
+      assert(cb.map(_.length).sum == 2001, s"trial $trial: edited cover broken")
+      assert(ca.length >= 3, s"trial $trial: too few chunks (${ca.length}) — vacuous")
+      // every chunk of the original except the FIRST must reappear
+      // verbatim in the edited chunking (window hash at position i+1 of
+      // the edited stream equals position i of the original for i ≥ 16,
+      // so all original cuts ≥ 16 survive shifted)
+      val bSet = cb.toSet
+      ca.drop(1).foreach { c =>
+        assert(bSet.contains(c), s"trial $trial: post-edit chunk lost (len ${c.length})")
+      }
+      // fixed 64-byte frames: the +1 shift misaligns every frame
+      def frames(bs: Array[Byte]): Set[Seq[Byte]] =
+        bs.grouped(64).map(_.toSeq).toSet
+      val sharedFrames = frames(payload).intersect(frames(edited))
+      assert(sharedFrames.size <= 1, // the ragged tail can coincide by luck
+        s"trial $trial: fixed frames unexpectedly survived the shift: ${sharedFrames.size}")
+    }
+  }
 }
