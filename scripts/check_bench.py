@@ -44,14 +44,16 @@ def refresh(budget_path, local_path):
     for k in sorted(local):
         if k.endswith("_build"):
             budget[k] = round(local[k] * MARGIN, 2)
-    # shuffle ceiling: the single-query max shuffle volume. Wall seconds
-    # drift with GC and machine load; shuffle bytes are a property of the
-    # PLAN — a query suddenly shuffling the corpus (a broadcast that fell
-    # back, a pushdown that stopped firing) blows straight through this
-    # even when its wall time hides in family noise.
+    # PER-QUERY shuffle ceilings. Wall seconds drift with GC and machine
+    # load; shuffle bytes are a property of the PLAN — a query whose
+    # broadcast silently falls back to a corpus shuffle blows through its
+    # own ceiling even when its wall time hides in family noise (a single
+    # global max would only catch regressions in the top shuffler). The
+    # +0.5 MB grace absorbs partition-count jitter on near-zero queries.
     sh = local.get("shuffle_mb") or {}
     if sh:
-        budget["shuffle_mb_max"] = round(max(sh.values()) * MARGIN, 2)
+        budget["shuffle_mb"] = {
+            q: round(v * MARGIN + 0.5, 2) for q, v in sorted(sh.items())}
     Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
     print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
     return 0
@@ -84,14 +86,20 @@ def main(argv):
         n_fail += local[k] > budget[k]
         print(f"{status:4} {k} {local[k]:.2f}s / budget {budget[k]:.2f}s")
     sh = local.get("shuffle_mb") or {}
-    if sh and "shuffle_mb_max" in budget:
+    sh_budget = budget.get("shuffle_mb") or {}
+    if sh and sh_budget:
+        over = [(q, v, sh_budget[q]) for q, v in sorted(sh.items())
+                if q in sh_budget and v > sh_budget[q]]
+        for q, v, ceil_v in over:
+            print(f"FAIL shuffle {q}: {v:.2f} MB / budget {ceil_v:.2f} MB")
+        n_fail += len(over)
+        fresh = sorted(set(sh) - set(sh_budget))
+        if fresh:
+            print(f"warn shuffle: {len(fresh)} queries without a shuffle "
+                  f"budget yet — run --refresh once intentional")
         top = sorted(sh.items(), key=lambda kv: -kv[1])[:5]
-        mx_name, mx = top[0]
-        status = "FAIL" if mx > budget["shuffle_mb_max"] else "ok"
-        n_fail += mx > budget["shuffle_mb_max"]
-        print(f"{status:4} shuffle max {mx:.2f} MB ({mx_name}) / "
-              f"budget {budget['shuffle_mb_max']:.2f} MB")
-        print("     top shufflers: " +
+        print(("ok  " if not over else "    ") +
+              f" shuffle: {len(sh) - len(over)}/{len(sh)} under budget; top: " +
               ", ".join(f"{k}={v:.2f}MB" for k, v in top))
     if local["value"] > budget["total"]:
         n_fail += 1

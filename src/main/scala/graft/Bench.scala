@@ -83,6 +83,7 @@ object Bench {
           System.err.println(s"[bench] WARM-UP FAILED (timed numbers will run cold): $e")
       }
       graft.operators.Dedup.releaseSignatures()
+      graft.operators.Relational.releaseCaches()
       System.gc()
     }
     spark.conf.set(graft.operators.SignatureStore.ConfKey, storeBase.toString)
@@ -101,6 +102,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseSignatures()
+      graft.operators.Relational.releaseCaches()
     }
     // min of 3 timed runs per query + an explicit GC boundary: a stray
     // full-GC pause otherwise lands inside some unlucky query and reports
@@ -133,6 +135,7 @@ object Bench {
         } catch { case _: Throwable => () }
         spark.catalog.clearCache()
         graft.operators.Dedup.releaseSignatures()
+        graft.operators.Relational.releaseCaches()
         (System.nanoTime() - t0) / 1e9
       }
       System.gc()

@@ -19,7 +19,11 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      if (cold) { spark.catalog.clearCache(); graft.operators.Dedup.releaseSignatures() }
+      if (cold) {
+        spark.catalog.clearCache()
+        graft.operators.Dedup.releaseSignatures()
+        graft.operators.Relational.releaseCaches()
+      }
     }
     spark.stop()
   }

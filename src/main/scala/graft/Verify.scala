@@ -41,6 +41,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.releaseSignatures()
+    graft.operators.Relational.releaseCaches()
     spark.stop()
   }
 }

@@ -1304,12 +1304,17 @@ object Relational {
         // reference inlines its definition — so `ranked` (a corpus-wide
         // window) would be recomputed ~41× (the longest chain). CACHE the
         // ranked frame once and let every iteration's equi-join hit the
-        // InMemoryRelation: measured 10.5 s → ~3 s at sf0.1. DuckDB's
+        // InMemoryRelation: measured 10.5 s → ~6 s at sf0.1. DuckDB's
         // oracle keeps the one-statement form (its executor materializes
         // CTEs); the SQL text is shared modulo this materialization seam.
+        // The cache is orders-scale, so it follows Dedup's memo contract:
+        // memoized per (session, corpus), released via releaseCaches()
+        // (called wherever releaseSignatures is) — never left pinned by
+        // a one-off caller.
         t(s, d, "orders").createOrReplaceTempView("g_orders")
-        s.sql(s"SELECT * FROM (${RankedOrdersSql("g_orders")})")
-          .cache().createOrReplaceTempView("g_ranked")
+        rankedCache.getOrElseUpdate((s, d),
+            s.sql(s"SELECT * FROM (${RankedOrdersSql("g_orders")})").cache())
+          .createOrReplaceTempView("g_ranked")
         s.sql(RecursiveChainSql("g_ranked"))
       },
       Some(RecursiveBalanceSql("orders"))),
@@ -1495,6 +1500,21 @@ object Relational {
       },
       Some(LateralTopkSql("customer", "orders")))
   )
+
+  /** q50's memoized corpus-scale ranked frame (see the query comment). */
+  private val rankedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Release every corpus-scale cache this module holds (q50's ranked
+    * frame) — the [[graft.operators.Dedup.releaseSignatures]] contract;
+    * Verify and Bench call both together.
+    */
+  def releaseCaches(): Unit = {
+    rankedCache.values.foreach { df =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    rankedCache.clear()
+  }
 
   /** One LATERAL text, two engines (q55). The date stays INSIDE the
     * lateral (it only ranks recency): raw timestamp outputs carry a TZ

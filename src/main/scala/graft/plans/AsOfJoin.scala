@@ -329,49 +329,36 @@ object AsOf {
                       leftTime: String, rightTime: String,
                       direction: String = "backward",
                       tolerance: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, ScalarSubquery, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, IsNotNull, ScalarSubquery, XxHash64, BloomFilterMightContain}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
-    val dir = AsOfDirection.parse(direction)
-    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
     val lPlan = left.queryExecution.analyzed
-    val rPlan0 = right.queryExecution.analyzed
-    // fresh exprIds on the right — same shared-lineage discipline as join()
-    val rPlan = Project(
-      rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    val rPlan = right.queryExecution.analyzed
     val (lkA, rkA) = (attr(lPlan, key), attr(rPlan, key))
-    val (ltA, rtA) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
-    require(org.apache.spark.sql.types.DataType.equalsStructurally(
-        lkA.dataType, rkA.dataType, ignoreNullability = true),
-      s"as-of key types must match exactly: left $key is ${lkA.dataType}, " +
-        s"right $key is ${rkA.dataType} (cast explicitly before joining)")
-    def longBacked(dt: DataType): Boolean =
-      dt == TimestampType || dt == TimestampNTZType || dt == LongType
-    require(longBacked(ltA.dataType),
-      s"as-of left time $leftTime must be Timestamp/TimestampNTZ/Long, got ${ltA.dataType}")
-    require(ltA.dataType == rtA.dataType,
-      s"as-of time types must match exactly: left $leftTime is ${ltA.dataType}, " +
-        s"right $rightTime is ${rtA.dataType} (cast explicitly before joining)")
     // bloom over xxhash64(left key): InjectRuntimeFilter's exact recipe —
     // the aggregate runs as an uncorrelated scalar subquery, its binary
     // result feeds might_contain against the right side's hashed key.
-    // NULL right keys hash to NULL → might_contain NULL → filtered, which
-    // is correct: a NULL key never matches in the merge anyway.
+    // XxHash64 never returns NULL (a null child hashes to the seed), so
+    // NULL right keys would PASS might_contain and shuffle into one hot
+    // merge partition without ever matching — the explicit IsNotNull
+    // drops them at the scan, where the merge semantics already say they
+    // can never be emitted.
     val bloomAgg = Aggregate(Nil,
       Seq(Alias(new BloomFilterAggregate(new XxHash64(Seq(lkA)))
         .toAggregateExpression(), "graft_asof_bf")()),
       Project(Seq(lkA), lPlan))
-    val rFiltered = Filter(
-      BloomFilterMightContain(
-        ScalarSubquery(bloomAgg), new XxHash64(Seq(rkA))),
-      rPlan)
-    GraftPlanBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rFiltered, lkA, attr(rFiltered, key),
-        ltA, attr(rFiltered, rightTime), dir, tolerance))
+    val rFiltered = GraftPlanBridge.ofRows(left.sparkSession,
+      Filter(And(IsNotNull(rkA),
+        BloomFilterMightContain(ScalarSubquery(bloomAgg), new XxHash64(Seq(rkA)))),
+        rPlan))
+    // all validation (key/time types, tolerance, direction parse) and the
+    // shared-lineage re-alias live in join() — ONE copy of the
+    // preconditions governs both entry points
+    join(left, rFiltered, key, leftTime, rightTime, direction, tolerance)
   }
 
   /** COMPOSITE-KEY as-of join — the production shape where the match key

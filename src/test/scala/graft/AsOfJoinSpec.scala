@@ -322,13 +322,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     val got = joined.select($"k", $"tag").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == (1L to 4L).map(k => k -> s"$k-2").toMap, s"wrong matches: $got")
-    // pruning: re-run the injected right-side filter standalone and count
+    // pruning: EXECUTE the injected right-side bloom filter standalone
+    // and count survivors — a degenerate always-true bloom (wrong side,
+    // empty filter) would pass the parity assertions above but fail here
     val bloomed = AsOf.joinKeyFiltered(left, right, "k", "t", "t")
       .queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter
             if f.condition.toString.contains("might_contain") => f
       }
     assert(bloomed.nonEmpty, "right-side bloom Filter missing from the optimized plan")
+    val survivors = org.apache.spark.sql.GraftPlanBridge
+      .ofRows(spark, bloomed.get).count()
+    // 12 matching-key rows must survive; the other 11,988 foreign-key
+    // rows may only leak through as bloom false positives (default FPP
+    // 3% ⇒ ~360 expected; 1200 = 10% is far beyond any plausible run)
+    assert(survivors >= 12, s"bloom dropped matching-key rows: $survivors")
+    assert(survivors <= 1200,
+      s"bloom prefilter barely prunes: $survivors of 12000 dimension rows survived")
   }
 
   test("bucketed+sorted layout: the as-of join is a pure merge — zero Exchange, zero Sort") {
