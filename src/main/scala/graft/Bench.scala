@@ -166,8 +166,17 @@ object Bench {
     // GC-noise, so regressions gate at the level that actually moves.
     val families = results.groupBy(_._1.takeWhile(!_.isDigit))
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    // Machine-load stamp: the round-6 artifact was committed from a run
+    // ~35% hot and its per-query numbers read as regressions that were
+    // noise. The 1-minute load average (total across the run window,
+    // sampled at the end) lets a reader judge whether a run is
+    // comparable BEFORE diffing per-query values.
+    val loadAvg = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","load_avg":${fmt(loadAvg)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"load_avg":${fmt(loadAvg)},"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }
