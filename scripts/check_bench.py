@@ -29,8 +29,29 @@ def load(p):
     return json.loads(Path(p).read_text())
 
 
-def refresh(budget_path, local_path):
+MAX_REFRESH_LOAD = 0.25  # load_avg/cpus above this → machine too hot to re-baseline
+
+# (BENCH_LOCAL key, flat grace added on refresh). shuffle: partition-count
+# jitter on near-zero queries; spill: 0 at sf0.1 for every healthy plan, so
+# any budget must tolerate the first nonzero byte being noise (64 MB ≈ one
+# task's sort buffer); peakmem: per-task max swings with AQE coalescing.
+PER_QUERY_GATES = [("shuffle_mb", 0.5), ("spill_mb", 64.0), ("peakmem_mb", 64.0)]
+
+
+def refresh(budget_path, local_path, force=False):
     local = load(local_path)
+    # Quiet-machine gate: budgets taken from a hot run are inflated by
+    # whatever else the machine was doing and then mask real regressions
+    # for every later round. Refuse to re-baseline unless the run was
+    # quiet (BENCH_HISTORY shows 84–97 s spreads at load_avg≈13 on the
+    # SAME code). --force overrides for a deliberate hot re-baseline.
+    load_avg = local.get("load_avg", -1.0)
+    cpus = local.get("cpus", 32)
+    if load_avg >= 0 and load_avg / cpus > MAX_REFRESH_LOAD and not force:
+        print(f"REFUSED: load_avg {load_avg:.1f} on {cpus} CPUs "
+              f"(> {MAX_REFRESH_LOAD:.2f}/cpu) — rerun the bench on a quiet "
+              f"machine or pass --force to re-baseline hot")
+        return 1
     fams = local.get("families") or {}
     if not fams:
         print(f"no 'families' key in {local_path} — rerun graft.Bench first")
@@ -44,16 +65,19 @@ def refresh(budget_path, local_path):
     for k in sorted(local):
         if k.endswith("_build"):
             budget[k] = round(local[k] * MARGIN, 2)
-    # PER-QUERY shuffle ceilings. Wall seconds drift with GC and machine
-    # load; shuffle bytes are a property of the PLAN — a query whose
-    # broadcast silently falls back to a corpus shuffle blows through its
-    # own ceiling even when its wall time hides in family noise (a single
-    # global max would only catch regressions in the top shuffler). The
-    # +0.5 MB grace absorbs partition-count jitter on near-zero queries.
-    sh = local.get("shuffle_mb") or {}
-    if sh:
-        budget["shuffle_mb"] = {
-            q: round(v * MARGIN + 0.5, 2) for q, v in sorted(sh.items())}
+    # PER-QUERY plan-property ceilings. Wall seconds drift with GC and
+    # machine load; shuffle bytes, spilled bytes, and peak execution
+    # memory are properties of the PLAN — a query whose broadcast
+    # silently falls back to a corpus shuffle, or whose aggregate starts
+    # buffering whole groups per task (the q44-style collect-then-sort
+    # regression class), blows through its own ceiling even when its
+    # wall time hides in family noise. The flat grace absorbs
+    # partition-count jitter on near-zero queries.
+    for key, grace in PER_QUERY_GATES:
+        vals = local.get(key) or {}
+        if vals:
+            budget[key] = {
+                q: round(v * MARGIN + grace, 2) for q, v in sorted(vals.items())}
     Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
     print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
     return 0
@@ -64,8 +88,12 @@ def main(argv):
     budget_path = args[0] if len(args) > 0 else "BENCH_BUDGET.json"
     local_path = args[1] if len(args) > 1 else "BENCH_LOCAL.json"
     if "--refresh" in argv:
-        return refresh(budget_path, local_path)
+        return refresh(budget_path, local_path, force="--force" in argv)
     budget, local = load(budget_path), load(local_path)
+    load_avg, cpus = local.get("load_avg", -1.0), local.get("cpus", 32)
+    if load_avg >= 0 and load_avg / cpus > MAX_REFRESH_LOAD:
+        print(f"warn: local run is HOT (load_avg {load_avg:.1f}/{cpus} cpus) — "
+              f"FAILs below may be machine noise; rerun quiet before acting")
     fams = local.get("families") or {}
     n_fail = 0
     for fam, ceiling in sorted(budget["families"].items()):
@@ -85,21 +113,30 @@ def main(argv):
         status = "FAIL" if local[k] > budget[k] else "ok"
         n_fail += local[k] > budget[k]
         print(f"{status:4} {k} {local[k]:.2f}s / budget {budget[k]:.2f}s")
-    sh = local.get("shuffle_mb") or {}
-    sh_budget = budget.get("shuffle_mb") or {}
-    if sh and sh_budget:
-        over = [(q, v, sh_budget[q]) for q, v in sorted(sh.items())
-                if q in sh_budget and v > sh_budget[q]]
+    for key, _grace in PER_QUERY_GATES:
+        name = key.split("_")[0]
+        vals = local.get(key) or {}
+        key_budget = budget.get(key) or {}
+        if vals and not key_budget:
+            # a budget file with no entry for this gate at all (pre-refresh
+            # budgets, forks) must say the gate is NOT enforcing, not
+            # silently skip it
+            print(f"warn {name}: local run has {key} but the budget has "
+                  f"none — {name} gate NOT enforced; run --refresh")
+        if not (vals and key_budget):
+            continue
+        over = [(q, v, key_budget[q]) for q, v in sorted(vals.items())
+                if q in key_budget and v > key_budget[q]]
         for q, v, ceil_v in over:
-            print(f"FAIL shuffle {q}: {v:.2f} MB / budget {ceil_v:.2f} MB")
+            print(f"FAIL {name} {q}: {v:.2f} MB / budget {ceil_v:.2f} MB")
         n_fail += len(over)
-        fresh = sorted(set(sh) - set(sh_budget))
+        fresh = sorted(set(vals) - set(key_budget))
         if fresh:
-            print(f"warn shuffle: {len(fresh)} queries without a shuffle "
+            print(f"warn {name}: {len(fresh)} queries without a {name} "
                   f"budget yet — run --refresh once intentional")
-        top = sorted(sh.items(), key=lambda kv: -kv[1])[:5]
+        top = sorted(vals.items(), key=lambda kv: -kv[1])[:5]
         print(("ok  " if not over else "    ") +
-              f" shuffle: {len(sh) - len(over)}/{len(sh)} under budget; top: " +
+              f" {name}: {len(vals) - len(over)}/{len(vals)} under budget; top: " +
               ", ".join(f"{k}={v:.2f}MB" for k, v in top))
     if local["value"] > budget["total"]:
         n_fail += 1

@@ -37,9 +37,93 @@ object Bench {
     walk(plan)
   }
 
+  /** Executed-plan totals for the two per-task buffering metrics the
+    * shuffle gate can't see: spilled bytes (sum of every operator's
+    * "spillSize" — sort, aggregate, SMJ buffers) and peak execution
+    * memory (max over operators of "peakMemory"). A q44-style
+    * collect-then-sort aggregate regresses HERE first: its buffer grows
+    * with group size while its shuffle stays flat.
+    */
+  private[graft] def planMetric(plan: org.apache.spark.sql.execution.SparkPlan,
+                                metric: String, max: Boolean): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def comb(a: Long, b: Long): Long = if (max) math.max(a, b) else a + b
+    def walk(p: SparkPlan): Long = {
+      if (!seen.add(p)) return 0L
+      val self = p.metrics.get(metric).map(_.value).getOrElse(0L)
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case c: InMemoryTableScanExec => walk(c.relation.cachedPlan)
+        case other =>
+          other.children.map(walk).foldLeft(0L)(comb)
+      }
+      val subs = p.subqueries.map(walk).foldLeft(0L)(comb)
+      comb(self, comb(below, subs))
+    }
+    walk(plan)
+  }
+
+  /** Bounded wait for a quiet machine: committed artifacts from hot runs
+    * (round 7: load_avg 13.7/32) read as per-query regressions that were
+    * noise. Waits until 1-min load ≤ `frac`·cpus or the deadline, then
+    * proceeds either way — the run is stamped with start AND end load so
+    * a reader can judge comparability.
+    */
+  private def awaitQuiet(frac: Double = 0.25, maxWaitSec: Int = 120): Double = {
+    // PHYSICAL core count, not the Spark thread count: the load average
+    // is a machine-wide number, and judging it against local[4] would
+    // call an idle 32-core box "hot" at load 1.1
+    val cores = Runtime.getRuntime.availableProcessors
+    val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var load = bean.getSystemLoadAverage
+    while (load > frac * cores && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] machine hot (load_avg $load%.1f / $cores cores) - waiting")
+      Thread.sleep(10000)
+      load = bean.getSystemLoadAverage
+    }
+    load
+  }
+
+  /** Task-metrics listener: spilled bytes and per-task peak execution
+    * memory accumulate across every task that ends while it is
+    * registered; the metrics pass snapshots around each query. These are
+    * TASK metrics (SparkListener), so they see spill the plan-level
+    * SQLMetrics miss (shuffle-write sorter spill has no plan node).
+    */
+  private final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    /** Listener delivery is async; poll until the spill counter is stable
+      * across a 100 ms window (bounded at 1 s) before snapshotting.
+      */
+    def settle(): Unit = {
+      var prev = -1L
+      var rounds = 0
+      while (prev != spilled.get() + peak.get() && rounds < 10) {
+        prev = spilled.get() + peak.get()
+        Thread.sleep(100)
+        rounds += 1
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = awaitQuiet()
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,35 +193,47 @@ object Bench {
     // a 20× outlier for code that runs in a second (min-of-2 still let
     // GC/loop noise swap family orderings between runs). Cache (including
     // the memoized dedup signature frame) cleared between queries so each
-    // timing stands alone.
+    // timing stands alone. All three timed runs are count() (Catalyst
+    // prunes to the cheapest execution — comparable with BENCH_HISTORY);
+    // the plan/task metrics come from a SEPARATE, UNTIMED fourth
+    // execution so the min-of-3 never mixes the full-projection shape in
+    // (round 7 ran metrics as run 3, quietly making it min-of-2).
     var shuffleMb = Map.empty[String, Double]
+    var spillMb = Map.empty[String, Double]
+    var peakmemMb = Map.empty[String, Double]
+    val taskMetrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(taskMetrics)
+    def mb(bytes: Long): Double = math.round(bytes / 1e4) / 100.0
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 3).map { i =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          if (i < 3) {
-            // timed like every prior round: count() (Catalyst prunes to
-            // the cheapest execution) — comparable with BENCH_HISTORY
-            df.count()
-          } else {
-            // run 3 executes the frame's OWN QueryExecution with the
-            // full output projection (df.count() builds a separate,
-            // pruned QueryExecution whose metrics stay zero) and reads
-            // the shuffle volume off its accumulator-backed SQLMetrics.
-            // min-of-3 still reports the count() timings when the full
-            // projection costs more.
-            val qe = df.queryExecution
-            qe.toRdd.count()
-            shuffleMb += name ->
-              (math.round(shuffleBytes(qe.executedPlan) / 1e4) / 100.0)
-          }
-        } catch { case _: Throwable => () }
+      def release(): Unit = {
         spark.catalog.clearCache()
         graft.operators.Dedup.releaseSignatures()
         graft.operators.Relational.releaseCaches()
+      }
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        release()
         (System.nanoTime() - t0) / 1e9
       }
+      // untimed metrics execution: the frame's OWN QueryExecution with
+      // the full output projection (count() builds a separate, pruned
+      // QueryExecution whose metrics stay zero). Shuffle volume reads
+      // off the plan's accumulator-backed SQLMetrics; spill and peak
+      // execution memory come from task metrics via the listener —
+      // snapshotted around the run so each query's delta stands alone.
+      try {
+        taskMetrics.settle()
+        val spill0 = taskMetrics.spilled.get()
+        taskMetrics.peak.set(0L)
+        val qe = fn(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        taskMetrics.settle()
+        shuffleMb += name -> mb(shuffleBytes(qe.executedPlan))
+        spillMb += name -> mb(taskMetrics.spilled.get() - spill0)
+        peakmemMb += name -> mb(taskMetrics.peak.get())
+      } catch { case _: Throwable => () }
+      release()
       System.gc()
       name -> times.min
     }
@@ -175,10 +271,16 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","load_avg":${fmt(loadAvg)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"load_avg":${fmt(loadAvg)},"sf":"$sfDir"}"""
+    // "cpus" = physical cores (what the load average is judged against in
+    // check_bench), independent of the local[N] thread count
+    val cores = Runtime.getRuntime.availableProcessors
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","load_avg":${fmt(loadAvg)},"load_start":${fmt(loadStart)},"cpus":$cores,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"spill_mb":${jsonMap(spillMb.toSeq.sortBy(_._1))},"peakmem_mb":${jsonMap(peakmemMb.toSeq.sortBy(_._1))},"load_avg":${fmt(loadAvg)},"load_start":${fmt(loadStart)},"cpus":$cores,"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
+    // scoped debug runs (name-prefix args) must not clobber the committed
+    // full-surface artifact — they land in BENCH_SCOPED.json instead
+    val artifact = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SCOPED.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -172,6 +172,55 @@ object Dedup {
     }
   }
 
+  /** One-permutation-hashing signature frame (d24's estimator, Li/Owen/
+    * Zhang 2012 + rotation densification, Shrivastava & Li 2014) with
+    * the SAME output schema as [[signatureFrame]] — m0..m15 slot minima
+    * + b0..b3 band keys, one row per document — so every banded-LSH
+    * consumer is family-agnostic: slot k's value collides for two docs
+    * exactly when their min-hash in that bin agrees, and the 4×4 banding
+    * + matching-slots/16 estimate downstream are bit-identical machinery.
+    *
+    * Cost shape vs [[signatureFrame]]: ONE min-aggregate over (doc, bin)
+    * instead of 16 min columns per doc — the per-shingle work drops from
+    * 16 permutation mixes folded into 16 aggregation buffers to one
+    * modulo + one buffer update. At small SF the extra aggregate stages
+    * (bin → pack → densify) dominate and OPH measures SLOWER; the win
+    * arrives when the scan is hash/aggregate-bound (large SF) — measured
+    * in SCALING.md, which is why the family is a deployment knob
+    * ([[SignatureStore.FamilyKey]]) rather than a hard default for the
+    * inline pipeline (whose DuckDB oracle pins the 16-perm family).
+    *
+    * Docs whose every slot comes from one occupied bin (short docs)
+    * densify to a total signature; docs with no 3-shingle at all are
+    * absent, like [[signatureFrame]].
+    */
+  def ophSignatureFrame(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    val K = NumPerms
+    val hs = docsDf.select($"doc_id", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"doc_id", hash64($"sh").as("h"))
+    // (doc, bin) min-hash: partial agg collapses map-side to ≤K rows per
+    // doc before the one shuffle
+    val bins = hs.select($"doc_id", ($"h" % K).as("bin"), $"h")
+      .groupBy($"doc_id", $"bin").agg(min($"h").as("m"))
+    val packed = bins.groupBy($"doc_id")
+      .agg(collect_list(struct($"bin", $"m")).as("bm"))
+    // rotation densification: slot k = the nearest non-empty bin at
+    // (k+j) mod K, scanning j upward — pure K-element list algebra,
+    // no extra shuffle, deterministic (bins are unique per doc)
+    val dense = packed.select($"doc_id",
+      transform(sequence(lit(0), lit(K - 1)), k =>
+        element_at(flatten(filter(
+          transform(sequence(lit(0), lit(K - 1)), j =>
+            filter($"bm", e => e.getField("bin") === (k + j) % K)),
+          l => size(l) > 0)), 1).getField("m")).as("sig"))
+    val sig = dense.select(($"doc_id" +: (0 until K).map(p => $"sig"(p).as(s"m$p"))): _*)
+    (0 until NumBands).foldLeft(sig) { case (df, b) =>
+      df.withColumn(s"b$b", concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
+    }
+  }
+
   /** Unpersist and forget every memoized signature frame (end of a
     * Verify/Bench run — no leaked cache blocks).
     *
@@ -209,9 +258,17 @@ object Dedup {
   /** d02's near-dup pair pipeline (band-bucket candidates → estimated
     * jaccard ≥ 0.5), shared with the component clustering (d08).
     */
-  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sig = signatures(s, d)
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromSignatures(signatures(s, d))
+
+  /** Band-bucket candidates → matching-slots estimate ≥ 0.5 over ANY
+    * banded-signature frame (m0..m15 + b0..b3) — the family-agnostic
+    * half of the LSH pipeline, shared verbatim by the 16-permutation
+    * family (d02, via the memoized/store-backed [[signatures]]) and the
+    * OPH family (d24 / the OPH store).
+    */
+  private[operators] def pairsFromSignatures(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val bands = sig.select($"doc_id", posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band", "bkey")
     val cand = bands.as("x").join(bands.as("y"),
@@ -1472,42 +1529,11 @@ object Dedup {
     GQuery("d24_oph_minhash",
       (s, d) => {
         import s.implicits._
-        val K = 16
-        val hs = docs(s, d)
-          .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("sh"))
-          .select($"doc_id", hash64($"sh").as("h"))
-        // (doc, bin) min-hash: partial agg collapses map-side to ≤16
-        // rows per doc before the one shuffle
-        val bins = hs.select($"doc_id", ($"h" % K).as("bin"), $"h")
-          .groupBy($"doc_id", $"bin").agg(min($"h").as("m"))
-        val packed = bins.groupBy($"doc_id")
-          .agg(collect_list(struct($"bin", $"m")).as("bm"))
-        // rotation densification: slot k = the nearest non-empty bin at
-        // (k+j) mod 16, scanning j upward — pure 16-element list algebra,
-        // no extra shuffle, deterministic (bins are unique per doc)
-        val dense = packed.select($"doc_id",
-          transform(sequence(lit(0), lit(K - 1)), k =>
-            element_at(flatten(filter(
-              transform(sequence(lit(0), lit(K - 1)), j =>
-                filter($"bm", e => e.getField("bin") === (k + j) % K)),
-              l => size(l) > 0)), 1).getField("m")).as("sig"))
-        val bands = dense.select($"doc_id", posexplode(
-            array((0 until 4).map(b => concat_ws("_",
-              (0 until 4).map(i => $"sig"(b * 4 + i).cast(StringType)): _*)): _*)))
-          .toDF("doc_id", "band", "bkey")
-        val cand = bands.as("x").join(bands.as("y"),
-            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
-              $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
-          .distinct()
-        val si = dense.select($"doc_id".as("i"), $"sig".as("sig_i"))
-        val sj = dense.select($"doc_id".as("j"), $"sig".as("sig_j"))
-        cand.join(si, "i").join(sj, "j")
-          .withColumn("est_jaccard",
-            size(filter(zip_with($"sig_i", $"sig_j", (a, b) => a === b),
-              x => x)).cast(DoubleType) / K)
-          .filter($"est_jaccard" >= 0.5)
-          .select($"i", $"j", $"est_jaccard")
+        // signature construction in [[ophSignatureFrame]] (same schema as
+        // the 16-perm family), pair pipeline shared verbatim with d02 via
+        // [[pairsFromSignatures]] — the refactor that lets SignatureStore
+        // build either family behind one consumer surface
+        pairsFromSignatures(ophSignatureFrame(docs(s, d)))
           .orderBy($"i", $"j")
       },
       Some("""

@@ -649,6 +649,201 @@ object RegistryOps {
         SELECT extractor_id, method, residual_field, COUNT(*) AS n_commands
         FROM residual
         GROUP BY extractor_id, method, residual_field
-        ORDER BY extractor_id, method, residual_field"""))
+        ORDER BY extractor_id, method, residual_field""")),
+
+    // ── r14: python call-plan parse — `_prepare_python` (__init__.py: ──
+    // 308-346) as relational columns: the templated python command is
+    // parsed into its function tree (dotted head before the first '('),
+    // positional args, and kwargs, at REFERENCE fidelity including the
+    // quirks its own TODO admits ("this parser will need to be made very
+    // robust"): the argument span is text between the FIRST '(' and the
+    // FIRST ')' (so nested calls gross-parse to the inner head), '()'
+    // yields one empty positional, dequote strips ONE layer of matching
+    // quotes then re-strips whitespace, a segment with two '='s or any
+    // brace raises (here: status='error:cannot_parse' with the offending
+    // raw segment), a command with no '(' at all is the IndexError path
+    // (status='error:no_call'), and duplicate kwargs last-win
+    // (dict.update order). has_residual composes r13's lint: an arg that
+    // still carries a '{{ field }}' placeholder reached the call parse
+    // unfilled. One shared scalar-fragment SQL text runs on both engines
+    // (only the array-explode syntax differs); parsing is map-side
+    // column work over the broadcast dispatch chain — the only shuffles
+    // are the |commands|-sized kwarg last-wins aggregate and positional
+    // renumbering window, both keyed by cmd_id.
+    GQuery("r14_call_plan_parse",
+      (s, d) => {
+        import s.implicits._
+        val files = catalog(s, d).filter($"doc_id" < 40)
+        val chosen = Registry.filetypes(s)
+          .filter(size($"registered_extractors") > 0)
+          .select($"filetype_id", element_at($"registered_extractors", 1).as("extractor_id"))
+        val real = files
+          .join(broadcast(chosen), Seq("filetype_id"))
+          .join(broadcast(resolvedUsages(s)), Seq("extractor_id", "preferred_mode"))
+          .join(broadcast(Registry.templates(s)), Seq("extractor_id", "filetype_id"), "left_outer")
+          .filter($"method" === "python")
+          .select($"doc_id".as("cmd_id"), $"extractor_id",
+            applyTemplate($"command", $"method", defaultFields(s)).as("command"))
+        val fixtures = parseFixtures.toDF("cmd_id", "extractor_id", "command")
+        real.unionByName(fixtures).createOrReplaceTempView("g_r14_cmds")
+        s.sql(callPlanParseSql(
+          cmdsRel = "(SELECT cmd_id, extractor_id, command FROM g_r14_cmds)",
+          segsCte = """
+            SELECT cmd_id, extractor_id, fn_head, CAST(pos + 1 AS INT) AS seg_idx, seg
+            FROM base LATERAL VIEW posexplode(split(inner_args, ',')) t AS pos, seg
+            WHERE has_call"""))
+      },
+      Some(callPlanParseSql(
+        cmdsRel = s"""(
+          WITH files AS (SELECT * FROM $catalogSql WHERE doc_id < 40),
+          chosen AS (
+            SELECT filetype_id, registered_extractors[1] AS extractor_id
+            FROM ${Registry.filetypesSql}
+            WHERE len(registered_extractors) > 0),
+          $resolvedSqlCtes,
+          j AS (
+            SELECT f.doc_id, c.extractor_id, r.method, r.command,
+                   f.filetype_id, f.input_path, f.output_type,
+                   t.t_input_type, t.t_input_path, t.t_output_type, t.t_output_path
+            FROM files f
+              JOIN chosen c ON f.filetype_id = c.filetype_id
+              JOIN resolved r ON c.extractor_id = r.extractor_id
+                   AND f.preferred_mode = r.preferred_mode
+              LEFT JOIN ${Registry.templatesSql} t
+                   ON t.extractor_id = c.extractor_id AND t.filetype_id = f.filetype_id)
+          SELECT CAST(doc_id AS BIGINT) AS cmd_id, extractor_id,
+                 ${applyTemplateSql("command")} AS command
+          FROM j WHERE method = 'python'
+          UNION ALL
+          SELECT * FROM (VALUES $parseFixturesSql) AS fx(cmd_id, extractor_id, command))""",
+        segsCte = """
+            SELECT cmd_id, extractor_id, fn_head,
+                   CAST(unnest(range(1, len(string_split(inner_args, ',')) + 1)) AS INT) AS seg_idx,
+                   unnest(string_split(inner_args, ',')) AS seg
+            FROM base WHERE has_call""")))
   )
+
+  /** Adversarial call-parse fixtures, one per `_prepare_python` branch:
+    * mixed quoting + kwargs, duplicate-kwarg last-wins, the two
+    * cannot-parse raises (double '=' incl. a quoted value containing
+    * '=', braces), the no-'(' IndexError path, the empty-parens
+    * one-empty-arg quirk, the nested-call gross-parse, whitespace
+    * re-stripping, and a residual placeholder surviving into an arg.
+    * Single source of truth for BOTH engines — [[parseFixturesSql]]
+    * renders these rows as a VALUES list, so the strings cannot drift.
+    */
+  private def parseFixtures: Seq[(Long, String, String)] = Seq(
+    (9001L, "fixture", "pkg.mod.fn('a', \"b\", kw1=3, kw2='x y')"),
+    (9002L, "fixture", "pkg.fn(kw=1, kw=2)"),
+    (9003L, "fixture", "pkg.fn(a==b)"),
+    (9004L, "fixture", "pkg.fn(m={1: 2})"),
+    (9005L, "fixture", "pkg.fn"),
+    (9006L, "fixture", "pkg.fn()"),
+    (9007L, "fixture", "outer.fn(inner.g(x), y)"),
+    (9008L, "fixture", "mod.run( 'spaced'  , plain , q=\"dq\" )"),
+    (9009L, "fixture", "mod.run('{{ output_type }}', '/tmp/x')"),
+    (9010L, "fixture", "mod.run(x='a=b')"),
+    (9011L, "fixture", "mod.run(one='1')"))
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def parseFixturesSql: String = parseFixtures
+    .map { case (id, ex, cmd) =>
+      s"(CAST($id AS BIGINT), ${sqlStr(ex)}, ${sqlStr(cmd)})" }
+    .mkString(",\n          ")
+
+  /** One reference `dequote` layer: removeprefix(q) then removesuffix(q)
+    * — each strips only when present (`__init__.py:316-324`). Emitted as
+    * engine-portable SQL text (substr/length/greatest only).
+    */
+  private def stripQuoteSql(s: String, q: String): String = {
+    val afterPre = s"(CASE WHEN substr($s, 1, 1) = $q THEN substr($s, 2) ELSE $s END)"
+    s"""(CASE WHEN substr($afterPre, greatest(length($afterPre), 1), 1) = $q
+         THEN substr($afterPre, 1, greatest(length($afterPre) - 1, 0))
+         ELSE $afterPre END)"""
+  }
+
+  /** Full reference dequote: strip → one quote layer (single' wins over
+    * double", each triggered by EITHER end matching) → strip again.
+    */
+  private def dequoteSql(x: String): String = {
+    val t = s"trim($x)"
+    s"""trim(CASE
+        WHEN substr($t, 1, 1) = chr(39)
+          OR substr($t, greatest(length($t), 1), 1) = chr(39)
+          THEN ${stripQuoteSql(t, "chr(39)")}
+        WHEN substr($t, 1, 1) = chr(34)
+          OR substr($t, greatest(length($t), 1), 1) = chr(34)
+          THEN ${stripQuoteSql(t, "chr(34)")}
+        ELSE $t END)"""
+  }
+
+  /** The r14 parse plan, one SQL text for both engines modulo the
+    * array-explode dialect (`segsCte`): cmds → base (head/span split) →
+    * segments → per-segment marks → first-bad-segment errors → ok rows
+    * (positional renumber window + kwarg last-wins aggregate) ∪ error
+    * rows, with fn_depth and the r13-composing has_residual lint on
+    * every row.
+    */
+  private def callPlanParseSql(cmdsRel: String, segsCte: String): String = {
+    val dqSeg = dequoteSql("seg")
+    val dqKey = dequoteSql("split_part(seg, '=', 1)")
+    val dqVal = dequoteSql("split_part(seg, '=', 2)")
+    s"""
+    WITH cmds AS (SELECT * FROM $cmdsRel),
+    base AS (
+      SELECT cmd_id, extractor_id,
+             split_part(command, '(', 1) AS fn_head,
+             instr(command, '(') > 0 AS has_call,
+             split_part(split_part(command, '(', 2), ')', 1) AS inner_args
+      FROM cmds),
+    segs AS ($segsCte),
+    marked AS (
+      SELECT cmd_id, extractor_id, fn_head, seg_idx, seg,
+             instr(seg, '=') > 0 AS is_kw,
+             (instr(seg, '=') > 0 AND (
+                length(seg) - length(replace(seg, '=', '')) > 1
+                OR instr(seg, '{') > 0 OR instr(seg, '}') > 0)) AS bad
+      FROM segs),
+    errs AS (
+      SELECT cmd_id, min(seg_idx) AS err_idx FROM marked WHERE bad GROUP BY cmd_id),
+    ok_segs AS (
+      SELECT m.* FROM marked m LEFT JOIN errs e ON m.cmd_id = e.cmd_id
+      WHERE e.cmd_id IS NULL),
+    pos_args AS (
+      SELECT cmd_id, extractor_id, fn_head, 'arg' AS part,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cmd_id ORDER BY seg_idx) AS INT) AS pos,
+             CAST(NULL AS STRING) AS kw_key,
+             $dqSeg AS val, 'ok' AS status
+      FROM ok_segs WHERE NOT is_kw),
+    kw_raw AS (
+      SELECT cmd_id, extractor_id, fn_head, seg_idx,
+             $dqKey AS kw_key, $dqVal AS kw_val
+      FROM ok_segs WHERE is_kw),
+    kw_args AS (
+      SELECT cmd_id, extractor_id, fn_head, 'kwarg' AS part,
+             CAST(NULL AS INT) AS pos, kw_key,
+             max_by(kw_val, seg_idx) AS val, 'ok' AS status
+      FROM kw_raw GROUP BY cmd_id, extractor_id, fn_head, kw_key),
+    err_rows AS (
+      SELECT m.cmd_id, m.extractor_id, m.fn_head, 'error' AS part,
+             CAST(NULL AS INT) AS pos, CAST(NULL AS STRING) AS kw_key,
+             m.seg AS val, 'error:cannot_parse' AS status
+      FROM marked m JOIN errs e ON m.cmd_id = e.cmd_id AND m.seg_idx = e.err_idx),
+    nocall_rows AS (
+      SELECT cmd_id, extractor_id, fn_head, 'error' AS part,
+             CAST(NULL AS INT) AS pos, CAST(NULL AS STRING) AS kw_key,
+             CAST(NULL AS STRING) AS val, 'error:no_call' AS status
+      FROM base WHERE NOT has_call),
+    unioned AS (
+      SELECT * FROM pos_args UNION ALL SELECT * FROM kw_args
+      UNION ALL SELECT * FROM err_rows UNION ALL SELECT * FROM nocall_rows)
+    SELECT CAST(cmd_id AS BIGINT) AS cmd_id, extractor_id, fn_head,
+           CAST(length(fn_head) - length(replace(fn_head, '.', '')) + 1 AS INT) AS fn_depth,
+           part, pos, kw_key, val,
+           coalesce(val LIKE '%{{ %', false) AS has_residual,
+           status
+    FROM unioned
+    ORDER BY cmd_id, part, coalesce(pos, 2147483647), coalesce(kw_key, '')"""
+  }
 }

@@ -1505,15 +1505,31 @@ object Relational {
   private val rankedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Release every corpus-scale cache this module holds (q50's ranked
-    * frame) — the [[graft.operators.Dedup.releaseSignatures]] contract;
-    * Verify and Bench call both together.
+  /** Per-call cached coordination frames ([[exactQuantilesBy]]'s
+    * stats/t1/t2) registered for release: each is kilobytes, but without
+    * a release hook a long-lived session calling the library repeatedly
+    * accumulates pinned InMemoryRelations until LRU eviction.
+    */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Release every cache this module holds (q50's corpus-scale ranked
+    * frame + the quantile coordination frames) — the
+    * [[graft.operators.Dedup.releaseSignatures]] contract; Verify and
+    * Bench call both together.
     */
   def releaseCaches(): Unit = {
     rankedCache.values.foreach { df =>
       try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
     }
     rankedCache.clear()
+    var df = trackedCaches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+      df = trackedCaches.poll()
+    }
   }
 
   /** One LATERAL text, two engines (q55). The date stays INSIDE the
@@ -1542,9 +1558,11 @@ object Relational {
     * CACHED — kilobytes — so each round reuses them instead of
     * re-deriving the whole prefix: the corpus is scanned exactly once
     * per round (4 single-column scans total), which is the algorithm's
-    * entire IO bill. Cache entries age out under the block manager's
-    * LRU — no explicit release contract needed (unlike Dedup's
-    * corpus-sized memo, which has one).
+    * entire IO bill. The cached frames are registered with
+    * [[releaseCaches]] (the same contract as q50's ranked frame): each
+    * entry is tiny, but a long-lived session calling this repeatedly
+    * would otherwise accumulate pinned InMemoryRelations until LRU
+    * eviction — the release hook keeps library callers leak-free.
     */
   def exactQuantiles(base0: DataFrame, ps: Seq[String],
                      bucketsB: Int = 1024): DataFrame =
@@ -1572,8 +1590,8 @@ object Relational {
       if (keys.nonEmpty) (keys, base0.select((keys.map(col) :+ $"v"): _*))
       else (Seq("__g"), base0.select(lit(0).as("__g"), $"v"))
     val kc = kNames.map(col)
-    val stats = base.groupBy(kc: _*).agg(count(lit(1)).as("n"),
-      min($"v").as("lo"), max($"v").as("hi")).cache()
+    val stats = tracked(base.groupBy(kc: _*).agg(count(lit(1)).as("n"),
+      min($"v").as("lo"), max($"v").as("hi")).cache())
     // clamp into [0, B-1]: float drift at bucket edges may land a hair
     // outside; clamping keeps the bucket function TOTAL, and exactness
     // never depends on boundary placement — only on the same function
@@ -1603,6 +1621,7 @@ object Relational {
         ($"rk" - ($"cum1" - $"c1")).as("rk1"),
         ($"lo" + $"b1" * $"w1").as("blo"), ($"w1" / B).as("w2")): _*)
       .cache()
+    tracked(t1)
     // round 2: histogram within each target's bucket (≤|ps|·n/B rows scan-side)
     val h2 = base.join(broadcast(t1), kNames)
       .filter(bucket($"v", $"lo", $"w1") === $"b1")
@@ -1615,6 +1634,7 @@ object Relational {
       .select(kc ++ Seq($"pd", $"lo", $"w1", $"b1", $"blo", $"w2", $"b2",
         ($"rk1" - ($"cum2" - $"c2")).as("rk2")): _*)
       .cache()
+    tracked(t2)
     // final: each (group, b1, b2) slice holds ≤ n_g/B² rows — the only
     // sorted sets in the whole plan
     val wv = Window.partitionBy(kc :+ $"pd": _*).orderBy($"v")

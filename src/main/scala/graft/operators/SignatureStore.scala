@@ -33,6 +33,33 @@ object SignatureStore {
   /** Session conf holding the store base directory; unset = inline. */
   val ConfKey = "spark.graft.sigstore.dir"
 
+  /** Signature family the store BUILDS: "oph" (default — one hash
+    * evaluation per (doc, shingle), d24's estimator) or "perm16" (d02's
+    * 16-permutation family, bit-identical to the inline pipeline and its
+    * DuckDB oracle). Both emit the same schema (m0..m15 + b0..b3), so
+    * every consumer is family-agnostic; the knob only changes WHICH
+    * Jaccard estimator the materialized signatures carry. OPH is the
+    * at-scale default because its signature scan does 1/16th of the
+    * per-shingle aggregate work (SCALING.md measures the crossover);
+    * pick perm16 when downstream jobs must reproduce the inline/oracle
+    * pair set exactly. Like the corpus-path keying, the family is baked
+    * in at materialize time — flipping the conf without re-materializing
+    * serves the old family until refresh.
+    */
+  val FamilyKey = "spark.graft.sigstore.family"
+
+  /** The family the session builds stores with (read at materialize). */
+  def family(s: SparkSession): String =
+    s.conf.getOption(FamilyKey).getOrElse("oph")
+
+  private def buildSignatures(s: SparkSession, docsDf: DataFrame): DataFrame =
+    family(s) match {
+      case "perm16" => Dedup.signatureFrame(docsDf)
+      case "oph" => Dedup.ophSignatureFrame(docsDf)
+      case other => throw new IllegalArgumentException(
+        s"$FamilyKey must be 'oph' or 'perm16', got '$other'")
+    }
+
   /** Bucket count for the table-format store ([[materializeTable]]).
     * Matches the session's shuffle partitioning at test scale; at 100 TB
     * you size it so one bucket ≈ one comfortable task (e.g. 4096).
@@ -88,7 +115,7 @@ object SignatureStore {
       s"$ConfKey is not set on this session — nowhere to materialize"))
     // drop any cached plan still scanning a previous store generation
     Dedup.releaseSignatures()
-    Dedup.signatureFrame(Tables.load(s, corpusDir, "documents"))
+    buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.mode("overwrite").parquet(s"$dir/signatures")
     Dedup.releaseSignatures()
     // dupComponents now reads the freshly written signatures; its result
@@ -122,7 +149,7 @@ object SignatureStore {
     s.sql(s"DROP TABLE IF EXISTS $sigT")
     s.sql(s"DROP TABLE IF EXISTS $compT")
     Dedup.releaseSignatures()
-    Dedup.signatureFrame(Tables.load(s, corpusDir, "documents"))
+    buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(sigT)
@@ -164,7 +191,7 @@ object SignatureStore {
     // first batch creates the table (day-0 bootstrap IS an append of the
     // whole corpus); later batches land alongside with the same bucket spec
     val mode = if (s.catalog.tableExists(sigT)) "append" else "overwrite"
-    Dedup.signatureFrame(newDocs)
+    buildSignatures(s, newDocs)
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode(mode).saveAsTable(sigT)

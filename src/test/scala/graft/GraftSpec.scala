@@ -39,3 +39,46 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
       s"queries without an oracle beyond the allowlist: ${missing.map(_.name).filterNot(allowed).mkString(",")}")
   }
 }
+
+/** r14: the `_prepare_python` quirks pinned one by one — each row here was
+  * differentially checked against the reference parser itself
+  * (`/root/reference/marda_extractors_api/__init__.py:308-346`) before
+  * being frozen into this spec.
+  */
+class CallPlanParseSpec extends AnyFunSuite with SparkTestBase {
+  private lazy val rows: Map[Long, Seq[org.apache.spark.sql.Row]] = {
+    val df = SparkEntry.queries("r14_call_plan_parse")(spark, sf)
+    df.collect().toSeq.groupBy(_.getAs[Long]("cmd_id"))
+  }
+  private def parts(id: Long, part: String) =
+    rows(id).filter(_.getAs[String]("part") == part)
+
+  test("templated real command parses to tree + dequoted positionals") {
+    val args = parts(0L, "arg").map(_.getAs[String]("val"))
+    assert(rows(0L).head.getAs[String]("fn_head") == "yadg.extractors.extract")
+    assert(rows(0L).head.getAs[Int]("fn_depth") == 3)
+    assert(args == Seq("biologic-mpr", "/data/files/doc_0.mpr"))
+  }
+
+  test("duplicate kwargs last-win (dict.update order)") {
+    val kw = parts(9002L, "kwarg")
+    assert(kw.map(r => r.getAs[String]("kw_key") -> r.getAs[String]("val")) == Seq("kw" -> "2"))
+  }
+
+  test("double '=' and braces raise cannot_parse; no '(' is the IndexError path") {
+    assert(parts(9003L, "error").head.getAs[String]("status") == "error:cannot_parse")
+    assert(parts(9004L, "error").head.getAs[String]("status") == "error:cannot_parse")
+    assert(parts(9010L, "error").head.getAs[String]("status") == "error:cannot_parse")
+    assert(parts(9005L, "error").head.getAs[String]("status") == "error:no_call")
+  }
+
+  test("'()' yields one empty positional; nested call gross-parses to inner head") {
+    assert(parts(9006L, "arg").map(_.getAs[String]("val")) == Seq(""))
+    assert(parts(9007L, "arg").map(_.getAs[String]("val")) == Seq("inner.g"))
+  }
+
+  test("residual placeholder surfaces as has_residual (r13 composition)") {
+    assert(parts(9009L, "arg").exists(_.getAs[Boolean]("has_residual")))
+    assert(parts(9008L, "arg").forall(!_.getAs[Boolean]("has_residual")))
+  }
+}

@@ -4,10 +4,14 @@ import graft.operators.{Dedup, SignatureStore}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The materialized signature/component store must be a pure plan swap:
-  * identical results (bit-level, via Row rendering — signed zero and all)
-  * for every consumer, with the consumer's plan actually scanning the
-  * store parquet instead of recomputing the minhash pipeline.
+/** The materialized signature/component store must be a pure plan swap
+  * WITHIN a signature family: identical results (bit-level, via Row
+  * rendering — signed zero and all) for every consumer, with the
+  * consumer's plan actually scanning the store parquet instead of
+  * recomputing the minhash pipeline. The perm16 family pins against the
+  * inline pipeline (bit parity with the DuckDB-oracled d02); the default
+  * OPH family pins against d24's inline OPH pipeline plus a recall law
+  * vs driver-side TRUE Jaccard on a planted corpus.
   */
 class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
 
@@ -29,6 +33,9 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     val inline = runAll()
     val base = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
     spark.conf.set(SignatureStore.ConfKey, base)
+    // this test pins BIT parity with the inline (16-perm, DuckDB-oracled)
+    // pipeline, so the store must build that family, not the OPH default
+    spark.conf.set(SignatureStore.FamilyKey, "perm16")
     try {
       val dir = SignatureStore.materialize(spark, sf)
       val key = dir.substring(dir.lastIndexOf('/') + 1)
@@ -67,6 +74,7 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
         s"d08 plan does not scan the materialized component store: $d08Paths")
     } finally {
       spark.conf.unset(SignatureStore.ConfKey)
+      spark.conf.unset(SignatureStore.FamilyKey)
       Dedup.releaseSignatures()
     }
   }
@@ -77,6 +85,7 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     val inline = runAll()
     val base = java.nio.file.Files.createTempDirectory("graft_sigstore_t").toString
     spark.conf.set(SignatureStore.ConfKey, base)
+    spark.conf.set(SignatureStore.FamilyKey, "perm16")
     try {
       val (sigT, compT) = SignatureStore.materializeTable(spark, sf)
       assert(spark.catalog.tableExists(sigT) && spark.catalog.tableExists(compT))
@@ -101,6 +110,7 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       SignatureStore.drop(spark, sf)
       spark.conf.unset(SignatureStore.ConfKey)
+      spark.conf.unset(SignatureStore.FamilyKey)
       Dedup.releaseSignatures()
     }
   }
@@ -110,6 +120,7 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty)
     val base = java.nio.file.Files.createTempDirectory("graft_sigstore_a").toString
     spark.conf.set(SignatureStore.ConfKey, base)
+    spark.conf.set(SignatureStore.FamilyKey, "perm16")
     try {
       val docs = Tables.load(spark, sf, "documents")
       val sigT = SignatureStore.tableName("sig", sf)
@@ -131,6 +142,7 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       SignatureStore.drop(spark, sf)
       spark.conf.unset(SignatureStore.ConfKey)
+      spark.conf.unset(SignatureStore.FamilyKey)
       Dedup.releaseSignatures()
     }
   }
@@ -148,6 +160,84 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
         "drop left a readable store behind")
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
     } finally {
+      spark.conf.unset(SignatureStore.ConfKey)
+      Dedup.releaseSignatures()
+    }
+  }
+  /** The OPH default: the store built with no family conf carries d24's
+    * estimator under d02's schema, so the store-backed d02 IS d24 — and
+    * the estimator itself is probed against driver-side TRUE 3-shingle
+    * Jaccard on a planted corpus (the DuckDB oracle mirrors the
+    * algorithm, so only a brute-force probe can see recall collapse).
+    */
+  test("OPH default store: d02-via-store == d24 inline; recall law vs true jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    assert(SignatureStore.family(spark) == "oph",
+      "OPH must be the default store family")
+    // planted corpus: two exact-dup pairs, one high-jaccard pair
+    // (17 shared of 19 distinct 3-shingles, j~0.895), one disjoint doc
+    val texts = Seq(
+      1L -> (1 to 20).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 20).map(i => s"w$i").mkString(" "),
+      3L -> ((1 to 19).map(i => s"w$i") :+ "zz").mkString(" "),
+      4L -> (1 to 10).map(i => s"a$i").mkString(" "),
+      5L -> (1 to 10).map(i => s"a$i").mkString(" "),
+      6L -> (1 to 12).map(i => s"q$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_oph").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          texts.map { case (id, t) => Row(id, t, "en", "s0", t.length.toLong) }, 2),
+        schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // driver-side TRUE jaccard over 3-shingle sets — the brute-force truth
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = texts.toMap.view.mapValues(shingleSet).toMap
+    def trueJ(i: Long, j: Long): Double = {
+      val (a, b) = (sets(i), sets(j))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    // inline d24 = the OPH estimator with no store in the loop
+    val inlineOph = SparkEntry.queries("d24_oph_minhash")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft_sigstore_o2").toString
+    spark.conf.set(SignatureStore.ConfKey, base)
+    try {
+      SignatureStore.materialize(spark, dir)
+      Dedup.releaseSignatures()
+      // schema compatibility: the store frame looks exactly like the
+      // 16-perm frame to every consumer
+      val stored = SignatureStore.signaturesIfPresent(spark, dir).get
+      assert(stored.columns.toSeq == Dedup.signatureFrame(
+        Tables.load(spark, dir, "documents")).columns.toSeq,
+        "OPH store schema diverged from the consumer contract")
+      // pure plan swap within the family: d02 reading the OPH store
+      // reports exactly the pairs d24 computes inline
+      val viaStore = SparkEntry.queries("d02_minhash_lsh")(spark, dir)
+        .select($"i", $"j", $"est_jaccard")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(viaStore == inlineOph,
+        s"d02-via-OPH-store != d24 inline:\n store=$viaStore\n d24=$inlineOph")
+      // recall law vs brute force: exact dups at est 1.0, the j~0.895
+      // plant surfaces, nothing disjoint pairs, estimates calibrated
+      assert(viaStore.get((1L, 2L)).contains(1.0), s"exact dup (1,2): $viaStore")
+      assert(viaStore.get((4L, 5L)).contains(1.0), s"exact dup (4,5): $viaStore")
+      assert(viaStore.contains((1L, 3L)) && viaStore.contains((2L, 3L)),
+        s"high-jaccard plant (j=${trueJ(1L, 3L)}) missed: $viaStore")
+      viaStore.foreach { case ((i, j), est) =>
+        val tj = trueJ(i, j)
+        assert(tj > 0.0, s"disjoint docs ($i,$j) paired at est=$est")
+        assert(math.abs(est - tj) <= 0.4,
+          f"estimate drifted: ($i,$j) est=$est%.3f true=$tj%.3f")
+      }
+    } finally {
+      SignatureStore.drop(spark, dir)
       spark.conf.unset(SignatureStore.ConfKey)
       Dedup.releaseSignatures()
     }
