@@ -44,8 +44,11 @@ def refresh(budget_path, local_path, force=False):
     # whatever else the machine was doing and then mask real regressions
     # for every later round. Refuse to re-baseline unless the run was
     # quiet (BENCH_HISTORY shows 84–97 s spreads at load_avg≈13 on the
-    # SAME code). --force overrides for a deliberate hot re-baseline.
-    load_avg = local.get("load_avg", -1.0)
+    # SAME code). The AMBIENT load is load_start (sampled before the
+    # session spins up); load_avg at run end is dominated by the bench's
+    # own 32 threads and would flag every healthy run as hot.
+    # --force overrides for a deliberate hot re-baseline.
+    load_avg = local.get("load_start", local.get("load_avg", -1.0))
     cpus = local.get("cpus", 32)
     if load_avg >= 0 and load_avg / cpus > MAX_REFRESH_LOAD and not force:
         print(f"REFUSED: load_avg {load_avg:.1f} on {cpus} CPUs "
@@ -90,10 +93,11 @@ def main(argv):
     if "--refresh" in argv:
         return refresh(budget_path, local_path, force="--force" in argv)
     budget, local = load(budget_path), load(local_path)
-    load_avg, cpus = local.get("load_avg", -1.0), local.get("cpus", 32)
+    load_avg = local.get("load_start", local.get("load_avg", -1.0))
+    cpus = local.get("cpus", 32)
     if load_avg >= 0 and load_avg / cpus > MAX_REFRESH_LOAD:
-        print(f"warn: local run is HOT (load_avg {load_avg:.1f}/{cpus} cpus) — "
-              f"FAILs below may be machine noise; rerun quiet before acting")
+        print(f"warn: local run started HOT (ambient load {load_avg:.1f}/{cpus} "
+              f"cpus) — FAILs below may be machine noise; rerun quiet")
     fams = local.get("families") or {}
     n_fail = 0
     for fam, ceiling in sorted(budget["families"].items()):

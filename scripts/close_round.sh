@@ -22,7 +22,7 @@ python3 scripts/bench_history.py >> /dev/null 2>&1 || true
 tail -c 2000 BENCH_LOCAL.json > /dev/null  # sanity: artifact exists
 
 echo "== explain refresh =="
-sbt --batch "runMain graft.ExplainAll" > /dev/null
+sbt --batch "runMain graft.ExplainAll docs/explains" > /dev/null
 
 echo "== commit =="
 git add BENCH_LOCAL.json BENCH_HISTORY.jsonl BENCH_BUDGET.json docs/explains \

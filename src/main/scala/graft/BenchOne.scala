@@ -1,6 +1,8 @@
 package graft
 
-/** Single-query bench/explain utility: `runMain graft.BenchOne <name> [explain]`. */
+/** Single-query bench/explain utility:
+  * `runMain graft.BenchOne <name> [explain] [cold] [nocodegen]`.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -9,6 +11,9 @@ object BenchOne {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B the whole-stage-codegen path of custom operators (as-of merge)
+    if (args.contains("nocodegen"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val fn = SparkEntry.queries(name)
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")
     // "cold" reproduces Bench's per-run conditions (cache + memoized

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crossover benchmark for the at-scale claims (SCALING.md): each pair
+  * runs the engine's scale-designed form against the conventional form
+  * ON THE SAME DATA at a given SF, so the claims argued in operator
+  * comments ("the sketch wins once the scan is agg-bound", "OPH trades
+  * aggregate machinery for per-shingle hash work", "bucketing deletes
+  * the as-of Exchange") become measured curves instead of assertions.
+  *
+  * Pairs (scale form vs conventional form):
+  *   corpus_quantile   q51 histogram rank-narrowing  vs single-group percentile_disc
+  *   grouped_quantile  q53 grouped rank-narrowing    vs q44 percentile_disc per group
+  *   sketch_quantile   q54 MP-sketch-then-refine     vs q44 percentile_disc per group
+  *   signature_build   d24 OPH signatures            vs d02 16-permutation signatures
+  *   heavy_hitters     t29 Misra–Gries then recount  vs t06 exact full word count
+  *   asof_join         AsOfJoinExec on bucketed events vs the same join on raw parquet
+  *   ann_probe         probeBatchADC (8-byte codes)  vs probeBatch (raw vectors)
+  *
+  * Protocol: per arm, one warm execution then min of 2 timed runs
+  * (collect() for coordinator-sized results, toRdd.count() for frames),
+  * cache cleared between arms. One JSON line per invocation, appended to
+  * SCALING_RAW.jsonl — SCALING.md is written from those lines.
+  *
+  * Usage: runMain graft.ScalingBench <sfDir> <label>
+  */
+object ScalingBench {
+
+  private def timeMin(warmRuns: Int = 1, timed: Int = 2)(body: => Unit): Double = {
+    (1 to warmRuns).foreach(_ => body)
+    (1 to timed).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, label) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    var results = Vector.empty[(String, Double)]
+    def arm(name: String)(body: => Unit): Unit = {
+      val sec = timeMin()(body)
+      results :+= (name -> sec)
+      System.err.println(f"[scaling] $label $name: $sec%.3f s")
+      spark.catalog.clearCache()
+      graft.operators.Dedup.releaseSignatures()
+      graft.operators.Relational.releaseCaches()
+    }
+    // frame arms also record SHUFFLE BYTES — wall seconds on local[32]
+    // hide exactly the dimension some of these designs buy (shuffle is a
+    // memcpy here, the network bill on a cluster); the bytes are the
+    // plan property the at-scale claim rests on
+    def armDf(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      arm(name)(mk.queryExecution.toRdd.count())
+      val qe = mk.queryExecution
+      qe.toRdd.count()
+      results :+= (s"$name/shuffle_mb" ->
+        math.round(Bench.shuffleBytes(qe.executedPlan) / 1e4) / 100.0)
+      spark.catalog.clearCache()
+      graft.operators.Dedup.releaseSignatures()
+      graft.operators.Relational.releaseCaches()
+    }
+
+    // ── corpus-wide exact quantiles: 4 histogram scans, zero corpus
+    // shuffle, only an n/B² slice ever sorts — vs percentile_disc with
+    // ONE group, whose single aggregate buffer holds every corpus value
+    val li = Tables.load(spark, sfDir, "lineitem")
+    arm("corpus_quantile/rank_narrowing") {
+      graft.operators.Relational.exactQuantiles(
+        li.select($"l_extendedprice".as("v")),
+        Seq("0.25", "0.50", "0.75", "0.95")).collect()
+    }
+    arm("corpus_quantile/sort_agg") {
+      li.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+      ).collect()
+    }
+
+    // ── grouped exact quantiles (q53/q54 vs q44's buffering aggregate)
+    val ord = Tables.load(spark, sfDir, "orders")
+    arm("grouped_quantile/rank_narrowing") {
+      graft.operators.Relational.exactQuantilesBy(
+        ord.select($"o_orderstatus", $"o_totalprice".as("v")),
+        Seq("o_orderstatus"), Seq("0.50", "0.95")).collect()
+    }
+    arm("grouped_quantile/sort_agg") {
+      ord.groupBy($"o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"))
+        .collect()
+    }
+    arm("sketch_quantile/mp_sketch") {
+      SparkEntry.queries("q54_sketch_quantile")(spark, sfDir)
+        .queryExecution.toRdd.count()
+    }
+
+    // ── signature build: one md5 per shingle either way; perm16 folds 16
+    // permutation mixes into 16 aggregation buffers per doc, OPH routes
+    // each shingle to ONE bin buffer (conditional mins) and densifies
+    // with a coalesce chain. Written to parquet like the SignatureStore
+    // does — the production sink.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scaling").toString
+    arm("signature_build/oph") {
+      graft.operators.Dedup.ophSignatureFrame(docs)
+        .write.mode("overwrite").parquet(s"$tmp/sig_oph")
+    }
+    arm("signature_build/perm16") {
+      graft.operators.Dedup.signatureFrame(docs)
+        .write.mode("overwrite").parquet(s"$tmp/sig_perm16")
+    }
+
+    // ── vocabulary heavy hitters: MG sketch (≤128 counters/task shuffle)
+    // then exact recount of candidates, vs the full per-word count
+    armDf("heavy_hitters/mg_sketch") {
+      SparkEntry.queries("t29_heavy_hitters")(spark, sfDir)
+    }
+    armDf("heavy_hitters/exact_count") {
+      SparkEntry.queries("t06_word_topk")(spark, sfDir)
+    }
+
+    // ── as-of join: the raw path pays Exchange+Sort per side; the
+    // bucketed layout (events bucketed+sorted on user_id — one bucketed
+    // write per corpus refresh, timed as asof_layout_build) deletes the
+    // Exchange from every subsequent as-of job.
+    val events = Tables.load(spark, sfDir, "events")
+    def asofOver(ev: DataFrame): DataFrame = {
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+      graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts")
+    }
+    armDf("asof_join/raw") { asofOver(events) }
+    val evT = s"graft_scaling_events_${label.replaceAll("[^A-Za-z0-9_]", "_")}"
+    spark.sql(s"DROP TABLE IF EXISTS $evT")
+    val layoutT0 = System.nanoTime()
+    events.write.format("parquet").option("path", s"$tmp/events_bucketed")
+      .bucketBy(cpus.toInt, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable(evT)
+    val layoutSec = (System.nanoTime() - layoutT0) / 1e9
+    results :+= ("asof_join/layout_build" -> layoutSec)
+    armDf("asof_join/bucketed") { asofOver(spark.table(evT)) }
+    val bucketedPlan = asofOver(spark.table(evT)).queryExecution.executedPlan.toString
+    val rawPlan = asofOver(events).queryExecution.executedPlan.toString
+    spark.sql(s"DROP TABLE IF EXISTS $evT")
+
+    // ── ANN probe: ADC scans 8-byte codes per candidate and reranks a
+    // shortlist of raw vectors, vs the raw path scanning full vectors in
+    // every probed cell. Index build timed separately (per-refresh cost).
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_scaling_vidx").toString
+    spark.conf.set(graft.operators.VectorIndexStore.ConfKey, idxBase)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.orderBy($"vec_id").limit(32)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    queries.cache().count()
+    val idxT0 = System.nanoTime()
+    graft.operators.VectorIndexStore.materialize(spark, sfDir)
+    graft.operators.VectorIndexStore.materializePQ(spark, sfDir)
+    results :+= ("ann_probe/index_build" -> (System.nanoTime() - idxT0) / 1e9)
+    arm("ann_probe/raw_vectors") {
+      graft.operators.VectorIndexStore.probeBatch(spark, sfDir, queries).collect()
+    }
+    arm("ann_probe/adc_codes") {
+      graft.operators.VectorIndexStore.probeBatchADC(spark, sfDir, queries).collect()
+    }
+    // the IO dimension ADC buys: bytes of the code facet vs the raw
+    // assignment facet a probe would otherwise scan per cell
+    def dirMb(name: String): Double = {
+      val base = java.nio.file.Paths.get(
+        graft.operators.VectorIndexStore.storeDir(spark, sfDir).get, name)
+      if (!java.nio.file.Files.isDirectory(base)) 0.0
+      else {
+        val sum = java.nio.file.Files.walk(base)
+        try math.round(sum.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum() / 1e4) / 100.0
+        finally sum.close()
+      }
+    }
+    results :+= ("ann_probe/raw_facet_mb" -> dirMb("assignments"))
+    results :+= ("ann_probe/code_facet_mb" -> dirMb("pq_codes"))
+    spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
+
+    val nLine = Seq("lineitem", "documents", "events", "embeddings", "orders")
+      .map(t => "\"" + t + "\":" + Tables.load(spark, sfDir, t).count())
+      .mkString("{", ",", "}")
+    def fmt(v: Double) = "%.3f".format(v)
+    val json = s"""{"label":"$label","sf_dir":"$sfDir","rows":$nLine,"arms":${
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    },"asof_bucketed_has_exchange":${bucketedPlan.contains("Exchange")},"asof_raw_has_exchange":${rawPlan.contains("Exchange")},"cpus":$cpus}"""
+    println(json)
+    val p = java.nio.file.Paths.get("SCALING_RAW.jsonl")
+    java.nio.file.Files.writeString(p, json + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}

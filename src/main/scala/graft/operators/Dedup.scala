@@ -180,15 +180,15 @@ object Dedup {
     * exactly when their min-hash in that bin agrees, and the 4×4 banding
     * + matching-slots/16 estimate downstream are bit-identical machinery.
     *
-    * Cost shape vs [[signatureFrame]]: ONE min-aggregate over (doc, bin)
-    * instead of 16 min columns per doc — the per-shingle work drops from
-    * 16 permutation mixes folded into 16 aggregation buffers to one
-    * modulo + one buffer update. At small SF the extra aggregate stages
-    * (bin → pack → densify) dominate and OPH measures SLOWER; the win
-    * arrives when the scan is hash/aggregate-bound (large SF) — measured
-    * in SCALING.md, which is why the family is a deployment knob
-    * ([[SignatureStore.FamilyKey]]) rather than a hard default for the
-    * inline pipeline (whose DuckDB oracle pins the 16-perm family).
+    * Cost shape vs [[signatureFrame]]: the same single aggregate pass,
+    * but each shingle updates exactly ONE bin buffer (a modulo compare
+    * routes it) where the 16-perm family folds 16 multiply-mod mixes
+    * into 16 buffers per shingle. Both families already share one md5
+    * per shingle — the classic "OPH saves k hash evaluations" win
+    * assumes k INDEPENDENT full hashes, which the permutation family
+    * never paid. SCALING.md measures both at sf0.01/0.1/1; the family
+    * stays a deployment knob ([[SignatureStore.FamilyKey]]), and the
+    * inline pipeline keeps the 16-perm family its DuckDB oracle pins.
     *
     * Docs whose every slot comes from one occupied bin (short docs)
     * densify to a total signature; docs with no 3-shingle at all are
@@ -199,22 +199,22 @@ object Dedup {
     val K = NumPerms
     val hs = docsDf.select($"doc_id", explode(shingles(tokens($"text"), 3)).as("sh"))
       .select($"doc_id", hash64($"sh").as("h"))
-    // (doc, bin) min-hash: partial agg collapses map-side to ≤K rows per
-    // doc before the one shuffle
-    val bins = hs.select($"doc_id", ($"h" % K).as("bin"), $"h")
-      .groupBy($"doc_id", $"bin").agg(min($"h").as("m"))
-    val packed = bins.groupBy($"doc_id")
-      .agg(collect_list(struct($"bin", $"m")).as("bm"))
-    // rotation densification: slot k = the nearest non-empty bin at
-    // (k+j) mod K, scanning j upward — pure K-element list algebra,
-    // no extra shuffle, deterministic (bins are unique per doc)
-    val dense = packed.select($"doc_id",
-      transform(sequence(lit(0), lit(K - 1)), k =>
-        element_at(flatten(filter(
-          transform(sequence(lit(0), lit(K - 1)), j =>
-            filter($"bm", e => e.getField("bin") === (k + j) % K)),
-          l => size(l) > 0)), 1).getField("m")).as("sig"))
-    val sig = dense.select(($"doc_id" +: (0 until K).map(p => $"sig"(p).as(s"m$p"))): _*)
+    // per-bin minima as ONE aggregate of K conditional mins: each shingle
+    // updates exactly its own bin's buffer (the other K-1 whens evaluate
+    // to null — a modulo compare, not a permutation mix), partial agg
+    // collapses map-side, a single shuffle carries ≤K longs per doc.
+    // (The first OPH cut staged this as groupBy(doc, bin) → collect_list
+    // → list-algebra densify: two extra aggregate stages that made OPH
+    // measure SLOWER than perm16 at every SF — SCALING.md has the curve.)
+    val bins = hs.groupBy($"doc_id")
+      .agg(min(when($"h" % K === 0, $"h")).as("mb0"),
+        (1 until K).map(p => min(when($"h" % K === p, $"h")).as(s"mb$p")): _*)
+    // rotation densification as a coalesce chain: slot k = the nearest
+    // non-empty bin at (k+j) mod K scanning j upward — codegen'd column
+    // ops, no second aggregate, deterministic
+    val sig = bins.select(($"doc_id" +: (0 until K).map { k =>
+      coalesce((0 until K).map(j => col(s"mb${(k + j) % K}")): _*).as(s"m$k")
+    }): _*)
     (0 until NumBands).foldLeft(sig) { case (df, b) =>
       df.withColumn(s"b$b", concat_ws("_",
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
@@ -1511,13 +1511,15 @@ object Dedup {
         WHERE rn = 1 ORDER BY ranked.component""")),
 
     // ── d24: ONE-PERMUTATION-HASHING MinHash (Li/Owen/Zhang 2012) with ──
-    // rotation densification (Shrivastava & Li 2014) — the at-scale form
-    // of d02's signature: ONE hash evaluation per (doc, shingle) binned
-    // into 16 slots (bin = h mod 16, slot value = min h in bin), where
-    // d02 evaluates 16 permutation hashes per shingle. Same minhash
-    // collision property per non-empty slot, 16× less signature CPU —
-    // the difference between the signature scan being hash-bound and
-    // being IO-bound at 100 TB. Empty slots (short docs) borrow the
+    // rotation densification (Shrivastava & Li 2014): ONE hash
+    // evaluation per (doc, shingle) binned into 16 slots (bin = h mod
+    // 16, slot value = min h in bin), where d02 evaluates 16 permutation
+    // hashes per shingle. Same minhash collision property per non-empty
+    // slot. Cost claim SCOPED BY MEASUREMENT (SCALING.md §3): against a
+    // k-independent-rehash MinHash, OPH saves 16× hash CPU; against
+    // d02's one-md5-plus-arithmetic-mix family the build measures at
+    // PARITY across sf0.01–sf1, because the shared md5 already amortized
+    // the hashing. Empty slots (short docs) borrow the
     // nearest non-empty slot cyclically to the right (densification), so
     // every doc gets a full 16-slot signature and the downstream 4×4
     // LSH banding + slot-match estimate are EXACTLY d02's machinery.

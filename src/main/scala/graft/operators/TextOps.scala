@@ -1093,7 +1093,13 @@ object TextOps {
     // folds every token map-side into a fixed 128-slot sketch, so the
     // only vocabulary-wide pass shuffles ≤128 counters per task — never
     // one row per distinct word (t06's exact two-phase shape, which at
-    // 100 TB shuffles a billions-entry vocabulary). Phase 2: the ≤128
+    // 100 TB shuffles a billions-entry vocabulary). The claim is a
+    // STATE/SHUFFLE bound, not a wall-clock win on a small vocabulary:
+    // SCALING.md §4 measures t06 faster at every test SF because the
+    // synthetic vocabulary collapses to ~10 KB of partial-agg shuffle —
+    // the regime this operator exists for is web-scale type counts
+    // (URLs/numbers/typos), where the exact shuffle is vocabulary-sized
+    // and the 128-counter bound is what keeps the job flat. Phase 2: the ≤128
     // candidates broadcast back as a semi-filter and ONLY matching
     // tokens enter an exact groupBy recount, then the φ·n threshold.
     // MG guarantees every word with freq > n/129 is a candidate, and

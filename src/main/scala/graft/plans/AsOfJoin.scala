@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Match direction for the as-of join — pandas `merge_asof`'s surface.
@@ -96,7 +98,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     direction: AsOfDirection,
-    tolerance: Option[Long]) extends BinaryExecNode {
+    tolerance: Option[Long]) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -240,6 +242,182 @@ case class AsOfJoinExec(
         resultP(joined(lrow, m))
       }
     }
+  }
+
+  // ── Whole-stage codegen (VERDICT r7 #6): the two-iterator merge in ──
+  // produce/consume form, SortMergeJoinExec's recipe. The merge itself is
+  // a codegen STAGE HEAD (both children feed through iterators — exactly
+  // like SMJ, whose children also end their own codegen stages at the
+  // required Sort), but everything DOWNSTREAM of the join now fuses:
+  // project/filter/partial-aggregate over the joined rows run inside the
+  // same generated loop instead of across an iterator boundary with a
+  // JoinedRow + UnsafeProjection copy per row. Semantics are the
+  // interpreted doExecute's, line for line: one candidate row of state
+  // (copied on consume), head key/time cached per fetched head row (row
+  // buffers may be reused by the shuffle reader, so the cache lives
+  // exactly as long as the head row), null keys/times consumed but never
+  // matched, forward consuming strictly-earlier rows only.
+  // AsOfJoinSpec pins codegen-on ≡ codegen-off bit-for-bit and that the
+  // operator actually plans inside a WholeStageCodegen span.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  /** Null-first three-way compare of two already-evaluated key values —
+    * the codegen twin of doExecute's 1-field natural ascending ordering.
+    */
+  private def genNullFirstCompare(ctx: CodegenContext, c: String,
+      aNull: String, a: String, bNull: String, b: String): String =
+    s"""
+      int $c;
+      if ($aNull && $bNull) $c = 0;
+      else if ($aNull) $c = -1;
+      else if ($bNull) $c = 1;
+      else $c = ${ctx.genComp(leftKey.dataType, a, b)};
+    """
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val keyJava = CodeGenerator.javaType(leftKey.dataType)
+    // merge state: the unconsumed head row + its cached key/time, and the
+    // backward candidate (an owned copy) + its key/time
+    val headRow = ctx.addMutableState("InternalRow", "asofHeadRow")
+    val headValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHeadValid")
+    val headKey = ctx.addMutableState(keyJava, "asofHeadKey")
+    val headKeyNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHeadKeyNull")
+    val headTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofHeadTime")
+    val headTimeNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHeadTimeNull")
+    val lastMatch = ctx.addMutableState("InternalRow", "asofLastMatch")
+    val lastKey = ctx.addMutableState(keyJava, "asofLastKey")
+    val lastTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastTime")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    // left output vars for consume() — evaluated from the left row
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // head refresh: evaluate right key/time on the freshly fetched row
+    val headTmp = ctx.freshName("asofHeadTmp")
+    ctx.INPUT_ROW = headTmp
+    val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val refreshHead =
+      s"""
+        InternalRow $headTmp = (InternalRow) $rightInput.next();
+        $headRow = $headTmp;
+        ${rkEv.code}
+        $headKeyNull = ${rkEv.isNull};
+        $headKey = ${rkEv.value};
+        ${rtEv.code}
+        $headTimeNull = ${rtEv.isNull};
+        $headTime = ${rtEv.isNull} ? 0L : ${rtEv.value};
+        $headValid = true;
+      """
+
+    // backward-candidate record: copy the consumed row (iterator buffers
+    // are reused), then re-evaluate key/time ON THE COPY so the cached
+    // values never alias a reused buffer (a UTF8String/struct key read
+    // from the head row would)
+    val lastTmp = ctx.freshName("asofLastTmp")
+    ctx.INPUT_ROW = lastTmp
+    val lkOnLast = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val ltOnLast = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val recordLast =
+      s"""
+        InternalRow $lastTmp = $headRow.copy();
+        $lastMatch = $lastTmp;
+        ${lkOnLast.code}
+        $lastKey = ${lkOnLast.value};
+        ${ltOnLast.code}
+        $lastTime = ${ltOnLast.value};
+      """
+
+    // right output vars for consume(): nullable reads off the matched row
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val code =
+        code"""
+          boolean $isNull = $matched == null || $matched.isNullAt($i);
+          $jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} :
+            (${CodeGenerator.getValue(matched, a.dataType, i.toString)});
+        """
+      ExprCode(code, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    val (lt, lkNull, lk) = (ctx.freshName("asofLt"), lkEv.isNull, lkEv.value)
+    val (cAdv, cBack, cFwd) = (ctx.freshName("asofCmpAdv"),
+      ctx.freshName("asofCmpBack"), ctx.freshName("asofCmpFwd"))
+    val advance = ctx.freshName("asofAdvance")
+    val (lValid, backOk, fwdOk) = (ctx.freshName("asofLValid"),
+      ctx.freshName("asofBackOk"), ctx.freshName("asofFwdOk"))
+    val timeOk = ctx.freshName("asofTimeOk")
+    val strict = direction == AsOfDirection.Forward
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val headCmp = if (strict) "<" else "<="
+
+    s"""
+      while ($leftInput.hasNext()) {
+        InternalRow $leftRow = (InternalRow) $leftInput.next();
+        ${lkEv.code}
+        ${ltEv.code}
+        long $lt = ${ltEv.isNull} ? Long.MIN_VALUE : ${ltEv.value};
+        boolean $advance = $headValid || $rightInput.hasNext();
+        while ($advance) {
+          if (!$headValid) {
+            $refreshHead
+          }
+          ${genNullFirstCompare(ctx, cAdv, headKeyNull, headKey, lkNull.toString, lk.toString)}
+          boolean $timeOk = !${ltEv.isNull} && ($headTime $headCmp $lt);
+          if ($cAdv < 0 || ($cAdv == 0 && ($headTimeNull || $timeOk))) {
+            ${if (!strict) s"if (!$headKeyNull && !$headTimeNull) { $recordLast }" else ""}
+            $headValid = false;
+            $advance = $rightInput.hasNext();
+          } else {
+            $advance = false;
+          }
+        }
+        boolean $lValid = !$lkNull && !${ltEv.isNull};
+        boolean $backOk = false;
+        ${if (direction != AsOfDirection.Forward)
+          s"""if ($lValid && $lastMatch != null) {
+            ${genNullFirstCompare(ctx, cBack, "false", lastKey, lkNull.toString, lk.toString)}
+            $backOk = $cBack == 0 && ($lt - $lastTime) <= ${tol}L;
+          }""" else ""}
+        boolean $fwdOk = false;
+        ${if (direction != AsOfDirection.Backward)
+          s"""if ($lValid && $headValid && !$headKeyNull && !$headTimeNull) {
+            ${genNullFirstCompare(ctx, cFwd, "false", headKey, lkNull.toString, lk.toString)}
+            $fwdOk = $cFwd == 0 && ($headTime - $lt) <= ${tol}L;
+          }""" else ""}
+        InternalRow $matched = null;
+        if ($backOk && $fwdOk) {
+          $matched = (($lt - $lastTime) <= ($headTime - $lt)) ? $lastMatch : $headRow;
+        } else if ($backOk) {
+          $matched = $lastMatch;
+        } else if ($fwdOk) {
+          $matched = $headRow;
+        }
+        ${leftVars.map(_.code.toString).mkString("\n")}
+        ${rightVars.map(_.code.toString).mkString("\n")}
+        ${consume(ctx, (leftVars ++ rightVars).map(_.copy(code =
+          org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock)))}
+        if (shouldStop()) return;
+      }
+    """
   }
 }
 

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Forked-JVM halves of the crash-recovery spec (CrashRecoverySpec):
+  * the failure mode [[ParquetSink]]'s exactly-once contract exists for is
+  * a DRIVER DEATH between a batch's offset write and its commit — which
+  * an in-process spec can't produce (stopping a query gracefully runs the
+  * stop path, not the crash path). This main runs the standard
+  * [[CorpusIngest]] pipeline over a file source and either
+  *
+  *  - `crash`: waits for the checkpoint to record the OFFSET of batch
+  *    `crashAtBatch` (offsets are written BEFORE a batch runs, commits
+  *    after) and then `Runtime.halt`s the whole JVM — no stop(), no
+  *    cleanup, the batch left mid-flight; or
+  *  - `resume`: starts the SAME query on the SAME checkpoint, drains all
+  *    available input (which REPLAYS the mid-flight batch first), stops
+  *    cleanly, and exits 0.
+  *
+  * The spec forks crash then resume across real JVM boundaries and pins
+  * the final output against the batch reference: identical admitted set,
+  * zero duplicates — the replayed batch's writeBatch overwrote its own
+  * partial attempt instead of double-inserting beside it.
+  *
+  * Usage: CrashRecoveryMain <crash|resume> <inputDir> <outPath> <ckptDir> [crashAtBatch]
+  */
+object CrashRecoveryMain {
+  def main(args: Array[String]): Unit = {
+    val (mode, inputDir, outPath, ckptDir) = (args(0), args(1), args(2), args(3))
+    val crashAtBatch = args.lift(4).map(_.toInt).getOrElse(2)
+    val spark = graft.GraftSession.builder(master = "local[4]",
+      shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+    val q = CorpusIngest.ingest(stream, outPath)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    if (mode == "crash") {
+      // offsets/<n> lands before batch n executes; halting right after it
+      // appears leaves batch n uncommitted — the replay case. halt(), not
+      // exit(): shutdown hooks (which would stop the query cleanly) must
+      // not run, this is the kill -9 path.
+      val target = java.nio.file.Paths.get(ckptDir, "offsets", crashAtBatch.toString)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!java.nio.file.Files.exists(target) && System.nanoTime() < deadline) {
+        Thread.sleep(2)
+      }
+      Runtime.getRuntime.halt(137)
+    } else {
+      q.processAllAvailable()
+      q.stop()
+      spark.stop()
+    }
+  }
+}

@@ -395,4 +395,67 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       rm(java.nio.file.Paths.get(base))
     }
   }
+  test("whole-stage codegen: merge compiles into a codegen stage, bit-equal to the interpreted path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 500L).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(900).toLong, i))
+    val right = (1L to 400L).map(i => (rnd.nextInt(16).toLong, rnd.nextInt(900).toLong, 20000L + i))
+    val l = left.toDF("k", "t", "lid")
+    val r = right.toDF("k", "t", "rid")
+    def finalPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    // query stages are leaf wrappers — a plain collect stops at them
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(allNodes)
+    }
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(41L))) {
+      val df = AsOf.join(l, r, "k", "t", "t", dir, tol)
+      val gen = df.collect().map(_.toString).sorted.toSeq
+      // the operator must plan INSIDE a WholeStageCodegen span — the
+      // downstream stage fuses with the merge instead of crossing an
+      // iterator boundary (VERDICT r7 #6). AQE finalizes codegen stages
+      // at execution, so the plan is inspected AFTER the collect.
+      val wsc = allNodes(finalPlan(df)).collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if allNodes(w).exists(_.isInstanceOf[graft.plans.AsOfJoinExec]) => w
+      }
+      assert(wsc.nonEmpty, s"dir=$dir: AsOfJoinExec not inside WholeStageCodegen:\n" +
+        finalPlan(df).toString)
+      val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+        AsOf.join(l, r, "k", "t", "t", dir, tol).collect().map(_.toString).sorted.toSeq
+      }
+      assert(gen == interp, s"dir=$dir tol=$tol: codegen diverges from interpreted")
+    }
+    // a downstream aggregate fuses into the SAME stage as the merge
+    val agg = AsOf.join(l, r, "k", "t", "t")
+      .toDF("k", "t", "lid", "rk", "rt", "rid")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.count($"rid"))
+    agg.collect()
+    val fused = allNodes(finalPlan(agg)).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if allNodes(w).exists(_.isInstanceOf[graft.plans.AsOfJoinExec]) &&
+          allNodes(w).exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]) => w
+    }
+    assert(fused.nonEmpty,
+      "partial aggregate did not fuse into the as-of merge's codegen stage:\n" +
+        finalPlan(agg).toString)
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-recovery across a REAL JVM boundary (VERDICT r7 #7): the
+  * in-process StreamingSpec replays batches cooperatively; this spec
+  * hard-kills a running CorpusIngest query (Runtime.halt — no stop path,
+  * no shutdown hooks) after the checkpoint has recorded an offset whose
+  * commit never lands, restarts the query from that checkpoint in a
+  * SECOND JVM, and pins the final output against the batch reference.
+  * The mid-flight batch is REPLAYED on restart; ParquetSink's
+  * per-batch-directory overwrite must replace any partial attempt
+  * instead of double-inserting beside it.
+  *
+  * The forked JVMs run graft.streaming.CrashRecoveryMain over the
+  * production classpath (/opt/spark/jars + compiled classes) — the same
+  * binary-level recovery a cluster restart performs.
+  */
+class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
+
+  private def fork(mode: String, inputDir: String, outPath: String,
+                   ckptDir: String): Int = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = "/opt/spark/jars/*:target/scala-2.13/classes"
+    val log = java.nio.file.Files.createTempFile("graft_crash_" + mode, ".log").toFile
+    // the exact JDK-17 module opens build.sbt forks with (Spark 4 outside
+    // spark-submit), so the child JVM is the same runtime shape
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+    val cmd = Seq(javaBin, "-Xmx3g", "-cp", cp,
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      addOpens ++
+      Seq("graft.streaming.CrashRecoveryMain", mode, inputDir, outPath, ckptDir, "2")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File("."))
+    pb.redirectOutput(log)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) { p.destroyForcibly(); fail(s"$mode JVM hung; log: $log") }
+    val code = p.exitValue()
+    if (mode == "resume" && code != 0)
+      fail(s"$mode JVM exited $code; log tail:\n" +
+        scala.util.Using.resource(scala.io.Source.fromFile(log))(
+          _.getLines().toSeq.takeRight(30).mkString("\n")))
+    code
+  }
+
+  private def countFiles(dir: java.nio.file.Path): Int =
+    if (!java.nio.file.Files.isDirectory(dir)) 0
+    else scala.util.Using.resource(java.nio.file.Files.list(dir))(
+      _.filter(p => !p.getFileName.toString.startsWith(".")).count().toInt)
+
+  test("hard-killed ingest restarts from checkpoint: replayed batch, exactly-once output") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text", $"n_chars")
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf(t)))
+    // 5 single-file waves = 5 micro-batches (maxFilesPerTrigger=1).
+    // Wave 3 re-submits wave-0 content under new ids (re-crawl), so the
+    // dedup state rebuilt from the checkpoint is load-bearing: losing it
+    // across the crash would re-admit the duplicates.
+    val waves = Seq(
+      docs.filter($"doc_id" < 120),
+      docs.filter($"doc_id" >= 120 && $"doc_id" < 240),
+      docs.filter($"doc_id" >= 240 && $"doc_id" < 360),
+      docs.filter($"doc_id" < 60).withColumn("doc_id", $"doc_id" + 50000L),
+      docs.filter($"doc_id" >= 360 && $"doc_id" < 480)
+    ).zipWithIndex.map { case (df, i) =>
+      stamped(df, f"2024-01-01 10:0$i:00")
+    }
+    // retry the race once: the crash JVM halts right after offsets/2
+    // appears; on a pathologically fast batch the commit could sneak in
+    // first, leaving nothing to replay — regenerate dirs and try again
+    val attempt = (1 to 3).iterator.map { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage$i")))(
+          _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(inDir, f"wave$i%02d.parquet"))
+      }
+      val code = fork("crash", inDir, outDir, ckpt)
+      assert(code != 0, "crash JVM exited cleanly — halt() did not fire")
+      val offsets = countFiles(java.nio.file.Paths.get(ckpt, "offsets"))
+      val commits = countFiles(java.nio.file.Paths.get(ckpt, "commits"))
+      (base, inDir, outDir, ckpt, offsets, commits)
+    }.find { case (_, _, _, _, offsets, commits) => offsets > commits }
+    assert(attempt.isDefined,
+      "3 attempts never caught a batch between offset and commit")
+    val (_, inDir, outDir, ckpt, offsets, commits) = attempt.get
+    // the defining precondition: an offset with no commit = a batch that
+    // MUST replay on restart
+    assert(offsets > commits, s"no mid-flight batch (offsets=$offsets commits=$commits)")
+
+    assert(fork("resume", inDir, outDir, ckpt) == 0)
+
+    // exactly-once despite the replay: output == batch reference
+    val out = spark.read.parquet(outDir).select($"doc_id", $"ch").collect()
+    val batchGate = graft.streaming.CorpusIngest.gate(
+      waves.reduce(_ unionByName _)).select($"ch").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet == batchGate,
+      "recovered stream's admitted-hash set diverges from the batch gate")
+    assert(out.map(_.getString(1)).distinct.length == out.length,
+      "replayed batch double-inserted rows")
+    // first-arrival dedup survived the crash: re-crawled wave-3 content
+    // kept its original ids (the checkpoint's dedup state was restored)
+    assert(out.forall(_.getLong(0) < 50000L),
+      "a re-submitted duplicate displaced its first arrival after recovery")
+    // and the recovery actually processed everything: every wave that
+    // contributes ≥1 FIRST-ARRIVAL document has its batch directory in
+    // the sink (a wave the gate or the dedup fully drops writes no
+    // partition — not a lost batch)
+    var seen = Set.empty[String]
+    val expectedBatches = waves.count { w =>
+      val hs = graft.streaming.CorpusIngest.gate(w)
+        .select($"ch").collect().map(_.getString(0)).toSet
+      val fresh = (hs -- seen).nonEmpty
+      seen ++= hs
+      fresh
+    }
+    assert(spark.read.parquet(outDir)
+      .select($"batch_id").distinct().count() == expectedBatches,
+      s"sink batches != $expectedBatches first-arrival-bearing waves after recovery")
+  }
+}
