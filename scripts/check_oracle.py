@@ -25,7 +25,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver data ships one file per table; ScaleGen corpora (sf1)
+        # are Spark-written DIRECTORIES of part files
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):

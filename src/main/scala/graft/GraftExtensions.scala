@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of join; see graft.plans.AsOfJoin).
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
+    // SQL surface for the same operator: /*+ ASOF(lt, rt[, dir[, tol]]) */
+    // over a plain equi-join rewrites to AsOfJoinPlan during analysis
+    // (see AsOfHintRule; e38 gates it against DuckDB's native ASOF JOIN).
+    e.injectResolutionRule(_ => graft.plans.AsOfHintRule)
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

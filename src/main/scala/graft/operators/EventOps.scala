@@ -1518,6 +1518,48 @@ object EventOps {
         SELECT l.o_orderkey, l.o_custkey, l.o_orderpriority, r.rts AS prev_us
         FROM l ASOF LEFT JOIN r
           ON l.o_custkey = r.ck AND l.o_orderpriority = r.pr AND l.tsm >= r.rts
-        ORDER BY l.o_orderkey"""))
+        ORDER BY l.o_orderkey""")),
+
+    // ── e38: the ASOF SQL HINT — the operator from pure spark.sql text ──
+    // (plans/AsOfHintRule, injected via injectResolutionRule): a plain
+    // equi-JOIN plus /*+ ASOF(lt, rt) */ rewrites into AsOfJoinPlan
+    // during analysis — the closest Spark extensions come to DuckDB's
+    // native ASOF JOIN syntax. This is the INNER form (bare JOIN):
+    // unmatched errors drop, like DuckDB's bare ASOF JOIN — so the
+    // oracle is the native inner ASOF and the rule's IsNotNull rewrite
+    // is value-gated cross-engine, not just spec'd. Plan shape is e31's
+    // exactly (the rewrite lands the same physical operator).
+    GQuery("e38_asof_sql_hint",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+          .createOrReplaceTempView("g_asof_err")
+        events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+          .createOrReplaceTempView("g_asof_pur")
+        s.sql("""
+          SELECT /*+ ASOF('ts', 'pts') */
+                 e.event_id, e.user_id,
+                 unix_micros(e.ts) AS ts_us,
+                 unix_micros(p.pts) AS p_ts_us,
+                 p.p_value
+          FROM g_asof_err e JOIN g_asof_pur p ON e.user_id = p.user_id
+          ORDER BY e.event_id""")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id"""))
   )
 }

@@ -1315,6 +1315,16 @@ object Relational {
         rankedCache.getOrElseUpdate((s, d),
             s.sql(s"SELECT * FROM (${RankedOrdersSql("g_orders")})").cache())
           .createOrReplaceTempView("g_ranked")
+        // Spark's recursion guard caps TOTAL rows ever produced by the
+        // CTE (default 10^6) — a runaway-recursion backstop, but this
+        // recursion's total is exactly |orders| (every order enters the
+        // chain once), so the default trips at sf≥1 (1.5M orders; found
+        // by the SCALING.md sf1 correctness sweep). Size the guard to
+        // the corpus with the same 2× margin a production job would,
+        // keeping it a real backstop instead of disabling it.
+        val totalRows = s.table("g_ranked").count()
+        s.conf.set("spark.sql.cteRecursionRowLimit",
+          math.max(1000000L, totalRows * 2).toString)
         s.sql(RecursiveChainSql("g_ranked"))
       },
       Some(RecursiveBalanceSql("orders"))),

@@ -458,4 +458,76 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+  /** The ASOF SQL hint (plans/AsOfHintRule): pure spark.sql text lands on
+    * the same physical operator with DuckDB's inner/left semantics; the
+    * value gate is e38's oracle, this pins the surface mechanics.
+    */
+  test("ASOF hint: SQL text rewrites to AsOfJoinExec with inner/left semantics and params") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (1L to 400L).map(i => (rnd.nextInt(18).toLong, rnd.nextInt(800).toLong, i))
+    val right = (1L to 300L).map(i => (rnd.nextInt(14).toLong, rnd.nextInt(800).toLong, 30000L + i))
+    left.toDF("k", "t", "lid").createOrReplaceTempView("asof_hint_l")
+    right.toDF("rk", "rt", "rid").createOrReplaceTempView("asof_hint_r")
+    def viaHint(sql: String): Map[Long, Long] =
+      spark.sql(sql).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def viaApi(direction: String, tol: Option[Long], inner: Boolean): Map[Long, Long] = {
+      val df0 = AsOf.join(
+        left.toDF("k", "t", "lid"),
+        right.toDF("rk", "rt", "rid").withColumnRenamed("rk", "k"),
+        "k", "t", "rt", direction, tol)
+        .toDF("k", "t", "lid", "rk2", "rt2", "rid")
+      val df = if (inner) df0.filter($"rt2".isNotNull) else df0
+      df.select($"lid", coalesce($"rid", lit(-1L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // inner (bare JOIN): unmatched left rows drop — DuckDB's bare ASOF
+    val inner = viaHint("""
+      SELECT /*+ ASOF('t', 'rt') */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""")
+    assert(inner == viaApi("backward", None, inner = true),
+      "inner hint diverges from AsOf.join + not-null filter")
+    assert(inner.size < left.size, "inner form dropped nothing — vacuous")
+    // LEFT JOIN: unmatched rows survive with nulls
+    val leftForm = viaHint("""
+      SELECT /*+ ASOF('t', 'rt') */ l.lid, r.rid
+      FROM asof_hint_l l LEFT JOIN asof_hint_r r ON l.k = r.rk""")
+    assert(leftForm == viaApi("backward", None, inner = false),
+      "left hint diverges from AsOf.join")
+    assert(leftForm.size == left.size)
+    // direction + tolerance params flow through
+    val nearTol = viaHint("""
+      SELECT /*+ ASOF('t', 'rt', 'nearest', 37) */ l.lid, r.rid
+      FROM asof_hint_l l LEFT JOIN asof_hint_r r ON l.k = r.rk""")
+    assert(nearTol == viaApi("nearest", Some(37L), inner = false),
+      "nearest+tolerance hint diverges from AsOf.join")
+    // the rewrite actually lands the custom operator
+    val planned = spark.sql("""
+      SELECT /*+ ASOF('t', 'rt') */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""")
+      .queryExecution.optimizedPlan
+    assert(planned.collect { case _: graft.plans.AsOfJoinPlan => true }.nonEmpty,
+      s"hint did not rewrite to AsOfJoinPlan:\n$planned")
+    // malformed usage fails loudly, never silently keeps the plain join
+    def expectFail(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected failure mentioning '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    expectFail("""
+      SELECT /*+ ASOF('t', 'rt') */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk AND l.lid = r.rid""",
+      "exactly one key equality")
+    expectFail("""
+      SELECT /*+ ASOF('t', 'rt', 'sideways') */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""",
+      "backward|forward|nearest")
+    expectFail("""
+      SELECT /*+ ASOF('nope', 'rt') */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""",
+      "not in [")
+  }
 }
