@@ -23,7 +23,14 @@ import org.apache.spark.sql.types._
   * zero duplicates — the replayed batch's writeBatch overwrote its own
   * partial attempt instead of double-inserting beside it.
   *
-  * Usage: CrashRecoveryMain <crash|resume> <inputDir> <outPath> <ckptDir> [crashAtBatch]
+  * Two pipelines share the harness: the corpus ingest (modes
+  * `crash`/`resume`) and the vector-index ingest (`crash-vector`/
+  * `resume-vector` — [[VectorIngest]] appending to a pre-materialized
+  * [[graft.operators.VectorIndexStore]], whose (cell, batch_id)
+  * partition overwrite is the replay-idempotency under test; the store
+  * base travels as the 6th argument and the target corpus as the 3rd).
+  *
+  * Usage: CrashRecoveryMain <mode> <inputDir> <outPathOrCorpus> <ckptDir> [crashAtBatch [indexBase]]
   */
 object CrashRecoveryMain {
   def main(args: Array[String]): Unit = {
@@ -32,16 +39,30 @@ object CrashRecoveryMain {
     val spark = graft.GraftSession.builder(master = "local[4]",
       shufflePartitions = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("n_chars", LongType), StructField("ts", TimestampType)))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inputDir)
-    val q = CorpusIngest.ingest(stream, outPath)
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.ProcessingTime("50 milliseconds"))
-      .start()
-    if (mode == "crash") {
+    val vectorMode = mode.endsWith("-vector")
+    val q = if (vectorMode) {
+      spark.conf.set(graft.operators.VectorIndexStore.ConfKey, args(5))
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      VectorIngest.ingestWriter(stream, corpusDir = outPath)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    } else {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("n_chars", LongType), StructField("ts", TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      CorpusIngest.ingest(stream, outPath)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    }
+    if (mode.startsWith("crash")) {
       // offsets/<n> lands before batch n executes; halting right after it
       // appears leaves batch n uncommitted — the replay case. halt(), not
       // exit(): shutdown hooks (which would stop the query cleanly) must

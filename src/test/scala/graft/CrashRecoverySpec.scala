@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
 
   private def fork(mode: String, inputDir: String, outPath: String,
-                   ckptDir: String): Int = {
+                   ckptDir: String, indexBase: Option[String] = None): Int = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = "/opt/spark/jars/*:target/scala-2.13/classes"
     val log = java.nio.file.Files.createTempFile("graft_crash_" + mode, ".log").toFile
@@ -37,7 +37,8 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     val cmd = Seq(javaBin, "-Xmx3g", "-cp", cp,
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
       addOpens ++
-      Seq("graft.streaming.CrashRecoveryMain", mode, inputDir, outPath, ckptDir, "2")
+      Seq("graft.streaming.CrashRecoveryMain", mode, inputDir, outPath, ckptDir, "2") ++
+      indexBase.toSeq
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(new java.io.File("."))
     pb.redirectOutput(log)
@@ -46,7 +47,7 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) { p.destroyForcibly(); fail(s"$mode JVM hung; log: $log") }
     val code = p.exitValue()
-    if (mode == "resume" && code != 0)
+    if (mode.startsWith("resume") && code != 0)
       fail(s"$mode JVM exited $code; log tail:\n" +
         scala.util.Using.resource(scala.io.Source.fromFile(log))(
           _.getLines().toSeq.takeRight(30).mkString("\n")))
@@ -134,5 +135,74 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(outDir)
       .select($"batch_id").distinct().count() == expectedBatches,
       s"sink batches != $expectedBatches first-arrival-bearing waves after recovery")
+  }
+  /** Same harness, the vector-index path: the store's (cell, batch_id)
+    * dynamic partition overwrite is the replay-idempotency under test —
+    * the mid-flight append must REPLACE its partial attempt on restart,
+    * and probes over the recovered index must see every new vector
+    * exactly once.
+    */
+  test("hard-killed vector ingest resumes: replayed append lands exactly-once in the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base0 = java.nio.file.Files.createTempDirectory("graft_vcrash_idx").toString
+    spark.conf.set(graft.operators.VectorIndexStore.ConfKey, base0)
+    try {
+      graft.operators.VectorIndexStore.materialize(spark, sf)
+      val baseIds = graft.operators.VectorIndexStore
+        .assignmentsIfPresent(spark, sf).get
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      // 5 waves of NEW vectors: jittered copies of the corpus under
+      // offset ids, one file per micro-batch
+      val emb = Tables.load(spark, sf, "embeddings")
+      def wave(i: Int) = emb
+        .filter($"vec_id" % 5 === i)
+        .select(($"vec_id" + 100000L * (i + 1)).as("vec_id"),
+          expr("transform(embedding, (x, k) -> CAST(x + 0.001 * " + (i + 1) +
+            " AS FLOAT))").as("embedding"))
+      val waves = (0 until 5).map(wave)
+      val expectedNew = waves.map(_.select($"vec_id").collect()
+        .map(_.getLong(0)).toSet).reduce(_ ++ _)
+
+      val attempt = (1 to 3).iterator.map { _ =>
+        val base = java.nio.file.Files.createTempDirectory("graft_vcrash").toString
+        val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+        waves.zipWithIndex.foreach { case (w, i) =>
+          w.coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+          val part = scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage$i")))(
+            _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+          java.nio.file.Files.move(part,
+            java.nio.file.Paths.get(inDir, f"wave$i%02d.parquet"))
+        }
+        val code = fork("crash-vector", inDir, sf, ckpt, Some(base0))
+        assert(code != 0, "crash JVM exited cleanly - halt() did not fire")
+        (inDir, ckpt,
+          countFiles(java.nio.file.Paths.get(ckpt, "offsets")),
+          countFiles(java.nio.file.Paths.get(ckpt, "commits")))
+      }.find { case (_, _, offsets, commits) => offsets > commits }
+      assert(attempt.isDefined, "3 attempts never caught a mid-flight append")
+      val (inDir, ckpt, _, _) = attempt.get
+
+      assert(fork("resume-vector", inDir, sf, ckpt, Some(base0)) == 0)
+
+      val appended = graft.operators.VectorIndexStore
+        .assignmentsIfPresent(spark, sf).get
+        .select($"vec_id").collect().map(_.getLong(0)).toIndexedSeq
+        .filterNot(baseIds)
+      assert(appended.toSet == expectedNew,
+        s"recovered index vec set diverges: missing ${(expectedNew -- appended.toSet).take(3)}, " +
+          s"extra ${(appended.toSet -- expectedNew).take(3)}")
+      assert(appended.distinct.size == appended.size,
+        "replayed append double-inserted vectors")
+      // the recovered index still serves: a probe over appended vectors
+      val queries = Tables.load(spark, sf, "embeddings").orderBy($"vec_id").limit(4)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      assert(graft.operators.VectorIndexStore
+        .probeBatch(spark, sf, queries).count() > 0)
+    } finally {
+      spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
+    }
   }
 }
