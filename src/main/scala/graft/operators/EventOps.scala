@@ -1042,8 +1042,17 @@ object EventOps {
             sum($"gap_us".cast(dec)).as("sx"),
             sum(($"gap_us".cast(dec) * $"gap_us".cast(dec))).as("sxx"))
           .filter($"n_gaps" >= 5)
+          // 6-dp seconds = integer MICROseconds: round-half-up of the
+          // exact rational sx/n is the pure-integer (2·sx+n) DIV (2·n) —
+          // the double ROUND seam this replaces flipped the 6th decimal
+          // between engines once means crossed a .5 µs boundary at the
+          // sf1 sweep (Spark rounds the exact binary via BigDecimal,
+          // DuckDB multiplies by 1e6 in floating point first). The
+          // integer fits a double exactly, so the final /1e6 is one
+          // correctly-rounded op — identical bits by construction.
           .select($"user_id", $"n_gaps",
-            roundz($"sx".cast(DoubleType) / $"n_gaps" / 1000000.0, 6).as("mean_gap_sec"),
+            (expr("CAST((sx * 2 + n_gaps) DIV (n_gaps * 2) AS DOUBLE)")
+              / 1000000.0).as("mean_gap_sec"),
             (lit(100).cast(dec) * ($"n_gaps".cast(dec) * $"sxx" - $"sx" * $"sx")
               < lit(81).cast(dec) * $"sx" * $"sx").as("is_bot"))
           .orderBy($"user_id")
@@ -1059,7 +1068,7 @@ object EventOps {
                      SUM(CAST(gap_us AS DECIMAL(38,0)) * CAST(gap_us AS DECIMAL(38,0))) AS sxx
               FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
         SELECT user_id, n_gaps,
-               (ROUND(CAST(sx AS DOUBLE) / n_gaps / 1000000.0, 6) + 0.0) AS mean_gap_sec,
+               CAST((CAST(sx AS HUGEINT) * 2 + n_gaps) // (CAST(n_gaps AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS mean_gap_sec,
                100 * (CAST(n_gaps AS DECIMAL(38,0)) * sxx - sx * sx) < 81 * (sx * sx) AS is_bot
         FROM a WHERE n_gaps >= 5 ORDER BY user_id""")),
 

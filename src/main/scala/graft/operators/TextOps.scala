@@ -74,35 +74,47 @@ object TextOps {
     // ── t03: quality scoring — length, stopword-ratio, lexical-diversity ──
     // components combined in a fixed-order double expression (bit-identical
     // across engines).
+    // Every reported ratio is a RATIONAL p/q of small integers, so the
+    // 6-dp rounding is done in pure integer arithmetic — round-half-up
+    // of p/q at 6 dp = (2·p·10⁶ + q) DIV (2·q), then one correctly-
+    // rounded divide by 10⁶ — instead of ROUND(double, 6), whose
+    // half-way behavior is an engine seam (the sf1 sweep caught one doc
+    // whose composite quality sat exactly on a .5·10⁻⁶ boundary: Spark
+    // rounds the exact binary via BigDecimal, DuckDB multiplies by 10⁶
+    // in floating point first). quality's common denominator is 5000·n:
+    // 0.4·min(nc,500)/500 + 0.3·(n−s)/n + 0.3·d/n =
+    // (4·min(nc,500)·n + 1500·(n−s) + 1500·d) / (5000·n).
     GQuery("t03_quality_score",
       (s, d) => {
         import s.implicits._
         val toks = tokens($"text")
-        val nTok = size(toks).cast(DoubleType)
-        val lenScore = least($"n_chars".cast(DoubleType) / 500.0, lit(1.0))
-        val stopRatio = countIn(toks, stopwords).cast(DoubleType) / nTok
-        val divRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
         docs(s, d)
           .select($"doc_id",
-            roundz(lenScore, 6).as("len_score"),
-            roundz(stopRatio, 6).as("stop_ratio"),
-            roundz(divRatio, 6).as("diversity"),
-            roundz(lenScore * 0.4 + (lit(1.0) - stopRatio) * 0.3 + divRatio * 0.3, 6).as("quality"))
+            least($"n_chars", lit(500L)).cast(LongType).as("ncm"),
+            size(toks).cast(LongType).as("n"),
+            countIn(toks, stopwords).cast(LongType).as("st"),
+            size(array_distinct(toks)).cast(LongType).as("dv"))
+          .select($"doc_id",
+            (expr("CAST((ncm * 2000000 + 500) DIV 1000 AS DOUBLE)") / 1e6).as("len_score"),
+            (expr("CAST((st * 2000000 + n) DIV (n * 2) AS DOUBLE)") / 1e6).as("stop_ratio"),
+            (expr("CAST((dv * 2000000 + n) DIV (n * 2) AS DOUBLE)") / 1e6).as("diversity"),
+            (expr("CAST(((4 * ncm * n + 1500 * (n - st) + 1500 * dv) * 2000000 + 5000 * n) " +
+              "DIV (10000 * n) AS DOUBLE)") / 1e6).as("quality"))
           .orderBy($"doc_id")
       },
       Some("""
         SELECT doc_id,
-               (ROUND(len_score, 6) + 0.0) AS len_score,
-               (ROUND(stop_ratio, 6) + 0.0) AS stop_ratio,
-               (ROUND(diversity, 6) + 0.0) AS diversity,
-               (ROUND(len_score * 0.4 + (1.0 - stop_ratio) * 0.3 + diversity * 0.3, 6) + 0.0) AS quality
+               CAST((ncm * 2000000 + 500) // 1000 AS DOUBLE) / 1e6 AS len_score,
+               CAST((st * 2000000 + n) // (n * 2) AS DOUBLE) / 1e6 AS stop_ratio,
+               CAST((dv * 2000000 + n) // (n * 2) AS DOUBLE) / 1e6 AS diversity,
+               CAST(((4 * ncm * n + 1500 * (n - st) + 1500 * dv) * 2000000 + 5000 * n)
+                 // (10000 * n) AS DOUBLE) / 1e6 AS quality
         FROM (
           SELECT doc_id,
-                 least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
-                 CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
-                   / len(string_split(text,' ')) AS stop_ratio,
-                 CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-                   / len(string_split(text,' ')) AS diversity
+                 CAST(least(n_chars, 500) AS BIGINT) AS ncm,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+                 CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS st,
+                 CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS dv
           FROM documents)
         ORDER BY doc_id""")),
 
