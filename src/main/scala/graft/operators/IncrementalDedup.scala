@@ -101,4 +101,45 @@ object IncrementalDedup {
     sigNew.unpersist()
     out
   }
+
+  /** INCREMENTAL duplicate-component maintenance: fold a batch of new
+    * near-dup pairs (this module's [[processBatch]] output, or any
+    * (i, j) edge frame) into an existing (node, label) labeling WITHOUT
+    * re-deriving the corpus graph — the missing half of
+    * [[SignatureStore.appendTable]]'s contract, whose doc correctly
+    * says labels are a global fixpoint that appends alone can't update.
+    *
+    * Exactness: an existing labeling IS its components' star edge set
+    * (node→label connects exactly what was connected), so components of
+    * (star edges ∪ new pairs) = components of (old graph ∪ new pairs) —
+    * the merged labeling equals a full rebuild bit-for-bit, including
+    * when a new pair BRIDGES two existing components or introduces
+    * brand-new nodes (spec-pinned against the rebuilt labeling on
+    * generated multigraphs and on the real LSH pair stream).
+    *
+    * Scale shape — the reason this beats re-running convergence over
+    * the corpus: only components actually TOUCHED by a new pair enter
+    * the star contraction. Touched labels are bounded by 2·|newPairs|
+    * (a broadcast), the contraction runs over |touched members| +
+    * |newPairs| edges, and every untouched row streams through
+    * unchanged — nightly merge work is proportional to the delta's
+    * blast radius, never to the corpus.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs.toDF("i", "j")
+    val touchedNodes = pairs.select(col("i").as("node"))
+      .union(pairs.select(col("j").as("node"))).distinct()
+    val touchedLabels = labels.join(touchedNodes, "node")
+      .select(col("label")).distinct()
+    val untouched = labels.join(broadcast(touchedLabels), Seq("label"), "left_anti")
+      .select(col("node"), col("label"))
+    val affected = labels.join(broadcast(touchedLabels), Seq("label"))
+      .select(col("node"), col("label"))
+    // star edges of the affected components ∪ the new pairs; new nodes
+    // (absent from `labels`) enter through their pair edges
+    val edges = affected.select(col("node").as("i"), col("label").as("j"))
+      .union(pairs.select(col("i"), col("j")))
+    untouched.unionByName(
+      Dedup.starComponents(edges)._1.select(col("node"), col("label")))
+  }
 }

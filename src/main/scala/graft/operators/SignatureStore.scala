@@ -176,9 +176,9 @@ object SignatureStore {
     * pairs come from joining the appended rows against the table.
     *
     * Component labels are deliberately NOT appended: new edges can merge
-    * existing components, so labels are a global fixpoint — refresh them
-    * via [[materializeTable]] (or serve merges incrementally through
-    * IncrementalDedup's pair stream) once a batch lands.
+    * existing components, so labels are a global fixpoint — fold the
+    * batch's pairs in with [[mergeComponents]] (exact, touched-components
+    * work) or refresh via [[materializeTable]] once a batch lands.
     *
     * The caller owns batch dedup: appending the same doc_id twice stores
     * two identical rows, like any append-only ingest.
@@ -196,6 +196,35 @@ object SignatureStore {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode(mode).saveAsTable(sigT)
     // the memoized frame may hold the pre-append table snapshot
+    Dedup.releaseSignatures()
+  }
+
+  /** Fold a batch's near-dup pairs into the materialized COMPONENT facet
+    * incrementally ([[IncrementalDedup.mergeComponents]] — exact vs a
+    * full rebuild, work bounded by the touched components). This is the
+    * label half of the nightly-ingest contract: [[appendTable]] lands
+    * the batch's signatures, [[IncrementalDedup.processBatch]] emits its
+    * new pairs, and this call merges those pairs into the served labels
+    * — no corpus-wide re-convergence between full refreshes.
+    *
+    * Parquet-facet stores only: a table-format component facet
+    * ([[materializeTable]]) is bucketed metadata the catalog owns —
+    * refresh it with materializeTable (same policy as its Scaladoc).
+    */
+  def mergeComponents(s: SparkSession, corpusDir: String,
+                      newPairs: DataFrame): Unit = {
+    require(!s.catalog.tableExists(tableName("comp", corpusDir)),
+      "table-format component facet present — refresh via materializeTable")
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — no store to merge into"))
+    val existing = componentsIfPresent(s, corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"no materialized component facet under $dir — run materialize() first"))
+    // materialize BEFORE overwriting the directory the plan reads from
+    val merged = IncrementalDedup.mergeComponents(existing, newPairs)
+      .localCheckpoint()
+    Dedup.releaseSignatures()
+    merged.write.mode("overwrite").parquet(s"$dir/components")
     Dedup.releaseSignatures()
   }
 

@@ -34,4 +34,81 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(store).count() == sizeBefore,
       "replayed batch grew the signature store")
   }
+  /** Incremental component maintenance must equal a full rebuild EXACTLY:
+    * the labeling is its own star edge set, so converging (stars ∪ new
+    * pairs) reproduces components of (old graph ∪ new pairs) — including
+    * the hard cases: a new pair BRIDGING two existing components, chains
+    * of brand-new nodes, a new node with a smaller id than its
+    * component's current label (the label must move), self-loops and
+    * duplicate edges.
+    */
+  test("mergeComponents == full rebuild: bridges, new nodes, label-stealing newcomers") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic random multigraphs in two waves, 3 seeds
+    for (seed <- Seq(5, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // wave 1 over nodes 100..219; wave 2 adds nodes 10..59 (SMALLER ids
+      // — new nodes must be able to steal the min label) and bridges
+      val wave1 = (1 to 150).map(_ =>
+        (100L + rnd.nextInt(120), 100L + rnd.nextInt(120))).toDF("i", "j")
+      val wave2 = ((1 to 60).map(_ =>
+        (10L + rnd.nextInt(50), 100L + rnd.nextInt(120))) ++
+        (1 to 20).map(_ => (10L + rnd.nextInt(50), 10L + rnd.nextInt(50))))
+        .toDF("i", "j")
+      val labels1 = graft.operators.Dedup.starComponents(wave1)._1
+      val merged = labelsOf(graft.operators.IncrementalDedup
+        .mergeComponents(labels1, wave2))
+      val rebuilt = labelsOf(
+        graft.operators.Dedup.starComponents(wave1.unionByName(wave2))._1)
+      assert(merged == rebuilt, s"seed=$seed: incremental merge diverged from rebuild")
+    }
+    // untouched components stream through with their labels intact
+    val w1 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val w2 = Seq((2L, 3L)).toDF("i", "j") // touches {1,2} and {3,4} only
+    val l1 = graft.operators.Dedup.starComponents(w1)._1
+    val m = labelsOf(graft.operators.IncrementalDedup.mergeComponents(l1, w2))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("store mergeComponents: nightly pairs fold into the served component facet") {
+    import spark.implicits._
+    assert(spark.conf.getOption(graft.operators.SignatureStore.ConfKey).isEmpty)
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_comp").toString
+    spark.conf.set(graft.operators.SignatureStore.ConfKey, base)
+    // the store facet must be the same family the inline rebuild uses —
+    // this test compares against inline d08-style components (perm16)
+    spark.conf.set(graft.operators.SignatureStore.FamilyKey, "perm16")
+    try {
+      graft.operators.SignatureStore.materialize(spark, sf)
+      val before = graft.operators.SignatureStore
+        .componentsIfPresent(spark, sf).get.count()
+      // nightly delta: pretend two fresh docs duplicate two stored ones —
+      // their pairs arrive from processBatch; here planted directly
+      val docs = Tables.load(spark, sf, "documents")
+        .select($"doc_id").orderBy($"doc_id").limit(2)
+        .collect().map(_.getLong(0))
+      val newPairs = Seq((docs(0), 900001L), (docs(1), 900002L),
+        (900001L, 900002L)).map { case (a, b) =>
+          (math.min(a, b), math.max(a, b)) }.toDF("i", "j")
+      graft.operators.SignatureStore.mergeComponents(spark, sf, newPairs)
+      graft.operators.Dedup.releaseSignatures()
+      val after = graft.operators.SignatureStore
+        .componentsIfPresent(spark, sf).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after.size >= before, "merge lost component rows")
+      // the three-way bridge united both stored docs' components with the
+      // two new nodes under one label — the min id across all four
+      val united = Set(docs(0), docs(1), 900001L, 900002L)
+      val lbls = united.map(after)
+      assert(lbls.size == 1 && lbls.head == united.min,
+        s"bridge did not unify: ${united.map(n => n -> after(n))}")
+    } finally {
+      graft.operators.SignatureStore.drop(spark, sf)
+      spark.conf.unset(graft.operators.SignatureStore.ConfKey)
+      spark.conf.unset(graft.operators.SignatureStore.FamilyKey)
+      graft.operators.Dedup.releaseSignatures()
+    }
+  }
 }
