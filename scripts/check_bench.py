@@ -31,11 +31,23 @@ def load(p):
 
 MAX_REFRESH_LOAD = 0.25  # load_avg/cpus above this → machine too hot to re-baseline
 
-# (BENCH_LOCAL key, flat grace added on refresh). shuffle: partition-count
-# jitter on near-zero queries; spill: 0 at sf0.1 for every healthy plan, so
-# any budget must tolerate the first nonzero byte being noise (64 MB ≈ one
-# task's sort buffer); peakmem: per-task max swings with AQE coalescing.
-PER_QUERY_GATES = [("shuffle_mb", 0.5), ("spill_mb", 64.0), ("peakmem_mb", 64.0)]
+# (BENCH_LOCAL key, per-gate margin, flat grace added on refresh).
+# shuffle: a plan property, tight margin; partition-count jitter on
+# near-zero queries absorbed by the 0.5 MB grace. spill: 0 at sf0.1 for
+# every healthy plan, so any budget must tolerate the first nonzero byte
+# being noise (64 MB ≈ one task's sort buffer). peakmem: even with
+# spark.buffer.pageSize pinned (GraftSession), per-task peak quantizes to
+# page multiples and moves with AQE coalescing / pool contention — round 8's
+# 1.6x budget false-FAILed 74/217 healthy queries on a driver-condition run
+# (up to 8x on small values from page-size variance alone). 4x margin +
+# 128 MB grace passes healthy runs in any environment while a planted
+# 10x buffering regression on any non-trivial query (e.g. an unpartitioned
+# window, which buffers a corpus partition per task: hundreds of MB) still
+# lands far over budget. Sub-16MB queries can drift inside the grace —
+# acceptable: the regression class this gate exists for (q44-style
+# collect-then-sort, broadcast→shuffle fallback) is absolute-MB-large.
+PER_QUERY_GATES = [("shuffle_mb", 1.6, 0.5), ("spill_mb", 1.6, 64.0),
+                   ("peakmem_mb", 4.0, 128.0)]
 
 
 def refresh(budget_path, local_path, force=False):
@@ -76,11 +88,22 @@ def refresh(budget_path, local_path, force=False):
     # regression class), blows through its own ceiling even when its
     # wall time hides in family noise. The flat grace absorbs
     # partition-count jitter on near-zero queries.
-    for key, grace in PER_QUERY_GATES:
+    budget["doc"] = (
+        "family/total/_build ceilings = quiet-run value * margin; per-query "
+        "MB ceilings = value * gate_margins[key] + gate_grace_mb[key]. "
+        "peakmem uses a wide margin + flat grace because per-task peak "
+        "quantizes to Tungsten page multiples and swings with pool "
+        "contention on unchanged code (r8: 74 false FAILs at 1.6x); the "
+        "gated regression class (whole-group buffering, broadcast->shuffle "
+        "fallback) is absolute-MB-large and still trips it.")
+    budget["gate_margins"] = {k: m for k, m, _ in PER_QUERY_GATES}
+    budget["gate_grace_mb"] = {k: g for k, _, g in PER_QUERY_GATES}
+    for key, gate_margin, grace in PER_QUERY_GATES:
         vals = local.get(key) or {}
         if vals:
             budget[key] = {
-                q: round(v * MARGIN + grace, 2) for q, v in sorted(vals.items())}
+                q: round(v * gate_margin + grace, 2)
+                for q, v in sorted(vals.items())}
     Path(budget_path).write_text(json.dumps(budget, indent=2) + "\n")
     print(f"refreshed {budget_path} from {local_path} (margin {MARGIN}x)")
     return 0
@@ -117,7 +140,7 @@ def main(argv):
         status = "FAIL" if local[k] > budget[k] else "ok"
         n_fail += local[k] > budget[k]
         print(f"{status:4} {k} {local[k]:.2f}s / budget {budget[k]:.2f}s")
-    for key, _grace in PER_QUERY_GATES:
+    for key, _margin, _grace in PER_QUERY_GATES:
         name = key.split("_")[0]
         vals = local.get(key) or {}
         key_budget = budget.get(key) or {}

@@ -37,36 +37,9 @@ object Bench {
     walk(plan)
   }
 
-  /** Executed-plan totals for the two per-task buffering metrics the
-    * shuffle gate can't see: spilled bytes (sum of every operator's
-    * "spillSize" — sort, aggregate, SMJ buffers) and peak execution
-    * memory (max over operators of "peakMemory"). A q44-style
-    * collect-then-sort aggregate regresses HERE first: its buffer grows
-    * with group size while its shuffle stays flat.
-    */
-  private[graft] def planMetric(plan: org.apache.spark.sql.execution.SparkPlan,
-                                metric: String, max: Boolean): Long = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def comb(a: Long, b: Long): Long = if (max) math.max(a, b) else a + b
-    def walk(p: SparkPlan): Long = {
-      if (!seen.add(p)) return 0L
-      val self = p.metrics.get(metric).map(_.value).getOrElse(0L)
-      val below = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case c: InMemoryTableScanExec => walk(c.relation.cachedPlan)
-        case other =>
-          other.children.map(walk).foldLeft(0L)(comb)
-      }
-      val subs = p.subqueries.map(walk).foldLeft(0L)(comb)
-      comb(self, comb(below, subs))
-    }
-    walk(plan)
-  }
+  // spill_mb/peakmem_mb come from TaskMetricsListener (the untimed
+  // metrics pass), not from executed-plan metric walks — a plan-walk
+  // variant existed briefly and was removed as dead code.
 
   /** Bounded wait for a quiet machine: committed artifacts from hot runs
     * (round 7: load_avg 13.7/32) read as per-query regressions that were

@@ -32,6 +32,15 @@ object GraftSession {
       // engine's temporal semantics are instant-based in a UTC session.
       // Tables.events also casts defensively for externally built sessions.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Pin the Tungsten allocation page size: Spark auto-computes it from
+      // heap size / core count at startup, so the same plan's recorded
+      // peakExecutionMemory quantizes to DIFFERENT page multiples in
+      // different JVMs (round 8's bench gate saw 8 MiB vs 64 MiB first
+      // pages — an 8x "regression" on unchanged code). A fixed page makes
+      // the peakmem bench metric comparable across environments; 8 MiB is
+      // small enough to be honest for sub-second queries and large enough
+      // that multi-GB sorts pay no measurable page-chaining overhead.
+      .config("spark.buffer.pageSize", "8m")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

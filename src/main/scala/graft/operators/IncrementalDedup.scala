@@ -126,7 +126,10 @@ object IncrementalDedup {
     * blast radius, never to the corpus.
     */
   def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
-    val pairs = newPairs.toDF("i", "j")
+    // processBatch emits (i, j, est_jaccard); accept any frame whose first
+    // two columns are the edge endpoints rather than requiring exact arity.
+    val pairs = newPairs.select(
+      col(newPairs.columns(0)).as("i"), col(newPairs.columns(1)).as("j"))
     val touchedNodes = pairs.select(col("i").as("node"))
       .union(pairs.select(col("j").as("node"))).distinct()
     val touchedLabels = labels.join(touchedNodes, "node")

@@ -81,6 +81,30 @@ object SignatureStore {
   private def ready(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  /** Marker file recording which signature family a store was BUILT with.
+    * Lives next to (not inside) the table/parquet directories so
+    * overwrite-mode rebuilds refresh it atomically with the data they
+    * describe. Appends must match it: a session whose [[FamilyKey]]
+    * differs from the bootstrap (one job built with perm16, a later
+    * ingest runs the oph default) would otherwise silently mix two
+    * estimators' rows in one table, corrupting est_jaccard with no error.
+    */
+  private def familyMarker(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "FAMILY")
+
+  private def writeFamilyMarker(dir: String, fam: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(familyMarker(dir), fam.getBytes("UTF-8"))
+  }
+
+  /** The family a store under `dir` was materialized with, if recorded. */
+  def storedFamily(dir: String): Option[String] = {
+    val p = familyMarker(dir)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
   private def tableIfPresent(s: SparkSession, facet: String,
                              corpusDir: String): Option[DataFrame] =
     Some(tableName(facet, corpusDir)).filter(s.catalog.tableExists)
@@ -115,6 +139,7 @@ object SignatureStore {
       s"$ConfKey is not set on this session — nowhere to materialize"))
     // drop any cached plan still scanning a previous store generation
     Dedup.releaseSignatures()
+    writeFamilyMarker(dir, family(s))
     buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.mode("overwrite").parquet(s"$dir/signatures")
     Dedup.releaseSignatures()
@@ -149,6 +174,7 @@ object SignatureStore {
     s.sql(s"DROP TABLE IF EXISTS $sigT")
     s.sql(s"DROP TABLE IF EXISTS $compT")
     Dedup.releaseSignatures()
+    writeFamilyMarker(dir, family(s))
     buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
@@ -191,6 +217,19 @@ object SignatureStore {
     // first batch creates the table (day-0 bootstrap IS an append of the
     // whole corpus); later batches land alongside with the same bucket spec
     val mode = if (s.catalog.tableExists(sigT)) "append" else "overwrite"
+    if (mode == "append") storedFamily(dir) match {
+      case Some(fam) if fam != family(s) => throw new IllegalStateException(
+        s"store at $dir was materialized with family '$fam' but this " +
+          s"session's $FamilyKey resolves to '${family(s)}' — appending " +
+          "would mix estimators in one table; set the conf to match or " +
+          "rebuild via materializeTable")
+      case Some(_) => ()
+      case None =>
+        // legacy store predating the marker: adopt the session family as
+        // the recorded bootstrap family (it is the only candidate we have)
+        writeFamilyMarker(dir, family(s))
+    }
+    else writeFamilyMarker(dir, family(s))
     buildSignatures(s, newDocs)
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")

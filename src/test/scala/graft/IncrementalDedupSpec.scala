@@ -24,6 +24,18 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "no batch pairs at this sf — test data unusable")
     assert(got == want,
       s"incremental != batch: missing=${(want -- got).size} extra=${(got -- want).size}")
+
+    // the documented nightly flow end-to-end: processBatch output carries
+    // (i, j, est_jaccard) and feeds mergeComponents DIRECTLY — the label
+    // merge must accept the 3-column frame and equal a full rebuild
+    val labels1 = graft.operators.Dedup.starComponents(w1.select("i", "j"))._1
+    val mergedLabels = IncrementalDedup.mergeComponents(labels1, w2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuiltLabels = graft.operators.Dedup.starComponents(
+      w1.select("i", "j").unionByName(w2.select("i", "j")))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedLabels == rebuiltLabels,
+      "mergeComponents over raw processBatch output diverged from rebuild")
     w1.unpersist(); w2.unpersist()
 
     // replayed wave: store already has these doc_ids → no pairs, no growth

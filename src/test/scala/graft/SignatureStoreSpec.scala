@@ -139,6 +139,17 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"append broke the bucket layout — doc_id aggregate shuffles:\n$plan")
+      // the bootstrap family is persisted with the store: a later session
+      // whose FamilyKey differs must NOT silently mix estimators in the
+      // same table — the append fails loudly instead
+      assert(SignatureStore.storedFamily(
+        SignatureStore.storeDir(spark, sf).get).contains("perm16"))
+      spark.conf.set(SignatureStore.FamilyKey, "oph")
+      val ex = intercept[IllegalStateException](
+        SignatureStore.appendTable(spark, sf, docs.filter($"doc_id" % 2 === 1)))
+      assert(ex.getMessage.contains("perm16") && ex.getMessage.contains("oph"))
+      // and the matching family still appends fine
+      spark.conf.set(SignatureStore.FamilyKey, "perm16")
     } finally {
       SignatureStore.drop(spark, sf)
       spark.conf.unset(SignatureStore.ConfKey)
