@@ -1569,6 +1569,101 @@ object EventOps {
                p.p_value
         FROM errors e ASOF JOIN purchases p
           ON e.user_id = p.user_id AND e.ts >= p.pts
+        ORDER BY e.event_id""")),
+
+    // ── e39: the ASOF hint's FULL parameter surface under the oracle ──
+    // gate — LEFT form + tolerance + direction, all from pure spark.sql
+    // text. Two hinted subqueries in ONE statement (each hint rewrites
+    // its own subtree's join): backward with a 1-day inclusive tolerance,
+    // and forward unbounded, recombined on event_id. DuckDB's native
+    // ASOF LEFT (>= / <=) is the oracle; its missing tolerance knob is
+    // expressed as post-nullification — exactly the inclusive |Δt| ≤ tol
+    // contract AsOfJoinExec implements — so the LEFT rewrite path, the
+    // tolerance plumbing, and the forward merge are all value-checked
+    // cross-engine (e38 covers only the inner backward form).
+    GQuery("e39_asof_hint_left",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+          .createOrReplaceTempView("g_asof_err")
+        events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+          .createOrReplaceTempView("g_asof_pur")
+        s.sql("""
+          SELECT b.event_id, b.user_id, b.ts_us, b.b_ts_us, b.b_value, f.f_ts_us
+          FROM (
+            SELECT /*+ ASOF('ts', 'pts', 'backward', 86400000000) */
+                   e.event_id, e.user_id, unix_micros(e.ts) AS ts_us,
+                   unix_micros(p.pts) AS b_ts_us, p.p_value AS b_value
+            FROM g_asof_err e LEFT JOIN g_asof_pur p ON e.user_id = p.user_id) b
+          JOIN (
+            SELECT /*+ ASOF('ts', 'pts', 'forward') */
+                   e.event_id, unix_micros(p.pts) AS f_ts_us
+            FROM g_asof_err e LEFT JOIN g_asof_pur p ON e.user_id = p.user_id) f
+          ON b.event_id = f.event_id
+          ORDER BY b.event_id""")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        b AS (
+          SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                 CASE WHEN epoch_us(e.ts) - epoch_us(p.pts) <= 86400000000
+                      THEN epoch_us(p.pts) END AS b_ts_us,
+                 CASE WHEN epoch_us(e.ts) - epoch_us(p.pts) <= 86400000000
+                      THEN p.p_value END AS b_value
+          FROM errors e ASOF LEFT JOIN purchases p
+            ON e.user_id = p.user_id AND e.ts >= p.pts),
+        f AS (
+          SELECT e.event_id, epoch_us(p.pts) AS f_ts_us
+          FROM errors e ASOF LEFT JOIN purchases p
+            ON e.user_id = p.user_id AND e.ts <= p.pts)
+        SELECT b.event_id, b.user_id, b.ts_us, b.b_ts_us, b.b_value, f.f_ts_us
+        FROM b JOIN f ON b.event_id = f.event_id
+        ORDER BY b.event_id""")),
+
+    // ── e40: SKEW-AUTO-ROUTED as-of (AsOf.joinAuto) under the oracle ──
+    // gate: the plain spelling probes its own key distribution (one
+    // column-pruned map-side-combined aggregate → four numbers) and
+    // re-plans through joinSliced past the skew threshold — the user
+    // never has to know their key is hot. Whichever path the probe
+    // picks, the result must equal DuckDB's native ASOF LEFT bit-for-bit
+    // (joinSliced's seed machinery and the plain merge are both e31/e35-
+    // gated already; this gates the ROUTING layer: probe, threshold,
+    // schema-stable rename). AsOfJoinSpec pins the skewed path spreading
+    // a planted hot key.
+    GQuery("e40_asof_auto",
+      (s, d) => {
+        import s.implicits._
+        val events = ev(s, d)
+        val errors = events.filter($"event_type" === "error")
+          .select($"user_id", $"event_id", $"ts")
+        val purchases = events.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+        graft.plans.AsOf.joinAuto(errors, purchases, "user_id", "ts", "pts")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros($"r_pts").as("p_ts_us"),
+            $"r_p_value".as("p_value"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH errors AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        purchases AS (
+          SELECT user_id, ts AS pts, value AS p_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.pts) AS p_ts_us,
+               p.p_value
+        FROM errors e ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.pts
         ORDER BY e.event_id"""))
   )
 }

@@ -26,10 +26,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampN
   * IsNotNull filter on the matched time), and on a `LEFT JOIN` as
   * `ASOF LEFT JOIN` (unmatched left rows survive with nulls — the
   * operator's native output). The equi-condition supplies the match
-  * key — exactly ONE equality in v1: a packed struct key would make two
-  * null fields compare EQUAL in the merge, silently violating SQL
-  * multi-key semantics; composite keys go through [[AsOf.joinMulti]],
-  * which carries the explicit null routing.
+  * key(s): one equality joins on the bare attribute; a conjunction of
+  * equalities packs into a struct key with [[AsOf.joinMulti]]'s null
+  * semantics made relational (right rows with any null key field are
+  * pre-filtered, because struct comparison would equate null fields —
+  * see the rewrite's comment).
   *
   * Resolution-rule placement matters: injected rules run inside the
   * analyzer's fixed-point Resolution batch, BEFORE `RemoveAllHints`
@@ -72,11 +73,20 @@ object AsOfHintRule extends Rule[LogicalPlan] {
     }
     val direction = params.lift(2).map(p => strParam(p).getOrElse(
       fail("direction must be a string"))).getOrElse("backward")
-    val tolerance = params.lift(3).map {
-      case Literal(v: Long, LongType) => v
-      case Literal(v: Int, IntegerType) => v.toLong
-      case other => fail(s"tolerance must be an integer literal, got $other")
+    def intLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      // the parser yields UnaryMinus(Literal) for a negative literal —
+      // fold it here so the >= 0 check sees the real value
+      case org.apache.spark.sql.catalyst.expressions.UnaryMinus(inner, _) =>
+        intLit(inner).map(v => -v)
+      case _ => None
     }
+    val tolerance = params.lift(3).map(p => intLit(p).getOrElse(
+      fail(s"tolerance must be an integer literal, got $p")))
+    // mirror AsOf.join's require — the hint path builds AsOfJoinPlan
+    // directly, and a negative window would silently match nothing
+    tolerance.filter(_ < 0).foreach(t => fail(s"tolerance must be >= 0, got $t"))
     val dir = try AsOfDirection.parse(direction) catch {
       case e: IllegalArgumentException => fail(e.getMessage)
     }
@@ -111,11 +121,27 @@ object AsOfHintRule extends Rule[LogicalPlan] {
           a.dataType, b.dataType, ignoreNullability = true))
         fail(s"key types must match exactly: ${a.name} is ${a.dataType} vs ${b.dataType}")
     }
-    if (keyPairs.size != 1)
-      fail(s"exactly one key equality is supported (got ${keyPairs.size}); " +
-        "composite keys need AsOf.joinMulti's explicit null routing")
-    val asof = AsOfJoinPlan(j.left, j.right,
-      keyPairs.head._1, keyPairs.head._2, lt, rt, dir, tolerance)
+    // Composite keys pack into one struct per side — the same mechanism
+    // AsOf.joinMulti uses — with its null routing expressed relationally:
+    // the merge compares whole struct VALUES, under which two null fields
+    // would compare EQUAL, so right rows with any null key field are
+    // filtered out here (SQL multi-key semantics say they can never be
+    // emitted); a left row with a null field then simply never finds a
+    // candidate — surviving unmatched in the LEFT form, dropping in the
+    // inner form — which is exactly the SQL behavior.
+    val (lKey: Expression, rKey: Expression, rChild: LogicalPlan) =
+      keyPairs match {
+        case Seq((a, b)) => (a, b, j.right)
+        case pairs =>
+          import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+          def pack(attrs: Seq[Attribute]): Expression =
+            CreateNamedStruct(attrs.zipWithIndex.flatMap { case (a, i) =>
+              Seq(Literal(s"f$i"), a) })
+          (pack(pairs.map(_._1)), pack(pairs.map(_._2)),
+            Filter(pairs.map(p => IsNotNull(p._2): Expression).reduce(And),
+              j.right))
+      }
+    val asof = AsOfJoinPlan(j.left, rChild, lKey, rKey, lt, rt, dir, tolerance)
     val rewritten: LogicalPlan =
       if (j.joinType == LeftOuter) asof
       // ASOF inner (DuckDB's bare ASOF JOIN): unmatched left rows drop —

@@ -677,4 +677,68 @@ object AsOf {
           lit(null).cast(f.dataType).as("r_" + f.name)).toIndexedSeq: _*)
     joined.unionByName(nullOut)
   }
+
+  /** SKEW-AUTO-ROUTED as-of join: [[join]] that measures its own key
+    * distribution and re-plans through [[joinSliced]] when a key is too
+    * hot for one task — the user no longer has to KNOW their key is hot
+    * (BinnedRangeJoinRule's precedent: plan the scale-safe form from the
+    * naive spelling).
+    *
+    * The probe is one aggregation over ONLY the (key, time) columns of
+    * both sides: per-key counts are map-side combined (the shuffle
+    * carries ≤ |distinct keys| rows per map task, never corpus rows),
+    * then reduced to FOUR numbers — max key count, total rows, min/max
+    * time — collected to the driver. That is metadata collection, not a
+    * driver-side loop; at 100 TB it costs one column-pruned scan, which
+    * is the price of not discovering the hot key when task 17 of the
+    * merge runs for nine hours.
+    *
+    * Routing: a key is hot when its combined row count exceeds
+    * `skewFactor` × the mean per-partition share (the same "N× the
+    * average" shape AQE's skew-join detector uses). Hot → [[joinSliced]]
+    * with the slice width chosen so the hot key splits into
+    * ⌈maxCnt / threshold⌉ time slices across the measured span; not hot
+    * (or a degenerate zero span, where slicing cannot spread anything)
+    * → the plain merge. Both paths emit the SAME schema — left columns
+    * plus `r_`-prefixed right columns — so callers never see which plan
+    * ran; parity with [[join]] on every path is pinned in AsOfJoinSpec.
+    */
+  def joinAuto(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               tolerance: Option[Long] = None,
+               skewFactor: Double = 4.0): DataFrame = {
+    require(skewFactor > 0, s"skewFactor must be positive, got $skewFactor")
+    val (lDf, rDf) = (left, right)
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def us(c: Column, dt: DataType): Column =
+      if (dt == LongType) c else unix_micros(c)
+    val lt = us(col(leftTime), lDf.schema(leftTime).dataType)
+    val rt = us(col(rightTime), rDf.schema(rightTime).dataType)
+    val probe = lDf.select(col(key).as("__pk"), lt.as("__pt"))
+      .unionByName(rDf.select(col(key).as("__pk"), rt.as("__pt")))
+      .filter(col("__pk").isNotNull && col("__pt").isNotNull)
+      .groupBy(col("__pk"))
+      .agg(count(lit(1)).as("__c"), min("__pt").as("__mn"), max("__pt").as("__mx"))
+      .agg(max("__c"), sum("__c"), min("__mn"), max("__mx"))
+      .collect()(0)
+    val plainRenamed = () =>
+      join(lDf, rDf, key, leftTime, rightTime, direction, tolerance)
+        .toDF((lDf.columns ++ rDf.columns.map("r_" + _)).toIndexedSeq: _*)
+    if (probe.isNullAt(0)) return plainRenamed() // no non-null keys at all
+    val (maxCnt, total) = (probe.getLong(0), probe.getLong(1))
+    val (tMin, tMax) = (probe.getLong(2), probe.getLong(3))
+    val partitions = lDf.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val threshold = math.max(1L,
+      math.ceil(total.toDouble / partitions * skewFactor).toLong)
+    val span = tMax - tMin
+    if (maxCnt <= threshold || span <= 0) plainRenamed()
+    else {
+      val slices = math.min(maxCnt / threshold + 1, 100000L)
+      val sliceUs = math.max(1L, span / slices + 1)
+      joinSliced(lDf, rDf, key, leftTime, rightTime, direction, tolerance, sliceUs)
+    }
+  }
 }

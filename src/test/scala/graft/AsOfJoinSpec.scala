@@ -208,6 +208,51 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(slicedParts > 1L, s"joinSliced did not spread the hot key ($slicedParts partition)")
   }
 
+  test("joinAuto: the plain spelling auto-routes a 50%-skew key through joinSliced") {
+    import spark.implicits._
+    // the skew threshold is skewFactor x the mean per-partition share, so
+    // it is only meaningful at a production-shaped partition count — the
+    // suite's 4-partition session would call a 50% key merely 2x the mean
+    withSQLConf("spark.sql.shuffle.partitions" -> "32") {
+    val rnd = new scala.util.Random(29)
+    def skewKey(i: Long): Long = if (i % 2 == 0) 42L else 1 + rnd.nextInt(60).toLong
+    val left = (1L to 3000L).map(i => (skewKey(i), rnd.nextInt(100000).toLong, i))
+      .toDF("k", "t", "lid")
+    val right = (1L to 3000L).map(i => (skewKey(i), rnd.nextInt(100000).toLong, 10000L + i))
+      .toDF("k", "t", "rid")
+    def matches(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", coalesce($"r_t", lit(-1L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hotParts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .filter($"k" === 42L).select($"p").distinct().count()
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val auto = AsOf.joinAuto(left, right, "k", "t", "t", dir, Some(500L))
+      val plain = AsOf.join(left, right, "k", "t", "t", dir, Some(500L))
+        .toDF("k", "t", "lid", "r_k", "r_t", "r_rid")
+      assert(matches(auto) == matches(plain), s"dir=$dir joinAuto diverges from join")
+      assert(matches(plain).values.exists(_ == -1L), s"dir=$dir no unmatched — vacuous")
+    }
+    // the skew probe actually routed sliced: hot key spans >1 partition
+    // from the PLAIN spelling, no sliceUs anywhere in the call
+    val spread = hotParts(AsOf.joinAuto(left, right, "k", "t", "t"))
+    assert(spread > 1L, s"joinAuto did not spread the hot key ($spread partition)")
+
+    // a uniform corpus routes through the plain merge (no slicing cost):
+    // one hash partition per key, and parity again
+    val uleft = (1L to 2000L).map(i =>
+      (1 + rnd.nextInt(60).toLong, rnd.nextInt(100000).toLong, i)).toDF("k", "t", "lid")
+    val uright = (1L to 2000L).map(i =>
+      (1 + rnd.nextInt(60).toLong, rnd.nextInt(100000).toLong, 10000L + i)).toDF("k", "t", "rid")
+    val uAuto = AsOf.joinAuto(uleft, uright, "k", "t", "t")
+    val uPlain = AsOf.join(uleft, uright, "k", "t", "t")
+      .toDF("k", "t", "lid", "r_k", "r_t", "r_rid")
+    assert(matches(uAuto) == matches(uPlain), "uniform joinAuto diverges from join")
+    assert(hotParts(uAuto) == 1L,
+      "uniform corpus should route through the plain single-partition-per-key merge")
+    }
+  }
+
   test("joinMulti: composite (k1,k2) key equals the packed-single-key join; null fields never match") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
@@ -517,10 +562,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(msgs(e).exists(_.contains(frag)),
         s"expected failure mentioning '$frag', got: ${msgs(e).mkString(" | ")}")
     }
-    expectFail("""
+    // composite keys: the hint packs a struct key with joinMulti's null
+    // semantics — parity with the DataFrame API on a two-key corpus that
+    // plants null key fields on both sides
+    val mrnd = new scala.util.Random(71)
+    def mkey(): (java.lang.Long, java.lang.Long) = (
+      if (mrnd.nextInt(10) == 0) null else java.lang.Long.valueOf(mrnd.nextInt(6).toLong),
+      if (mrnd.nextInt(10) == 0) null else java.lang.Long.valueOf(mrnd.nextInt(4).toLong))
+    val ml = (1L to 300L).map { i => val (a, b) = mkey(); (a, b, mrnd.nextInt(800).toLong, i) }
+    val mr = (1L to 200L).map { i => val (a, b) = mkey(); (a, b, mrnd.nextInt(800).toLong, 40000L + i) }
+    ml.toDF("k1", "k2", "t", "lid").createOrReplaceTempView("asof_hint_ml")
+    mr.toDF("k1", "k2", "rt", "rid").createOrReplaceTempView("asof_hint_mr")
+    val multiHint = viaHint("""
       SELECT /*+ ASOF('t', 'rt') */ l.lid, r.rid
-      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk AND l.lid = r.rid""",
-      "exactly one key equality")
+      FROM asof_hint_ml l LEFT JOIN asof_hint_mr r
+        ON l.k1 = r.k1 AND l.k2 = r.k2""")
+    val multiApi = AsOf.joinMulti(
+      ml.toDF("k1", "k2", "t", "lid"), mr.toDF("k1", "k2", "rt", "rid"),
+      Seq("k1", "k2"), "t", "rt")
+      .select($"lid", coalesce($"r_rid", lit(-1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multiHint == multiApi,
+      "composite-key hint diverges from AsOf.joinMulti")
+    assert(multiHint.values.count(_ >= 0) > 0, "no composite matches — vacuous")
+    assert(multiHint.size == ml.size, "composite LEFT form lost left rows")
     expectFail("""
       SELECT /*+ ASOF('t', 'rt', 'sideways') */ l.lid, r.rid
       FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""",
@@ -529,5 +594,11 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       SELECT /*+ ASOF('nope', 'rt') */ l.lid, r.rid
       FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""",
       "not in [")
+    // negative tolerance would silently match nothing — must fail like
+    // the DataFrame API's require(t >= 0)
+    expectFail("""
+      SELECT /*+ ASOF('t', 'rt', 'backward', -5) */ l.lid, r.rid
+      FROM asof_hint_l l JOIN asof_hint_r r ON l.k = r.rk""",
+      "tolerance must be >= 0")
   }
 }
