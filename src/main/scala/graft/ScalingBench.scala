@@ -180,7 +180,7 @@ object ScalingBench {
     // assignment facet a probe would otherwise scan per cell
     def dirMb(name: String): Double = {
       val base = java.nio.file.Paths.get(
-        graft.operators.VectorIndexStore.storeDir(spark, sfDir).get, name)
+        graft.operators.VectorIndexStore.servedDir(spark, sfDir).get, name)
       if (!java.nio.file.Files.isDirectory(base)) 0.0
       else {
         val sum = java.nio.file.Files.walk(base)

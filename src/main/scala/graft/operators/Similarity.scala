@@ -1008,6 +1008,12 @@ object Similarity {
           .select($"src", $"rn", $"dst", $"cos")
           .orderBy($"src", $"rn")
       },
+      // Oracle shape note (the sf1 lesson): the scoring CTEs project the
+      // 64-double arrays away BEFORE any window — ranking rows that still
+      // carry xv/yv made DuckDB materialize ~1 KB/row through the sort
+      // (44M seed pairs ≈ 44 GB, >70 GB of temp spill at 20k vectors);
+      // with (src, dst, cos) projections the same sweep runs in memory.
+      // Values are identical: the rank keys are the same rounded cos.
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           (${signBucketSql("embedding", 6)}) AS bucket
@@ -1016,12 +1022,14 @@ object Similarity {
                           unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
                                   xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
                    FROM e),
-        seed_scored AS (SELECT src, e.vec_id AS dst,
+        seed_cos AS (SELECT src, e.vec_id AS dst,
+                            (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) AS cos
+                     FROM probes JOIN e ON probes.probe = e.bucket
+                                       AND probes.src <> e.vec_id),
+        seed_scored AS (SELECT src, dst,
                                ROW_NUMBER() OVER (PARTITION BY src
-                                 ORDER BY (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) DESC,
-                                          e.vec_id ASC) AS rn
-                        FROM probes JOIN e ON probes.probe = e.bucket
-                                          AND probes.src <> e.vec_id),
+                                 ORDER BY cos DESC, dst ASC) AS rn
+                        FROM seed_cos),
         knn AS (SELECT src, dst FROM seed_scored WHERE rn <= 2),
         und AS (SELECT src AS a, dst AS b FROM knn
                 UNION SELECT dst, src FROM knn),
@@ -1029,13 +1037,14 @@ object Similarity {
                  FROM und g1 JOIN und g2 ON g1.b = g2.a
                  WHERE g1.a <> g2.b
                  UNION SELECT src, dst FROM knn),
-        ref AS (SELECT cand.src, cand.dst,
-                       (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY cand.src
-                         ORDER BY (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) DESC,
-                                  cand.dst ASC) AS rn
-                FROM cand JOIN e ex ON cand.src = ex.vec_id
-                          JOIN e ey ON cand.dst = ey.vec_id)
+        cand_cos AS (SELECT cand.src, cand.dst,
+                            (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) AS cos
+                     FROM cand JOIN e ex ON cand.src = ex.vec_id
+                               JOIN e ey ON cand.dst = ey.vec_id),
+        ref AS (SELECT src, dst, cos,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY cos DESC, dst ASC) AS rn
+                FROM cand_cos)
         SELECT src, rn, dst, cos FROM ref WHERE rn <= 2
         ORDER BY src, rn""")),
 

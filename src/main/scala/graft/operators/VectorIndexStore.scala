@@ -43,6 +43,57 @@ object VectorIndexStore {
   private def ready(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  // ── Versioned generations (ParquetSink.compact's recipe) ──
+  //
+  // A retrain is a NEW INDEX, not an edit: centroids, assignments and the
+  // PQ facet are mutually consistent only within one generation, so a
+  // rebuild-in-place would let a probe racing the retrain read half of
+  // each. Facets therefore live under $store/vN and a tiny CURRENT
+  // pointer file names the served generation; [[retrain]] writes vN+1
+  // completely (all facets), then swings the pointer in one atomic move.
+  // Old generations are never deleted by retrain, so a probe PLAN built
+  // against vN (Spark resolves parquet paths at DataFrame construction)
+  // keeps executing against intact files even after the flip; new plans
+  // read vN+1. Stores built before versioning (facets directly under
+  // $store, no pointer) read as the "flat" generation.
+
+  private def pointerFile(dir: String) = java.nio.file.Paths.get(dir, "CURRENT")
+
+  /** The served generation number, when the store is versioned. */
+  def currentVersion(dir: String): Option[Int] =
+    Some(pointerFile(dir)).filter(java.nio.file.Files.exists(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.stripPrefix("v").toInt)
+
+  /** Directory holding the SERVED generation's facets: `$store/vN` when a
+    * pointer exists, the legacy flat layout otherwise.
+    */
+  def servedDir(s: SparkSession, corpusDir: String): Option[String] =
+    storeDir(s, corpusDir).map(d =>
+      currentVersion(d).map(v => s"$d/v$v").getOrElse(d))
+
+  private def flip(dir: String, version: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "CURRENT.tmp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(tmp, s"v$version".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointerFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def centroidsIn(s: SparkSession, vdir: String): Option[DataFrame] =
+    Some(s"$vdir/centroids").filter(ready).map(s.read.parquet(_))
+
+  private def assignmentsIn(s: SparkSession, vdir: String): Option[DataFrame] =
+    Some(s"$vdir/assignments").filter(ready)
+      .map(s.read.parquet(_).drop("batch_id"))
+
+  private def codebookIn(s: SparkSession, vdir: String): Option[DataFrame] =
+    Some(s"$vdir/pq_codebook").filter(ready).map(s.read.parquet(_))
+
+  private def codesIn(s: SparkSession, vdir: String): Option[DataFrame] =
+    Some(s"$vdir/pq_codes").filter(ready).map(s.read.parquet(_))
+
   /** Inline centroid table: per-label element-wise means (s04's form —
     * k×d doubles, always broadcast-able).
     */
@@ -68,15 +119,13 @@ object VectorIndexStore {
       .select($"vec_id", $"embedding", $"c_label".as("cell"))
   }
 
-  /** Build (or rebuild) the store: the tiny centroid table as plain
-    * parquet, the assignment partitioned by cell (one directory per
-    * cell — the unit the probe path prunes on). Requires [[ConfKey]].
+  /** Write the centroid + assignment facets into one generation dir:
+    * the tiny centroid table as plain parquet, the assignment partitioned
+    * by cell (one directory per cell — the unit the probe path prunes on).
     */
-  def materialize(s: SparkSession, corpusDir: String): String = {
-    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
-      s"$ConfKey is not set on this session — nowhere to materialize"))
+  private def buildBaseInto(s: SparkSession, corpusDir: String, vdir: String): Unit = {
     centroidFrame(s, corpusDir)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$vdir/centroids")
     // batch_id = -1 marks the base build; streamed appends land under
     // their own (cell, batch_id) leaves so replays overwrite in place
     // (see appendAssignments). cell stays the TOP partition level — the
@@ -84,18 +133,88 @@ object VectorIndexStore {
     assignmentFrame(s, corpusDir)
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
-      .parquet(s"$dir/assignments")
-    dir
+      .parquet(s"$vdir/assignments")
   }
 
-  /** Store facets, when materialized. */
+  /** Build (or rebuild) the store as a NEW generation: centroids +
+    * assignments land under `$store/vN+1`, then the CURRENT pointer
+    * swings — a reader never sees centroids without their assignments.
+    * (The PQ facet is a separate opt-in build, [[materializePQ]]; for a
+    * retrain of a PQ-serving index use [[retrain]], which stages ALL
+    * facets before the flip.) Requires [[ConfKey]]. Returns the new
+    * generation's directory.
+    */
+  def materialize(s: SparkSession, corpusDir: String): String = {
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to materialize"))
+    val next = currentVersion(dir).getOrElse(0) + 1
+    val vdir = s"$dir/v$next"
+    buildBaseInto(s, corpusDir, vdir)
+    flip(dir, next)
+    vdir
+  }
+
+  /** Full atomic retrain: centroids, assignments AND the PQ facet are
+    * rebuilt into `$store/vN+1` against the fresh corpus, and the CURRENT
+    * pointer swings only once everything is written. A probe racing the
+    * retrain reads generation vN in full — never a half-built index (the
+    * race the old rebuild-in-place materialize allowed); the staged PQ
+    * codebook is trained on the STAGED assignments, so vN+1 is internally
+    * consistent by construction. [[appendAssignments]] composes: after the
+    * flip it routes new vectors against vN+1's centroids into vN+1's
+    * assignment directories. Old generations stay on disk (in-flight
+    * plans keep their files); reclaim them with [[pruneOldVersions]].
+    */
+  def retrain(s: SparkSession, corpusDir: String): String =
+    retrainStaged(s, corpusDir)(())
+
+  /** [[retrain]] with a test seam: `beforeFlip` runs after every facet of
+    * the new generation is written but BEFORE the pointer swings — the
+    * window the atomicity claim is about (VectorIndexStoreSpec probes the
+    * served index inside it and must see the OLD generation, complete).
+    */
+  private[graft] def retrainStaged(s: SparkSession, corpusDir: String)
+                                  (beforeFlip: => Unit): String = {
+    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to retrain"))
+    val next = currentVersion(dir).getOrElse(0) + 1
+    val vdir = s"$dir/v$next"
+    buildBaseInto(s, corpusDir, vdir)
+    buildPQInto(s, corpusDir, vdir)
+    beforeFlip
+    flip(dir, next)
+    vdir
+  }
+
+  /** Delete generation dirs older than the served one (explicit reclaim —
+    * run it once in-flight readers of old generations are known drained).
+    */
+  def pruneOldVersions(s: SparkSession, corpusDir: String): Unit =
+    for (dir <- storeDir(s, corpusDir); cur <- currentVersion(dir)) {
+      val root = java.nio.file.Paths.get(dir)
+      val kids = java.nio.file.Files.list(root)
+      try kids.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt < cur) {
+          def rm(q: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(q)) {
+              val c = java.nio.file.Files.list(q)
+              try c.forEach(rm(_)) finally c.close()
+            }
+            java.nio.file.Files.deleteIfExists(q)
+          }
+          rm(p)
+        }
+      } finally kids.close()
+    }
+
+  /** Store facets of the SERVED generation, when materialized. */
   def centroidsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/centroids").filter(ready)
-      .map(s.read.parquet(_))
+    servedDir(s, corpusDir).flatMap(centroidsIn(s, _))
 
   def assignmentsIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/assignments").filter(ready)
-      .map(s.read.parquet(_).drop("batch_id"))
+    servedDir(s, corpusDir).flatMap(assignmentsIn(s, _))
 
   /** Store-read IVF probe: top-k by exact cosine among the vectors whose
     * cell is one of the query's `nprobe` nearest centroid cells — s06's
@@ -114,16 +233,20 @@ object VectorIndexStore {
   def probe(s: SparkSession, corpusDir: String, queryVecId: Long,
             nprobe: Int = 2, topK: Int = 5): DataFrame = {
     import s.implicits._
+    // resolve the served generation ONCE: both facets must come from the
+    // same vN even if a retrain flips the pointer mid-call
+    val vdir = servedDir(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"$ConfKey is not set on this session"))
     val q = Tables.load(s, corpusDir, "embeddings")
       .filter($"vec_id" === queryVecId)
       .select(asDouble($"embedding").as("qv"))
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+    val cent = centroidsIn(s, vdir).getOrElse(
       throw new IllegalStateException(s"no materialized index under $ConfKey"))
     val probes = cent.join(broadcast(q))
       .select($"c_label", roundz(cosineSim($"centroid", $"qv"), 4).as("qcos"))
       .orderBy($"qcos".desc, $"c_label".asc).limit(nprobe)
       .select($"c_label").as[Int].collect().toSeq
-    assignmentsIfPresent(s, corpusDir).getOrElse(
+    assignmentsIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         s"index under $ConfKey has centroids but no assignments — " +
           "materialize() incomplete or still running"))
@@ -179,10 +302,13 @@ object VectorIndexStore {
                  corpusPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+    // one generation resolution for the whole call (see probe())
+    val vdir = servedDir(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"$ConfKey is not set on this session"))
+    val cent = centroidsIn(s, vdir).getOrElse(
       throw new IllegalStateException(s"no materialized index under $ConfKey"))
     val (qprobe, cells) = probedCells(s, queries, cent, nprobe)
-    val assign0 = assignmentsIfPresent(s, corpusDir).getOrElse(
+    val assign0 = assignmentsIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         s"index under $ConfKey has centroids but no assignments — " +
           "materialize() incomplete or still running"))
@@ -220,9 +346,12 @@ object VectorIndexStore {
                         newVecs: DataFrame, batchId: Long): Unit = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+    // resolve the generation once: the append scores against the SERVED
+    // centroids and lands in the SAME generation's assignment dirs, so
+    // it composes with retrain (after a flip, appends route into vN+1)
+    val vdir = servedDir(s, corpusDir).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to append"))
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+    val cent = centroidsIn(s, vdir).getOrElse(
       throw new IllegalStateException(s"no materialized index under $ConfKey"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
     newVecs
@@ -237,7 +366,7 @@ object VectorIndexStore {
       // and the session's global overwrite mode is left alone
       .write.option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("cell", "batch_id")
-      .parquet(s"$dir/assignments")
+      .parquet(s"$vdir/assignments")
   }
 
   // ── PQ facet: product-quantized RESIDUAL codes per cell (IVFADC) ──
@@ -265,12 +394,12 @@ object VectorIndexStore {
     * probed cell. (Quantizing raw vectors makes cell-mates share codes
     * and ADC can no longer order them — measured recall collapse.)
     */
-  private def residualSubvectors(s: SparkSession, corpusDir: String): DataFrame = {
+  private def residualSubvectors(s: SparkSession, vdir: String): DataFrame = {
     import s.implicits._
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+    val cent = centroidsIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         "PQ facet needs the centroid facet — run materialize() first"))
-    assignmentsIfPresent(s, corpusDir).getOrElse(
+    assignmentsIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         "PQ facet needs the assignments facet — run materialize() first"))
       .join(broadcast(cent), $"cell" === $"c_label")
@@ -297,10 +426,14 @@ object VectorIndexStore {
     * Each Lloyd round is a broadcast join + two-phase agg over the
     * subvector frame — the s10_kmeans_refine pattern, never pairwise.
     */
-  def codebookFrame(s: SparkSession, corpusDir: String): DataFrame = {
+  def codebookFrame(s: SparkSession, corpusDir: String): DataFrame =
+    codebookFrameIn(s, servedDir(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"$ConfKey is not set on this session")))
+
+  private def codebookFrameIn(s: SparkSession, vdir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sub = residualSubvectors(s, corpusDir)
+    val sub = residualSubvectors(s, vdir)
     var cb = meansOf(sub.withColumn("cw_id", pmod(hash($"vec_id"), lit(NumCodewords))))
     val wAsn = Window.partitionBy($"vec_id", $"ss").orderBy($"d2".asc, $"c_label".asc)
     (1 to CodebookIters).foreach { _ =>
@@ -322,7 +455,11 @@ object VectorIndexStore {
     * constant) — without it, high-norm vectors crowd out true cosine
     * neighbors.
     */
-  def codesFrame(s: SparkSession, corpusDir: String): DataFrame = {
+  def codesFrame(s: SparkSession, corpusDir: String): DataFrame =
+    codesFrameIn(s, corpusDir, servedDir(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"$ConfKey is not set on this session")))
+
+  private def codesFrameIn(s: SparkSession, corpusDir: String, vdir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val norms = Tables.load(s, corpusDir, "embeddings")
@@ -330,8 +467,8 @@ object VectorIndexStore {
       .select($"vec_id",
         sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)).as("norm"))
     val wEnc = Window.partitionBy($"vec_id", $"ss").orderBy($"d2".asc, $"c_label".asc)
-    residualSubvectors(s, corpusDir)
-      .join(broadcast(codebookFrame(s, corpusDir)), Seq("ss"))
+    residualSubvectors(s, vdir)
+      .join(broadcast(codebookFrameIn(s, vdir)), Seq("ss"))
       .select($"vec_id", $"ss", $"c_label", dist2($"vs", $"cw").as("d2"))
       .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
       .groupBy($"vec_id")
@@ -346,30 +483,32 @@ object VectorIndexStore {
     * to the probed cells exactly like the raw-vector path, but reads
     * NumSubspaces ints per row instead of the full vector.
     */
-  def materializePQ(s: SparkSession, corpusDir: String): String = {
+  private def buildPQInto(s: SparkSession, corpusDir: String, vdir: String): Unit = {
     import s.implicits._
-    val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
-      s"$ConfKey is not set on this session — nowhere to materialize"))
-    val cellOf = assignmentsIfPresent(s, corpusDir).getOrElse(
+    val cellOf = assignmentsIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         "materializePQ needs the assignments facet — run materialize() first"))
       .select($"vec_id", $"cell")
-    codebookFrame(s, corpusDir)
-      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
-    codesFrame(s, corpusDir)
+    codebookFrameIn(s, vdir)
+      .write.mode("overwrite").parquet(s"$vdir/pq_codebook")
+    codesFrameIn(s, corpusDir, vdir)
       .join(cellOf, "vec_id")
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/pq_codes")
-    dir
+      .parquet(s"$vdir/pq_codes")
+  }
+
+  def materializePQ(s: SparkSession, corpusDir: String): String = {
+    val vdir = servedDir(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"$ConfKey is not set on this session — nowhere to materialize"))
+    buildPQInto(s, corpusDir, vdir)
+    vdir
   }
 
   def codebookIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/pq_codebook").filter(ready)
-      .map(s.read.parquet(_))
+    servedDir(s, corpusDir).flatMap(codebookIn(s, _))
 
   def codesIfPresent(s: SparkSession, corpusDir: String): Option[DataFrame] =
-    storeDir(s, corpusDir).map(d => s"$d/pq_codes").filter(ready)
-      .map(s.read.parquet(_))
+    servedDir(s, corpusDir).flatMap(codesIn(s, _))
 
   /** ADC workload probe — [[probeBatch]]'s shape with the candidate scan
     * running over PQ CODES instead of raw vectors (the serving path when
@@ -396,9 +535,12 @@ object VectorIndexStore {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val cent = centroidsIfPresent(s, corpusDir).getOrElse(
+    // one generation resolution for all four facets (see probe())
+    val vdir = servedDir(s, corpusDir).getOrElse(
+      throw new IllegalStateException(s"$ConfKey is not set on this session"))
+    val cent = centroidsIn(s, vdir).getOrElse(
       throw new IllegalStateException(s"no materialized index under $ConfKey"))
-    val codebook = codebookIfPresent(s, corpusDir).getOrElse(
+    val codebook = codebookIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         "no PQ facet under the index — run materializePQ() first"))
     val (qprobe, cells) = probedCells(s, queries, cent, nprobe)
@@ -410,7 +552,7 @@ object VectorIndexStore {
       .join(broadcast(codebook), Seq("ss"))
       .select($"query_id", $"ss", $"c_label".as("code"),
         roundz(dotSub($"qs", $"cw"), 4).cast(DecimalType(14, 4)).as("term"))
-    val codes0 = codesIfPresent(s, corpusDir).getOrElse(
+    val codes0 = codesIn(s, vdir).getOrElse(
       throw new IllegalStateException(
         "no PQ codes under the index — materializePQ() incomplete"))
       .filter($"cell".isin(cells: _*))
@@ -434,7 +576,7 @@ object VectorIndexStore {
       .withColumn("rn", row_number().over(wShort)).filter($"rn" <= shortlist)
       .select($"query_id", $"vec_id", $"adc")
     // exact rerank: raw vectors only for the shortlist, still cell-pruned
-    val raw = assignmentsIfPresent(s, corpusDir).getOrElse(
+    val raw = assignmentsIn(s, vdir).getOrElse(
       throw new IllegalStateException("index has PQ codes but no assignments"))
       .filter($"cell".isin(cells: _*))
       .select($"vec_id", $"embedding")

@@ -259,4 +259,83 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
         "probe over the streamed index diverges from inline s06")
     }
   }
+
+  /** Versioned atomic retrain: the race the old rebuild-in-place allowed
+    * (a probe reading half-built centroids/assignments/PQ) must be
+    * impossible — a probe issued at ANY moment reads one complete
+    * generation. Pinned via the retrainStaged seam: inside the window
+    * where v2 is fully written but the pointer hasn't flipped, the served
+    * index is still v1 (plan scans v1 files, values identical to the
+    * pre-retrain snapshot); after the flip everything — probes, ADC,
+    * appends — runs against v2.
+    */
+  test("retrain: probes racing a retrain read one consistent generation; appends follow the flip") {
+    import spark.implicits._
+    withStore { _ =>
+      val v1 = VectorIndexStore.materialize(spark, sf)
+      assert(v1.endsWith("/v1"), s"bootstrap should write generation v1, got $v1")
+      VectorIndexStore.materializePQ(spark, sf)
+      val queries = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      def run() = VectorIndexStore.probeBatch(spark, sf, queries,
+        nprobe = 2, topK = 3, corpusPredicate = Some($"vec_id" >= 5))
+      def scanDirs(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.collect()
+        scans(df.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+      }
+      val before = run().collect().toSeq
+      val dir = VectorIndexStore.storeDir(spark, sf).get
+
+      var probedMidRetrain = false
+      val v2 = VectorIndexStore.retrainStaged(spark, sf) {
+        // v2 is fully staged (all four facets written) …
+        for (facet <- Seq("centroids", "assignments", "pq_codebook", "pq_codes"))
+          assert(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/v2/$facet/_SUCCESS")),
+            s"retrain flip before $facet was written")
+        // … but the pointer still serves v1: a racing probe reads the old
+        // generation in full, bit-identical to the pre-retrain snapshot
+        assert(VectorIndexStore.currentVersion(dir).contains(1))
+        val mid = run()
+        assert(mid.collect().toSeq == before, "mid-retrain probe diverged")
+        val midStore = scanDirs(mid).filter(_.contains(dir))
+        assert(midStore.nonEmpty && midStore.forall(_.contains("/v1/")),
+          s"mid-retrain probe plan scans outside generation v1: $midStore")
+        probedMidRetrain = true
+      }
+      assert(probedMidRetrain && v2.endsWith("/v2"))
+      assert(VectorIndexStore.currentVersion(dir).contains(2))
+      // post-flip: plans scan v2, values equal (same corpus, deterministic
+      // build), and the ADC path serves v2's staged PQ facet
+      val after = run()
+      assert(after.collect().toSeq == before, "v2 rebuild changed results on an unchanged corpus")
+      val afterStore = scanDirs(after).filter(_.contains(dir))
+      assert(afterStore.nonEmpty && afterStore.forall(_.contains("/v2/")),
+        s"post-flip probe plan still scans v1: $afterStore")
+      val adc = VectorIndexStore.probeBatchADC(spark, sf, queries
+          .select($"query_id", $"qv"), nprobe = 2, shortlist = 1000, topK = 3,
+          corpusPredicate = Some($"vec_id" >= 5))
+        .collect()
+      assert(adc.nonEmpty, "ADC probe on the retrained generation returned nothing")
+      // appends compose with the new generation: new vectors land in v2
+      val donor = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
+      val newVecs = Seq((900001L, donor)).toDF("vec_id", "embedding")
+      VectorIndexStore.appendAssignments(spark, sf, newVecs, batchId = 99L)
+      val appended = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .filter($"vec_id" === 900001L)
+      assert(appended.count() == 1, "append after retrain did not land in the served generation")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/v1/assignments/cell=" +
+          appended.select($"cell").head().getInt(0), "batch_id=99")),
+        "append wrote into the RETIRED generation")
+      // old generations are reclaimable once drained
+      VectorIndexStore.pruneOldVersions(spark, sf)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v1")),
+        "pruneOldVersions left v1 behind")
+      assert(run().collect().toSeq == before, "prune broke the served generation")
+    }
+  }
 }
