@@ -19,19 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
 
+  /** Dim frames build from [[graft.sources.RegistryData]] — the same
+    * swappable [[graft.sources.RegistryBackend]] the DSv2 connector
+    * serves, so installing a real registry client retargets EVERY r-query
+    * with zero query changes (RegistrySeamSpec pins this). The `*Sql`
+    * VALUES mirrors below stay literal: they mirror the BUILT-IN backend,
+    * which is what the driver's oracle gate always runs against.
+    */
+  private def fromRegistry(s: SparkSession, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      graft.sources.RegistryData.rows(table)
+        .map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava
+    s.createDataFrame(rows, graft.sources.RegistryData.schemaOf(table))
+  }
+
   /** filetype → ordered registered extractors (order = registry rank; the
     * reference picks index 0, `__init__.py:110-115`).
     */
-  def filetypes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(
-      ("biologic-mpr", Seq("yadg", "galvani")),
-      ("example-xy", Seq("yadg")),
-      ("nexus-hdf5", Seq("h5grove")),
-      ("pdf", Seq("pdfplumber-cli")),
-      ("csv", Seq.empty[String])
-    ).toDF("filetype_id", "registered_extractors")
-  }
+  def filetypes(s: SparkSession): DataFrame = fromRegistry(s, "filetypes")
 
   /** DuckDB VALUES mirror of [[filetypes]] (oracle side). */
   val filetypesSql: String = """
@@ -46,16 +52,7 @@ object Registry {
   /** Usage blocks: (extractor, idx, method, setup, command) — idx is the
     * JSON array position `parse_usage` iterates (`__init__.py:443-456`).
     */
-  def usages(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(
-      ("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
-      ("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
-      ("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
-      ("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
-      ("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}")
-    ).toDF("extractor_id", "idx", "method", "setup", "command")
-  }
+  def usages(s: SparkSession): DataFrame = fromRegistry(s, "usages")
 
   /** DuckDB VALUES mirror of [[usages]]. */
   val usagesSql: String = """
@@ -95,15 +92,7 @@ object Registry {
   /** Installation instructions (`MardaExtractor.install`,
     * `__init__.py:179-217`): pip packages per extractor.
     */
-  def installations(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(
-      ("yadg", "pip", "yadg~=5.0"),
-      ("galvani", "pip", "galvani>=0.4"),
-      ("h5grove", "pip", "h5grove"),
-      ("pdfplumber-cli", "pip", "pdfplumber")
-    ).toDF("extractor_id", "method", "package")
-  }
+  def installations(s: SparkSession): DataFrame = fromRegistry(s, "installations")
 
   /** DuckDB VALUES mirror of [[installations]]. */
   val installationsSql: String = """

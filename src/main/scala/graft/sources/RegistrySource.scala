@@ -45,10 +45,67 @@ class RegistrySource extends TableProvider with DataSourceRegister {
     new RegistryTable(RegistryData.tableName(new CaseInsensitiveStringMap(properties)))
 }
 
-/** Static registry rows shared by the connector and (via
-  * [[graft.registry.Registry]]'s Dataset builders) the in-memory dims.
+/** The registry CLIENT seam: one implementation per backing service.
+  * Everything downstream — the DSv2 connector, [[graft.registry.Registry]]'s
+  * broadcast dims, and therefore every r01–r14 query — consumes registry
+  * rows through [[RegistryData]], which delegates here. A real deployment
+  * installs its client once at startup ([[RegistryData.setBackend]]); the
+  * reference's HTTP JSON client maps 1:1 (GET /filetypes → `filetypes`,
+  * GET /extractors/{id} usage/installation blocks → `usages` /
+  * `installations`). RegistrySeamSpec swaps a JSON-fixture client and
+  * pins that the connector AND the whole query pack track it with zero
+  * query changes.
+  *
+  * Rows are plain Scala values positionally matching
+  * [[RegistryData.schemas]].
+  */
+trait RegistryBackend {
+  def rows(table: String): Seq[Seq[Any]]
+}
+
+/** The built-in fixture backend (the reference's test registry). */
+object BuiltinRegistryBackend extends RegistryBackend {
+  def rows(table: String): Seq[Seq[Any]] = table match {
+    case "filetypes" => Seq(
+      Seq("biologic-mpr", Seq("yadg", "galvani")),
+      Seq("example-xy", Seq("yadg")),
+      Seq("nexus-hdf5", Seq("h5grove")),
+      Seq("pdf", Seq("pdfplumber-cli")),
+      Seq("csv", Seq.empty[String]))
+    case "usages" => Seq(
+      Seq("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
+      Seq("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
+      Seq("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
+      Seq("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
+      Seq("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}"))
+    case "installations" => Seq(
+      Seq("yadg", "pip", "yadg~=5.0"),
+      Seq("galvani", "pip", "galvani>=0.4"),
+      Seq("h5grove", "pip", "h5grove"),
+      Seq("pdfplumber-cli", "pip", "pdfplumber"))
+  }
+}
+
+/** Registry rows shared by the connector and (via
+  * [[graft.registry.Registry]]'s Dataset builders) the in-memory dims —
+  * served through the swappable [[RegistryBackend]].
   */
 object RegistryData {
+  @volatile private var backend: RegistryBackend = BuiltinRegistryBackend
+
+  /** Install a registry client (deployment: once at startup). */
+  def setBackend(b: RegistryBackend): Unit = { backend = b }
+
+  /** Run `f` against a different backend, restoring the previous one —
+    * the test seam (and the honest shape of "swaps in without touching
+    * any query": only this call changes, every plan re-derives).
+    */
+  def withBackend[T](b: RegistryBackend)(f: => T): T = {
+    val prev = backend
+    backend = b
+    try f finally { backend = prev }
+  }
+
   def tableName(options: CaseInsensitiveStringMap): String = {
     val t = options.getOrDefault("table", "usages")
     require(schemas.contains(t), s"unknown registry table '$t' (have: ${schemas.keys.mkString(", ")})")
@@ -72,25 +129,12 @@ object RegistryData {
 
   def schemaOf(table: String): StructType = schemas(table)
 
-  /** Rows as plain Scala values, positionally matching the schemas. */
-  def rows(table: String): Seq[Seq[Any]] = table match {
-    case "filetypes" => Seq(
-      Seq("biologic-mpr", Seq("yadg", "galvani")),
-      Seq("example-xy", Seq("yadg")),
-      Seq("nexus-hdf5", Seq("h5grove")),
-      Seq("pdf", Seq("pdfplumber-cli")),
-      Seq("csv", Seq.empty[String]))
-    case "usages" => Seq(
-      Seq("yadg", 0, "python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
-      Seq("yadg", 1, "cli", "", "yadg extract {{ input_type }} {{ input_path }} --out {{ output_path }} --fmt {{ output_type }}"),
-      Seq("galvani", 0, "python", "galvani", "galvani.MPRfile({{ input_path }})"),
-      Seq("h5grove", 0, "cli", "", "h5dump {{ input_path }} > {{ output_path }}"),
-      Seq("pdfplumber-cli", 0, "cli", "", "pdfplumber {{ input_path }} --out {{ output_path }}"))
-    case "installations" => Seq(
-      Seq("yadg", "pip", "yadg~=5.0"),
-      Seq("galvani", "pip", "galvani>=0.4"),
-      Seq("h5grove", "pip", "h5grove"),
-      Seq("pdfplumber-cli", "pip", "pdfplumber"))
+  /** Rows as plain Scala values, positionally matching the schemas —
+    * whatever the installed backend serves.
+    */
+  def rows(table: String): Seq[Seq[Any]] = {
+    require(schemas.contains(table), s"unknown registry table '$table'")
+    backend.rows(table)
   }
 }
 

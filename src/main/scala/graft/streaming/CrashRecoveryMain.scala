@@ -23,14 +23,23 @@ import org.apache.spark.sql.types._
   * zero duplicates — the replayed batch's writeBatch overwrote its own
   * partial attempt instead of double-inserting beside it.
   *
-  * Two pipelines share the harness: the corpus ingest (modes
-  * `crash`/`resume`) and the vector-index ingest (`crash-vector`/
+  * Three pipelines share the harness: the corpus ingest (modes
+  * `crash`/`resume`), the vector-index ingest (`crash-vector`/
   * `resume-vector` — [[VectorIngest]] appending to a pre-materialized
   * [[graft.operators.VectorIndexStore]], whose (cell, batch_id)
   * partition overwrite is the replay-idempotency under test; the store
-  * base travels as the 6th argument and the target corpus as the 3rd).
+  * base travels as the 6th argument and the target corpus as the 3rd),
+  * and the STATEFUL tier (`crash-state`/`resume-state` —
+  * [[StreamingDedup.incrementalPairs]], flatMapGroupsWithState over
+  * per-bucket signature state). The stateful mode is the one a cluster
+  * restart actually stresses: the kill lands with LIVE bucket state, and
+  * recovery must restore the state store to the last committed batch so
+  * the replay emits exactly the pairs the batch pipeline would — pass
+  * `rocksdb` as the 6th argument to run it on the RocksDB state store
+  * provider instead of the default HDFS-backed one (both providers must
+  * recover identically; the spec pins the RocksDB path).
   *
-  * Usage: CrashRecoveryMain <mode> <inputDir> <outPathOrCorpus> <ckptDir> [crashAtBatch [indexBase]]
+  * Usage: CrashRecoveryMain <mode> <inputDir> <outPathOrCorpus> <ckptDir> [crashAtBatch [indexBase|rocksdb]]
   */
 object CrashRecoveryMain {
   def main(args: Array[String]): Unit = {
@@ -40,7 +49,26 @@ object CrashRecoveryMain {
       shufflePartitions = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val vectorMode = mode.endsWith("-vector")
-    val q = if (vectorMode) {
+    val stateMode = mode.endsWith("-state")
+    val q = if (stateMode) {
+      if (args.lift(5).contains("rocksdb"))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      // ttl = None: the bounded-replay opt-out — the spec's waves must
+      // pair across ALL earlier waves, so no horizon applies
+      StreamingDedup.incrementalPairs(
+          StreamingDedup.bandedSignatures(stream), minEst = 0.5, ttl = None)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    } else if (vectorMode) {
       spark.conf.set(graft.operators.VectorIndexStore.ConfKey, args(5))
       val schema = StructType(Seq(
         StructField("vec_id", LongType),

@@ -205,4 +205,80 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
     }
   }
+
+  /** The STATEFUL tier under the same hard kill (VERDICT r8 #5): the
+    * corpus/vector modes recover stateless-per-batch sinks; this one
+    * kills flatMapGroupsWithState (StreamingDedup's per-bucket signature
+    * state) mid-batch, on the ROCKSDB state store provider, and restarts
+    * in a second JVM. Recovery must restore the state store to the last
+    * committed batch so the full run emits exactly the pair multiset the
+    * batch pipeline computes — and the pairs that SPAN the crash (state
+    * written before the kill, matched by documents arriving after the
+    * resume) are asserted present explicitly: wave 3 re-submits wave-0
+    * content under offset ids, so every such pair needs wave-0 bucket
+    * state to have survived the kill.
+    */
+  test("hard-killed stateful dedup (RocksDB) resumes: state restores, stream == batch pairs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf(t)))
+    val waves = Seq(
+      docs.filter($"doc_id" < 120),
+      docs.filter($"doc_id" >= 120 && $"doc_id" < 240),
+      docs.filter($"doc_id" >= 240 && $"doc_id" < 360),
+      // near-exact replay of wave 0 under new ids: guaranteed est=1.0
+      // pairs whose FIRST member's state predates the crash
+      docs.filter($"doc_id" < 120).withColumn("doc_id", $"doc_id" + 50000L),
+      docs.filter($"doc_id" >= 360)
+    ).zipWithIndex.map { case (df, i) => stamped(df, f"2024-01-01 10:0$i:00") }
+
+    val attempt = (1 to 3).iterator.map { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_scrash").toString
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage$i")))(
+          _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(inDir, f"wave$i%02d.parquet"))
+      }
+      val code = fork("crash-state", inDir, outDir, ckpt, Some("rocksdb"))
+      assert(code != 0, "crash JVM exited cleanly - halt() did not fire")
+      (inDir, outDir, ckpt,
+        countFiles(java.nio.file.Paths.get(ckpt, "offsets")),
+        countFiles(java.nio.file.Paths.get(ckpt, "commits")))
+    }.find { case (_, _, _, offsets, commits) => offsets > commits }
+    assert(attempt.isDefined, "3 attempts never caught a mid-flight stateful batch")
+    val (inDir, outDir, ckpt, _, _) = attempt.get
+
+    assert(fork("resume-state", inDir, outDir, ckpt, Some("rocksdb")) == 0)
+
+    def multiset(rows: Seq[(Long, Long, Double)]) =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    val got = spark.read.parquet(outDir)
+      .select($"i", $"j", $"est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch reference: the SAME operator over the union in one batch pass
+    // (flatMapGroupsWithState on a batch Dataset — empty initial state,
+    // each bucket's rows in one invocation)
+    val want = graft.streaming.StreamingDedup.incrementalPairs(
+        graft.streaming.StreamingDedup.bandedSignatures(
+          waves.reduce(_ unionByName _)), minEst = 0.5, ttl = None)
+      .collect().map(p => (p.i, p.j, p.est_jaccard)).toSeq
+    assert(want.nonEmpty, "batch reference found no pairs — corpus unusable")
+    assert(multiset(got) == multiset(want), {
+      val g = multiset(got); val w = multiset(want)
+      s"recovered stream's pair multiset diverges from batch: " +
+        s"missing=${(w.keySet -- g.keySet).take(3)} extra=${(g.keySet -- w.keySet).take(3)} " +
+        s"countDiff=${(g.keySet & w.keySet).filter(k => g(k) != w(k)).take(3)}"
+    })
+    // the crash-spanning pairs specifically: wave-3 copies (post-resume
+    // arrivals) matching their wave-0 originals (pre-crash state)
+    val spanning = got.filter { case (i, j, _) => i < 50000L && j >= 50000L }
+    assert(spanning.nonEmpty,
+      "no pre-crash-state x post-resume pairs — state did not survive the kill")
+  }
 }
