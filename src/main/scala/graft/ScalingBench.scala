@@ -157,6 +157,37 @@ object ScalingBench {
     val rawPlan = asofOver(events).queryExecution.executedPlan.toString
     spark.sql(s"DROP TABLE IF EXISTS $evT")
 
+    // ── skew-auto-routed as-of (round 9, AsOf.joinAuto): 50% of both
+    // sides remapped onto ONE hot user. The plain merge puts that key's
+    // whole history in one task (the exec's documented pin tradeoff);
+    // joinAuto probes the key distribution and re-plans through the
+    // time-sliced composition. Uniform arm measures the probe's overhead
+    // on the path where routing stays plain (the common case's tax).
+    val skewEv = events.withColumn("user_id",
+      when($"user_id" % 2 === 0, lit(42L)).otherwise($"user_id"))
+    def skewAsof(ev: DataFrame, auto: Boolean): DataFrame = {
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
+      if (auto) graft.plans.AsOf.joinAuto(errors, purchases, "user_id", "ts", "pts")
+      else graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts")
+        .toDF((errors.columns ++ purchases.columns.map("r_" + _)).toIndexedSeq: _*)
+    }
+    armDf("skew_asof/plain") { skewAsof(skewEv, auto = false) }
+    armDf("skew_asof/auto") { skewAsof(skewEv, auto = true) }
+    arm("skew_asof/auto_uniform") {
+      skewAsof(events, auto = true).queryExecution.toRdd.count()
+    }
+    // the dimension the re-route buys: the hot key's output partition
+    // spread (1 = all of it in one task)
+    results :+= ("skew_asof/plain_hot_partitions" ->
+      skewAsof(skewEv, auto = false).withColumn("p", spark_partition_id())
+        .filter($"user_id" === 42L).select($"p").distinct().count().toDouble)
+    results :+= ("skew_asof/auto_hot_partitions" ->
+      skewAsof(skewEv, auto = true).withColumn("p", spark_partition_id())
+        .filter($"user_id" === 42L).select($"p").distinct().count().toDouble)
+
     // ── ANN probe: ADC scans 8-byte codes per candidate and reranks a
     // shortlist of raw vectors, vs the raw path scanning full vectors in
     // every probed cell. Index build timed separately (per-refresh cost).
