@@ -1,7 +1,7 @@
 package graft
 
 /** Single-query bench/explain utility:
-  * `runMain graft.BenchOne <name> [explain] [cold] [nocodegen]`.
+  * `runMain graft.BenchOne <name> [explain] [cold] [nocodegen] [conf:k=v ...]`.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -14,6 +14,11 @@ object BenchOne {
     // A/B the whole-stage-codegen path of custom operators (as-of merge)
     if (args.contains("nocodegen"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // arbitrary session-conf overrides for quick A/B runs
+    args.filter(_.startsWith("conf:")).map(_.stripPrefix("conf:")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     val fn = SparkEntry.queries(name)
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")
     // "cold" reproduces Bench's per-run conditions (cache + memoized

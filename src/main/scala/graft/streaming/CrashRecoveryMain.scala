@@ -50,7 +50,23 @@ object CrashRecoveryMain {
     spark.sparkContext.setLogLevel("ERROR")
     val vectorMode = mode.endsWith("-vector")
     val stateMode = mode.endsWith("-state")
-    val q = if (stateMode) {
+    val hhMode = mode.endsWith("-hh")
+    val q = if (hhMode) {
+      // the MG-sketch snapshot chain (crash-hh/resume-hh): fold state
+      // lives OUTSIDE the checkpoint as per-batch snapshot dirs; a kill
+      // mid-batch may leave a torn (no _SUCCESS) snapshot that the
+      // replayed batch must ignore and overwrite (snapshotBefore reads
+      // the PREDECESSOR, never the batch's own dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      StreamingHeavyHitters.ingestWriter(stream, stateDir = outPath)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    } else if (stateMode) {
       if (args.lift(5).contains("rocksdb"))
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

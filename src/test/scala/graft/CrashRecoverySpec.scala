@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Crash-recovery across a REAL JVM boundary (VERDICT r7 #7): the
@@ -280,5 +282,67 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     val spanning = got.filter { case (i, j, _) => i < 50000L && j >= 50000L }
     assert(spanning.nonEmpty,
       "no pre-crash-state x post-resume pairs — state did not survive the kill")
+  }
+
+  /** The MG-sketch snapshot chain under the same hard kill: fold state
+    * lives OUTSIDE the checkpoint as per-batch snapshot directories, so
+    * the kill can land mid-snapshot-write and leave a TORN (no _SUCCESS)
+    * dir. Recovery must ignore it (snapshotBefore reads the predecessor,
+    * never a batch's own dir), overwrite it on replay, and converge to
+    * the batch answer: the recount of the recovered candidates equals
+    * the batch t29 result exactly.
+    */
+  test("hard-killed heavy-hitters fold resumes: snapshot chain replays, exact == batch t29") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf(t)))
+    // 5 waves that UNION to the full documents table, so the recovered
+    // stream state is comparable to the batch t29 query directly
+    val waves = (0 until 5).map(i =>
+      stamped(docs.filter($"doc_id" % 5 === i), f"2024-01-01 10:0$i:00"))
+
+    val attempt = (1 to 3).iterator.map { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_hhcrash").toString
+      val (inDir, stateDir, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage$i")))(
+          _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(inDir, f"wave$i%02d.parquet"))
+      }
+      val code = fork("crash-hh", inDir, stateDir, ckpt)
+      assert(code != 0, "crash JVM exited cleanly - halt() did not fire")
+      (inDir, stateDir, ckpt,
+        countFiles(java.nio.file.Paths.get(ckpt, "offsets")),
+        countFiles(java.nio.file.Paths.get(ckpt, "commits")))
+    }.find { case (_, _, _, offsets, commits) => offsets > commits }
+    assert(attempt.isDefined, "3 attempts never caught a mid-flight fold")
+    val (inDir, stateDir, ckpt, _, _) = attempt.get
+
+    assert(fork("resume-hh", inDir, stateDir, ckpt) == 0)
+
+    // exact gate across the kill: recount of the recovered candidates
+    // equals batch t29 (the φ > 1/(cap+1) exactness both rest on)
+    val streamed = graft.streaming.StreamingHeavyHitters
+      .exactHeavyHitters(docs, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = SparkEntry.queries("t29_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.nonEmpty, "no heavy hitters — corpus unusable")
+    assert(streamed == batch,
+      "recovered snapshot chain's recount diverges from batch t29")
+    // the chain advanced past the killed batch and stayed capacity-bounded
+    val snaps = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+    val ids = try snaps.iterator().asScala.toList
+      .map(_.getFileName.toString).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong) finally snaps.close()
+    assert(ids.max >= 4, s"chain did not reach the last wave: $ids")
+    assert(graft.streaming.StreamingHeavyHitters
+      .candidates(spark, stateDir).count() <=
+        graft.streaming.StreamingHeavyHitters.Capacity)
   }
 }
