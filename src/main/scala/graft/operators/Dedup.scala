@@ -1565,6 +1565,34 @@ object Dedup {
               FROM cand JOIN dense si ON cand.i = si.doc_id
                         JOIN dense sj ON cand.j = sj.doc_id
               WHERE len(list_filter(range(1, 17), k -> si.sig[k] = sj.sig[k])) >= 8)
+        SELECT i, j, est_jaccard FROM p ORDER BY i, j""")),
+
+    // ── d25: INCREMENTAL ingest-wave dedup under the oracle gate — the ──
+    // [[IncrementalDedup]] engine component (persistent signature store,
+    // new×store + new×new candidate joins, replay guard) promoted from
+    // spec-only to cross-engine value-checked: two waves through a fresh
+    // store must produce EXACTLY the pairs the one-shot batch pipeline
+    // (d02) finds over the full corpus, so DuckDB's batch LSH mirror is
+    // the oracle for the incremental path. At 100 TB this is the form
+    // that runs: signatures computed once per NEW document, compared only
+    // against LSH-bucket candidates in the store — never recomputing or
+    // re-pairing the existing corpus. A fresh store per invocation keeps
+    // the gate (and min-of-3 bench timing) exercising the full two-wave
+    // flow rather than the replay-guard short-circuit.
+    GQuery("d25_incremental_pairs",
+      (s, d) => {
+        import s.implicits._
+        val dd = docs(s, d).select($"doc_id", $"text")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_d25").toString + "/store"
+        val w1 = IncrementalDedup.processBatch(dd.filter($"doc_id" % 2 === 0), store)
+        val w2 = IncrementalDedup.processBatch(dd.filter($"doc_id" % 2 === 1), store)
+        w1.unionByName(w2)
+          .select($"i", $"j", $"est_jaccard")
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH $pairSql
         SELECT i, j, est_jaccard FROM p ORDER BY i, j"""))
   )
 }
