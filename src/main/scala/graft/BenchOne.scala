@@ -16,8 +16,11 @@ object BenchOne {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     // arbitrary session-conf overrides for quick A/B runs
     args.filter(_.startsWith("conf:")).map(_.stripPrefix("conf:")).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"malformed conf override 'conf:$kv' — expected conf:key=value")
+      }
     }
     val fn = SparkEntry.queries(name)
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")

@@ -1583,10 +1583,24 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val dd = docs(s, d).select($"doc_id", $"text")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_d25").toString + "/store"
+        val tmp = java.nio.file.Files.createTempDirectory("graft_d25")
+        val store = tmp.toString + "/store"
         val w1 = IncrementalDedup.processBatch(dd.filter($"doc_id" % 2 === 0), store)
         val w2 = IncrementalDedup.processBatch(dd.filter($"doc_id" % 2 === 1), store)
+        // processBatch localCheckpoints its result (lineage cut from the
+        // store path), so the temp store is garbage the moment wave 2
+        // returns — delete it here or min-of-3 bench + oracle runs
+        // accumulate parquet stores in /tmp indefinitely
+        locally {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p)) {
+              val c = java.nio.file.Files.list(p)
+              try c.forEach(rm(_)) finally c.close()
+            }
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(tmp)
+        }
         w1.unionByName(w2)
           .select($"i", $"j", $"est_jaccard")
           .orderBy($"i", $"j")

@@ -82,9 +82,11 @@ object SignatureStore {
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
   /** Marker file recording which signature family a store was BUILT with.
-    * Lives next to (not inside) the table/parquet directories so
-    * overwrite-mode rebuilds refresh it atomically with the data they
-    * describe. Appends must match it: a session whose [[FamilyKey]]
+    * Lives next to (not inside) the table/parquet directories, and is
+    * written only AFTER the signature write commits — a build that fails
+    * or is killed mid-write leaves the previous marker describing the
+    * previous (still-served) rows, never a new-family marker over old
+    * rows. Appends must match it: a session whose [[FamilyKey]]
     * differs from the bootstrap (one job built with perm16, a later
     * ingest runs the oph default) would otherwise silently mix two
     * estimators' rows in one table, corrupting est_jaccard with no error.
@@ -139,9 +141,11 @@ object SignatureStore {
       s"$ConfKey is not set on this session — nowhere to materialize"))
     // drop any cached plan still scanning a previous store generation
     Dedup.releaseSignatures()
-    writeFamilyMarker(dir, family(s))
     buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.mode("overwrite").parquet(s"$dir/signatures")
+    // marker strictly after the write: a killed build must not leave a
+    // new-family marker over the old family's rows
+    writeFamilyMarker(dir, family(s))
     Dedup.releaseSignatures()
     // dupComponents now reads the freshly written signatures; its result
     // is a localCheckpoint, so writing it elsewhere is safe
@@ -174,11 +178,12 @@ object SignatureStore {
     s.sql(s"DROP TABLE IF EXISTS $sigT")
     s.sql(s"DROP TABLE IF EXISTS $compT")
     Dedup.releaseSignatures()
-    writeFamilyMarker(dir, family(s))
     buildSignatures(s, Tables.load(s, corpusDir, "documents"))
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(sigT)
+    // marker strictly after the write (see familyMarker Scaladoc)
+    writeFamilyMarker(dir, family(s))
     Dedup.releaseSignatures()
     // the component convergence now consumes the bucketed signature table;
     // schema stays (node, label) — node IS the doc_id, and bucketing keys
@@ -223,17 +228,18 @@ object SignatureStore {
           s"session's $FamilyKey resolves to '${family(s)}' — appending " +
           "would mix estimators in one table; set the conf to match or " +
           "rebuild via materializeTable")
-      case Some(_) => ()
-      case None =>
-        // legacy store predating the marker: adopt the session family as
-        // the recorded bootstrap family (it is the only candidate we have)
-        writeFamilyMarker(dir, family(s))
+      case _ => ()
     }
-    else writeFamilyMarker(dir, family(s))
     buildSignatures(s, newDocs)
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode(mode).saveAsTable(sigT)
+    // marker strictly after the write commits: the day-0 bootstrap (which
+    // overwrites, so the session family is now the ONLY family in the
+    // table) and a legacy store predating the marker record the session
+    // family only once rows of that family actually landed
+    if (mode == "overwrite" || storedFamily(dir).isEmpty)
+      writeFamilyMarker(dir, family(s))
     // the memoized frame may hold the pre-append table snapshot
     Dedup.releaseSignatures()
   }

@@ -139,17 +139,22 @@ object VectorIndexStore {
   /** Build (or rebuild) the store as a NEW generation: centroids +
     * assignments land under `$store/vN+1`, then the CURRENT pointer
     * swings — a reader never sees centroids without their assignments.
-    * (The PQ facet is a separate opt-in build, [[materializePQ]]; for a
-    * retrain of a PQ-serving index use [[retrain]], which stages ALL
-    * facets before the flip.) Requires [[ConfKey]]. Returns the new
-    * generation's directory.
+    * The PQ facet is a separate opt-in build ([[materializePQ]]) — BUT if
+    * the served generation already carries one, this call rebuilds it
+    * into the new generation too (equivalent to [[retrain]]): flipping a
+    * PQ-serving index to a codes-less generation would make every ADC
+    * probe that worked before the call throw after it. Requires
+    * [[ConfKey]]. Returns the new generation's directory.
     */
   def materialize(s: SparkSession, corpusDir: String): String = {
     val dir = storeDir(s, corpusDir).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to materialize"))
+    val servesPQ = servedDir(s, corpusDir).exists(v => codesIn(s, v).isDefined)
     val next = currentVersion(dir).getOrElse(0) + 1
     val vdir = s"$dir/v$next"
     buildBaseInto(s, corpusDir, vdir)
+    // carry the PQ facet forward: an index serving ADC keeps serving ADC
+    if (servesPQ) buildPQInto(s, corpusDir, vdir)
     flip(dir, next)
     vdir
   }
@@ -195,8 +200,10 @@ object VectorIndexStore {
       val kids = java.nio.file.Files.list(root)
       try kids.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt < cur) {
+        // n.drop(1).nonEmpty: a stray child named exactly "v" would pass
+        // the vacuous forall and then "".toInt would abort the prune
+        if (n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toInt < cur) {
           def rm(q: java.nio.file.Path): Unit = {
             if (java.nio.file.Files.isDirectory(q)) {
               val c = java.nio.file.Files.list(q)
