@@ -1139,6 +1139,51 @@ object Pipeline {
         a AS (SELECT *, (ROUND(temp_share * 100000, 4) + 0.0) AS alloc_tokens FROM f)
         SELECT source, effective_tokens, temp_share, alloc_tokens,
                (ROUND(alloc_tokens / CAST(effective_tokens AS DOUBLE), 6) + 0.0) AS epochs_over_source
-        FROM a ORDER BY source"""))
+        FROM a ORDER BY source""")),
+
+    // ── p26: CDC MERGE apply — the verb that closes the incremental ──
+    // lifecycle: p17 diffs two releases, [[MergeOps.changeset]] renders
+    // that row-level diff APPLICABLE (upserts + tombstones), and
+    // [[MergeOps.applyChanges]] merges it into the old corpus
+    // (matched→update, not-matched→insert, matched+tombstone→delete).
+    // The Spark side deliberately takes the LONG way — derive v2, diff it
+    // back against v1, apply the changeset to v1 — while the oracle
+    // computes v2 DIRECTLY, so the cross-engine check is the operator's
+    // defining law: apply(v1, changeset(v1, v2)) ≡ v2, row for row.
+    // Scenario constants are p17's (every 50th dropped, every 7th
+    // re-crawled, every 97th added on the negative axis). At 100 TB the
+    // corpus is touched once by the diff's (id, hash) scan and once by
+    // the apply's anti-join — text never rides a diff join, and over the
+    // bucketed CorpusLayout the apply ships zero Exchange on the corpus
+    // side (MergeSpec pins the plan; applyToLayout writes the result
+    // back bucket-aligned as a new generation).
+    GQuery("p26_merge_apply",
+      (s, d) => {
+        import s.implicits._
+        val v1 = docs(s, d)
+          .select($"doc_id", $"text", $"n_chars".cast("long").as("n_bytes"))
+        val v2 = docs(s, d).filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat(lit("recrawl-v2 "), $"text"))
+              .otherwise($"text").as("text"),
+            when($"doc_id" % 7 === 0, $"n_chars" + 11).otherwise($"n_chars")
+              .cast("long").as("n_bytes"))
+          .unionAll(docs(s, d).filter($"doc_id" % 97 === 0)
+            .select((-($"doc_id" + 1L)).cast("long").as("doc_id"),
+              concat(lit("new-crawl "), $"text").as("text"),
+              ($"n_chars" + 10).cast("long").as("n_bytes")))
+        MergeOps.applyChanges(v1, MergeOps.changeset(v1, v2))
+          .select($"doc_id", md5($"text").as("h"), $"n_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN 'recrawl-v2 ' || text ELSE text END) AS h,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 11 ELSE n_chars END AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1), md5('new-crawl ' || text), CAST(n_chars + 10 AS BIGINT)
+        FROM documents WHERE doc_id % 97 = 0
+        ORDER BY doc_id"""))
   )
 }
