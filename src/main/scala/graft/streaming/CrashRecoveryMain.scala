@@ -39,6 +39,15 @@ import org.apache.spark.sql.types._
   * provider instead of the default HDFS-backed one (both providers must
   * recover identically; the spec pins the RocksDB path).
   *
+  * `crash-asof`/`resume-asof` puts [[StreamingAsOf.enrichPrepared]] under
+  * the same hard kill — the temporal join a cluster restart stresses
+  * hardest, because its per-key state (the reigning dimension version +
+  * the pending not-yet-final events) must survive for matches that SPAN
+  * the crash: a version row written before the kill is the correct as-of
+  * match for events that only arrive after the resume. Input files carry
+  * the pre-unioned [[StreamingAsOf.AsOfRow]] schema; same `rocksdb`
+  * 6th-argument switch as `-state`.
+  *
   * Usage: CrashRecoveryMain <mode> <inputDir> <outPathOrCorpus> <ckptDir> [crashAtBatch [indexBase|rocksdb]]
   */
 object CrashRecoveryMain {
@@ -51,7 +60,29 @@ object CrashRecoveryMain {
     val vectorMode = mode.endsWith("-vector")
     val stateMode = mode.endsWith("-state")
     val hhMode = mode.endsWith("-hh")
-    val q = if (hhMode) {
+    val asofMode = mode.endsWith("-asof")
+    val q = if (asofMode) {
+      import spark.implicits._
+      if (args.lift(5).contains("rocksdb"))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // pre-unioned AsOfRow stream: dim-version rows (isDim) and event
+      // rows share one keyed stream under one event-time watermark —
+      // exactly what enrich() builds from separate frames
+      val schema = StructType(Seq(
+        StructField("key", LongType), StructField("ts", TimestampType),
+        StructField("isDim", BooleanType), StructField("event_id", LongType),
+        StructField("payload", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      StreamingAsOf.enrichPrepared(
+          stream.withWatermark("ts", "1 hour").as[StreamingAsOf.AsOfRow])
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    } else if (hhMode) {
       // the MG-sketch snapshot chain (crash-hh/resume-hh): fold state
       // lives OUTSIDE the checkpoint as per-batch snapshot dirs; a kill
       // mid-batch may leave a torn (no _SUCCESS) snapshot that the

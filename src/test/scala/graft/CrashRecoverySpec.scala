@@ -345,4 +345,106 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
       .candidates(spark, stateDir).count() <=
         graft.streaming.StreamingHeavyHitters.Capacity)
   }
+
+  /** StreamingAsOf under the hard kill (VERDICT r9 #2): the temporal
+    * join's flatMapGroupsWithState holds per key the reigning dimension
+    * version + the pending not-yet-final events — the state a cluster
+    * restart stresses hardest. The kill lands mid-batch on RocksDB with
+    * live per-key state; a second JVM resumes from the checkpoint and
+    * drains. The recovered output must equal batch AsOf.join over the
+    * complete inputs, and the CRASH-SPANNING matches are asserted
+    * explicitly: the span keys' only version row arrives in wave 0
+    * (pre-crash state) while their events arrive in wave 3 (post-resume)
+    * — losing the state would emit those events unmatched, not missing.
+    */
+  test("hard-killed streaming as-of (RocksDB) resumes: versions survive, stream == batch AsOf") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (key, ts, isDim, event_id, payload) — the pre-unioned AsOfRow shape
+    def dim(k: Long, t: String, p: Double): (Long, java.sql.Timestamp, Boolean, Long, Double) =
+      (k, ts(t), true, -1L, p)
+    def ev(k: Long, id: Long, t: String): (Long, java.sql.Timestamp, Boolean, Long, Double) =
+      (k, ts(t), false, id, 0.0)
+    val spanKeys = (100L to 109L)
+    val waves: Seq[Seq[(Long, java.sql.Timestamp, Boolean, Long, Double)]] = Seq(
+      // wave 0: the span keys' ONLY version + normal-key versions/events
+      spanKeys.map(k => dim(k, "2024-01-01 10:00:00", k * 0.5)) ++
+        Seq(dim(1L, "2024-01-01 10:00:00", 1.0), dim(2L, "2024-01-01 10:00:00", 2.0),
+          dim(3L, "2024-01-01 10:00:00", 3.0),
+          ev(1L, 1L, "2024-01-01 10:05:00"), ev(2L, 2L, "2024-01-01 10:06:00")),
+      // wave 1: a newer version for k1; a pre-version (null-match) event
+      Seq(dim(1L, "2024-01-01 10:20:00", 1.2),
+        ev(1L, 3L, "2024-01-01 10:25:00"), ev(3L, 4L, "2024-01-01 10:26:00"),
+        ev(2L, 5L, "2024-01-01 09:58:00")),
+      // wave 2 (the killed batch): a LATE in-watermark version + events
+      Seq(dim(3L, "2024-01-01 10:24:00", 3.5),
+        ev(1L, 6L, "2024-01-01 10:40:00"), ev(2L, 7L, "2024-01-01 10:41:00")),
+      // wave 3 (post-resume): the span keys' events — their match is the
+      // wave-0 version that must have survived the kill — plus k2's
+      // version refresh and one more k1 event
+      spanKeys.zipWithIndex.map { case (k, i) =>
+        ev(k, 100L + i, "2024-01-01 11:10:00") } ++
+        Seq(dim(2L, "2024-01-01 11:00:00", 2.5), ev(1L, 8L, "2024-01-01 11:15:00")),
+      // two sentinel waves: push the watermark >1 h past every event,
+      // then trigger once more so the timeout flush takes effect
+      Seq(ev(900L, 900L, "2024-01-01 23:00:00")),
+      Seq(ev(901L, 901L, "2024-01-01 23:30:00")))
+
+    val attempt = (1 to 3).iterator.map { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_asofcrash").toString
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.toDF("key", "ts", "isDim", "event_id", "payload")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage$i")))(
+          _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(inDir, f"wave$i%02d.parquet"))
+      }
+      val code = fork("crash-asof", inDir, outDir, ckpt, Some("rocksdb"))
+      assert(code != 0, "crash JVM exited cleanly - halt() did not fire")
+      (inDir, outDir, ckpt,
+        countFiles(java.nio.file.Paths.get(ckpt, "offsets")),
+        countFiles(java.nio.file.Paths.get(ckpt, "commits")))
+    }.find { case (_, _, _, offsets, commits) => offsets > commits }
+    assert(attempt.isDefined, "3 attempts never caught a mid-flight as-of batch")
+    val (inDir, outDir, ckpt, _, _) = attempt.get
+
+    assert(fork("resume-asof", inDir, outDir, ckpt, Some("rocksdb")) == 0)
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    // batch truth: the custom AsOf operator over the complete inputs
+    // (sentinel events excluded — the watermark never passes them, so
+    // streaming correctly holds them forever)
+    val all = waves.flatten
+    val evB = all.filter(r => !r._3 && r._4 < 900L)
+      .map(r => (r._1, r._4, r._2)).toDF("user_id", "event_id", "ts")
+    val vB = all.filter(_._3).map(r => (r._1, r._2, r._5))
+      .toDF("user_id", "vts", "payload")
+    def us(t: java.sql.Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val want = graft.plans.AsOf.join(evB, vB, "user_id", "ts", "vts")
+      .toDF("user_id", "event_id", "ts", "r_user_id", "vts", "payload")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) -1L else us(r.getTimestamp(4)),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toMap
+    assert(want.size == 18, s"batch truth wrong shape: ${want.keySet}")
+    assert(got == want, {
+      val miss = want.keySet -- got.keySet; val extra = got.keySet -- want.keySet
+      val diff = (got.keySet & want.keySet).filter(k => got(k) != want(k))
+      s"recovered as-of diverges from batch: missing=$miss extra=$extra wrong=$diff"
+    })
+    // the crash-spanning matches specifically: every span event matched
+    // its key's wave-0 version (pre-crash state x post-resume arrival)
+    spanKeys.zipWithIndex.foreach { case (k, i) =>
+      assert(got(100L + i) == (us(ts("2024-01-01 10:00:00")), k * 0.5),
+        s"span key $k lost its pre-crash version: ${got(100L + i)}")
+    }
+    // the null-match case rode along (e5 precedes every k2 version)
+    assert(got(5L) == (-1L, -1.0), "pre-version event should match null")
+  }
 }
