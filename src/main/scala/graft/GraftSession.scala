@@ -40,7 +40,10 @@ object GraftSession {
       // the peakmem bench metric comparable across environments; 8 MiB is
       // small enough to be honest for sub-second queries and large enough
       // that multi-GB sorts pay no measurable page-chaining overhead.
-      .config("spark.buffer.pageSize", "8m")
+      // SPARK_GRAFT_PAGESIZE overrides for A/B runs (must be set at JVM
+      // start — the memory manager reads it once at SparkEnv creation).
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGESIZE", "8m"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
