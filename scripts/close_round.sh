@@ -14,6 +14,30 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 echo "== bench (quiet-start wait is inside graft.Bench) =="
 sbt --batch "runMain graft.Bench" | tail -3
 
+echo "== quiet-run guard (VERDICT r9 #8) =="
+# Refuse to bless a loaded-machine artifact as the round number: the r9
+# artifact was recorded at load 13.6/32 and overstated wall-times ~8%
+# against the quiet same-code runs. Bench already WAITS for quiet but
+# proceeds after its deadline either way; this guard catches that case.
+# Override consciously with CLOSE_ROUND_ALLOW_HOT=1 (annotated below).
+python3 - <<'EOF'
+import json, os, sys
+d = json.load(open('BENCH_LOCAL.json'))
+load, cpus = d.get('load_start', -1.0), d.get('cpus', 32)
+limit = 0.25 * cpus
+if load > limit:
+    msg = (f"bench artifact recorded HOT: load_start {load:.2f} > "
+           f"{limit:.1f} ({cpus} cores)")
+    if os.environ.get('CLOSE_ROUND_ALLOW_HOT') == '1':
+        print(f"WARN: {msg} — proceeding under CLOSE_ROUND_ALLOW_HOT")
+    else:
+        print(f"REFUSING: {msg}.\nWait for a quiet machine and rerun, "
+              "or set CLOSE_ROUND_ALLOW_HOT=1 to record it anyway.")
+        sys.exit(1)
+else:
+    print(f"quiet: load_start {load:.2f} <= {limit:.1f}")
+EOF
+
 echo "== gate =="
 python3 scripts/check_bench.py || echo "WARN: bench gate failed — inspect before committing a budget refresh"
 
