@@ -117,4 +117,128 @@ class RegistrySeamSpec extends AnyFunSuite with SparkTestBase {
     // builtin client restored: the same query reverts byte-for-byte
     assert(chosen() == before, "restoring the builtin backend did not revert r02")
   }
+
+  // ── HTTP variant (VERDICT r9 #7): the same swap served over a real ──
+  // loopback HTTP server speaking the reference registry's wire shape
+  // (GET /filetypes, GET /extractors → {"data": [...]}), through the
+  // production HttpRegistryBackend with timeout/retry/404 handling.
+
+  /** The seam fixture re-expressed in the reference's wire shape: the
+    * filetypes list document and the extractors list document whose
+    * per-entry fields are exactly what `__init__.py` reads per id.
+    */
+  private val filetypesDoc = """{"data": [
+    {"id": "biologic-mpr", "registered_extractors": ["galvani", "yadg"]},
+    {"id": "example-xy",   "registered_extractors": ["yadg"]},
+    {"id": "nexus-hdf5",   "registered_extractors": ["h5grove"]},
+    {"id": "csv",          "registered_extractors": ["newtool"]},
+    {"id": "tiff",         "registered_extractors": []}]}"""
+  private val extractorsDoc = """{"data": [
+    {"id": "yadg",
+     "usage": [{"method": "python", "setup": "yadg",
+                "command": "yadg.extractors.extract({{ input_type }}, {{ input_path }})"}],
+     "installation": [{"method": "pip", "packages": ["yadg~=5.0"]}]},
+    {"id": "galvani",
+     "usage": [{"method": "python", "setup": "galvani",
+                "command": "galvani.MPRfile({{ input_path }})"}],
+     "installation": [{"method": "pip", "packages": ["galvani>=0.4"]}]},
+    {"id": "h5grove",
+     "usage": [{"method": "cli", "setup": "",
+                "command": "h5dump {{ input_path }} > {{ output_path }}"}],
+     "installation": [{"method": "pip", "packages": ["h5grove"]}]},
+    {"id": "newtool",
+     "usage": [{"method": "cli", "setup": "",
+                "command": "newtool {{ input_path }} --out {{ output_path }}"},
+               {"method": "python", "setup": "newtool",
+                "command": "newtool.load(path={{ input_path }}, fmt='auto')"}],
+     "installation": [{"method": "pip", "packages": ["newtool==1.2"]}]}]}"""
+
+  private def withServer[T](f: (String, java.util.concurrent.atomic.AtomicInteger) => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+      x.close()
+    }
+    server.createContext("/filetypes",
+      (x: HttpExchange) => respond(x, 200, filetypesDoc))
+    server.createContext("/extractors",
+      (x: HttpExchange) => respond(x, 200, extractorsDoc))
+    // transient-failure endpoint: 503 twice, then serves — the retry case
+    server.createContext("/flaky", (x: HttpExchange) =>
+      if (hits.incrementAndGet() <= 2) respond(x, 503, "busy")
+      else respond(x, 200, """{"data": []}"""))
+    // read-timeout endpoint: never answers inside a short client timeout
+    server.createContext("/slow", (x: HttpExchange) => {
+      Thread.sleep(2000); respond(x, 200, """{"data": []}""")
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("the HTTP registry client swaps in over a live server: connector and all r-queries green") {
+    import spark.implicits._
+    withServer { (base, _) =>
+      val http = new graft.sources.HttpRegistryBackend(base)
+      RegistryData.withBackend(http) {
+        // the DSv2 connector serves rows fetched over HTTP
+        val viaConnector = spark.read.format("graft-registry")
+          .option("table", "filetypes").load()
+          .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+        assert(viaConnector("csv") == List("newtool")
+          && viaConnector("biologic-mpr") == List("galvani", "yadg")
+          && viaConnector("tiff") == Nil,
+          s"connector rows do not match the HTTP registry: $viaConnector")
+        // the full query pack runs unmodified against the live service
+        val rNames = SparkEntry.allQueries.map(_.name).filter(_.startsWith("r"))
+        assert(rNames.size >= 14)
+        rNames.foreach { n =>
+          assert(SparkEntry.queries(n)(spark, sf).collect() != null,
+            s"$n failed against the HTTP registry") }
+        // the flip the JSON fixture encodes arrives over the wire too
+        val chosen = SparkEntry.queries("r02_extractor_select")(spark, sf)
+          .select($"filetype_id", $"chosen_extractor").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(chosen("biologic-mpr") == "galvani" && chosen("csv") == "newtool")
+        // usages idx = list position: newtool's two usages rank 0/1
+        val u = RegistryData.rows("usages").filter(_.head == "newtool")
+        assert(u.map(r => (r(1), r(2))) == Seq((0, "cli"), (1, "python")))
+      }
+    }
+  }
+
+  test("HTTP failure modes map to r12's status vocabulary: 404, timeout, retry") {
+    withServer { (base, hits) =>
+      // 404 is a registry ANSWER — immediate, never retried
+      val b404 = new graft.sources.HttpRegistryBackend(s"$base/nowhere")
+      assert(b404.fetchStatus("filetypes") == "error:not_found")
+      val e = intercept[IllegalStateException](b404.rows("filetypes"))
+      assert(e.getMessage.contains("error:not_found"), e.getMessage)
+      // read timeout after bounded retries
+      val bSlow = new graft.sources.HttpRegistryBackend(base,
+        readTimeoutMs = 100, retries = 1, retryBackoffMs = 10)
+      assert(bSlow.fetchStatus("slow/filetypes") == "error:timeout")
+      // connection refused (dead port) after retries
+      val bDead = new graft.sources.HttpRegistryBackend("http://127.0.0.1:9",
+        connectTimeoutMs = 100, retries = 0)
+      assert(bDead.fetchStatus("filetypes") == "error:unreachable")
+      // a 5xx hiccup is transient: two failures then success inside one call
+      hits.set(0)
+      val bFlaky = new graft.sources.HttpRegistryBackend(base,
+        retries = 2, retryBackoffMs = 10)
+      assert(bFlaky.fetchStatus("flaky/filetypes") == "ok")
+      assert(hits.get() == 3, s"expected 2 failed + 1 ok attempt, saw ${hits.get()}")
+      // but with too few retries the 503 surfaces in r12 vocabulary
+      hits.set(0)
+      val bGiveUp = new graft.sources.HttpRegistryBackend(base,
+        retries = 1, retryBackoffMs = 10)
+      assert(bGiveUp.fetchStatus("flaky/filetypes") == "error:http_503")
+    }
+  }
 }
