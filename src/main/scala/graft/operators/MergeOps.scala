@@ -113,14 +113,10 @@ object MergeOps {
     upserts.unionByName(tombs)
   }
 
-  private def layoutBase(s: SparkSession): String =
-    s.conf.getOption(CorpusLayout.ConfKey).getOrElse(
+  private[graft] def layoutRoot(s: SparkSession, corpusDir: String): String =
+    CorpusLayout.layoutRoot(s, corpusDir).getOrElse(
       throw new IllegalStateException(
         s"${CorpusLayout.ConfKey} is not set on this session — no layout to apply into"))
-
-  private def corpusKey(corpusDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Apply a changeset to a corpus table served by the bucketed
     * [[CorpusLayout]], producing a NEW bucketed generation — the
@@ -153,7 +149,7 @@ object MergeOps {
     val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
       throw new IllegalStateException(
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
-    val base = s"${layoutBase(s)}/${corpusKey(corpusDir)}"
+    val base = layoutRoot(s, corpusDir)
     // next generation number: scan existing <table>_vN siblings (the base
     // build lives at <table>, generation 0)
     val root = java.nio.file.Paths.get(base)
@@ -181,6 +177,10 @@ object MergeOps {
     // swing the catalog name to the new generation's files
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    // bump the layout epoch so OTHER sessions' cached relations (a
+    // foreachBatch clone ran this swing; the driver session is still
+    // holding the old generation's resolved plan) refresh on next read
+    CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
     vpath
   }
 }

@@ -917,7 +917,9 @@ object TextOps {
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val total = counts.agg(sum($"f").as("total_tokens"))
         curve.filter($"rk" % 5 === 0 && $"rk" <= 25)
-          .crossJoin(total)
+          // explicit broadcast like every other 1-row scalar join in the
+          // repo (Spark would pick it anyway; uniformity is the point)
+          .crossJoin(broadcast(total))
           .select($"rk".cast(LongType).as("vocab_size"), $"cum_f".as("covered_tokens"),
             $"total_tokens",
             roundz($"cum_f".cast(DoubleType) / $"total_tokens", 6).as("coverage"))

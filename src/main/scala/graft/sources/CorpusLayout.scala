@@ -47,14 +47,61 @@ object CorpusLayout {
     java.security.MessageDigest.getInstance("MD5")
       .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Root directory of this corpus's layout under the [[ConfKey]] base —
+    * where the bucketed tables, MERGE generations and the streaming-merge
+    * ledger live. None when the session has no layout conf.
+    */
+  private[graft] def layoutRoot(s: SparkSession, corpusDir: String): Option[String] =
+    s.conf.getOption(ConfKey).map(b => s"$b/${corpusKey(corpusDir)}")
+
   /** Catalog table name for a corpus table's bucketed layout. */
   def tableName(table: String, corpusDir: String): String =
     s"graft_cl_${table}_${corpusKey(corpusDir).take(12)}"
 
+  // ── Generation-epoch tracking: MERGE applies (MergeOps.applyToLayout)
+  // swing the catalog table to a new generation path, but Spark's
+  // per-session relation cache can keep serving the OLD generation's
+  // files to every session that is not the one that ran the swing (a
+  // foreachBatch micro-batch clone, a sibling job session). The applier
+  // bumps an on-disk epoch marker; ifPresent refreshes a session's
+  // cached relation exactly once per (session, epoch) — correct under
+  // cross-session swings, free when nothing changed.
+
+  private val seenEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def epochFile(root: String, table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, s"${table}_EPOCH")
+
+  /** Record that (corpus, table) now serves `generation` — written by the
+    * MERGE apply after its catalog swing commits.
+    */
+  private[graft] def bumpEpoch(s: SparkSession, corpusDir: String,
+                               table: String, generation: String): Unit =
+    layoutRoot(s, corpusDir).foreach { root =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(epochFile(root, table),
+        generation.getBytes("UTF-8"))
+    }
+
+  private def refreshIfStale(s: SparkSession, corpusDir: String,
+                             table: String, t: String): Unit =
+    for (root <- layoutRoot(s, corpusDir)) {
+      val f = epochFile(root, table)
+      if (java.nio.file.Files.exists(f)) {
+        val cur = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val key = s"${System.identityHashCode(s)}/$t"
+        if (seenEpoch.put(key, cur) != cur) s.catalog.refreshTable(t)
+      }
+    }
+
   /** The bucketed layout for (corpus, table), when materialized. */
   def ifPresent(s: SparkSession, corpusDir: String, table: String): Option[DataFrame] =
     if (!keyed.contains(table)) None
-    else Some(tableName(table, corpusDir)).filter(s.catalog.tableExists).map(s.table(_))
+    else Some(tableName(table, corpusDir)).filter(s.catalog.tableExists).map { t =>
+      refreshIfStale(s, corpusDir, table, t)
+      s.table(t)
+    }
 
   /** Rewrite the keyed corpus tables as bucketed external tables.
     * Returns the created table names.

@@ -790,4 +790,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("streaming CDC apply: changeset waves fold into the served layout; ledger short-circuits replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    import graft.streaming.StreamingMerge
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val v0 = Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, String, String, String, Long, Boolean)]
+      val q = StreamingMerge.applyWriter(
+        in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars", "tombstone"),
+        sf).start()
+      try {
+        // wave 0: update doc 1, insert doc -7, delete doc 2
+        in.addData((1L, "v2 one", "en", "web", 6L, false),
+          (-7L, "brand new", "en", "web", 9L, false),
+          (2L, "", "", "", 0L, true))
+        q.processAllAvailable()
+        def served() = Tables.load(spark, sf, "documents")
+          .select($"doc_id", $"text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val s1 = served()
+        val v0map = v0.select($"doc_id", $"text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(s1(1L) == "v2 one" && s1(-7L) == "brand new" && !s1.contains(2L))
+        assert(s1.size == v0map.size, "merge changed untouched-row count")
+        // wave 1: delete the wave-0 insert, re-insert doc 2
+        in.addData((-7L, "", "", "", 0L, true),
+          (2L, "two is back", "en", "web", 11L, false))
+        q.processAllAvailable()
+        val s2 = served()
+        assert(!s2.contains(-7L) && s2(2L) == "two is back" && s2(1L) == "v2 one")
+        assert(StreamingMerge.appliedBatches(spark, sf) == Set(0L, 1L))
+      } finally q.stop()
+      // replay short-circuit: re-applying a ledgered batch id is a no-op
+      // (no new generation, false returned) even with different content
+      val gensBefore = {
+        val root = java.nio.file.Paths.get(MergeOps.layoutRoot(spark, sf))
+        val kids = java.nio.file.Files.list(root)
+        try kids.count() finally kids.close()
+      }
+      val replay = Seq((1L, "SHOULD NOT LAND", "en", "web", 1L, false))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "tombstone")
+      assert(!StreamingMerge.applyBatch(replay, 1L, sf),
+        "ledgered batch id re-applied")
+      val gensAfter = {
+        val root = java.nio.file.Paths.get(MergeOps.layoutRoot(spark, sf))
+        val kids = java.nio.file.Files.list(root)
+        try kids.count() finally kids.close()
+      }
+      assert(gensBefore == gensAfter, "replay burned a generation")
+      assert(Tables.load(spark, sf, "documents")
+        .filter($"doc_id" === 1L).select($"text").as[String].head() == "v2 one")
+      // an empty batch is skipped without a ledger entry
+      assert(!StreamingMerge.applyBatch(replay.limit(0), 99L, sf))
+      assert(!StreamingMerge.appliedBatches(spark, sf).contains(99L))
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
