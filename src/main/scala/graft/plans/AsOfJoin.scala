@@ -693,6 +693,16 @@ object AsOf {
     * is the price of not discovering the hot key when task 17 of the
     * merge runs for nine hours.
     *
+    * MEASURED probe overhead (SCALING.md §7, uniform corpus where the
+    * probe buys nothing: joinAuto minus plain [[join]] on local[32]):
+    * ≈0.1 s at sf0.01–0.1, ≈0.27 s at sf1 (1M events), ≈1.1 s at sf10
+    * (10M events) — scan-proportional, ~0.6× the join itself at local
+    * SFs because the join is also scan-bound there; the probe's SHUFFLE
+    * stays ≤ |distinct keys| rows at any scale. Callers who already
+    * know their key distribution skip the tax by calling [[join]] or
+    * [[joinSliced]] directly; joinAuto is for the pipeline that cannot
+    * know (e40's contract).
+    *
     * Routing: a key is hot when its combined row count exceeds
     * `skewFactor` × the mean per-partition share (the same "N× the
     * average" shape AQE's skew-join detector uses). Hot → [[joinSliced]]
