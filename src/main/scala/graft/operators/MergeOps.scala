@@ -118,21 +118,86 @@ object MergeOps {
       throw new IllegalStateException(
         s"${CorpusLayout.ConfKey} is not set on this session — no layout to apply into"))
 
+  /** Bucket ids the changeset touches under the layout's bucket spec —
+    * `pmod(hash(key), buckets)`, the exact expression Spark's bucketed
+    * writer and HashPartitioning use, so membership here IS membership
+    * in the bucket file. Driver-collects at most `buckets` ints
+    * (metadata-sized by construction).
+    */
+  private[graft] def touchedBuckets(changes: DataFrame, key: String,
+                                    buckets: Int): Set[Int] =
+    changes.select(pmod(hash(col(key)), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** Bucket id encoded in a bucketed-parquet file name
+    * (`part-00000-<uuid>_00007.c000.snappy.parquet` → 7). None for
+    * non-data files (`_SUCCESS`) and unbucketed names. The `_NNNNN`
+    * group is Spark's `%05d` bucket suffix; `part-00000` is dash-joined
+    * and UUIDs carry no underscores, so the last such group is the
+    * bucket id.
+    */
+  private[graft] def bucketIdOf(name: String): Option[Int] = {
+    if (!name.endsWith(".parquet")) None
+    else {
+      val m = java.util.regex.Pattern.compile("_(\\d{5})\\.").matcher(name)
+      var id: Option[Int] = None
+      while (m.find()) id = Some(m.group(1).toInt)
+      id
+    }
+  }
+
+  /** (location dir, declared bucket count) of a catalog table — two
+    * metadata rows off DESCRIBE FORMATTED.
+    */
+  private[graft] def tableLayout(s: SparkSession, t: String): (String, Int) = {
+    val rows = s.sql(s"DESCRIBE FORMATTED $t")
+      .filter(col("col_name").isin("Location", "Num Buckets"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (rows("Location").stripPrefix("file:"), rows("Num Buckets").trim.toInt)
+  }
+
+  private def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    try java.nio.file.Files.createLink(to, from)
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(from, to)
+    }
+
   /** Apply a changeset to a corpus table served by the bucketed
     * [[CorpusLayout]], producing a NEW bucketed generation — the
     * end-to-end incremental corpus refresh:
     *
-    *  1. the target is the served bucketed table, so the anti-join's
-    *     corpus side reads pre-partitioned — zero Exchange on it whether
-    *     the changeset broadcasts (day-sized feed) or sort-merges;
-    *  2. the merged corpus writes under `$base/$corpusKey/<table>_vN`
+    *  1. COPY-ON-WRITE at bucket granularity (the default): a changeset
+    *     key can only land in bucket `pmod(hash(key), B)` — the same
+    *     expression the bucketed writer used to place the target's rows —
+    *     so buckets holding no changeset key are PROVABLY untouched by
+    *     the MERGE. Only touched buckets' files are read, merged, and
+    *     rewritten; untouched bucket files are hard-linked into the new
+    *     generation byte-for-byte (copy when the filesystem refuses
+    *     links). Apply cost scales with the CHANGED fraction, not the
+    *     corpus: a day-sized changeset against a 100 TB corpus reads and
+    *     writes ~touched-buckets' worth of data, never 100 TB. (On an
+    *     object store the link step becomes a manifest entry — same
+    *     recipe Iceberg/Delta use; the local engine links.)
+    *  2. the merged touched-bucket rows repartition by the bucket
+    *     expression before the write — one Exchange of TOUCHED data only,
+    *     which pins exactly one new file per touched bucket per apply so
+    *     generations never fragment under streaming micro-batches
+    *     ([[graft.streaming.StreamingMerge]] calls this per batch);
+    *  3. the new generation lands under `$base/$corpusKey/<table>_vN`
     *     with the SAME bucketBy spec, then the catalog table swings to
     *     the new path — `Tables.load` consumers pick up v(N) on their
     *     next plan, and every id-keyed join downstream stays bucketed;
-    *  3. previous generation files are never deleted here (in-flight
+    *  4. previous generation files are never deleted here (in-flight
     *     plans resolved their paths at construction — the
-    *     VectorIndexStore versioning recipe); reclaim old `_vN` dirs
-    *     once readers drain, or via [[CorpusLayout.drop]].
+    *     VectorIndexStore versioning recipe); reclaim drained `_vN`
+    *     dirs with [[vacuum]] — hard-linked bytes survive any subset of
+    *     generation dirs being dropped — or [[CorpusLayout.drop]].
+    *
+    * `cow = false` (or a changeset touching every populated bucket, or a
+    * current generation whose files don't carry bucket suffixes) falls
+    * back to the full rewrite: one anti-join over the whole corpus and a
+    * complete new generation.
     *
     * The catalog flip is DROP + CREATE (Spark's catalog has no atomic
     * table swap): a reader planning in that window falls back to
@@ -141,7 +206,8 @@ object MergeOps {
     */
   def applyToLayout(s: SparkSession, corpusDir: String, changes: DataFrame,
                     table: String = "documents",
-                    buckets: Int = CorpusLayout.DefaultBuckets): String = {
+                    buckets: Int = CorpusLayout.DefaultBuckets,
+                    cow: Boolean = true): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
@@ -166,21 +232,117 @@ object MergeOps {
       } finally kids.close()
     }
     val vpath = s"$base/${table}_v$next"
+    val (curLoc, curBuckets) = tableLayout(s, t)
+    require(curBuckets == buckets,
+      s"layout for $t has $curBuckets buckets; apply asked for $buckets")
+    // Partition the CURRENT generation's files by whether their bucket
+    // can contain a changeset key. Resolved before any write so the
+    // listing is of the generation the catalog serves right now.
+    val curFiles = {
+      val dir = java.nio.file.Paths.get(curLoc)
+      val kids = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .toVector
+      } finally kids.close()
+    }
+    val fileBuckets = curFiles.map(f => f -> bucketIdOf(f))
+    val touched = if (cow) touchedBuckets(changes, keyCol, buckets) else Set.empty[Int]
+    val untouchedFiles = fileBuckets.collect {
+      case (f, Some(b)) if !touched.contains(b) => f
+    }
+    val parseable = fileBuckets.forall(_._2.isDefined)
     // materialize the merged corpus BEFORE dropping the table the plan
     // reads from (the SignatureStore.mergeComponents discipline) — here
     // the write itself is the materialization, and it lands in a fresh
     // path the source table never served, so no read-under-write either
-    applyChanges(target, changes, keyCol)
-      .write.format("parquet").option("path", vpath)
-      .bucketBy(buckets, keyCol).sortBy(keyCol)
-      .mode("overwrite").saveAsTable(s"${t}_staging")
+    if (cow && parseable && untouchedFiles.nonEmpty) {
+      val touchedFiles = fileBuckets.collect {
+        case (f, Some(b)) if touched.contains(b) => s"$curLoc/$f"
+      }
+      val touchedTarget =
+        if (touchedFiles.isEmpty) target.limit(0) // inserts into empty buckets
+        else s.read.schema(target.schema).parquet(touchedFiles: _*)
+      applyChanges(touchedTarget, changes, keyCol)
+        .repartition(buckets, col(keyCol)) // partition id == bucket id
+        .write.format("parquet").option("path", vpath)
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(s"${t}_staging")
+      for (f <- untouchedFiles)
+        linkOrCopy(java.nio.file.Paths.get(curLoc, f),
+          java.nio.file.Paths.get(vpath, f))
+      // the staging table listed its files before the links landed
+      s.catalog.refreshTable(s"${t}_staging")
+    } else {
+      applyChanges(target, changes, keyCol)
+        .write.format("parquet").option("path", vpath)
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(s"${t}_staging")
+    }
     // swing the catalog name to the new generation's files
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    s.catalog.refreshTable(t)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
     vpath
+  }
+
+  /** Generation dirs of a layout table, oldest→newest: generation 0 is
+    * the base `materialize` build at `<table>`, MERGE applies append
+    * `<table>_vN`. Pure directory listing — no Spark job.
+    */
+  def generations(s: SparkSession, corpusDir: String,
+                  table: String = "documents"): Seq[(Int, String)] = {
+    val base = layoutRoot(s, corpusDir)
+    val root = java.nio.file.Paths.get(base)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val kids = java.nio.file.Files.list(root)
+      val prefix = s"${table}_v"
+      try {
+        import scala.jdk.CollectionConverters._
+        val vs = kids.iterator().asScala.map(_.getFileName.toString).collect {
+          case n if n == table => 0 -> s"$base/$n"
+          case n if n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
+            n.drop(prefix.length).forall(_.isDigit) =>
+            n.drop(prefix.length).toInt -> s"$base/$n"
+        }.toVector
+        vs.sortBy(_._1)
+      } finally kids.close()
+    }
+  }
+
+  /** Reclaim drained generations: delete every generation dir strictly
+    * older than the `keepLast` most recent ones, never touching the one
+    * the catalog currently serves. Copy-on-write makes this safe at any
+    * point AFTER old readers drain: shared bytes are hard links, so an
+    * inode referenced by a surviving generation outlives the deletion of
+    * every older dir that also linked it. Returns the deleted paths.
+    */
+  def vacuum(s: SparkSession, corpusDir: String, table: String = "documents",
+             keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val gens = generations(s, corpusDir, table)
+    val served = tableLayout(s, CorpusLayout.tableName(table, corpusDir))._1
+    val servedNorm = java.nio.file.Paths.get(served).normalize.toString
+    val doomed = gens.dropRight(keepLast)
+      .filterNot { case (_, p) =>
+        java.nio.file.Paths.get(p).normalize.toString == servedNorm }
+    doomed.map { case (_, p) =>
+      def rm(x: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(x)) {
+          val kids = java.nio.file.Files.list(x)
+          try kids.forEach(rm(_)) finally kids.close()
+        }
+        java.nio.file.Files.deleteIfExists(x)
+      }
+      rm(java.nio.file.Paths.get(p))
+      p
+    }
   }
 }

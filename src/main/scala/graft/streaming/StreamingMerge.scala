@@ -25,11 +25,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *     apply and marker ⇒ the replay re-applies; layer 1 makes that a
   *     content no-op.
   *
-  * Scale: each micro-batch pays one broadcast anti-join over the served
-  * bucketed table and one bucket-aligned generation write — the
-  * [[MergeOps.applyToLayout]] plan; the stream never holds state (the
-  * corpus IS the state), so there is no watermark, no state store, and
-  * nothing for a restart to lose beyond the ledger on disk.
+  * Scale: each micro-batch pays [[MergeOps.applyToLayout]]'s bucket-
+  * scoped copy-on-write plan — read/merge/rewrite only the buckets the
+  * batch's keys hash into (one file per touched bucket), hard-link the
+  * rest forward — so per-batch cost tracks the BATCH size, not the
+  * corpus; the stream never holds state (the corpus IS the state), so
+  * there is no watermark, no state store, and nothing for a restart to
+  * lose beyond the ledger on disk. Generations accrete per batch;
+  * reclaim drained ones with [[MergeOps.vacuum]] (linked bytes survive).
   */
 object StreamingMerge {
 

@@ -137,4 +137,98 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("copy-on-write apply rewrites only touched buckets; vacuum reclaims drained generations") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = Files.createTempDirectory("graft_cow").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    def listData(dir: String): Set[String] = {
+      val kids = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+      } finally kids.close()
+    }
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val target = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val payload = Seq("text", "lang", "source", "n_chars")
+      // a genuinely day-sized changeset: one recrawl, one delete, one new
+      // doc — touches a handful of the 32 buckets
+      val up = target.filter($"doc_id" === 17L)
+        .select($"doc_id", concat(lit("cow "), $"text").as("text"), $"lang",
+          $"source", ($"n_chars" + 4L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      val del = target.filter($"doc_id" === 40L)
+        .select($"doc_id" +: payload.map(c =>
+          lit(null).cast(target.schema(c).dataType).as(c)): _*)
+        .withColumn("tombstone", lit(true))
+      val ins = Seq((-7919L, "brand new", "en", "crawl", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("tombstone", lit(false))
+      val changes = up.unionByName(del).unionByName(ins).cache()
+      val touched = MergeOps.touchedBuckets(changes, "doc_id",
+        CorpusLayout.DefaultBuckets)
+      assert(touched.size <= 3 && touched.nonEmpty,
+        s"scenario broken: expected <=3 touched buckets, got $touched")
+      val (gen0, _) = MergeOps.tableLayout(spark, CorpusLayout.tableName("documents", sf))
+      val oldFiles = listData(gen0)
+      val oldUntouched = oldFiles.filter(f =>
+        MergeOps.bucketIdOf(f).exists(b => !touched.contains(b)))
+      assert(oldUntouched.nonEmpty, "scenario broken: every bucket touched")
+      val expected = rows(MergeOps.applyChanges(target, changes))
+      val vpath = MergeOps.applyToLayout(spark, sf, changes)
+      val newFiles = listData(vpath)
+      // untouched bucket files are the SAME inodes, linked not copied
+      for (f <- oldUntouched) {
+        assert(newFiles.contains(f), s"untouched file $f missing from $vpath")
+        assert(Files.isSameFile(Paths.get(gen0, f), Paths.get(vpath, f)),
+          s"untouched file $f was rewritten, not linked")
+      }
+      // every genuinely new file serves a touched bucket
+      val rewritten = newFiles -- oldUntouched
+      assert(rewritten.nonEmpty, "no touched-bucket file written")
+      for (f <- rewritten)
+        assert(MergeOps.bucketIdOf(f).exists(touched.contains),
+          s"new file $f is outside the touched buckets $touched")
+      // the served generation is the full MERGE result…
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(rows(served) == expected,
+        "copy-on-write apply diverged from the full MERGE")
+      // …and still a first-class bucketed table: co-located join, no Exchange
+      val embT = CorpusLayout.tableName("embeddings", sf)
+      val j = served.hint("merge")
+        .join(spark.table(embT), col("doc_id") === col("vec_id"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "post-CoW corpus join shuffles again")
+      // second wave → v2; vacuum(keepLast=1) reclaims gen0 + v1 while the
+      // hard-linked bytes survive under v2
+      val changes2 = target.filter($"doc_id" === 123L)
+        .select($"doc_id", concat(lit("cow2 "), $"text").as("text"), $"lang",
+          $"source", ($"n_chars" + 1L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      val expected2 = rows(MergeOps.applyChanges(
+        CorpusLayout.ifPresent(spark, sf, "documents").get, changes2))
+      val vpath2 = MergeOps.applyToLayout(spark, sf, changes2)
+      assert(MergeOps.generations(spark, sf, "documents").map(_._1) == Seq(0, 1, 2))
+      intercept[IllegalArgumentException](
+        MergeOps.vacuum(spark, sf, "documents", keepLast = 0))
+      val reclaimed = MergeOps.vacuum(spark, sf, "documents", keepLast = 1)
+      assert(reclaimed.map(p => Paths.get(p).getFileName.toString).sorted ==
+        Seq("documents", "documents_v1"), s"vacuum deleted $reclaimed")
+      assert(MergeOps.generations(spark, sf, "documents") == Seq(2 -> vpath2))
+      spark.catalog.refreshTable(CorpusLayout.tableName("documents", sf))
+      val afterVacuum = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(rows(afterVacuum) == expected2,
+        "served generation unreadable after vacuum — linked bytes lost")
+      changes.unpersist()
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
