@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   *   heavy_hitters     t29 Misra–Gries then recount  vs t06 exact full word count
   *   asof_join         AsOfJoinExec on bucketed events vs the same join on raw parquet
   *   ann_probe         probeBatchADC (8-byte codes)  vs probeBatch (raw vectors)
+  *   merge_apply       bucket-scoped CoW MERGE apply vs full-corpus rewrite
   *
   * Protocol: per arm, one warm execution then min of 2 timed runs
   * (collect() for coordinator-sized results, toRdd.count() for frames),
   * cache cleared between arms. One JSON line per invocation, appended to
   * SCALING_RAW.jsonl — SCALING.md is written from those lines.
   *
-  * Usage: runMain graft.ScalingBench <sfDir> <label>
+  * Usage: runMain graft.ScalingBench <sfDir> <label> [sectionPrefix]
+  * (sectionPrefix scopes the run to matching arms — one section can be
+  * re-measured at a new SF without paying for the whole suite).
   */
 object ScalingBench {
 
@@ -39,6 +42,12 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val (sfDir, label) = (args(0), args(1))
+    // optional 3rd arg: section-name prefix — run only matching sections
+    // (e.g. "merge_apply" re-measures one section at a new SF without
+    // paying for the whole suite). The emitted JSON line carries only the
+    // arms that ran; SCALING.md merges lines by label.
+    val only = args.drop(2).headOption
+    def enabled(section: String): Boolean = only.forall(section.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -47,6 +56,7 @@ object ScalingBench {
 
     var results = Vector.empty[(String, Double)]
     def arm(name: String)(body: => Unit): Unit = {
+      if (!enabled(name)) return
       val sec = timeMin()(body)
       results :+= (name -> sec)
       System.err.println(f"[scaling] $label $name: $sec%.3f s")
@@ -59,6 +69,7 @@ object ScalingBench {
     // memcpy here, the network bill on a cluster); the bytes are the
     // plan property the at-scale claim rests on
     def armDf(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!enabled(name)) return
       arm(name)(mk.queryExecution.toRdd.count())
       val qe = mk.queryExecution
       qe.toRdd.count()
@@ -73,6 +84,7 @@ object ScalingBench {
     // shuffle, only an n/B² slice ever sorts — vs percentile_disc with
     // ONE group, whose single aggregate buffer holds every corpus value
     val li = Tables.load(spark, sfDir, "lineitem")
+    if (enabled("corpus_quantile")) {
     arm("corpus_quantile/rank_narrowing") {
       graft.operators.Relational.exactQuantiles(
         li.select($"l_extendedprice".as("v")),
@@ -86,9 +98,11 @@ object ScalingBench {
         expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
       ).collect()
     }
+    }
 
     // ── grouped exact quantiles (q53/q54 vs q44's buffering aggregate)
     val ord = Tables.load(spark, sfDir, "orders")
+    if (enabled("grouped_quantile") || enabled("sketch_quantile")) {
     arm("grouped_quantile/rank_narrowing") {
       graft.operators.Relational.exactQuantilesBy(
         ord.select($"o_orderstatus", $"o_totalprice".as("v")),
@@ -105,6 +119,7 @@ object ScalingBench {
       SparkEntry.queries("q54_sketch_quantile")(spark, sfDir)
         .queryExecution.toRdd.count()
     }
+    }
 
     // ── signature build: one md5 per shingle either way; perm16 folds 16
     // permutation mixes into 16 aggregation buffers per doc, OPH routes
@@ -113,6 +128,7 @@ object ScalingBench {
     // does — the production sink.
     val docs = Tables.load(spark, sfDir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft_scaling").toString
+    if (enabled("signature_build")) {
     arm("signature_build/oph") {
       graft.operators.Dedup.ophSignatureFrame(docs)
         .write.mode("overwrite").parquet(s"$tmp/sig_oph")
@@ -120,6 +136,7 @@ object ScalingBench {
     arm("signature_build/perm16") {
       graft.operators.Dedup.signatureFrame(docs)
         .write.mode("overwrite").parquet(s"$tmp/sig_perm16")
+    }
     }
 
     // ── vocabulary heavy hitters: MG sketch (≤128 counters/task shuffle)
@@ -143,6 +160,9 @@ object ScalingBench {
         .select($"user_id", $"ts".as("pts"), $"value".as("p_value"))
       graft.plans.AsOf.join(errors, purchases, "user_id", "ts", "pts")
     }
+    var asofBucketedEx: Option[Boolean] = None
+    var asofRawEx: Option[Boolean] = None
+    if (enabled("asof_join")) {
     armDf("asof_join/raw") { asofOver(events) }
     val evT = s"graft_scaling_events_${label.replaceAll("[^A-Za-z0-9_]", "_")}"
     spark.sql(s"DROP TABLE IF EXISTS $evT")
@@ -153,9 +173,12 @@ object ScalingBench {
     val layoutSec = (System.nanoTime() - layoutT0) / 1e9
     results :+= ("asof_join/layout_build" -> layoutSec)
     armDf("asof_join/bucketed") { asofOver(spark.table(evT)) }
-    val bucketedPlan = asofOver(spark.table(evT)).queryExecution.executedPlan.toString
-    val rawPlan = asofOver(events).queryExecution.executedPlan.toString
+    asofBucketedEx = Some(asofOver(spark.table(evT))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    asofRawEx = Some(asofOver(events)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
     spark.sql(s"DROP TABLE IF EXISTS $evT")
+    }
 
     // ── skew-auto-routed as-of (round 9, AsOf.joinAuto): 50% of both
     // sides remapped onto ONE hot user. The plain merge puts that key's
@@ -163,6 +186,7 @@ object ScalingBench {
     // joinAuto probes the key distribution and re-plans through the
     // time-sliced composition. Uniform arm measures the probe's overhead
     // on the path where routing stays plain (the common case's tax).
+    if (enabled("skew_asof")) {
     val skewEv = events.withColumn("user_id",
       when($"user_id" % 2 === 0, lit(42L)).otherwise($"user_id"))
     def skewAsof(ev: DataFrame, auto: Boolean): DataFrame = {
@@ -187,10 +211,12 @@ object ScalingBench {
     results :+= ("skew_asof/auto_hot_partitions" ->
       skewAsof(skewEv, auto = true).withColumn("p", spark_partition_id())
         .filter($"user_id" === 42L).select($"p").distinct().count().toDouble)
+    }
 
     // ── ANN probe: ADC scans 8-byte codes per candidate and reranks a
     // shortlist of raw vectors, vs the raw path scanning full vectors in
     // every probed cell. Index build timed separately (per-refresh cost).
+    if (enabled("ann_probe")) {
     val idxBase = java.nio.file.Files.createTempDirectory("graft_scaling_vidx").toString
     spark.conf.set(graft.operators.VectorIndexStore.ConfKey, idxBase)
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -223,6 +249,76 @@ object ScalingBench {
     results :+= ("ann_probe/raw_facet_mb" -> dirMb("assignments"))
     results :+= ("ann_probe/code_facet_mb" -> dirMb("pq_codes"))
     spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
+    }
+
+    if (enabled("merge_apply")) {
+    // ── CDC MERGE apply: bucket-scoped copy-on-write vs full rewrite
+    // (round 10). Touched buckets = distinct pmod(hash(key), B) over the
+    // changeset, so the win is regime-dependent: a TRICKLE feed (k keys
+    // ≲ B buckets) rewrites ~(1-e^(-k/B)) of the corpus and links the
+    // rest; a BROAD feed (k ≫ B) touches every bucket and the apply
+    // degrades gracefully to the full rewrite. B is fixed at 32 here;
+    // at production scale B tracks the corpus (one-task-sized buckets),
+    // which holds the trickle regime open for day-sized feeds. The
+    // rewritten-vs-linked MB split is the scale dimension: on a real
+    // store the write bill IS the difference.
+    val layoutBase = java.nio.file.Files.createTempDirectory("graft_scaling_cl").toString
+    spark.conf.set(graft.sources.CorpusLayout.ConfKey, layoutBase)
+    val clT0 = System.nanoTime()
+    graft.sources.CorpusLayout.materialize(spark, sfDir)
+    results :+= ("merge_apply/layout_build" -> (System.nanoTime() - clT0) / 1e9)
+    def mkChanges(src: DataFrame): DataFrame = {
+      val up = src.withColumn("tombstone", $"doc_id" % 5 === 0)
+        .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+          $"lang", $"source", ($"n_chars" + 8L).as("n_chars"), $"tombstone")
+      val ins = up.limit(2).select((-$"doc_id" - 1000000L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars", lit(false).as("tombstone"))
+      up.unionByName(ins)
+    }
+    val trickle = mkChanges(docs.orderBy($"doc_id").limit(8)).cache()
+    val kTrickle = trickle.count()
+    val bTrickle = graft.operators.MergeOps.touchedBuckets(
+      trickle, "doc_id", graft.sources.CorpusLayout.DefaultBuckets).size
+    arm("merge_apply/cow_trickle") {
+      graft.operators.MergeOps.applyToLayout(spark, sfDir, trickle)
+    }
+    // rewritten vs linked split of the LAST CoW generation vs its parent
+    locally {
+      val gens = graft.operators.MergeOps.generations(spark, sfDir, "documents")
+      val last = gens.last._2
+      val prev = gens(gens.size - 2)._2
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(last))
+      val (linked, rewritten) = try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(p => !p.getFileName.toString.startsWith("_"))
+          .partition { p =>
+            val old = java.nio.file.Paths.get(prev, p.getFileName.toString)
+            java.nio.file.Files.exists(old) && java.nio.file.Files.isSameFile(old, p)
+          } match { case (a, b) => (a.toVector, b.toVector) }
+      } finally kids.close()
+      def mb(ps: Vector[java.nio.file.Path]) =
+        math.round(ps.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      results :+= ("merge_apply/trickle_keys" -> kTrickle.toDouble)
+      results :+= ("merge_apply/trickle_buckets_touched" -> bTrickle.toDouble)
+      results :+= ("merge_apply/cow_linked_mb" -> mb(linked))
+      results :+= ("merge_apply/cow_rewritten_mb" -> mb(rewritten))
+    }
+    arm("merge_apply/full_trickle") {
+      graft.operators.MergeOps.applyToLayout(spark, sfDir, trickle, cow = false)
+    }
+    trickle.unpersist()
+    // broad feed: ~0.4% of docs, keys ≫ B — every bucket touched, CoW
+    // falls back to the full path; measures the fallback's parity
+    val broad = mkChanges(docs.filter($"doc_id" % 256 === 0)).cache()
+    broad.count()
+    arm("merge_apply/cow_broad") {
+      graft.operators.MergeOps.applyToLayout(spark, sfDir, broad)
+    }
+    broad.unpersist()
+    graft.sources.CorpusLayout.drop(spark, sfDir)
+    spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
+    }
 
     val nLine = Seq("lineitem", "documents", "events", "embeddings", "orders")
       .map(t => "\"" + t + "\":" + Tables.load(spark, sfDir, t).count())
@@ -230,7 +326,7 @@ object ScalingBench {
     def fmt(v: Double) = "%.3f".format(v)
     val json = s"""{"label":"$label","sf_dir":"$sfDir","rows":$nLine,"arms":${
       results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    },"asof_bucketed_has_exchange":${bucketedPlan.contains("Exchange")},"asof_raw_has_exchange":${rawPlan.contains("Exchange")},"cpus":$cpus}"""
+    },"asof_bucketed_has_exchange":${asofBucketedEx.map(_.toString).getOrElse("null")},"asof_raw_has_exchange":${asofRawEx.map(_.toString).getOrElse("null")},"cpus":$cpus}"""
     println(json)
     val p = java.nio.file.Paths.get("SCALING_RAW.jsonl")
     java.nio.file.Files.writeString(p, json + "\n",
