@@ -163,6 +163,28 @@ object MergeOps {
         java.nio.file.Files.copy(from, to)
     }
 
+  /** Path of the next generation: scan existing `<table>_vN` siblings
+    * (the base `materialize` build lives at `<table>`, generation 0).
+    */
+  private def nextGenerationPath(s: SparkSession, corpusDir: String,
+                                 table: String): String = {
+    val base = layoutRoot(s, corpusDir)
+    val root = java.nio.file.Paths.get(base)
+    val next = {
+      val kids = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        val prefix = s"${table}_v"
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
+            n.drop(prefix.length).forall(_.isDigit))
+          .map(_.drop(prefix.length).toInt)
+          .foldLeft(0)(math.max) + 1
+      } finally kids.close()
+    }
+    s"$base/${table}_v$next"
+  }
+
   /** Apply a changeset to a corpus table served by the bucketed
     * [[CorpusLayout]], producing a NEW bucketed generation — the
     * end-to-end incremental corpus refresh:
@@ -206,7 +228,7 @@ object MergeOps {
     */
   def applyToLayout(s: SparkSession, corpusDir: String, changes: DataFrame,
                     table: String = "documents",
-                    buckets: Int = CorpusLayout.DefaultBuckets,
+                    buckets: Int = -1,
                     cow: Boolean = true): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
@@ -215,26 +237,14 @@ object MergeOps {
     val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
       throw new IllegalStateException(
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
-    val base = layoutRoot(s, corpusDir)
-    // next generation number: scan existing <table>_vN siblings (the base
-    // build lives at <table>, generation 0)
-    val root = java.nio.file.Paths.get(base)
-    val next = {
-      val kids = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        val prefix = s"${table}_v"
-        kids.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
-            n.drop(prefix.length).forall(_.isDigit))
-          .map(_.drop(prefix.length).toInt)
-          .foldLeft(0)(math.max) + 1
-      } finally kids.close()
-    }
-    val vpath = s"$base/${table}_v$next"
+    val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, curBuckets) = tableLayout(s, t)
-    require(curBuckets == buckets,
-      s"layout for $t has $curBuckets buckets; apply asked for $buckets")
+    // buckets <= 0 = adopt the served generation's bucket count — the
+    // right default, since a [[rebucket]] may have moved it off
+    // DefaultBuckets; an explicit ask that disagrees is a caller bug.
+    val nBuckets = if (buckets <= 0) curBuckets else buckets
+    require(curBuckets == nBuckets,
+      s"layout for $t has $curBuckets buckets; apply asked for $nBuckets")
     // Partition the CURRENT generation's files by whether their bucket
     // can contain a changeset key. Resolved before any write so the
     // listing is of the generation the catalog serves right now.
@@ -249,7 +259,7 @@ object MergeOps {
       } finally kids.close()
     }
     val fileBuckets = curFiles.map(f => f -> bucketIdOf(f))
-    val touched = if (cow) touchedBuckets(changes, keyCol, buckets) else Set.empty[Int]
+    val touched = if (cow) touchedBuckets(changes, keyCol, nBuckets) else Set.empty[Int]
     val untouchedFiles = fileBuckets.collect {
       case (f, Some(b)) if !touched.contains(b) => f
     }
@@ -266,9 +276,9 @@ object MergeOps {
         if (touchedFiles.isEmpty) target.limit(0) // inserts into empty buckets
         else s.read.schema(target.schema).parquet(touchedFiles: _*)
       applyChanges(touchedTarget, changes, keyCol)
-        .repartition(buckets, col(keyCol)) // partition id == bucket id
+        .repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
-        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
       for (f <- untouchedFiles)
         linkOrCopy(java.nio.file.Paths.get(curLoc, f),
@@ -278,7 +288,7 @@ object MergeOps {
     } else {
       applyChanges(target, changes, keyCol)
         .write.format("parquet").option("path", vpath)
-        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
     }
     // swing the catalog name to the new generation's files
@@ -344,5 +354,72 @@ object MergeOps {
       rm(java.nio.file.Paths.get(p))
       p
     }
+  }
+
+  /** Time-travel read: a not-yet-vacuumed generation as a plain parquet
+    * frame (audit/diff surface — NOT the bucketed catalog table; serve
+    * reads go through [[graft.sources.CorpusLayout.ifPresent]]).
+    */
+  def readGeneration(s: SparkSession, corpusDir: String, table: String,
+                     gen: Int): DataFrame = {
+    val gens = generations(s, corpusDir, table)
+    val path = gens.collectFirst { case (g, p) if g == gen => p }.getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen of ($corpusDir, $table) does not exist " +
+          s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
+    s.read.parquet(path)
+  }
+
+  /** What changed between two retained generations, as an applicable
+    * changeset: `applyChanges(readGeneration(from), generationDiff(from,
+    * to)) ≡ readGeneration(to)` (MergeSpec pins the law). The audit
+    * verb of the lifecycle — "what did the last week of feeds do to the
+    * corpus" is one call, and its cost is [[changeset]]'s: a (key, hash)
+    * diff join, text only rides for the changed rows.
+    */
+  def generationDiff(s: SparkSession, corpusDir: String, table: String,
+                     from: Int, to: Int): DataFrame = {
+    val keyCol = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
+    changeset(readGeneration(s, corpusDir, table, from),
+      readGeneration(s, corpusDir, table, to), keyCol)
+  }
+
+  /** Re-bucket a layout table at a new bucket count, as a new
+    * generation — the lever SCALING.md §8 names: copy-on-write's
+    * rewrite amplification for a k-key feed is the touched fraction
+    * 1−e^(−k/B), so B must track the corpus (one-task-sized buckets) to
+    * keep trickle applies changeset-sized. This is the one generation
+    * write that cannot share a byte with its parent (every row moves
+    * buckets): one full shuffle + rewrite, paid per re-bucketing
+    * decision, not per apply.
+    *
+    * The signature/vector stores bucket independently on the SAME key
+    * expression; their doc_id joins stay zero-Exchange only while the
+    * bucket counts agree, so re-bucket those stores in the same
+    * maintenance window (SignatureStore.materializeTable /
+    * VectorIndexStore.retrain) before relying on co-location again.
+    */
+  def rebucket(s: SparkSession, corpusDir: String, table: String,
+               newBuckets: Int): String = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val keyCol = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
+    val t = CorpusLayout.tableName(table, corpusDir)
+    val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
+    val vpath = nextGenerationPath(s, corpusDir, table)
+    target.repartition(newBuckets, col(keyCol))
+      .write.format("parquet").option("path", vpath)
+      .bucketBy(newBuckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").saveAsTable(s"${t}_staging")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    s.catalog.refreshTable(t)
+    CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+    vpath
   }
 }

@@ -231,4 +231,75 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("generation time-travel diff replays; rebucket moves B and applies keep working") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_genlife").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val target = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val changes = target.filter($"doc_id" % 17 === 0)
+        .select($"doc_id", concat(lit("tt "), $"text").as("text"), $"lang",
+          $"source", ($"n_chars" + 2L).as("n_chars"))
+        .withColumn("tombstone", $"doc_id" % 34 === 0).cache()
+      changes.count()
+      MergeOps.applyToLayout(spark, sf, changes)
+      // the time-travel law: diff(0→1) applied to gen 0 IS gen 1
+      val g0 = MergeOps.readGeneration(spark, sf, "documents", 0)
+      val g1 = MergeOps.readGeneration(spark, sf, "documents", 1)
+      val diff = MergeOps.generationDiff(spark, sf, "documents", 0, 1)
+      assert(rows(MergeOps.applyChanges(g0, diff)) == rows(g1),
+        "generationDiff replay did not reproduce the target generation")
+      assert(diff.count() > 0 && diff.count() < g0.count(),
+        "diff degenerate: expected a minimal non-empty changeset")
+      intercept[IllegalArgumentException](
+        MergeOps.readGeneration(spark, sf, "documents", 99))
+      // rebucket to 64: contents identical, catalog carries the new B
+      val before = rows(g1)
+      MergeOps.rebucket(spark, sf, "documents", 64)
+      val t = CorpusLayout.tableName("documents", sf)
+      assert(MergeOps.tableLayout(spark, t)._2 == 64, "Num Buckets not moved")
+      assert(rows(CorpusLayout.ifPresent(spark, sf, "documents").get) == before,
+        "rebucket changed corpus contents")
+      // a CoW apply AFTER the rebucket adopts B=64 from the catalog
+      val changes2 = target.filter($"doc_id" === 51L)
+        .select($"doc_id", lit("rebucketed-upsert").as("text"), $"lang",
+          $"source", $"n_chars")
+        .withColumn("tombstone", lit(false)).cache()
+      changes2.count()
+      val expected = rows(MergeOps.applyChanges(
+        CorpusLayout.ifPresent(spark, sf, "documents").get, changes2))
+      val vpath = MergeOps.applyToLayout(spark, sf, changes2)
+      assert(rows(CorpusLayout.ifPresent(spark, sf, "documents").get) == expected,
+        "post-rebucket apply diverged")
+      // and it is still copy-on-write under the new B: the 1-key feed
+      // linked most of the 64 buckets' files forward
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(vpath))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector
+      } finally kids.close()
+      val bucketIds = names.flatMap(MergeOps.bucketIdOf)
+      assert(bucketIds.nonEmpty && bucketIds.forall(_ < 64))
+      val touched = MergeOps.touchedBuckets(changes2, "doc_id", 64)
+      val prev = MergeOps.generations(spark, sf, "documents")
+        .takeRight(2).head._2
+      val linked = names.count { n =>
+        val old = java.nio.file.Paths.get(prev, n)
+        java.nio.file.Files.exists(old) &&
+          java.nio.file.Files.isSameFile(old, java.nio.file.Paths.get(vpath, n))
+      }
+      assert(linked > 0 && names.size - linked <= touched.size,
+        s"post-rebucket apply not CoW: ${names.size} files, $linked linked, " +
+          s"${touched.size} touched buckets")
+      changes.unpersist(); changes2.unpersist()
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
