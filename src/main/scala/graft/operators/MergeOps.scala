@@ -49,6 +49,14 @@ object MergeOps {
     */
   val TombstoneCol = "tombstone"
 
+  /** Test-only fault injection for the crash-recovery harness: set to
+    * "after-drop" to halt the JVM inside [[applyToLayout]]'s catalog
+    * swing, between DROP and RENAME — the window where the registration
+    * is gone but the new generation is complete on disk.
+    * CrashRecoverySpec's merge mode drives it; never set in production.
+    */
+  private[graft] val CrashPointKey = "spark.graft.merge.crashPoint"
+
   /** MERGE INTO target USING changes: matched upsert rows replace the
     * target row, unmatched upserts insert, matched tombstones delete.
     * Unmatched tombstones are no-ops (MERGE's WHEN MATCHED AND delete
@@ -291,8 +299,14 @@ object MergeOps {
         .bucketBy(nBuckets, keyCol).sortBy(keyCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
     }
+    // the generation is complete on disk: mark it (with its bucket
+    // count) BEFORE the swing, so a crash anywhere past this line is
+    // forward-recoverable — repairServing re-attaches this generation
+    CorpusLayout.writeBucketsMarker(vpath, nBuckets)
     // swing the catalog name to the new generation's files
     s.sql(s"DROP TABLE IF EXISTS $t")
+    if (s.conf.getOption(CrashPointKey).contains("after-drop"))
+      Runtime.getRuntime.halt(137) // test-only: die mid-swing, no cleanup
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)
     // bump the layout epoch so OTHER sessions' cached relations (a
@@ -307,25 +321,8 @@ object MergeOps {
     * `<table>_vN`. Pure directory listing — no Spark job.
     */
   def generations(s: SparkSession, corpusDir: String,
-                  table: String = "documents"): Seq[(Int, String)] = {
-    val base = layoutRoot(s, corpusDir)
-    val root = java.nio.file.Paths.get(base)
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      val kids = java.nio.file.Files.list(root)
-      val prefix = s"${table}_v"
-      try {
-        import scala.jdk.CollectionConverters._
-        val vs = kids.iterator().asScala.map(_.getFileName.toString).collect {
-          case n if n == table => 0 -> s"$base/$n"
-          case n if n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
-            n.drop(prefix.length).forall(_.isDigit) =>
-            n.drop(prefix.length).toInt -> s"$base/$n"
-        }.toVector
-        vs.sortBy(_._1)
-      } finally kids.close()
-    }
-  }
+                  table: String = "documents"): Seq[(Int, String)] =
+    CorpusLayout.listGenerations(s, corpusDir, table)
 
   /** Reclaim drained generations: delete every generation dir strictly
     * older than the `keepLast` most recent ones, never touching the one
@@ -338,6 +335,7 @@ object MergeOps {
              keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val gens = generations(s, corpusDir, table)
+    CorpusLayout.repairServing(s, corpusDir, table) // fresh-JVM re-attach
     val served = tableLayout(s, CorpusLayout.tableName(table, corpusDir))._1
     val servedNorm = java.nio.file.Paths.get(served).normalize.toString
     val doomed = gens.dropRight(keepLast)
@@ -416,6 +414,7 @@ object MergeOps {
       .write.format("parquet").option("path", vpath)
       .bucketBy(newBuckets, keyCol).sortBy(keyCol)
       .mode("overwrite").saveAsTable(s"${t}_staging")
+    CorpusLayout.writeBucketsMarker(vpath, newBuckets)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)

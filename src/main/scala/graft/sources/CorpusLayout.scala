@@ -95,12 +95,94 @@ object CorpusLayout {
       }
     }
 
-  /** The bucketed layout for (corpus, table), when materialized. */
+  // ── Filesystem-as-truth serving: the session catalog is in-memory, so
+  // the bucketed table registration dies with the JVM — without repair,
+  // a fresh driver would silently fall back to the ORIGINAL raw parquet
+  // and every applied MERGE generation would go invisible (and a crash
+  // between applyToLayout's catalog DROP and RENAME strands even the
+  // running JVM the same way). Each complete generation therefore
+  // carries two markers — Spark's _SUCCESS (job commit) and our
+  // _BUCKETS (bucket count, written after the table write returns) —
+  // and [[repairServing]] re-attaches the NEWEST complete generation as
+  // an external bucketed table. ifPresent invokes it whenever the table
+  // is missing, which makes every reader self-healing across restarts
+  // and crashed swings: forward recovery, since a complete-but-unserved
+  // generation is the result of the interrupted apply (whose unmarked
+  // ledger batch will replay as a content no-op).
+
+  private[graft] val BucketsMarker = "_BUCKETS"
+
+  private[graft] def writeBucketsMarker(path: String, buckets: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, BucketsMarker),
+      buckets.toString.getBytes("UTF-8"))
+
+  /** Generation dirs of a layout table, oldest→newest: generation 0 is
+    * the base [[materialize]] build at `<table>`, MERGE applies append
+    * `<table>_vN`. Pure directory listing — no Spark job.
+    */
+  private[graft] def listGenerations(s: SparkSession, corpusDir: String,
+                                     table: String): Seq[(Int, String)] =
+    layoutRoot(s, corpusDir).toSeq.flatMap { base =>
+      val root = java.nio.file.Paths.get(base)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val kids = java.nio.file.Files.list(root)
+        val prefix = s"${table}_v"
+        try {
+          import scala.jdk.CollectionConverters._
+          kids.iterator().asScala.map(_.getFileName.toString).collect {
+            case n if n == table => 0 -> s"$base/$n"
+            case n if n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
+              n.drop(prefix.length).forall(_.isDigit) =>
+              n.drop(prefix.length).toInt -> s"$base/$n"
+          }.toVector.sortBy(_._1)
+        } finally kids.close()
+      }
+    }
+
+  /** Re-attach the newest complete generation as the served catalog
+    * table when the registration is missing (fresh JVM, or a swing
+    * interrupted between DROP and RENAME). Returns the attached path;
+    * None when the table already exists or no complete generation does.
+    */
+  def repairServing(s: SparkSession, corpusDir: String,
+                    table: String): Option[String] = {
+    val t = tableName(table, corpusDir)
+    if (!keyed.contains(table) || s.catalog.tableExists(t)) None
+    else listGenerations(s, corpusDir, table).reverse.find { case (_, p) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p, BucketsMarker))
+    }.map { case (_, path) =>
+      val buckets = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, BucketsMarker)), "UTF-8").trim.toInt
+      val key = keyed(table)
+      val schema = s.read.parquet(path).schema.toDDL
+      // a dangling staging entry from the interrupted swing would block
+      // the next apply's staging write; it is external — dropping the
+      // registration never touches the generation's files
+      s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+      s.sql(s"CREATE TABLE $t ($schema) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+      bumpEpoch(s, corpusDir, table, path)
+      path
+    }
+  }
+
+  /** The bucketed layout for (corpus, table), when materialized —
+    * self-healing: a missing registration re-attaches from disk first
+    * (see [[repairServing]]).
+    */
   def ifPresent(s: SparkSession, corpusDir: String, table: String): Option[DataFrame] =
     if (!keyed.contains(table)) None
-    else Some(tableName(table, corpusDir)).filter(s.catalog.tableExists).map { t =>
-      refreshIfStale(s, corpusDir, table, t)
-      s.table(t)
+    else {
+      val t = tableName(table, corpusDir)
+      if (!s.catalog.tableExists(t)) repairServing(s, corpusDir, table)
+      Some(t).filter(s.catalog.tableExists).map { tt =>
+        refreshIfStale(s, corpusDir, table, tt)
+        s.table(tt)
+      }
     }
 
   /** Rewrite the keyed corpus tables as bucketed external tables.
@@ -113,11 +195,13 @@ object CorpusLayout {
     keyed.toSeq.sorted.map { case (table, key) =>
       val t = tableName(table, corpusDir)
       s.sql(s"DROP TABLE IF EXISTS $t")
+      val path = s"$base/${corpusKey(corpusDir)}/$table"
       s.read.parquet(s"$corpusDir/$table.parquet")
         .write.format("parquet")
-        .option("path", s"$base/${corpusKey(corpusDir)}/$table")
+        .option("path", path)
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(t)
+      writeBucketsMarker(path, buckets)
       t
     }
   }

@@ -48,15 +48,71 @@ import org.apache.spark.sql.types._
   * the pre-unioned [[StreamingAsOf.AsOfRow]] schema; same `rocksdb`
   * 6th-argument switch as `-state`.
   *
+  * `crash-merge`/`resume-merge` targets the BATCH half of the CDC
+  * lifecycle instead of a streaming checkpoint: the kill lands inside
+  * [[graft.operators.MergeOps.applyToLayout]]'s catalog swing (between
+  * DROP and RENAME — [[graft.operators.MergeOps.CrashPointKey]]), the
+  * exact window where the serving registration is gone while the new
+  * generation is complete on disk. The resume half is a FRESH JVM with
+  * an empty in-memory catalog — recovery must come entirely from the
+  * filesystem: CorpusLayout.repairServing re-attaches the newest
+  * complete generation, the unmarked ledger batch replays as a content
+  * no-op, and the served corpus equals the batch composition of both
+  * waves. Args: inputDir = the corpus dir, outPath = the layout base,
+  * ckptDir = where resume dumps the served contents for the spec.
+  *
   * Usage: CrashRecoveryMain <mode> <inputDir> <outPathOrCorpus> <ckptDir> [crashAtBatch [indexBase|rocksdb]]
   */
 object CrashRecoveryMain {
+
+  /** Deterministic changeset wave `w` over the corpus's raw documents —
+    * shared between the forked halves and the spec's batch reference.
+    * Each wave recrawls the `doc_id ≡ w (mod 13)` slice and tombstones
+    * the third of it with `doc_id ≡ w (mod 39)`.
+    */
+  private[graft] def mergeWave(spark: org.apache.spark.sql.SparkSession,
+                               corpusDir: String, wave: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(13)) === wave % 13)
+      .select(col("doc_id"),
+        concat(lit(s"wave$wave "), col("text")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + wave).cast("long").as("n_chars"))
+      .withColumn("tombstone", pmod(col("doc_id"), lit(39)) === wave % 13)
+  }
+
+  private def runMerge(mode: String, spark: org.apache.spark.sql.SparkSession,
+                       corpusDir: String, layoutBase: String,
+                       dumpDir: String): Unit = {
+    spark.conf.set(graft.sources.CorpusLayout.ConfKey, layoutBase)
+    if (mode == "crash-merge") {
+      graft.sources.CorpusLayout.materialize(spark, corpusDir)
+      StreamingMerge.applyBatch(mergeWave(spark, corpusDir, 0), 0, corpusDir)
+      spark.conf.set(graft.operators.MergeOps.CrashPointKey, "after-drop")
+      StreamingMerge.applyBatch(mergeWave(spark, corpusDir, 1), 1, corpusDir)
+      sys.error("unreachable: merge crash point did not fire")
+    } else {
+      // fresh JVM, empty catalog: the ledger (fs) says wave 1 never
+      // committed, so this replays it; applyToLayout's ifPresent read
+      // repairs the serving table from disk first
+      val replayed = StreamingMerge.applyBatch(
+        mergeWave(spark, corpusDir, 1), 1, corpusDir)
+      require(replayed, "resume-merge: ledger claims the crashed wave committed")
+      graft.sources.CorpusLayout.ifPresent(spark, corpusDir, "documents")
+        .getOrElse(sys.error("resume-merge: no serving table after repair"))
+        .write.mode("overwrite").parquet(dumpDir)
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (mode, inputDir, outPath, ckptDir) = (args(0), args(1), args(2), args(3))
     val crashAtBatch = args.lift(4).map(_.toInt).getOrElse(2)
     val spark = graft.GraftSession.builder(master = "local[4]",
       shufflePartitions = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode.endsWith("-merge")) return runMerge(mode, spark, inputDir, outPath, ckptDir)
     val vectorMode = mode.endsWith("-vector")
     val stateMode = mode.endsWith("-state")
     val hhMode = mode.endsWith("-hh")

@@ -447,4 +447,40 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     // the null-match case rode along (e5 precedes every k2 version)
     assert(got(5L) == (-1L, -1.0), "pre-version event should match null")
   }
+
+  test("hard-killed MERGE swing: fresh JVM re-attaches serving from disk and replays the wave") {
+    import org.apache.spark.sql.functions.col
+    val layoutBase = java.nio.file.Files.createTempDirectory("graft_crash_merge").toString
+    val dump = java.nio.file.Files.createTempDirectory("graft_crash_merge_out").toString
+    // crash half: materialize + wave 0 committed, wave 1 halted between
+    // the catalog DROP and RENAME (the registration-gone window)
+    val code = fork("crash-merge", sf, layoutBase, dump)
+    assert(code == 137, s"crash JVM exited $code — the mid-swing halt did not fire")
+    // the kill left the new generation complete on disk, no ledger mark
+    val root = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(layoutBase)))(
+      _.findFirst().get()) // single corpus key under the base
+    assert(java.nio.file.Files.exists(root.resolve("documents_v2/_SUCCESS")) &&
+      java.nio.file.Files.exists(root.resolve("documents_v2/_BUCKETS")),
+      "crashed swing did not leave a complete marked generation")
+    assert(!java.nio.file.Files.exists(
+      root.resolve("documents_applied_batches/b1")),
+      "ledger marked a batch whose swing never completed")
+    // resume half: a FRESH JVM with an empty catalog — recovery is pure
+    // filesystem (repairServing + ledger replay)
+    assert(fork("resume-merge", sf, layoutBase, dump) == 0)
+    val servedDump = spark.read.parquet(dump)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = graft.operators.MergeOps.applyChanges(
+      graft.operators.MergeOps.applyChanges(docs,
+        graft.streaming.CrashRecoveryMain.mergeWave(spark, sf, 0)),
+      graft.streaming.CrashRecoveryMain.mergeWave(spark, sf, 1))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols.toIndexedSeq: _*).orderBy(cols.toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq
+    }
+    assert(canon(servedDump) == canon(expected),
+      "recovered corpus diverges from the batch composition of both waves")
+  }
 }

@@ -302,4 +302,44 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("serving survives catalog loss: ifPresent re-attaches the newest complete generation") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_repair").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val changes = Tables.load(spark, sf, "documents")
+        .filter($"doc_id" % 11 === 0)
+        .select($"doc_id", concat(lit("r "), $"text").as("text"), $"lang",
+          $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      MergeOps.applyToLayout(spark, sf, changes)
+      val t = CorpusLayout.tableName("documents", sf)
+      val before = rows(spark.table(t))
+      // the session catalog is in-memory: a driver restart loses every
+      // registration while the generations stay on disk — simulate it
+      spark.sql(s"DROP TABLE $t")
+      assert(!spark.catalog.tableExists(t))
+      val served = CorpusLayout.ifPresent(spark, sf, "documents")
+      assert(served.isDefined, "ifPresent did not repair the lost registration")
+      assert(rows(served.get) == before,
+        "re-attached serving diverges from the pre-loss generation")
+      val (loc, b) = MergeOps.tableLayout(spark, t)
+      assert(loc.endsWith("documents_v1") && b == CorpusLayout.DefaultBuckets,
+        s"repair attached ($loc, $b) instead of the newest generation")
+      // still a first-class bucketed table after repair: co-located join
+      val j = served.get.hint("merge")
+        .join(spark.table(CorpusLayout.tableName("embeddings", sf)),
+          col("doc_id") === col("vec_id"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "repaired table lost its bucketed co-location")
+      assert(j.count() > 0)
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
