@@ -324,12 +324,94 @@ object MergeOps {
                   table: String = "documents"): Seq[(Int, String)] =
     CorpusLayout.listGenerations(s, corpusDir, table)
 
+  // ── Corpus snapshots: one marker pinning the (table → generation)
+  // assignment of EVERY layout table at a moment — the reproducibility
+  // verb. A training run records snapshot K before it starts; the feed
+  // keeps folding changesets in, vacuum keeps reclaiming, and the exact
+  // documents+embeddings pair the run saw stays readable until the
+  // snapshot is dropped (vacuum skips pinned generations). Cross-table:
+  // per-table swings are independent, so "documents v5 with embeddings
+  // v3" is only a consistent pair if something records it — the
+  // snapshot file is that record (single-writer window, like the
+  // swings themselves).
+
+  private def snapshotDir(s: SparkSession, corpusDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(layoutRoot(s, corpusDir), "snapshots")
+
+  /** Pin the currently-served generation of every layout table as
+    * snapshot K (next free number). Returns (K, table → generation dir).
+    */
+  def snapshot(s: SparkSession, corpusDir: String): (Int, Map[String, String]) = {
+    val pinned = CorpusLayout.keyed.keys.toSeq.sorted.flatMap { table =>
+      CorpusLayout.repairServing(s, corpusDir, table)
+      val t = CorpusLayout.tableName(table, corpusDir)
+      if (!s.catalog.tableExists(t)) None
+      else Some(table -> tableLayout(s, t)._1)
+    }.toMap
+    require(pinned.nonEmpty,
+      s"nothing to snapshot for $corpusDir — no layout tables are served")
+    val dir = snapshotDir(s, corpusDir)
+    java.nio.file.Files.createDirectories(dir)
+    val k = snapshots(s, corpusDir).foldLeft(0)(math.max) + 1
+    val body = pinned.toSeq.sorted.map { case (t, p) => s"$t\t$p" }.mkString("\n")
+    java.nio.file.Files.write(dir.resolve(s"s$k"), body.getBytes("UTF-8"))
+    (k, pinned)
+  }
+
+  /** Retained snapshot numbers, ascending. */
+  def snapshots(s: SparkSession, corpusDir: String): Seq[Int] = {
+    val dir = snapshotDir(s, corpusDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      val kids = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("s") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toInt).toVector.sorted
+      } finally kids.close()
+    }
+  }
+
+  private def snapshotPins(s: SparkSession, corpusDir: String,
+                           table: String): Set[String] = {
+    val dir = snapshotDir(s, corpusDir)
+    snapshots(s, corpusDir).flatMap { k =>
+      new String(java.nio.file.Files.readAllBytes(dir.resolve(s"s$k")), "UTF-8")
+        .linesIterator.map(_.split("\t", 2)).collect {
+          case Array(t, p) if t == table =>
+            java.nio.file.Paths.get(p).normalize.toString
+        }
+    }.toSet
+  }
+
+  /** The generation assignment snapshot K pinned: table → raw frame of
+    * the pinned generation dir (audit/reproduce surface, like
+    * [[readGeneration]]).
+    */
+  def readSnapshot(s: SparkSession, corpusDir: String,
+                   k: Int): Map[String, DataFrame] = {
+    val f = snapshotDir(s, corpusDir).resolve(s"s$k")
+    require(java.nio.file.Files.exists(f),
+      s"snapshot $k of $corpusDir does not exist (have: ${snapshots(s, corpusDir).mkString(",")})")
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .linesIterator.map(_.split("\t", 2)).collect {
+        case Array(t, p) => t -> s.read.parquet(p)
+      }.toMap
+  }
+
+  /** Unpin snapshot K; its generations become vacuum-eligible. */
+  def dropSnapshot(s: SparkSession, corpusDir: String, k: Int): Unit =
+    java.nio.file.Files.deleteIfExists(snapshotDir(s, corpusDir).resolve(s"s$k"))
+
   /** Reclaim drained generations: delete every generation dir strictly
     * older than the `keepLast` most recent ones, never touching the one
-    * the catalog currently serves. Copy-on-write makes this safe at any
-    * point AFTER old readers drain: shared bytes are hard links, so an
-    * inode referenced by a surviving generation outlives the deletion of
-    * every older dir that also linked it. Returns the deleted paths.
+    * the catalog currently serves or any generation a retained
+    * [[snapshot]] pins. Copy-on-write makes this safe at any point AFTER
+    * old readers drain: shared bytes are hard links, so an inode
+    * referenced by a surviving generation outlives the deletion of every
+    * older dir that also linked it. Returns the deleted paths.
     */
   def vacuum(s: SparkSession, corpusDir: String, table: String = "documents",
              keepLast: Int = 2): Seq[String] = {
@@ -338,9 +420,10 @@ object MergeOps {
     CorpusLayout.repairServing(s, corpusDir, table) // fresh-JVM re-attach
     val served = tableLayout(s, CorpusLayout.tableName(table, corpusDir))._1
     val servedNorm = java.nio.file.Paths.get(served).normalize.toString
+    val pinned = snapshotPins(s, corpusDir, table) + servedNorm
     val doomed = gens.dropRight(keepLast)
       .filterNot { case (_, p) =>
-        java.nio.file.Paths.get(p).normalize.toString == servedNorm }
+        pinned.contains(java.nio.file.Paths.get(p).normalize.toString) }
     doomed.map { case (_, p) =>
       def rm(x: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(x)) {

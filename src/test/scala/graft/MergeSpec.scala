@@ -303,6 +303,51 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("snapshots pin cross-table generation pairs; vacuum respects the pins") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val gen0Rows = rows(CorpusLayout.ifPresent(spark, sf, "documents").get)
+      val (k1, pinned1) = MergeOps.snapshot(spark, sf)
+      assert(pinned1.keySet == Set("documents", "embeddings"),
+        s"snapshot should pin every layout table, got ${pinned1.keySet}")
+      def wave(i: Int) = CorpusLayout.ifPresent(spark, sf, "documents").get
+        .filter($"doc_id" % 23 === i)
+        .select($"doc_id", concat(lit(s"s$i "), $"text").as("text"), $"lang",
+          $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      MergeOps.applyToLayout(spark, sf, wave(0)) // v1
+      MergeOps.applyToLayout(spark, sf, wave(1)) // v2
+      val (k2, _) = MergeOps.snapshot(spark, sf)
+      assert(k1 == 1 && k2 == 2 && MergeOps.snapshots(spark, sf) == Seq(1, 2))
+      // keepLast=1 would reclaim gen0+v1, but snapshot 1 pins gen0
+      val reclaimed = MergeOps.vacuum(spark, sf, "documents", keepLast = 1)
+      assert(reclaimed.map(p => java.nio.file.Paths.get(p).getFileName.toString)
+        == Seq("documents_v1"), s"vacuum ignored the snapshot pin: $reclaimed")
+      // the pinned pair is still exactly the corpus the run saw
+      val snap1 = MergeOps.readSnapshot(spark, sf, k1)
+      assert(rows(snap1("documents")) == gen0Rows,
+        "pinned generation diverged from its snapshot-time contents")
+      assert(snap1("embeddings").count() > 0)
+      // unpin → the generation becomes vacuum-eligible
+      MergeOps.dropSnapshot(spark, sf, k1)
+      val reclaimed2 = MergeOps.vacuum(spark, sf, "documents", keepLast = 1)
+      assert(reclaimed2.map(p => java.nio.file.Paths.get(p).getFileName.toString)
+        == Seq("documents"), s"post-drop vacuum missed the unpinned gen: $reclaimed2")
+      intercept[IllegalArgumentException](MergeOps.readSnapshot(spark, sf, k1))
+      // the served snapshot is untouched throughout
+      assert(rows(MergeOps.readSnapshot(spark, sf, k2)("documents")) ==
+        rows(CorpusLayout.ifPresent(spark, sf, "documents").get))
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
+
   test("serving survives catalog loss: ifPresent re-attaches the newest complete generation") {
     import spark.implicits._
     assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
