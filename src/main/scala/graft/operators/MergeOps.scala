@@ -253,6 +253,30 @@ object MergeOps {
     val nBuckets = if (buckets <= 0) curBuckets else buckets
     require(curBuckets == nBuckets,
       s"layout for $t has $curBuckets buckets; apply asked for $nBuckets")
+    cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow)
+    // bump the layout epoch so OTHER sessions' cached relations (a
+    // foreachBatch clone ran this swing; the driver session is still
+    // holding the old generation's resolved plan) refresh on next read
+    CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+    // keep the table-format signature index coherent with the corpus it
+    // indexes: when a store exists for this corpus, derive the
+    // signature changeset from the SAME changes and apply it with the
+    // same verb (SignatureStore.applyChangeset — no-op without a store)
+    if (table == "documents")
+      SignatureStore.applyChangeset(s, corpusDir, changes)
+    vpath
+  }
+
+  /** The bucket-scoped copy-on-write swing shared by the corpus apply
+    * and the table-format index apply ([[SignatureStore.applyChangeset]]):
+    * write the merged TOUCHED buckets to `vpath` as a staging table,
+    * hard-link untouched bucket files forward, mark the generation
+    * complete, and swing the catalog name `t` onto it.
+    */
+  private[graft] def cowSwingToPath(s: SparkSession, t: String, target: DataFrame,
+                                    curLoc: String, nBuckets: Int, vpath: String,
+                                    changes: DataFrame, keyCol: String,
+                                    cow: Boolean): Unit = {
     // Partition the CURRENT generation's files by whether their bucket
     // can contain a changeset key. Resolved before any write so the
     // listing is of the generation the catalog serves right now.
@@ -272,7 +296,7 @@ object MergeOps {
       case (f, Some(b)) if !touched.contains(b) => f
     }
     val parseable = fileBuckets.forall(_._2.isDefined)
-    // materialize the merged corpus BEFORE dropping the table the plan
+    // materialize the merged result BEFORE dropping the table the plan
     // reads from (the SignatureStore.mergeComponents discipline) — here
     // the write itself is the materialization, and it lands in a fresh
     // path the source table never served, so no read-under-write either
@@ -309,11 +333,6 @@ object MergeOps {
       Runtime.getRuntime.halt(137) // test-only: die mid-swing, no cleanup
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)
-    // bump the layout epoch so OTHER sessions' cached relations (a
-    // foreachBatch clone ran this swing; the driver session is still
-    // holding the old generation's resolved plan) refresh on next read
-    CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
-    vpath
   }
 
   /** Generation dirs of a layout table, oldest→newest: generation 0 is

@@ -244,6 +244,84 @@ object SignatureStore {
     Dedup.releaseSignatures()
   }
 
+  /** Keep the table-format signature facet coherent under a corpus CDC
+    * MERGE ([[MergeOps.applyToLayout]] calls this automatically for the
+    * documents table): recompute signatures for the changeset's upserted
+    * docs, tombstone the deleted ones, and apply both as the SAME
+    * bucket-scoped copy-on-write swing the corpus itself uses
+    * ([[MergeOps.cowSwingToPath]]) — the signature table versions to
+    * `sig_table_vN` beside its parent, in-flight readers keep intact
+    * files, and consumers' shuffle-free plans survive because the bucket
+    * spec is unchanged. Signatures are per-document, so the rewritten
+    * rows are EXACTLY what a full rebuild would compute for them
+    * (SignatureStoreSpec pins store-after-apply ≡ rebuild-from-scratch).
+    *
+    * Returns false (no-op) when no table-format store exists for the
+    * corpus. The COMPONENT facet deliberately stays on its existing
+    * incremental contract: new edges fold in exactly via
+    * [[mergeComponents]]/[[IncrementalDedup.processBatch]], while a
+    * DELETED doc that bridged two sub-clusters leaves the survivors'
+    * shared label as a conservative over-merge until the next
+    * [[materializeTable]] — deletions can SPLIT components, and split
+    * detection is a global fixpoint no incremental label update can
+    * answer from the touched rows alone.
+    */
+  def applyChangeset(s: SparkSession, corpusDir: String,
+                     changes: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    val sigT = tableName("sig", corpusDir)
+    storeDir(s, corpusDir) match {
+      case None => false
+      case Some(_) if !s.catalog.tableExists(sigT) => false
+      case Some(dir) =>
+        storedFamily(dir) match {
+          case Some(fam) if fam != family(s) => throw new IllegalStateException(
+            s"store at $dir was materialized with family '$fam' but this " +
+              s"session's $FamilyKey resolves to '${family(s)}' — applying " +
+              "a changeset would mix estimators; set the conf to match or " +
+              "rebuild via materializeTable")
+          case _ => ()
+        }
+        val target = s.table(sigT)
+        val sigCols = target.columns.filterNot(_ == "doc_id")
+        val tomb = MergeOps.TombstoneCol
+        val sigUpserts = buildSignatures(s, changes.filter(!col(tomb)))
+          .withColumn(tomb, lit(false))
+        // every changeset key NOT re-signed must lose its old row: the
+        // tombstoned docs, and upserted docs whose new text yields zero
+        // shingles (the explode→groupBy pipeline emits no row for them,
+        // exactly as a full rebuild would have none)
+        val unsigned = changes.select(col("doc_id")).distinct()
+          .join(sigUpserts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val sigTombs = unsigned.select(
+          col("doc_id") +: sigCols.map(c =>
+            lit(null).cast(target.schema(c).dataType).as(c)) :+
+            lit(true).as(tomb): _*)
+        val (curLoc, buckets) = MergeOps.tableLayout(s, sigT)
+        // next signature generation beside the current one (the parent
+        // dir holds sig_table plus any earlier sig_table_vN)
+        val storeRoot = java.nio.file.Paths.get(dir)
+        val next = {
+          val kids = java.nio.file.Files.list(storeRoot)
+          try {
+            import scala.jdk.CollectionConverters._
+            kids.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => n.startsWith("sig_table_v") &&
+                n.drop("sig_table_v".length).nonEmpty &&
+                n.drop("sig_table_v".length).forall(_.isDigit))
+              .map(_.drop("sig_table_v".length).toInt)
+              .foldLeft(0)(math.max) + 1
+          } finally kids.close()
+        }
+        MergeOps.cowSwingToPath(s, sigT, target, curLoc, buckets,
+          s"$dir/sig_table_v$next", sigUpserts.unionByName(sigTombs),
+          "doc_id", cow = true)
+        // the memoized frame may hold the pre-apply table snapshot
+        Dedup.releaseSignatures()
+        true
+    }
+  }
+
   /** Fold a batch's near-dup pairs into the materialized COMPONENT facet
     * incrementally ([[IncrementalDedup.mergeComponents]] — exact vs a
     * full rebuild, work bounded by the touched components). This is the

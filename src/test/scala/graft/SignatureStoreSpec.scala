@@ -253,4 +253,79 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
       Dedup.releaseSignatures()
     }
   }
+
+  test("signature facet follows a corpus MERGE: store-after-apply equals rebuild-from-scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty &&
+      spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without store/layout confs")
+    val sigBase = java.nio.file.Files.createTempDirectory("graft_sigmerge").toString
+    val layoutBase = java.nio.file.Files.createTempDirectory("graft_sigmerge_cl").toString
+    spark.conf.set(SignatureStore.ConfKey, sigBase)
+    spark.conf.set(CorpusLayout.ConfKey, layoutBase)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols.toIndexedSeq: _*).orderBy(cols.toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq
+    }
+    try {
+      CorpusLayout.materialize(spark, sf)
+      SignatureStore.materializeTable(spark, sf)
+      val docs = CorpusLayout.ifPresent(spark, sf, "documents").get
+      // one changeset exercising every signature transition: re-crawled
+      // text (new shingles), a doc emptied to zero shingles (its sig row
+      // must VANISH, as a rebuild would have none), deletes, inserts
+      val up = docs.filter($"doc_id" % 13 === 1 && $"doc_id" % 41 =!= 0 &&
+          $"doc_id" =!= 7L)
+        .select($"doc_id", concat(lit("merged-anew "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      val emptied = docs.filter($"doc_id" === 7L)
+        .select($"doc_id", lit("").as("text"), $"lang", $"source",
+          lit(0L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      val dels = docs.filter($"doc_id" % 41 === 0)
+        .select($"doc_id", lit(null).cast("string").as("text"), $"lang",
+          $"source", $"n_chars")
+        .withColumn("tombstone", lit(true))
+      val ins = Seq((-5L, "fresh inserted document text about graft engines",
+          "en", "crawl", 48L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("tombstone", lit(false))
+      val changes = up.unionByName(emptied).unionByName(dels).unionByName(ins)
+        .cache()
+      assert(changes.count() > 3)
+      // the corpus apply carries the signature facet with it
+      MergeOps.applyToLayout(spark, sf, changes)
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val rebuild = Dedup.ophSignatureFrame(served.select($"doc_id", $"text"))
+      val got = spark.table(SignatureStore.tableName("sig", sf))
+      assert(canon(got) == canon(rebuild),
+        "signature store after MERGE diverged from a rebuild over the merged corpus")
+      assert(got.filter($"doc_id" === 7L).count() == 0,
+        "zero-shingle doc kept its stale signature row")
+      assert(got.filter($"doc_id" === -5L).count() == 1,
+        "inserted doc missing from the signature facet")
+      // versioned swing: the parent facet files survive for in-flight readers
+      val dir = SignatureStore.storeDir(spark, sf).get
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "sig_table")) &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "sig_table_v1")),
+        "signature apply did not version beside its parent")
+      // family guard: a session flipped to another estimator cannot mix rows
+      spark.conf.set(SignatureStore.FamilyKey, "perm16")
+      intercept[IllegalStateException](
+        SignatureStore.applyChangeset(spark, sf, changes))
+      changes.unpersist()
+    } finally {
+      spark.conf.unset(SignatureStore.FamilyKey)
+      SignatureStore.drop(spark, sf)
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(SignatureStore.ConfKey)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      Dedup.releaseSignatures()
+    }
+  }
 }
