@@ -164,7 +164,7 @@ object MergeOps {
     (rows("Location").stripPrefix("file:"), rows("Num Buckets").trim.toInt)
   }
 
-  private def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+  private[graft] def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
     try java.nio.file.Files.createLink(to, from)
     catch {
       case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
@@ -258,12 +258,14 @@ object MergeOps {
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
-    // keep the table-format signature index coherent with the corpus it
-    // indexes: when a store exists for this corpus, derive the
-    // signature changeset from the SAME changes and apply it with the
-    // same verb (SignatureStore.applyChangeset — no-op without a store)
+    // keep the table-format indexes coherent with the corpus they index:
+    // when a store exists for this corpus, derive the index changeset
+    // from the SAME changes and apply it with the same verb (each
+    // applyChangeset is a no-op without its store)
     if (table == "documents")
       SignatureStore.applyChangeset(s, corpusDir, changes)
+    else if (table == "embeddings")
+      VectorIndexStore.applyChangeset(s, corpusDir, changes)
     vpath
   }
 

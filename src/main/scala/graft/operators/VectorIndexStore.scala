@@ -376,6 +376,147 @@ object VectorIndexStore {
       .parquet(s"$vdir/assignments")
   }
 
+  private def linkTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(from)) {
+      java.nio.file.Files.createDirectories(to)
+      val kids = java.nio.file.Files.list(from)
+      try kids.forEach(k =>
+        linkTree(k, to.resolve(k.getFileName.toString)))
+      finally kids.close()
+    } else MergeOps.linkOrCopy(from, to)
+  }
+
+  /** Partition-dir children of `facetDir` (e.g. `cell=7`) whose cell is
+    * NOT in `touched`, as (cellDirName) — the link set of a CoW apply.
+    */
+  private def untouchedCellDirs(facetDir: String,
+                                touched: Set[Int]): Seq[String] = {
+    val root = java.nio.file.Paths.get(facetDir)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val kids = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("cell="))
+          .filter(n => !touched.contains(n.stripPrefix("cell=").toInt))
+          .toVector
+      } finally kids.close()
+    }
+  }
+
+  /** Carry the vector index through an embeddings CDC MERGE
+    * ([[MergeOps.applyToLayout]] calls this automatically for the
+    * embeddings table): the corpus CoW recipe at CELL granularity,
+    * staged as a complete new generation behind the CURRENT pointer.
+    *
+    *  - one thin-column scan of the served assignments finds the
+    *    changed vectors' old cells (vec_id + the cell partition column —
+    *    columnar pruning reads ~16 bytes/row of a facet whose weight is
+    *    the embeddings);
+    *  - TOUCHED cells (old homes ∪ re-assigned upsert homes, scored
+    *    against the FROZEN centroids — this is an index edit, not a
+    *    retrain) rewrite minus the changed keys plus the upserts,
+    *    compacted to one (cell, batch_id=N+1) leaf each; untouched cell
+    *    dirs hard-link forward, batch history intact;
+    *  - when the generation serves a PQ facet, the frozen codebook links
+    *    forward and only the touched cells' residual codes re-encode
+    *    (same expressions as the full build); untouched cells' code
+    *    dirs link;
+    *  - the pointer flips once the staged generation is complete, so
+    *    probes racing the apply read one consistent index (retrain's
+    *    guarantee, inherited).
+    *
+    * Deletions are exact: a deleted vector's assignment row and PQ code
+    * vanish with its cell's rewrite. Like compaction, the apply must not
+    * race an in-flight streaming-ingest replay (a replayed batch leaf
+    * would land beside rows the apply already compacted) — run it in the
+    * same single-writer maintenance window as [[retrain]]. Returns false
+    * (no-op) when no materialized index exists for the corpus.
+    */
+  def applyChangeset(s: SparkSession, corpusDir: String,
+                     changes: DataFrame): Boolean = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dirOpt = storeDir(s, corpusDir)
+    if (dirOpt.isEmpty) return false
+    val dir = dirOpt.get
+    val served = servedDir(s, corpusDir).get
+    if (centroidsIn(s, served).isEmpty || assignmentsIn(s, served).isEmpty)
+      return false
+    val next = currentVersion(dir).getOrElse(0) + 1
+    val vdir = s"$dir/v$next"
+    val keys = changes.select($"vec_id").distinct().cache()
+    val asn = assignmentsIn(s, served).get
+    val oldCells = asn.join(keys, Seq("vec_id"), "left_semi")
+      .select($"cell").distinct().collect().map(_.get(0).toString.toInt).toSet
+    val cent = centroidsIn(s, served).get
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_label".asc)
+    val newAsn = changes.filter(!col(MergeOps.TombstoneCol))
+      .select($"vec_id", $"embedding")
+      .join(broadcast(cent))
+      .select($"vec_id", $"embedding", $"c_label",
+        roundz(cosineSim($"embedding", $"centroid"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_label".as("cell"))
+    val newCells = newAsn.select($"cell").distinct()
+      .collect().map(_.get(0).toString.toInt).toSet
+    val touched = oldCells ++ newCells
+    val survivors =
+      if (touched.isEmpty) asn.limit(0)
+      else asn.filter($"cell".isin(touched.toSeq: _*))
+        .join(keys, Seq("vec_id"), "left_anti")
+    survivors.unionByName(newAsn)
+      .withColumn("batch_id", lit(next.toLong))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$vdir/assignments")
+    for (d <- untouchedCellDirs(s"$served/assignments", touched))
+      linkTree(java.nio.file.Paths.get(served, "assignments", d),
+        java.nio.file.Paths.get(vdir, "assignments", d))
+    linkTree(java.nio.file.Paths.get(served, "centroids"),
+      java.nio.file.Paths.get(vdir, "centroids"))
+    if (codebookIn(s, served).isDefined && codesIn(s, served).isDefined) {
+      linkTree(java.nio.file.Paths.get(served, "pq_codebook"),
+        java.nio.file.Paths.get(vdir, "pq_codebook"))
+      // re-encode ONLY the touched cells' residuals against the frozen
+      // codebook — the full build's expressions, subset-scoped; norms
+      // come from the staged assignments' own embeddings (the same
+      // vectors codesFrameIn reads from the corpus)
+      val stagedAsn = s.read.parquet(s"$vdir/assignments").drop("batch_id")
+        .filter(if (touched.isEmpty) lit(false)
+                else $"cell".isin(touched.toSeq: _*))
+      val cb = codebookIn(s, served).get
+      val sub = stagedAsn
+        .join(broadcast(cent), $"cell" === $"c_label")
+        .select($"vec_id",
+          zip_with(asDouble($"embedding"), $"centroid", (x, y) => x - y).as("r"))
+        .select($"vec_id",
+          explode(sequence(lit(0), lit(NumSubspaces - 1))).as("ss"), $"r")
+        .select($"vec_id", $"ss",
+          slice($"r", $"ss" * SubDim + 1, lit(SubDim)).as("vs"))
+      val norms = stagedAsn.select($"vec_id",
+        sqrt(aggregate(asDouble($"embedding"), lit(0.0),
+          (acc, x) => acc + x * x)).as("norm"))
+      val cellOf = stagedAsn.select($"vec_id", $"cell")
+      val wEnc = Window.partitionBy($"vec_id", $"ss").orderBy($"d2".asc, $"c_label".asc)
+      sub.join(broadcast(cb), Seq("ss"))
+        .select($"vec_id", $"ss", $"c_label", dist2($"vs", $"cw").as("d2"))
+        .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list(struct($"ss", $"c_label"))).as("sc"))
+        .select($"vec_id", transform($"sc", x => x.getField("c_label")).as("codes"))
+        .join(norms, "vec_id").join(cellOf, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vdir/pq_codes")
+      for (d <- untouchedCellDirs(s"$served/pq_codes", touched))
+        linkTree(java.nio.file.Paths.get(served, "pq_codes", d),
+          java.nio.file.Paths.get(vdir, "pq_codes", d))
+    }
+    flip(dir, next)
+    keys.unpersist()
+    true
+  }
+
   // ── PQ facet: product-quantized RESIDUAL codes per cell (IVFADC) ──
 
   /** PQ geometry shared with s12: 64-dim vectors → 8 subspaces × 8 dims;

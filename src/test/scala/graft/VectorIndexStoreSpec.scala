@@ -338,4 +338,81 @@ class VectorIndexStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(run().collect().toSeq == before, "prune broke the served generation")
     }
   }
+
+  test("applyChangeset: cell-scoped CoW apply — exact deletes, frozen-centroid upserts, linked untouched cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    withStore { _ =>
+      VectorIndexStore.materialize(spark, sf)
+      VectorIndexStore.materializePQ(spark, sf)
+      val emb = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+      val picked = emb.orderBy($"vec_id").limit(3).collect()
+      val (aId, aVec) = (picked(0).getLong(0), picked(0).getSeq[Float](1))
+      val (bId, bVec) = (picked(1).getLong(0), picked(1).getSeq[Float](1))
+      val delId = picked(2).getLong(0)
+      val preAsn = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      val nBefore = preAsn.size
+      val servedBefore = VectorIndexStore.servedDir(spark, sf).get
+      // the changeset: a takes b's embedding (must re-home to b's cell),
+      // -100 inserts with a's OLD embedding (must land in a's old cell),
+      // delId leaves the index entirely
+      val changes = Seq(
+        (aId, bVec, false),
+        (-100L, aVec, false),
+        (delId, Seq.empty[Float], true))
+        .toDF("vec_id", "embedding", "tombstone")
+      assert(VectorIndexStore.applyChangeset(spark, sf, changes))
+      val servedAfter = VectorIndexStore.servedDir(spark, sf).get
+      assert(servedAfter != servedBefore, "apply did not stage a new generation")
+      val asn = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      assert(!asn.contains(delId), "deleted vector still assigned")
+      assert(asn.size == nBefore, s"expected ${nBefore} rows (+1 insert -1 delete), got ${asn.size}")
+      assert(asn(aId) == preAsn(bId),
+        "updated vector not re-homed to its new embedding's cell")
+      assert(asn(-100L) == preAsn(aId),
+        "inserted vector not homed like the embedding it carries")
+      // PQ facet followed: code rows track the assignment rows exactly
+      val codes = VectorIndexStore.codesIfPresent(spark, sf).get
+      assert(codes.filter($"vec_id" === delId).count() == 0,
+        "deleted vector kept its PQ code")
+      assert(codes.filter($"vec_id" === -100L).count() == 1,
+        "inserted vector has no PQ code")
+      // ADC end-to-end on the applied index: the inserted vector is its
+      // own embedding's top hit
+      val q = Seq((-100L, aVec)).toDF("query_id", "qv")
+      val hits = VectorIndexStore.probeBatchADC(spark, sf, q,
+        nprobe = 2, shortlist = 50, topK = 1).collect()
+      assert(hits.nonEmpty && hits.head.getLong(2) == -100L,
+        s"self-probe of the inserted vector missed: ${hits.toSeq}")
+      // untouched cells hard-link forward: shared inodes, not copies
+      val touched = Set(preAsn(aId), preAsn(bId), preAsn(delId), asn(-100L))
+      val untouchedCell = preAsn.values.toSet.diff(touched).headOption
+      assert(untouchedCell.isDefined, "scenario degenerate: every cell touched")
+      val cdir = s"cell=${untouchedCell.get}"
+      def firstFileUnder(p: java.nio.file.Path): java.nio.file.Path = {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          val found = st.filter(java.nio.file.Files.isRegularFile(_))
+            .filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
+          assert(found.isPresent, s"no parquet file under $p"); found.get()
+        } finally st.close()
+      }
+      val oldF = firstFileUnder(java.nio.file.Paths.get(servedBefore, "assignments", cdir))
+      val rel = java.nio.file.Paths.get(servedBefore, "assignments").relativize(oldF)
+      val newF = java.nio.file.Paths.get(servedAfter, "assignments").resolve(rel)
+      assert(java.nio.file.Files.exists(newF) &&
+        java.nio.file.Files.isSameFile(oldF, newF),
+        "untouched cell was rewritten, not linked")
+      // replay is content-idempotent (a fresh generation, same rows)
+      assert(VectorIndexStore.applyChangeset(spark, sf, changes))
+      val again = VectorIndexStore.assignmentsIfPresent(spark, sf).get
+        .select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      assert(again == asn, "replayed apply diverged")
+    }
+  }
 }
