@@ -320,6 +320,41 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("vector_apply")) {
+    // ── vector-index CDC apply: cell-scoped CoW applyChangeset vs the
+    // full rebuild the store would otherwise need after corpus changes.
+    // Trickle feed (4 changed vectors): touched cells rewrite + PQ
+    // re-encode, untouched cells hard-link — vs materialize()+PQ paying
+    // the whole corpus again.
+    val vBase = java.nio.file.Files.createTempDirectory("graft_scaling_vapply").toString
+    spark.conf.set(graft.operators.VectorIndexStore.ConfKey, vBase)
+    val vEmb = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val vT0 = System.nanoTime()
+    graft.operators.VectorIndexStore.materialize(spark, sfDir)
+    graft.operators.VectorIndexStore.materializePQ(spark, sfDir)
+    results :+= ("vector_apply/full_build" -> (System.nanoTime() - vT0) / 1e9)
+    val picked = vEmb.orderBy($"vec_id").limit(3).collect()
+    val vChanges = Seq(
+      (picked(0).getLong(0), picked(1).getSeq[Float](1), false),
+      (-200L, picked(0).getSeq[Float](1), false),
+      (-201L, picked(2).getSeq[Float](1), false),
+      (picked(2).getLong(0), Seq.empty[Float], true))
+      .toDF("vec_id", "embedding", "tombstone").cache()
+    vChanges.count()
+    arm("vector_apply/cow_apply") {
+      graft.operators.VectorIndexStore.applyChangeset(spark, sfDir, vChanges)
+    }
+    arm("vector_apply/rebuild") {
+      // materialize() carries the PQ facet into the new generation when
+      // the served one has it — one call IS the full rebuild here
+      graft.operators.VectorIndexStore.materialize(spark, sfDir)
+    }
+    vChanges.unpersist()
+    graft.operators.VectorIndexStore.drop(spark, sfDir)
+    spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
+    }
+
     val nLine = Seq("lineitem", "documents", "events", "embeddings", "orders")
       .map(t => "\"" + t + "\":" + Tables.load(spark, sfDir, t).count())
       .mkString("{", ",", "}")
