@@ -257,14 +257,10 @@ object SignatureStore {
     * (SignatureStoreSpec pins store-after-apply ≡ rebuild-from-scratch).
     *
     * Returns false (no-op) when no table-format store exists for the
-    * corpus. The COMPONENT facet deliberately stays on its existing
-    * incremental contract: new edges fold in exactly via
-    * [[mergeComponents]]/[[IncrementalDedup.processBatch]], while a
-    * DELETED doc that bridged two sub-clusters leaves the survivors'
-    * shared label as a conservative over-merge until the next
-    * [[materializeTable]] — deletions can SPLIT components, and split
-    * detection is a global fixpoint no incremental label update can
-    * answer from the touched rows alone.
+    * corpus. When the COMPONENT facet is also table-format, it repairs
+    * EXACTLY afterwards — including the split a deleted bridge doc
+    * causes — via [[repairComponents]]: re-convergence scoped to the
+    * affected components, never the corpus.
     */
   def applyChangeset(s: SparkSession, corpusDir: String,
                      changes: DataFrame): Boolean = {
@@ -316,10 +312,88 @@ object SignatureStore {
         MergeOps.cowSwingToPath(s, sigT, target, curLoc, buckets,
           s"$dir/sig_table_v$next", sigUpserts.unionByName(sigTombs),
           "doc_id", cow = true)
-        // the memoized frame may hold the pre-apply table snapshot
+        repairComponents(s, corpusDir, dir, changes)
+        // the memoized frames may hold the pre-apply table snapshots
         Dedup.releaseSignatures()
         true
     }
+  }
+
+  /** Exact component repair under a changeset, scoped to the AFFECTED
+    * subgraph — the piece [[mergeComponents]] (additions only) cannot
+    * give: deletions can SPLIT a component and updates can re-wire one,
+    * so the touched components must re-converge, but nothing else needs
+    * to. Soundness of the scope: an unchanged pair of docs has the same
+    * pair relationship before and after the apply, so any edge that can
+    * appear, move, or vanish involves a CHANGED doc — and every doc a
+    * changed doc can now pair with shares an LSH band bucket with it
+    * (the candidate superset). The scope is therefore: members of every
+    * component containing a changed doc or a band-neighbor of one, plus
+    * the band-neighbors and upserts themselves. Pairs re-derive from the
+    * FRESH signature table (this runs after the sig swing), the scoped
+    * subgraph re-converges through the same large-star/small-star
+    * contraction as a full build, and the comp table rewrites via the
+    * same CoW swing (comp_table_vN beside its parent).
+    *
+    * Cost: one thin-column band scan of the signature table (the
+    * neighbor probe — same class as the vector apply's cell lookup) plus
+    * work proportional to the affected components, never the corpus.
+    */
+  private def repairComponents(s: SparkSession, corpusDir: String,
+                               dir: String, changes: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val compT = tableName("comp", corpusDir)
+    if (!s.catalog.tableExists(compT)) return
+    val comp = s.table(compT)
+    val storeSig = s.table(tableName("sig", corpusDir)) // post-swing generation
+    val changedKeys = changes.select(col("doc_id")).distinct()
+    val nBands = graft.functions.TextFunctions.MinHashParams.NumBands
+    def bandKeys(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+        .toDF("doc_id", "band", "bkey")
+    val changedBands = bandKeys(
+      storeSig.join(changedKeys, Seq("doc_id"), "left_semi"))
+      .select(col("band"), col("bkey")).distinct()
+    val neighbors = bandKeys(storeSig)
+      .join(changedBands, Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val seeds = neighbors.unionByName(changedKeys).distinct()
+    val hitLabels = comp.join(seeds,
+      comp("node") === seeds("doc_id"), "left_semi")
+      .select(col("label")).distinct()
+    val members = comp.join(broadcast(hitLabels), Seq("label"))
+      .select(col("node"))
+    val scope = members.unionByName(seeds.select(col("doc_id").as("node")))
+      .distinct()
+    val scopeSig = storeSig.join(
+      scope.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
+    val newLabels = Dedup.starComponents(
+      Dedup.pairsFromSignatures(scopeSig).select(col("i"), col("j")))._1
+    val tomb = MergeOps.TombstoneCol
+    val compTombs = members
+      .unionByName(changedKeys.select(col("doc_id").as("node"))).distinct()
+      .join(newLabels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"),
+        lit(null).cast(comp.schema("label").dataType).as("label"),
+        lit(true).as(tomb))
+    val compChanges = newLabels.select(col("node"), col("label"))
+      .withColumn(tomb, lit(false)).unionByName(compTombs)
+    val (compLoc, compBuckets) = MergeOps.tableLayout(s, compT)
+    val prefix = "comp_table_v"
+    val nextC = {
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
+            n.drop(prefix.length).forall(_.isDigit))
+          .map(_.drop(prefix.length).toInt)
+          .foldLeft(0)(math.max) + 1
+      } finally kids.close()
+    }
+    MergeOps.cowSwingToPath(s, compT, comp, compLoc, compBuckets,
+      s"$dir/$prefix$nextC", compChanges, "node", cow = true)
   }
 
   /** Fold a batch's near-dup pairs into the materialized COMPONENT facet

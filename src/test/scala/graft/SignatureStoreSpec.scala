@@ -328,4 +328,68 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
       Dedup.releaseSignatures()
     }
   }
+
+  test("component facet repairs exactly under a changeset: dissolution, rewire, merge == rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.MergeOps
+    assert(spark.conf.getOption(SignatureStore.ConfKey).isEmpty)
+    val base = java.nio.file.Files.createTempDirectory("graft_comprep").toString
+    spark.conf.set(SignatureStore.ConfKey, base)
+    // planted corpus with deterministic dup structure (exact dups are
+    // LSH-certain): {10,11} a pair, 12/13 singletons, {14,15} a pair
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve"
+    val t3 = "red orange yellow green blue indigo violet crimson amber teal navy plum"
+    val t4 = "north south east west up down left right forward backward inward outward"
+    def corpusOf(rows: Seq[(Long, String)], dir: String): String = {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("plant"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val v1rows = Seq(10L -> t1, 11L -> t1, 12L -> t2, 13L -> t3, 14L -> t4, 15L -> t4)
+    val c1 = corpusOf(v1rows, java.nio.file.Files.createTempDirectory("graft_comprep_c1").toString)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      SignatureStore.materializeTable(spark, c1)
+      val compT = SignatureStore.tableName("comp", c1)
+      assert(canon(spark.table(compT)) == Set(10L -> 10L, 11L -> 10L, 14L -> 14L, 15L -> 14L),
+        "planted corpus did not produce the expected components")
+      // the changeset: delete 11 (its pair DISSOLVES — 10 must drop out
+      // too, the deterministic form of edge removal the old contract
+      // could not repair), rewrite 12 to 13's text (a NEW pair appears),
+      // insert -1 with t4 (merges into {14,15} and takes over the min
+      // label). The universal law — repaired == rebuilt-from-scratch —
+      // subsumes the probabilistic bridge-split case too.
+      val changes = Seq(
+        (11L, null.asInstanceOf[String], true),
+        (12L, t3, false),
+        (-1L, t4, false))
+        .toDF("doc_id", "text", "tombstone")
+        .withColumn("lang", lit("en")).withColumn("source", lit("plant"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      assert(SignatureStore.applyChangeset(spark, c1, changes))
+      val repaired = canon(spark.table(compT))
+      assert(repaired == Set(12L -> 12L, 13L -> 12L, 14L -> -1L, 15L -> -1L, -1L -> -1L),
+        s"repair produced $repaired")
+      // the law: a store built from scratch over the merged corpus agrees
+      val merged = Seq(10L -> t1, 12L -> t3, 13L -> t3, 14L -> t4, 15L -> t4, -1L -> t4)
+      val c2 = corpusOf(merged, java.nio.file.Files.createTempDirectory("graft_comprep_c2").toString)
+      SignatureStore.materializeTable(spark, c2)
+      assert(repaired == canon(spark.table(SignatureStore.tableName("comp", c2))),
+        "repaired components diverge from a full rebuild over the merged corpus")
+      // versioned: the parent comp facet survives for in-flight readers
+      val dir = SignatureStore.storeDir(spark, c1).get
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "comp_table")) &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "comp_table_v1")))
+      SignatureStore.drop(spark, c2)
+    } finally {
+      SignatureStore.drop(spark, c1)
+      spark.conf.unset(SignatureStore.ConfKey)
+      graft.operators.Dedup.releaseSignatures()
+    }
+  }
 }
