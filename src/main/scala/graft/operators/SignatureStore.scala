@@ -396,6 +396,51 @@ object SignatureStore {
       s"$dir/$prefix$nextC", compChanges, "node", cow = true)
   }
 
+  /** Reclaim drained signature/component generations left by
+    * [[applyChangeset]] swings: delete every `sig_table_vN` /
+    * `comp_table_vN` dir except the ones the catalog currently serves
+    * (and the unversioned base dirs, which may share linked bytes —
+    * hard links make deleting either side safe once readers drain, the
+    * [[MergeOps.vacuum]] argument). Mirrors
+    * [[VectorIndexStore.pruneOldVersions]]. Returns deleted paths.
+    */
+  def pruneOldGenerations(s: SparkSession, corpusDir: String): Seq[String] =
+    storeDir(s, corpusDir).toSeq.flatMap { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val servedNow = Seq("sig", "comp").map(tableName(_, corpusDir))
+          .filter(s.catalog.tableExists)
+          .map(t => java.nio.file.Paths.get(MergeOps.tableLayout(s, t)._1)
+            .normalize.toString).toSet
+        val kids = java.nio.file.Files.list(root)
+        val doomed = try {
+          import scala.jdk.CollectionConverters._
+          kids.iterator().asScala.map(_.getFileName.toString)
+            .filter { n =>
+              Seq("sig_table_v", "comp_table_v").exists(p =>
+                n.startsWith(p) && n.drop(p.length).nonEmpty &&
+                  n.drop(p.length).forall(_.isDigit))
+            }
+            .map(n => s"$dir/$n")
+            .filterNot(p =>
+              servedNow.contains(java.nio.file.Paths.get(p).normalize.toString))
+            .toVector
+        } finally kids.close()
+        doomed.foreach { p =>
+          def rm(x: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(x)) {
+              val c = java.nio.file.Files.list(x)
+              try c.forEach(rm(_)) finally c.close()
+            }
+            java.nio.file.Files.deleteIfExists(x)
+          }
+          rm(java.nio.file.Paths.get(p))
+        }
+        doomed
+      }
+    }
+
   /** Fold a batch's near-dup pairs into the materialized COMPONENT facet
     * incrementally ([[IncrementalDedup.mergeComponents]] — exact vs a
     * full rebuild, work bounded by the touched components). This is the

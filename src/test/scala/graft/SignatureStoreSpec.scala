@@ -385,6 +385,15 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestBase {
       val dir = SignatureStore.storeDir(spark, c1).get
       assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "comp_table")) &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "comp_table_v1")))
+      // an idempotent replay makes v1 prunable; prune keeps the served
+      // v2 readable (linked bytes survive — the MergeOps.vacuum argument)
+      assert(SignatureStore.applyChangeset(spark, c1, changes))
+      assert(canon(spark.table(compT)) == repaired, "replayed apply diverged")
+      val pruned = SignatureStore.pruneOldGenerations(spark, c1)
+      assert(pruned.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet ==
+        Set("sig_table_v1", "comp_table_v1"), s"pruned $pruned")
+      assert(canon(spark.table(compT)) == repaired,
+        "served facet unreadable after prune")
       SignatureStore.drop(spark, c2)
     } finally {
       SignatureStore.drop(spark, c1)
