@@ -258,6 +258,10 @@ object MergeOps {
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+    // carry the file-skipping manifest across the swing: hard-linked
+    // bucket files keep their stats rows verbatim, only the files this
+    // apply wrote re-stat (no-op when the served generation had none)
+    graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
     // keep the table-format indexes coherent with the corpus they index:
     // when a store exists for this corpus, derive the index changeset
     // from the SAME changes and apply it with the same verb (each
@@ -514,6 +518,7 @@ object MergeOps {
       throw new IllegalStateException(
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
     val vpath = nextGenerationPath(s, corpusDir, table)
+    val (curLoc, _) = tableLayout(s, t)
     target.repartition(newBuckets, col(keyCol))
       .write.format("parquet").option("path", vpath)
       .bucketBy(newBuckets, keyCol).sortBy(keyCol)
@@ -523,6 +528,9 @@ object MergeOps {
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+    // every file name changed, so the carry degenerates to a full
+    // re-stat over the new generation — still the right upkeep
+    graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
     vpath
   }
 }

@@ -1185,5 +1185,56 @@ object Pipeline {
         SELECT -(doc_id + 1), md5('new-crawl ' || text), CAST(n_chars + 10 AS BIGINT)
         FROM documents WHERE doc_id % 97 = 0
         ORDER BY doc_id"""))
+    ,
+
+    // ── p27: manifest-pruned selective scan — the FILE-SKIPPING read ──
+    // path end-to-end: z-order the corpus (files become axis-aligned
+    // boxes in (n_chars, doc_id) space), stat it ([[graft.sources
+    // .StatsManifest]], one column-pruned pass), then answer a selective
+    // conjunction by reading ONLY the files whose min/max intervals can
+    // match — at 10⁶ files a planning query against the tiny manifest
+    // replaces 10⁶ footer reads and task launches. The string conjunct
+    // (source IN …) deliberately does NOT correlate with the z-layout:
+    // it prunes nothing and is satisfied by the residual filter, pinning
+    // that pruning + re-filter compose exactly. The oracle is the plain
+    // filter — value-identical rows prove skipping never changes the
+    // answer (the soundness law StatsManifestSpec stresses file-by-file).
+    // Like d25, the build cost is INSIDE the query by design: the gate
+    // times the lifecycle (layout write + stat pass + pruned read), not
+    // just the happy read.
+    GQuery("p27_pruned_scan",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.{StatsManifest, ZOrderLayout}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p27")
+        val lay = tmp.toString + "/zdocs"
+        ZOrderLayout.write(
+          docs(s, d).select($"doc_id", $"lang", $"source", $"n_chars"),
+          Seq("n_chars", "doc_id"), lay)
+        StatsManifest.build(s, lay, Seq("doc_id", "n_chars", "source"))
+        val res = StatsManifest.scan(s, lay, Seq(
+            StatsManifest.BetweenStat("n_chars", 100, 160),
+            StatsManifest.InStat("source", Seq("src3", "src7"))))
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+          // materialize (lineage cut from the temp layout) so the
+          // temp files can be deleted before the frame is consumed
+          .localCheckpoint()
+        locally {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p)) {
+              val c = java.nio.file.Files.list(p)
+              try c.forEach(rm(_)) finally c.close()
+            }
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(tmp)
+        }
+        res
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars BETWEEN 100 AND 160 AND source IN ('src3', 'src7')
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,349 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-FILE min/max statistics manifest — file-level data skipping for
+  * the 100 TB scan path (SURVEY §2.H), the missing third of the layout
+  * triad: [[CorpusLayout]] prunes id-keyed JOINS (bucketing),
+  * [[ZOrderLayout]] clusters files into axis-aligned boxes, and this
+  * manifest turns those boxes into SKIPPED TASKS.
+  *
+  * Why parquet footers aren't enough: Spark's parquet reader prunes
+  * ROW-GROUPS, but only after it has listed every file, read every
+  * footer, and scheduled a task per split — at 10⁶ files that is 10⁶
+  * footer reads and task launches to answer a query that touches 40
+  * files. A manifest (the recipe behind Delta/Iceberg file skipping)
+  * holds one tiny row per (file, column); planning reads the manifest,
+  * not the corpus, and only surviving files reach the scan's file index.
+  *
+  * Soundness contract — bounds may be WIDER than the data, never
+  * narrower, so pruning can only keep extra files, never drop a match:
+  *   - integral columns keep EXACT long bounds; they are compared on a
+  *     double view, exact below 2^53 (ids/counters live there; a column
+  *     beyond 2^53 should be statted as a string);
+  *   - fractional/decimal bounds are widened by one relative+absolute
+  *     epsilon at BUILD time ([[widenDown]]/[[widenUp]]) — a decimal
+  *     whose double cast rounds inward can't lose its boundary row;
+  *   - string bounds are capped at [[StringBoundLen]] code points: the
+  *     min truncates to a prefix (a valid lower bound); a max LONGER
+  *     than the cap is stored as NULL-with-rows (= unknown, never
+  *     prunes upward) — short keys (langs, sources, URLs' hosts) keep
+  *     full two-sided pruning, blob-ish strings cost manifest bytes
+  *     nothing and upper-prune nothing, all without the code-point
+  *     increment gymnastics a truncated upper bound would need;
+  *   - a column with NULL min/max but rows > 0 is all-NULL: no
+  *     comparison predicate can match it, so comparisons drop the file
+  *     while [[IsNullStat]] keeps it;
+  *   - a file or column MISSING from the manifest is never pruned, and
+  *     [[scan]] re-applies the exact predicate to the surviving rows —
+  *     the manifest is a planning hint, correctness never depends on it.
+  *
+  * Incremental maintenance rides the copy-on-write generation chain
+  * ([[graft.operators.MergeOps.applyToLayout]]): hard-linked untouched
+  * bucket files keep their basenames, so [[refreshAfterApply]] CARRIES
+  * their stats rows verbatim and re-scans only the files the apply
+  * actually wrote — manifest upkeep costs the touched fraction, exactly
+  * like the apply itself. A rebucket renames everything and therefore
+  * re-stats everything, automatically.
+  *
+  * Planning is driver-side by design (same as Spark's own file index
+  * and Delta's log replay): the manifest frame collapses to surviving
+  * file NAMES — bounded by what `spark.read.parquet(dir)` would list
+  * driver-side anyway — never to data rows.
+  */
+object StatsManifest {
+
+  /** Manifest subdirectory inside a data directory. The leading '_'
+    * keeps Spark's file listing from reading it as data.
+    */
+  val SubDir = "_stats"
+
+  /** Max code points kept of a string bound (Delta uses 32; 64 keeps
+    * URL-ish prefixes selective).
+    */
+  val StringBoundLen = 64
+
+  def manifestDirFor(dataDir: String): String = s"$dataDir/$SubDir"
+
+  // ── predicates ──────────────────────────────────────────────────────
+
+  /** A conjunct the manifest can prune on. `dataFilter` is the EXACT
+    * predicate re-applied to surviving rows; `mayMatch` is the
+    * conservative interval test evaluated over a manifest row's
+    * (min, max, nulls, rows) — NULL result means "unknown", which
+    * [[prunedFiles]] treats as keep. Null discipline: min IS NULL ⇔
+    * the column is all-NULL in the file (Spark min/max skip nulls), the
+    * one state where comparisons are decisively false; max alone may be
+    * NULL-with-data (a string over the [[StringBoundLen]] cap), and
+    * three-valued logic then yields NULL = keep, never a drop.
+    */
+  sealed trait StatPred {
+    def column: String
+    def dataFilter: Column
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column
+  }
+
+  /** column >= v */
+  final case class GeStat(column: String, v: Any) extends StatPred {
+    def dataFilter: Column = col(column) >= lit(v)
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column =
+      when(mn.isNull, lit(false)).otherwise(mx >= lit(v))
+  }
+
+  /** column <= v */
+  final case class LeStat(column: String, v: Any) extends StatPred {
+    def dataFilter: Column = col(column) <= lit(v)
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column =
+      when(mn.isNull, lit(false)).otherwise(mn <= lit(v))
+  }
+
+  /** lo <= column <= hi */
+  final case class BetweenStat(column: String, lo: Any, hi: Any) extends StatPred {
+    def dataFilter: Column = col(column).between(lit(lo), lit(hi))
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column =
+      when(mn.isNull, lit(false)).otherwise(mn <= lit(hi) && mx >= lit(lo))
+  }
+
+  /** column = v */
+  final case class EqStat(column: String, v: Any) extends StatPred {
+    def dataFilter: Column = col(column) === lit(v)
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column =
+      when(mn.isNull, lit(false)).otherwise(mn <= lit(v) && mx >= lit(v))
+  }
+
+  /** column IN (vs…) — prunes each set member against the interval. */
+  final case class InStat(column: String, vs: Seq[Any]) extends StatPred {
+    require(vs.nonEmpty, s"InStat($column) needs at least one value")
+    def dataFilter: Column = col(column).isInCollection(vs)
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column =
+      when(mn.isNull, lit(false))
+        .otherwise(vs.map(v => mn <= lit(v) && mx >= lit(v)).reduce(_ || _))
+  }
+
+  /** column IS NULL — the one predicate the null COUNT answers. */
+  final case class IsNullStat(column: String) extends StatPred {
+    def dataFilter: Column = col(column).isNull
+    private[graft] def mayMatch(mn: Column, mx: Column, nulls: Column,
+                                rows: Column): Column = nulls > lit(0L)
+  }
+
+  // ── build ───────────────────────────────────────────────────────────
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isFractional(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** One relative + one absolute epsilon down/up — sound bounds for
+    * values whose double cast may round inward (decimals beyond 2^53).
+    */
+  private def widenDown(c: Column): Column =
+    c - abs(c) * lit(1e-12) - lit(java.lang.Double.MIN_NORMAL)
+  private def widenUp(c: Column): Column =
+    c + abs(c) * lit(1e-12) + lit(java.lang.Double.MIN_NORMAL)
+
+  /** String UPPER bound under the length cap: kept exact when it fits,
+    * NULL (= unknown, keeps the file) when longer — a sound bound needs
+    * a code-point-incremented truncation, and "don't prune" is the
+    * cheaper correct answer for blob-length strings.
+    */
+  private def cappedUpper(c: Column): Column =
+    when(length(c) <= lit(StringBoundLen), c)
+
+  /** Build the manifest for `dataDir` over `cols`, one column-pruned
+    * scan with map-side partial aggregation (grouped by file — at most
+    * |files| groups). Returns the manifest directory. `manifestDir`
+    * defaults to `<dataDir>/_stats`; pass an explicit directory when the
+    * data directory is read-only (e.g. the raw testdata corpora).
+    */
+  def build(s: SparkSession, dataDir: String, cols: Seq[String],
+            manifestDir: String = null): String = {
+    require(cols.nonEmpty, "StatsManifest.build needs at least one column")
+    val out = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
+    val df = s.read.parquet(dataDir)
+    writeManifest(s, df, cols, out)
+    out
+  }
+
+  private def writeManifest(s: SparkSession, df: DataFrame,
+                            cols: Seq[String], out: String): Unit = {
+    val schema = df.schema
+    val resolved = cols.map { c =>
+      val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"StatsManifest: column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+      f.dataType match {
+        case dt if isIntegral(dt) => c -> "long"
+        case dt if isFractional(dt) => c -> "double"
+        case StringType => c -> "string"
+        case dt => throw new IllegalArgumentException(
+          s"StatsManifest: column '$c' has unsupported type $dt " +
+            "(stat long/double/string/date columns only)")
+      }
+    }
+    // one scan: per-file rows + per-(file, col) nulls/min/max, reshaped
+    // long-form by a stack over the already-aggregated (≤|files|-row) frame
+    val aggs = count(lit(1L)).as("rows") +: resolved.flatMap { case (c, lane) =>
+      val base = col(c)
+      val (mnE, mxE) = lane match {
+        case "long" =>
+          (min(base).cast(LongType), max(base).cast(LongType))
+        case "double" =>
+          (widenDown(min(base).cast(DoubleType)), widenUp(max(base).cast(DoubleType)))
+        case "string" =>
+          (substring(min(base), 1, StringBoundLen), cappedUpper(max(base)))
+      }
+      Seq(mnE.as(s"__mn_$c"), mxE.as(s"__mx_$c"),
+        (count(lit(1L)) - count(base)).as(s"__nl_$c"))
+    }
+    val perFile = df
+      .select(col("*"), regexp_extract(input_file_name(), "([^/]+)$", 1).as("__file"))
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = resolved.map { case (c, lane) =>
+      val (mnL, mxL) = if (lane == "long")
+        (col(s"__mn_$c"), col(s"__mx_$c"))
+      else (lit(null).cast(LongType), lit(null).cast(LongType))
+      val (mnD, mxD) = if (lane == "double")
+        (col(s"__mn_$c"), col(s"__mx_$c"))
+      else (lit(null).cast(DoubleType), lit(null).cast(DoubleType))
+      val (mnS, mxS) = if (lane == "string")
+        (col(s"__mn_$c"), col(s"__mx_$c"))
+      else (lit(null).cast(StringType), lit(null).cast(StringType))
+      perFile.select(
+        col("__file").as("file"), lit(c).as("col"), lit(lane).as("lane"),
+        col("rows").cast(LongType).as("rows"),
+        col(s"__nl_$c").cast(LongType).as("nulls"),
+        mnL.as("min_long"), mxL.as("max_long"),
+        mnD.as("min_dbl"), mxD.as("max_dbl"),
+        mnS.as("min_str"), mxS.as("max_str"))
+    }.reduce(_ unionByName _)
+    rows.repartition(1).write.mode("overwrite").parquet(out)
+  }
+
+  private def ready(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** The manifest frame, when one has been built. */
+  def read(s: SparkSession, manifestDir: String): Option[DataFrame] =
+    if (ready(manifestDir)) Some(s.read.parquet(manifestDir)) else None
+
+  // ── prune + scan ────────────────────────────────────────────────────
+
+  private[graft] def listDataFiles(dataDir: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(dataDir)
+    val kids = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      kids.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          !java.nio.file.Files.isDirectory(dir.resolve(n)))
+        .toVector.sorted
+    } finally kids.close()
+  }
+
+  /** Evaluate `preds` (a conjunction) against the manifest: surviving
+    * file names, plus the directory's total data-file count. Files or
+    * columns absent from the manifest are kept. The collect here is file
+    * NAMES only — the same driver-side listing any parquet scan of the
+    * directory performs.
+    */
+  def prunedFiles(s: SparkSession, dataDir: String, manifestDir: String,
+                  preds: Seq[StatPred]): (Seq[String], Int) = {
+    val all = listDataFiles(dataDir)
+    val m = read(s, manifestDir).getOrElse(return (all, all.size))
+    if (preds.isEmpty) return (all, all.size)
+    // numeric preds compare on the double VIEW of whichever lane the
+    // column landed in (long casts are exact below 2^53; double-lane
+    // bounds were widened at build); string preds on the string lane
+    val mnNum = coalesce(col("min_long").cast(DoubleType), col("min_dbl"))
+    val mxNum = coalesce(col("max_long").cast(DoubleType), col("max_dbl"))
+    val dropped = preds.map { p =>
+      val (mn, mx) = p match {
+        case GeStat(_, _: String) => (col("min_str"), col("max_str"))
+        case LeStat(_, _: String) => (col("min_str"), col("max_str"))
+        case BetweenStat(_, _: String, _) => (col("min_str"), col("max_str"))
+        case EqStat(_, _: String) => (col("min_str"), col("max_str"))
+        case InStat(_, (_: String) +: _) => (col("min_str"), col("max_str"))
+        case _ => (mnNum, mxNum)
+      }
+      // a file is droppable on this conjunct iff its stats row exists
+      // and mayMatch is definitively FALSE (null = unknown = keep)
+      m.filter(col("col") === lit(p.column))
+        .filter(!coalesce(p.mayMatch(mn, mx, col("nulls"), col("rows")), lit(true)))
+        .select(col("file"))
+    }.reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    (all.filterNot(dropped), all.size)
+  }
+
+  /** Manifest-pruned scan: read only surviving files, then re-apply the
+    * exact predicate — identical rows to a full scan + filter, minus the
+    * skipped tasks. Missing manifest degrades to the full scan.
+    */
+  def scan(s: SparkSession, dataDir: String, preds: Seq[StatPred],
+           manifestDir: String = null): DataFrame = {
+    val mdir = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
+    val (keep, total) = prunedFiles(s, dataDir, mdir, preds)
+    val flt = preds.map(_.dataFilter).reduceOption(_ && _).getOrElse(lit(true))
+    if (keep.isEmpty)
+      // no file can match: an empty frame with the directory's schema
+      // (Filter(false) folds to an empty LocalRelation — zero tasks)
+      s.read.parquet(dataDir).filter(lit(false))
+    else if (keep.size == total)
+      s.read.parquet(dataDir).filter(flt)
+    else
+      s.read.parquet(keep.map(f => s"$dataDir/$f"): _*).filter(flt)
+  }
+
+  // ── incremental maintenance (generation chain) ──────────────────────
+
+  /** Carry the previous generation's manifest across a copy-on-write
+    * apply: stats rows for file names still present (hard-linked bucket
+    * files — byte-identical by construction) are kept verbatim; only the
+    * files the apply WROTE are re-scanned, over the same columns the
+    * previous manifest statted. No-op when the previous generation had
+    * no manifest. Called by [[graft.operators.MergeOps.applyToLayout]].
+    */
+  private[graft] def refreshAfterApply(s: SparkSession, prevLoc: String,
+                                       newLoc: String): Unit = {
+    val prevDir = manifestDirFor(prevLoc)
+    if (!ready(prevDir)) return
+    val prev = s.read.parquet(prevDir)
+    val cols = prev.select("col").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val newFiles = listDataFiles(newLoc)
+    val carried = prev.filter(col("file").isin(newFiles: _*))
+    val carriedNames = carried.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = newFiles.filterNot(carriedNames)
+    val out = manifestDirFor(newLoc)
+    if (fresh.isEmpty) {
+      carried.repartition(1).write.mode("overwrite").parquet(out)
+    } else {
+      val tmp = s"$out.__build"
+      writeManifest(s, s.read.parquet(fresh.map(f => s"$newLoc/$f"): _*), cols, tmp)
+      carried.unionByName(s.read.parquet(tmp))
+        .repartition(1).write.mode("overwrite").parquet(out)
+      val rmDir = java.nio.file.Paths.get(tmp)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val c = java.nio.file.Files.list(p)
+          try c.forEach(rm(_)) finally c.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(rmDir)
+    }
+  }
+}

@@ -1,0 +1,236 @@
+package graft
+
+import graft.operators.MergeOps
+import graft.sources.{CorpusLayout, StatsManifest, ZOrderLayout}
+import graft.sources.StatsManifest._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StatsManifest laws. The one that matters is SOUNDNESS — pruning may
+  * only ever skip files that provably hold no matching row — stressed
+  * here through every bound the manifest can emit: exact long bounds,
+  * widened double bounds, truncated string minima, capped (NULL)
+  * string maxima, all-NULL columns, empty prunes, and files/columns the
+  * manifest has never seen. Plus the maintenance law: a copy-on-write
+  * MERGE apply carries hard-linked files' stats rows VERBATIM and
+  * re-stats only what it wrote.
+  */
+class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  private def rmAll(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val c = java.nio.file.Files.list(p)
+      try c.forEach(rmAll(_)) finally c.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  test("z-ordered corpus: box query skips files, pruned scan ≡ full filter, empty prune is empty") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smspec")
+    try {
+      val lay = tmp.toString + "/z"
+      val dd = Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      ZOrderLayout.write(dd, Seq("n_chars", "doc_id"), lay)
+      StatsManifest.build(spark, lay, Seq("doc_id", "n_chars", "source"))
+
+      val preds = Seq(BetweenStat("n_chars", 100, 160),
+        InStat("source", Seq("src3", "src7")))
+      val (keep, total) = prunedFiles(spark, lay, manifestDirFor(lay), preds)
+      assert(total > 1, s"scenario broken: z-write produced $total file(s)")
+      assert(keep.nonEmpty && keep.size < total,
+        s"no file-level pruning: kept ${keep.size} of $total")
+
+      val got = StatsManifest.scan(spark, lay, preds)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      val want = dd.filter($"n_chars".between(100, 160) &&
+        $"source".isin("src3", "src7"))
+      assert(rows(got) == rows(want), "pruned scan diverged from full filter")
+      assert(got.count() > 0, "scenario degenerate: predicate matched nothing")
+
+      // a predicate outside the global range keeps zero files and yields
+      // an empty frame with the data schema intact
+      val none = Seq(BetweenStat("n_chars", -100, -50))
+      val (keep0, _) = prunedFiles(spark, lay, manifestDirFor(lay), none)
+      assert(keep0.isEmpty, s"below-range predicate kept $keep0")
+      val empty = StatsManifest.scan(spark, lay, none)
+      assert(empty.count() == 0)
+      assert(empty.columns.toSeq == Seq("doc_id", "lang", "source", "n_chars", "_zv"))
+
+      // boundary values stay in: Eq on the global min must keep its file
+      val mnChars = dd.agg(min($"n_chars")).head().getLong(0)
+      val eqMin = Seq(EqStat("n_chars", mnChars))
+      assert(rows(StatsManifest.scan(spark, lay, eqMin).select(dd.columns.map(col): _*))
+        == rows(dd.filter($"n_chars" === mnChars)), "global-min row lost to pruning")
+    } finally rmAll(tmp)
+  }
+
+  test("null discipline: all-NULL files drop for comparisons, survive IS NULL — and never vice versa") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smnull")
+    try {
+      val dir = tmp.toString + "/t"
+      // file set A: v all NULL; file set B: v populated — written in two
+      // batches so the null rows have files of their own
+      Seq.tabulate(10)(i => (i.toLong, None: Option[Long]))
+        .toDF("id", "v").coalesce(1).write.parquet(dir)
+      Seq.tabulate(10)(i => (100L + i, Some(i.toLong)))
+        .toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+      StatsManifest.build(spark, dir, Seq("id", "v"))
+      val m = spark.read.parquet(manifestDirFor(dir))
+      val allNullFiles = m.filter($"col" === "v" && $"min_long".isNull &&
+        $"rows" > 0).select("file").collect().map(_.getString(0)).toSet
+      assert(allNullFiles.nonEmpty, "scenario broken: no all-NULL file")
+
+      val (keepCmp, total) = prunedFiles(spark, dir, manifestDirFor(dir),
+        Seq(GeStat("v", 0L)))
+      assert(allNullFiles.forall(f => !keepCmp.contains(f)),
+        "comparison kept an all-NULL file")
+      assert(keepCmp.nonEmpty && keepCmp.size < total)
+
+      val (keepNull, _) = prunedFiles(spark, dir, manifestDirFor(dir),
+        Seq(IsNullStat("v")))
+      assert(allNullFiles.forall(keepNull.contains),
+        "IS NULL dropped an all-NULL file")
+      assert(keepNull.size < total, "IS NULL kept null-free files")
+
+      val full = spark.read.parquet(dir)
+      assert(rows(StatsManifest.scan(spark, dir, Seq(GeStat("v", 0L))))
+        == rows(full.filter($"v" >= 0L)))
+      assert(rows(StatsManifest.scan(spark, dir, Seq(IsNullStat("v"))))
+        == rows(full.filter($"v".isNull)))
+    } finally rmAll(tmp)
+  }
+
+  test("string bounds: capped maxima never unsound-drop, truncated minima still prune") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smstr")
+    try {
+      val dir = tmp.toString + "/t"
+      val long = "z" * 100 // over StringBoundLen: max bound becomes unknown
+      Seq.tabulate(5)(i => (i.toLong, long + i))
+        .toDF("id", "s").coalesce(1).write.parquet(dir)
+      Seq.tabulate(5)(i => (10L + i, s"aa$i"))
+        .toDF("id", "s").coalesce(1).write.mode("append").parquet(dir)
+      StatsManifest.build(spark, dir, Seq("s"))
+      val full = spark.read.parquet(dir)
+
+      // upper bound unknown on the long-string file: a >= probe beyond
+      // the truncation point must KEEP it (rows live there), and parity
+      // must hold — the unsoundness this test exists to catch
+      val hi = Seq(GeStat("s", long + "3"))
+      val (keepHi, total) = prunedFiles(spark, dir, manifestDirFor(dir), hi)
+      assert(total == 2)
+      assert(keepHi.size == 1, s"expected only the long-string file kept, got $keepHi")
+      assert(rows(StatsManifest.scan(spark, dir, hi))
+        == rows(full.filter($"s" >= long + "3")))
+      assert(full.filter($"s" >= long + "3").count() > 0)
+
+      // truncated MIN is still a sound lower bound: everything in the
+      // long-string file is above "b", so <= "b" prunes it
+      val lo = Seq(LeStat("s", "b"))
+      val (keepLo, _) = prunedFiles(spark, dir, manifestDirFor(dir), lo)
+      assert(keepLo.size == 1, s"prefix minimum failed to prune: $keepLo")
+      assert(rows(StatsManifest.scan(spark, dir, lo))
+        == rows(full.filter($"s" <= "b")))
+    } finally rmAll(tmp)
+  }
+
+  test("degradation: missing manifest or unstatted column keeps every file, scan stays exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smdeg")
+    try {
+      val dir = tmp.toString + "/t"
+      Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .repartition(4).write.parquet(dir)
+      val full = spark.read.parquet(dir)
+
+      // no manifest at all
+      val p = Seq(BetweenStat("n_chars", 100, 160))
+      val (keepNone, totalNone) = prunedFiles(spark, dir, manifestDirFor(dir), p)
+      assert(keepNone.size == totalNone)
+      assert(rows(StatsManifest.scan(spark, dir, p))
+        == rows(full.filter($"n_chars".between(100, 160))))
+
+      // manifest exists but the predicate column was never statted
+      StatsManifest.build(spark, dir, Seq("n_chars"))
+      val q = Seq(EqStat("source", "src3"))
+      val (keepCol, totalCol) = prunedFiles(spark, dir, manifestDirFor(dir), q)
+      assert(keepCol.size == totalCol, "unstatted column caused pruning")
+      assert(rows(StatsManifest.scan(spark, dir, q))
+        == rows(full.filter($"source" === "src3")))
+    } finally rmAll(tmp)
+  }
+
+  test("CoW apply carries hard-linked stats rows verbatim and re-stats only written files") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = Files.createTempDirectory("graft_smcow").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val t = CorpusLayout.tableName("documents", sf)
+      val (gen0, _) = MergeOps.tableLayout(spark, t)
+      val cols = Seq("doc_id", "n_chars", "source")
+      StatsManifest.build(spark, gen0, cols)
+      val prev = spark.read.parquet(manifestDirFor(gen0)).collect()
+        .map(_.toString).toSet
+
+      val target = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val payload = Seq("text", "lang", "source", "n_chars")
+      val up = target.filter($"doc_id" === 17L)
+        .select($"doc_id", concat(lit("cow "), $"text").as("text"), $"lang",
+          $"source", ($"n_chars" + 4L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      val del = target.filter($"doc_id" === 40L)
+        .select($"doc_id" +: payload.map(c =>
+          lit(null).cast(target.schema(c).dataType).as(c)): _*)
+        .withColumn("tombstone", lit(true))
+      val changes = up.unionByName(del).cache()
+      val expected = rows(MergeOps.applyChanges(target, changes)
+        .filter($"n_chars".between(100, 160))
+        .select($"doc_id", $"source", $"n_chars"))
+
+      val vpath = MergeOps.applyToLayout(spark, sf, changes)
+      assert(Files.exists(Paths.get(manifestDirFor(vpath), "_SUCCESS")),
+        "apply did not carry the manifest to the new generation")
+      val next = spark.read.parquet(manifestDirFor(vpath))
+
+      // linked files: stats rows identical to the previous generation's
+      val linked = StatsManifest.listDataFiles(vpath).filter(f =>
+        Files.exists(Paths.get(gen0, f)) &&
+          Files.isSameFile(Paths.get(gen0, f), Paths.get(vpath, f))).toSet
+      val written = StatsManifest.listDataFiles(vpath).toSet -- linked
+      assert(linked.nonEmpty && written.nonEmpty, "CoW scenario degenerate")
+      val carriedRows = next.filter($"file".isin(linked.toSeq: _*))
+        .collect().map(_.toString).toSet
+      assert(carriedRows.subsetOf(prev),
+        "carried stats rows differ from the previous generation's")
+      assert(carriedRows.size == linked.size * cols.size,
+        "carried stats incomplete")
+      // written files have fresh rows for every statted column
+      val freshFiles = next.filter(!$"file".isin(linked.toSeq: _*))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      assert(freshFiles == written,
+        s"re-statted files $freshFiles != written files $written")
+
+      // and the pruned scan over the NEW generation matches the merge
+      val got = rows(StatsManifest.scan(spark, vpath,
+          Seq(BetweenStat("n_chars", 100, 160)))
+        .select($"doc_id", $"source", $"n_chars"))
+      assert(got == expected, "pruned scan on the applied generation diverged")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      rmAll(java.nio.file.Paths.get(base))
+    }
+  }
+}
