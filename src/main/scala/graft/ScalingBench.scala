@@ -355,6 +355,42 @@ object ScalingBench {
     spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
     }
 
+    // ── file skipping: manifest-pruned scan vs full scan over the same
+    // z-ordered corpus copy. Wall seconds are the local[32] proxy; the
+    // at-scale claim is FILES KEPT / TOTAL (every skipped file is a
+    // footer read + task launch the cluster never schedules), recorded
+    // as pseudo-arms so SCALING.md can quote the ratio per decade.
+    // File COUNT scales with the corpus (rows-per-file held ~constant,
+    // production's fixed-file-size reality) — the dimension that makes
+    // planning-time skipping matter is the 10⁶-file listing, not bytes.
+    if (enabled("stats_prune")) {
+    val spBase = java.nio.file.Files.createTempDirectory("graft_scaling_stats").toString
+    val spLay = s"$spBase/zdocs"
+    import graft.sources.{StatsManifest, ZOrderLayout}
+    val spDocs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val spFiles = math.max(16, (spDocs.count() / 78).toInt)
+    ZOrderLayout.write(spDocs, Seq("n_chars", "doc_id"), spLay,
+      bits = 8, numFiles = spFiles)
+    arm("stats_prune/manifest_build") {
+      StatsManifest.build(spark, spLay, Seq("doc_id", "n_chars", "source"))
+    }
+    val spPreds = Seq(StatsManifest.BetweenStat("n_chars", 100, 160),
+      StatsManifest.InStat("source", Seq("src3", "src7")))
+    val (spKept, spTotal) = StatsManifest.prunedFiles(spark, spLay,
+      StatsManifest.manifestDirFor(spLay), spPreds)
+    System.err.println(s"[scaling] $label stats_prune/files: ${spKept.size}/$spTotal kept")
+    results :+= ("stats_prune/files_kept" -> spKept.size.toDouble)
+    results :+= ("stats_prune/files_total" -> spTotal.toDouble)
+    armDf("stats_prune/full_scan") {
+      spark.read.parquet(spLay).filter($"n_chars".between(100, 160) &&
+        $"source".isin("src3", "src7"))
+    }
+    armDf("stats_prune/pruned_scan") {
+      StatsManifest.scan(spark, spLay, spPreds)
+    }
+    }
+
     val nLine = Seq("lineitem", "documents", "events", "embeddings", "orders")
       .map(t => "\"" + t + "\":" + Tables.load(spark, sfDir, t).count())
       .mkString("{", ",", "}")
