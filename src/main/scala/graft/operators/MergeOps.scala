@@ -253,6 +253,19 @@ object MergeOps {
     val nBuckets = if (buckets <= 0) curBuckets else buckets
     require(curBuckets == nBuckets,
       s"layout for $t has $curBuckets buckets; apply asked for $nBuckets")
+    // SQL MERGE raises on multiple source matches; enforce the same
+    // contract LOUDLY before anything lands on disk — a duplicate or
+    // NULL changeset key would write a generation with duplicate/orphan
+    // rows and silently corrupt every downstream uniqueness assumption
+    // (bucketed joins, stores, dedup). One changeset-sized map-combined
+    // aggregate, never corpus work; applyChanges stays a lazy
+    // combinator, so the durable path is where the check belongs.
+    val badKeys = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col(keyCol).isNull || col("__n") > lit(1L))
+      .limit(5).collect()
+    require(badKeys.isEmpty,
+      s"changeset violates one-row-per-'$keyCol' (SQL MERGE's multiple-" +
+        s"match error): ${badKeys.map(_.toString).mkString(", ")}")
     cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still

@@ -387,4 +387,44 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("applyToLayout refuses duplicate and NULL changeset keys before anything lands") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_mdup").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val t = CorpusLayout.tableName("documents", sf)
+      val (gen0, _) = MergeOps.tableLayout(spark, t)
+      def change(id: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        Seq(("x", "en", "web", 1L))
+          .toDF("text", "lang", "source", "n_chars")
+          .withColumn("doc_id", id.cast("long"))
+          .withColumn("tombstone", lit(false))
+      // duplicate key: SQL MERGE's multiple-match error, surfaced eagerly
+      val dup = change(lit(17L)).unionByName(change(lit(17L)))
+      val e1 = intercept[IllegalArgumentException](
+        MergeOps.applyToLayout(spark, sf, dup))
+      assert(e1.getMessage.contains("doc_id"), e1.getMessage)
+      // NULL key: never equi-joins, would insert an orphan row
+      val e2 = intercept[IllegalArgumentException](
+        MergeOps.applyToLayout(spark, sf, change(lit(null))))
+      assert(e2.getMessage.contains("doc_id"), e2.getMessage)
+      // refused BEFORE writing: still serving generation 0, no _v1 dir
+      val (loc, _) = MergeOps.tableLayout(spark, t)
+      assert(loc == gen0, s"refused apply still swung serving to $loc")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(gen0 + "_v1")),
+        "refused apply left a staged generation behind")
+      // and a clean changeset still applies after the refusals
+      MergeOps.applyToLayout(spark, sf, change(lit(17L)))
+      assert(Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") === 17L && col("text") === "x").count() == 1L)
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }

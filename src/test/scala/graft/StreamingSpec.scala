@@ -803,6 +803,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set(CorpusLayout.ConfKey, base)
     try {
       CorpusLayout.materialize(spark, sf)
+      // stat generation 0 so the file-skipping manifest must ride every
+      // streaming apply's CoW carry to stay serving-fresh
+      val (gen0Loc, _) = MergeOps.tableLayout(spark,
+        CorpusLayout.tableName("documents", sf))
+      graft.sources.StatsManifest.build(spark, gen0Loc, Seq("doc_id", "n_chars"))
       val v0 = Tables.load(spark, sf, "documents")
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -831,6 +836,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         val s2 = served()
         assert(!s2.contains(-7L) && s2(2L) == "two is back" && s2(1L) == "v2 one")
         assert(StreamingMerge.appliedBatches(spark, sf) == Set(0L, 1L))
+        // the manifest followed the generation chain: present at the NOW
+        // served location, and a pruned scan answers over the merged state
+        val (servedLoc, _) = MergeOps.tableLayout(spark,
+          CorpusLayout.tableName("documents", sf))
+        assert(servedLoc != gen0Loc, "waves did not swing the generation")
+        val pruned = graft.sources.StatsManifest.scan(spark, servedLoc,
+            Seq(graft.sources.StatsManifest.LeStat("doc_id", 1L)))
+          .select($"doc_id").collect().map(_.getLong(0)).toSet
+        assert(pruned == s2.keySet.filter(_ <= 1L),
+          "manifest-pruned scan diverged from the served merged state")
       } finally q.stop()
       // replay short-circuit: re-applying a ledgered batch id is a no-op
       // (no new generation, false returned) even with different content
