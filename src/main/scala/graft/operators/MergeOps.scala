@@ -69,21 +69,35 @@ object MergeOps {
     * caller's contract, as in SQL MERGE (two changes for one key would
     * make the result order-dependent; [[changeset]] emits at most one).
     *
+    * Schema EVOLUTION (`evolveSchema = true`): the changeset may carry
+    * columns the target lacks — they are ADDED, with untouched rows
+    * reading NULL (SQL's ADD COLUMN semantics, Delta's mergeSchema).
+    * Off by default so a typo'd column name fails loudly instead of
+    * silently forking the schema.
+    *
     * Plan shape: target LEFT ANTI changes.keys (the untouched rows — the
     * only corpus-sized stage, broadcast or bucket-co-located) UNION ALL
     * changes.upserts. Nothing pairwise, no window, no global sort.
     */
   def applyChanges(target: DataFrame, changes: DataFrame,
-                   key: String = "doc_id"): DataFrame = {
+                   key: String = "doc_id",
+                   evolveSchema: Boolean = false): DataFrame = {
     require(changes.columns.contains(TombstoneCol),
       s"changeset must carry a '$TombstoneCol' boolean column")
     val payload = target.columns.filterNot(_ == key)
     val missing = (Seq(key) ++ payload).filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"changeset is missing target columns: ${missing.mkString(", ")}")
-    val untouched = target.join(changes.select(col(key)), Seq(key), "left_anti")
+    val extra = changes.columns.filterNot(c =>
+      c == key || c == TombstoneCol || payload.contains(c))
+    require(evolveSchema || extra.isEmpty,
+      s"changeset carries columns the target lacks: ${extra.mkString(", ")}" +
+        " — pass evolveSchema = true to add them (untouched rows read NULL)")
+    val anti = target.join(changes.select(col(key)), Seq(key), "left_anti")
+    val untouched = extra.foldLeft(anti)((d, c) =>
+      d.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
     val upserts = changes.filter(!col(TombstoneCol))
-      .select(col(key) +: payload.map(col): _*)
+      .select(col(key) +: (payload ++ extra).map(col): _*)
     untouched.unionByName(upserts)
   }
 
@@ -237,7 +251,8 @@ object MergeOps {
   def applyToLayout(s: SparkSession, corpusDir: String, changes: DataFrame,
                     table: String = "documents",
                     buckets: Int = -1,
-                    cow: Boolean = true): String = {
+                    cow: Boolean = true,
+                    evolveSchema: Boolean = false): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
@@ -266,7 +281,8 @@ object MergeOps {
     require(badKeys.isEmpty,
       s"changeset violates one-row-per-'$keyCol' (SQL MERGE's multiple-" +
         s"match error): ${badKeys.map(_.toString).mkString(", ")}")
-    cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow)
+    cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow,
+      evolveSchema)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
@@ -291,11 +307,20 @@ object MergeOps {
     * write the merged TOUCHED buckets to `vpath` as a staging table,
     * hard-link untouched bucket files forward, mark the generation
     * complete, and swing the catalog name `t` onto it.
+    *
+    * Under `evolve` the staging write carries the EVOLVED schema and the
+    * catalog table adopts it, while linked untouched files keep the old
+    * one — Spark's parquet reader fills a requested column a file lacks
+    * with NULL, so the linked bytes never rewrite for an ADD COLUMN (the
+    * Delta/Iceberg metadata-only evolution recipe; [[readGeneration]] /
+    * [[CorpusLayout.repairServing]] read with mergeSchema so raw-path
+    * reads see the union schema too).
     */
   private[graft] def cowSwingToPath(s: SparkSession, t: String, target: DataFrame,
                                     curLoc: String, nBuckets: Int, vpath: String,
                                     changes: DataFrame, keyCol: String,
-                                    cow: Boolean): Unit = {
+                                    cow: Boolean,
+                                    evolve: Boolean = false): Unit = {
     // Partition the CURRENT generation's files by whether their bucket
     // can contain a changeset key. Resolved before any write so the
     // listing is of the generation the catalog serves right now.
@@ -326,7 +351,7 @@ object MergeOps {
       val touchedTarget =
         if (touchedFiles.isEmpty) target.limit(0) // inserts into empty buckets
         else s.read.schema(target.schema).parquet(touchedFiles: _*)
-      applyChanges(touchedTarget, changes, keyCol)
+      applyChanges(touchedTarget, changes, keyCol, evolve)
         .repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
         .bucketBy(nBuckets, keyCol).sortBy(keyCol)
@@ -337,7 +362,7 @@ object MergeOps {
       // the staging table listed its files before the links landed
       s.catalog.refreshTable(s"${t}_staging")
     } else {
-      applyChanges(target, changes, keyCol)
+      applyChanges(target, changes, keyCol, evolve)
         .write.format("parquet").option("path", vpath)
         .bucketBy(nBuckets, keyCol).sortBy(keyCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
@@ -486,7 +511,12 @@ object MergeOps {
       throw new IllegalArgumentException(
         s"generation $gen of ($corpusDir, $table) does not exist " +
           s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
-    s.read.parquet(path)
+    // mergeSchema: a generation holds hard-linked pre-evolution files
+    // next to evolved ones after an ADD-COLUMN apply; the union schema
+    // (missing columns read NULL) is what the catalog table serves, so
+    // the raw time-travel read must see it too. Footer cost is bounded
+    // by the generation's ≤|buckets| files.
+    s.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** What changed between two retained generations, as an applicable
@@ -501,8 +531,16 @@ object MergeOps {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
-    changeset(readGeneration(s, corpusDir, table, from),
-      readGeneration(s, corpusDir, table, to), keyCol)
+    val (v1, v2) = (readGeneration(s, corpusDir, table, from),
+      readGeneration(s, corpusDir, table, to))
+    // diffing across an ADD-COLUMN boundary: pad each side with the
+    // columns only the other has (NULL — exactly what that generation's
+    // readers observe), so the hash diff compares like with like and an
+    // all-NULL added column diffs as "unchanged", not "every row changed"
+    def pad(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    changeset(pad(v1, v2), pad(v2, v1), keyCol)
   }
 
   /** Re-bucket a layout table at a new bucket count, as a new

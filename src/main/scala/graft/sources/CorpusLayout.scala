@@ -157,7 +157,11 @@ object CorpusLayout {
       val buckets = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path, BucketsMarker)), "UTF-8").trim.toInt
       val key = keyed(table)
-      val schema = s.read.parquet(path).schema.toDDL
+      // mergeSchema: after an ADD-COLUMN apply the generation mixes
+      // evolved files with hard-linked pre-evolution ones; plain
+      // inference samples one footer and could re-attach the OLD shape,
+      // silently dropping the added column from the served table
+      val schema = s.read.option("mergeSchema", "true").parquet(path).schema.toDDL
       // a dangling staging entry from the interrupted swing would block
       // the next apply's staging write; it is external — dropping the
       // registration never touches the generation's files

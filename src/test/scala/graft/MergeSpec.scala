@@ -427,4 +427,72 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("schema evolution: ADD COLUMN rides the apply — linked files unrewritten, NULL-filled at read") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = Files.createTempDirectory("graft_mevolve").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    def norm(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(df.columns.sorted.map(col): _*)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val t = CorpusLayout.tableName("documents", sf)
+      val (gen0, _) = MergeOps.tableLayout(spark, t)
+      val target = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val nDocs = target.count()
+      // the feed starts scoring documents: same payload plus a NEW column
+      val up = target.filter($"doc_id" === 17L)
+        .withColumn("quality", lit(0.9)).withColumn("tombstone", lit(false))
+      val ins = Seq((-11L, "scored new doc", "en", "web", 14L, 0.5))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "quality")
+        .withColumn("tombstone", lit(false))
+      val changes = up.unionByName(ins).cache()
+      // refused unless evolution is asked for — a typo'd column must not
+      // silently fork the schema
+      val e = intercept[IllegalArgumentException](
+        MergeOps.applyToLayout(spark, sf, changes))
+      assert(e.getMessage.contains("quality"), e.getMessage)
+      val vpath = MergeOps.applyToLayout(spark, sf, changes, evolveSchema = true)
+      // untouched bucket files are the SAME inodes — ADD COLUMN rewrote
+      // only the touched buckets, not the corpus
+      val linked = graft.sources.StatsManifest.listDataFiles(vpath).filter(f =>
+        Files.exists(Paths.get(gen0, f)) &&
+          Files.isSameFile(Paths.get(gen0, f), Paths.get(vpath, f)))
+      assert(linked.nonEmpty, "evolving apply rewrote every bucket")
+      // the served table carries the evolved schema: touched rows have
+      // values, every untouched row reads NULL out of the linked files
+      val served = Tables.load(spark, sf, "documents")
+      assert(served.columns.contains("quality"))
+      assert(served.filter($"doc_id" === 17L).select("quality")
+        .head().getDouble(0) == 0.9)
+      assert(served.filter($"doc_id" === -11L).select("quality")
+        .head().getDouble(0) == 0.5)
+      assert(served.filter($"quality".isNull).count() == nDocs - 1,
+        "untouched rows did not read NULL for the added column")
+      // time-travel diff across the boundary: exactly the two real
+      // changes — the all-NULL added column is not "every row changed"
+      val diff = MergeOps.generationDiff(spark, sf, "documents", 0, 1)
+      assert(diff.count() == 2, s"evolution polluted the diff: ${diff.count()} rows")
+      // and the replay law holds across the evolution boundary
+      val g0 = MergeOps.readGeneration(spark, sf, "documents", 0)
+      val g1 = MergeOps.readGeneration(spark, sf, "documents", 1)
+      assert(rows(norm(MergeOps.applyChanges(g0, diff, evolveSchema = true)))
+        == rows(norm(g1)), "apply(g0, diff(g0,g1)) != g1 across ADD COLUMN")
+      // catalog loss + repair must re-attach the EVOLVED shape, not a
+      // pre-evolution footer's
+      spark.sql(s"DROP TABLE $t")
+      val reattached = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(reattached.columns.contains("quality"),
+        "repairServing re-attached the pre-evolution schema")
+      assert(reattached.filter($"doc_id" === 17L).select("quality")
+        .head().getDouble(0) == 0.9)
+      changes.unpersist()
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
