@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  InMemoryFileIndex, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+/** Planner-integrated file skipping: a [[FileIndex]] that evaluates
+  * Spark's OWN pushed data filters against the [[StatsManifest]] before
+  * any task is scheduled — `StatsManifest.table(spark, dir)` then prunes
+  * on every `filter`/WHERE a user writes, no explicit predicate API, the
+  * way Delta/Iceberg integrate their manifests.
+  *
+  * Mechanics: Spark's FileSourceStrategy hands every `FileIndex` the
+  * post-pushdown data filters at `listFiles` time. This index translates
+  * them through the engine's own `DataSourceStrategy.translateFilter`
+  * (the exact translation parquet pushdown uses — no bespoke Expression
+  * walking) and keeps a file unless its stats interval PROVABLY excludes
+  * every translated conjunct. Catalyst keeps the Filter node above the
+  * scan regardless, so rows are re-checked exactly — a stats bug can
+  * cost correctness only via the same soundness contract
+  * [[StatsManifest]] documents (bounds only ever widen).
+  *
+  * The manifest is collected ONCE at construction (|files|×|cols| rows —
+  * the same metadata scale as the file listing itself; Delta replays its
+  * log driver-side identically). Evaluation here is driver-side Scala,
+  * deliberately mirroring [[StatsManifest.prunedFiles]]'s relational
+  * evaluation; StatsManifestSpec pins the two paths to agree on the same
+  * predicates so they cannot drift. Conservative outs, in addition to
+  * the manifest's own: an untranslatable filter prunes nothing; a
+  * non-ASCII string bound or probe prunes nothing (Scala compares
+  * UTF-16, Spark UTF8String compares UTF-8 bytes — they disagree above
+  * ASCII, so pruning there would be unsound); a file or column the
+  * manifest has never seen is always kept.
+  */
+object ManifestFileIndex {
+
+  /** One column's collected stats (lane tells an all-NULL numeric column
+    * apart from a string-statted one when a numeric probe arrives).
+    */
+  final case class ColStats(lane: String, rows: Long, nulls: Long,
+                            minL: Option[Long], maxL: Option[Long],
+                            minD: Option[Double], maxD: Option[Double],
+                            minS: Option[String], maxS: Option[String])
+
+  /** A DataFrame over `dataDir` whose scans skip files via the manifest.
+    * Degrades to the plain read when no manifest has been built.
+    */
+  def table(s: SparkSession, dataDir: String,
+            manifestDir: String = null): DataFrame = {
+    val mdir = Option(manifestDir).getOrElse(StatsManifest.manifestDirFor(dataDir))
+    StatsManifest.read(s, mdir) match {
+      case None => s.read.parquet(dataDir)
+      case Some(m) =>
+        val stats = m.collect().map { r =>
+          def s_(c: String) = Option(r.getAs[String](c))
+          def l_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getAs[Long](c))
+          def d_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getAs[Double](c))
+          (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStats(
+            r.getAs[String]("lane"), r.getAs[Long]("rows"), r.getAs[Long]("nulls"),
+            l_("min_long"), l_("max_long"), d_("min_dbl"), d_("max_dbl"),
+            s_("min_str"), s_("max_str"))
+        }.groupBy(_._1._1)
+          .map { case (f, rows) => f -> rows.map { case ((_, c), st) => c -> st }.toMap }
+        // mergeSchema: the dir may mix pre-evolution linked files with
+        // evolved ones (MergeOps ADD COLUMN) — serve the union schema
+        val schema = s.read.option("mergeSchema", "true").parquet(dataDir).schema
+        val base = new InMemoryFileIndex(s, Seq(new Path(dataDir)),
+          Map.empty[String, String], Some(schema))
+        val rel = HadoopFsRelation(new ManifestFileIndex(base, stats),
+          new StructType(), schema, None, new ParquetFileFormat, Map.empty)(s)
+        org.apache.spark.sql.GraftPlanBridge.ofRows(s, LogicalRelation(rel, false))
+    }
+  }
+
+  private def ascii(v: String): Boolean = v.forall(_ < 128)
+
+  /** Strict upper sibling of a prefix: the shortest string above every
+    * string starting with `p` (last non-￿ char incremented). None
+    * when no such bound exists.
+    */
+  private def prefixSucc(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p(i) + 1).toChar)
+  }
+}
+
+final class ManifestFileIndex(
+    base: InMemoryFileIndex,
+    stats: Map[String, Map[String, ManifestFileIndex.ColStats]]) extends FileIndex {
+  import ManifestFileIndex._
+
+  override def rootPaths: Seq[Path] = base.rootPaths
+  override def inputFiles: Array[String] = base.inputFiles
+  override def refresh(): Unit = base.refresh()
+  override def sizeInBytes: Long = base.sizeInBytes
+  override def partitionSchema: StructType = base.partitionSchema
+  override def metadataOpsTimeNs: Option[Long] = base.metadataOpsTimeNs
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // the same filter translation parquet pushdown runs; an expression
+    // it cannot translate simply does not participate in pruning
+    val fs = dataFilters.flatMap(org.apache.spark.sql.GraftPlanBridge.translateFilter)
+    val listed = base.listFiles(partitionFilters, dataFilters)
+    if (fs.isEmpty) listed
+    else listed.map { pd =>
+      PartitionDirectory(pd.values,
+        pd.files.filter(f => mayMatchFile(f.getPath.getName, fs)))
+    }
+  }
+
+  private def mayMatchFile(name: String, fs: Seq[sources.Filter]): Boolean =
+    stats.get(name) match {
+      case None => true // written after the manifest — never prune blind
+      case Some(cols) => fs.forall(mayMatch(cols, _))
+    }
+
+  // widen every numeric comparison one relative+absolute epsilon — the
+  // probe value may itself have rounded through a double (decimals),
+  // and slack only ever KEEPS a file
+  private def eps(x: Double): Double = math.abs(x) * 1e-12 + java.lang.Double.MIN_NORMAL
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Conservative three-valued test collapsed to keep/drop: true = the
+    * file may hold a matching row, false = provably cannot.
+    */
+  private def mayMatch(cols: Map[String, ColStats], f: sources.Filter): Boolean = f match {
+    case sources.And(a, b) => mayMatch(cols, a) && mayMatch(cols, b)
+    case sources.Or(a, b) => mayMatch(cols, a) || mayMatch(cols, b)
+    case sources.GreaterThan(c, v) => upperReaches(cols.get(c), v)
+    case sources.GreaterThanOrEqual(c, v) => upperReaches(cols.get(c), v)
+    case sources.LessThan(c, v) => lowerReaches(cols.get(c), v)
+    case sources.LessThanOrEqual(c, v) => lowerReaches(cols.get(c), v)
+    case sources.EqualTo(c, v) =>
+      upperReaches(cols.get(c), v) && lowerReaches(cols.get(c), v)
+    case sources.In(c, vs) =>
+      vs.exists(v => upperReaches(cols.get(c), v) && lowerReaches(cols.get(c), v))
+    case sources.IsNull(c) => cols.get(c).forall(_.nulls > 0L)
+    case sources.IsNotNull(c) => cols.get(c).forall(st => st.rows > st.nulls)
+    case sources.StringStartsWith(c, p) if ascii(p) =>
+      cols.get(c).forall { st =>
+        if (st.lane != "string") true
+        else if (st.minS.isEmpty) false // all-NULL column
+        else {
+          val upOk = st.maxS.forall(mx => !ascii(mx) || mx >= p)
+          val loOk = prefixSucc(p).forall(succ =>
+            !ascii(st.minS.get) || st.minS.get < succ)
+          upOk && loOk
+        }
+      }
+    case _ => true // Not, EqualNullSafe, contains/endsWith, …: never prune
+  }
+
+  /** Can some value in the file be >= v (also the conservative answer
+    * for > v)? None stats = unknown = yes.
+    */
+  private def upperReaches(st: Option[ColStats], v: Any): Boolean = st match {
+    case None => true
+    case Some(s) => numeric(v) match {
+      case Some(d) =>
+        if (s.lane == "string") true // type confusion: never prune
+        else numUpper(s) match {
+          case None => false // numeric lane with no bounds ⇔ all-NULL column
+          case Some(hi) => hi >= d - eps(d)
+        }
+      case None => v match {
+        case str: String if ascii(str) =>
+          if (s.lane != "string") true
+          else if (s.minS.isEmpty) false // all-NULL column
+          else s.maxS.forall(mx => !ascii(mx) || mx >= str)
+        case _ => true
+      }
+    }
+  }
+
+  /** Can some value in the file be <= v (also conservative for < v)? */
+  private def lowerReaches(st: Option[ColStats], v: Any): Boolean = st match {
+    case None => true
+    case Some(s) => numeric(v) match {
+      case Some(d) =>
+        if (s.lane == "string") true
+        else numLower(s) match {
+          case None => false // numeric lane with no bounds ⇔ all-NULL column
+          case Some(lo) => lo <= d + eps(d)
+        }
+      case None => v match {
+        case str: String if ascii(str) =>
+          if (s.lane != "string") true
+          else s.minS match {
+            case None => false // all-NULL column
+            // truncated minimum: still a valid lower bound, and the test
+            // only widens (min' <= min keeps more files)
+            case Some(mn) => !ascii(mn) || mn <= str
+          }
+        case _ => true
+      }
+    }
+  }
+
+  private def numUpper(s: ColStats): Option[Double] =
+    s.maxL.map(_.toDouble).orElse(s.maxD)
+  private def numLower(s: ColStats): Option[Double] =
+    s.minL.map(_.toDouble).orElse(s.minD)
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.MergeOps
-import graft.sources.{CorpusLayout, StatsManifest, ZOrderLayout}
+import graft.sources.{CorpusLayout, ManifestFileIndex, StatsManifest, ZOrderLayout}
 import graft.sources.StatsManifest._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -20,6 +20,24 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
 
   private def rows(df: DataFrame): Seq[String] =
     df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  /** FileSourceScanExec nodes, descending through AQE stages (the
+    * VectorIndexStoreSpec walker — query stages are leaves to children()).
+    */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(scans)
+  }
 
   private def rmAll(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
@@ -165,6 +183,58 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
       assert(keepCol.size == totalCol, "unstatted column caused pruning")
       assert(rows(StatsManifest.scan(spark, dir, q))
         == rows(full.filter($"source" === "src3")))
+    } finally rmAll(tmp)
+  }
+
+  test("planner-integrated index: Spark's own pushed filters skip files; hard ones degrade; unknown files survive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smidx")
+    try {
+      val lay = tmp.toString + "/z"
+      val dd = Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      ZOrderLayout.write(dd, Seq("n_chars", "doc_id"), lay)
+      StatsManifest.build(spark, lay, Seq("doc_id", "n_chars", "source"))
+      val total = StatsManifest.listDataFiles(lay).size
+      val full = spark.read.parquet(lay)
+
+      // an ordinary user filter — no explicit predicate API — prunes at
+      // the FileIndex: the executed scan reads strictly fewer files
+      val t = ManifestFileIndex.table(spark, lay)
+      val flt = $"n_chars".between(100, 160) && $"source".isin("src3", "src7")
+      val q = t.filter(flt).select($"doc_id", $"lang", $"source", $"n_chars")
+      val got = q.orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(got == full.filter(flt).select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id").collect().map(_.toString).toSeq,
+        "planner-pruned read diverged from the plain filter")
+      assert(got.nonEmpty, "scenario degenerate")
+      q.collect()
+      val nf = scans(q.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      assert(nf > 0 && nf < total, s"no planner-level skipping: $nf of $total files")
+      // agreement with the relational evaluation path: the planner path
+      // (which additionally sees Spark's inferred IsNotNulls) may prune
+      // MORE files, never fewer matches — parity above is the law, this
+      // pins the two evaluators against drift
+      val (kept, _) = prunedFiles(spark, lay, manifestDirFor(lay), Seq(
+        BetweenStat("n_chars", 100, 160), InStat("source", Seq("src3", "src7"))))
+      assert(nf <= kept.size,
+        s"planner path kept $nf files, relational path ${kept.size} — drift")
+
+      // an untranslatable predicate prunes nothing and stays exact
+      val hard = t.filter($"n_chars" % 7 === 0)
+      assert(hard.collect().length == full.filter($"n_chars" % 7 === 0).count())
+      val nfHard = scans(hard.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      assert(nfHard == total, s"arithmetic predicate pruned files: $nfHard/$total")
+
+      // files the manifest never saw are never pruned: append one, re-open
+      dd.filter($"doc_id" < 3).coalesce(1)
+        .write.mode("append").parquet(lay)
+      val t2 = ManifestFileIndex.table(spark, lay)
+      assert(t2.filter($"doc_id" < 3).count()
+        == spark.read.parquet(lay).filter($"doc_id" < 3).count(),
+        "post-manifest file was pruned blind")
     } finally rmAll(tmp)
   }
 
