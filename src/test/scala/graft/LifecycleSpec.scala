@@ -121,4 +121,73 @@ class LifecycleSpec extends AnyFunSuite with SparkTestBase {
       Dedup.releaseSignatures()
     }
   }
+
+  test("decontaminate the SERVED corpus: eval-gram matches tombstone out in one CoW apply") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{hash64, shingles, tokens}
+    import java.nio.file.{Files, Paths}
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = Files.createTempDirectory("graft_lc_decon").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket", hash64(concat(lit("split:"), $"doc_id")) % 100)
+    // d10's contamination probe over an arbitrary frame: train docs
+    // sharing any 13-gram with the held-out split
+    def contaminated(cur: DataFrame): Seq[Long] = {
+      def grams(df: DataFrame) = df
+        .select($"doc_id", explode(array_distinct(shingles(tokens($"text"), 13))).as("g"))
+        .select($"doc_id", hash64($"g").as("h"))
+      val b = bucketed(cur)
+      val evalH = grams(b.filter($"bucket" >= 98)).select($"h").distinct()
+      grams(b.filter($"bucket" < 98))
+        .join(evalH, Seq("h"), "left_semi")
+        .select($"doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    try {
+      CorpusLayout.materialize(spark, sf)
+      def served(): DataFrame = CorpusLayout.ifPresent(spark, sf, "documents").get
+      // plant contamination: an eval doc's text recrawled into two train
+      // docs (the leak a benchmark score dies from)
+      val evalRow = bucketed(served())
+        .filter($"bucket" >= 98 && size(tokens($"text")) >= 20)
+        .orderBy($"doc_id").select($"text").head()
+      val evalText = evalRow.getString(0)
+      val targets = bucketed(served()).filter($"bucket" < 98)
+        .orderBy($"doc_id").select($"doc_id").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      val plant = targets.map(id => (id, evalText, "en", "web", evalText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("tombstone", lit(false))
+      MergeOps.applyToLayout(spark, sf, plant)
+      val before = served().count()
+      val dirty = contaminated(served())
+      assert(targets.forall(dirty.contains),
+        s"planted leaks $targets not detected (found $dirty)")
+      // one CoW apply surgically removes every contaminated train doc
+      val (curLoc, _) = MergeOps.tableLayout(spark,
+        CorpusLayout.tableName("documents", sf))
+      val payload = Seq("text", "lang", "source", "n_chars")
+      val tombs = served().filter($"doc_id".isin(dirty: _*))
+        .select($"doc_id" +: payload.map(c =>
+          lit(null).cast(served().schema(c).dataType).as(c)): _*)
+        .withColumn("tombstone", lit(true))
+      val vpath = MergeOps.applyToLayout(spark, sf, tombs)
+      // CoW held: at least one bucket file rode forward as a hard link
+      val linked = graft.sources.StatsManifest.listDataFiles(vpath).filter(f =>
+        Files.exists(Paths.get(curLoc, f)) &&
+          Files.isSameFile(Paths.get(curLoc, f), Paths.get(vpath, f)))
+      assert(linked.nonEmpty, "decontamination apply rewrote every bucket")
+      // the served corpus is clean: the dirty docs are gone, nothing else
+      // moved, and the probe that found them now finds nothing
+      assert(served().filter($"doc_id".isin(dirty: _*)).count() == 0)
+      assert(served().count() == before - dirty.size)
+      assert(contaminated(served()).isEmpty,
+        "contamination survived the tombstone apply")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
