@@ -66,12 +66,14 @@ object StreamingMerge {
     * idempotency.
     */
   def applyBatch(changes: DataFrame, batchId: Long, corpusDir: String,
-                 table: String = "documents"): Boolean = {
+                 table: String = "documents",
+                 evolveSchema: Boolean = false): Boolean = {
     val s = changes.sparkSession
     if (appliedBatches(s, corpusDir, table).contains(batchId)) false
     else if (changes.isEmpty) false
     else {
-      MergeOps.applyToLayout(s, corpusDir, changes, table)
+      MergeOps.applyToLayout(s, corpusDir, changes, table,
+        evolveSchema = evolveSchema)
       val dir = ledgerDir(s, corpusDir, table)
       java.nio.file.Files.createDirectories(dir)
       try java.nio.file.Files.createFile(dir.resolve(s"b$batchId"))
@@ -84,7 +86,9 @@ object StreamingMerge {
     * set the checkpoint on the returned writer as usual).
     */
   def applyWriter(changes: DataFrame, corpusDir: String,
-                  table: String = "documents"): DataStreamWriter[org.apache.spark.sql.Row] =
+                  table: String = "documents",
+                  evolveSchema: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch(
-      (df: DataFrame, id: Long) => { applyBatch(df, id, corpusDir, table); () })
+      (df: DataFrame, id: Long) =>
+        { applyBatch(df, id, corpusDir, table, evolveSchema); () })
 }

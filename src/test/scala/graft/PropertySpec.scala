@@ -750,4 +750,66 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"trial $trial: fixed frames unexpectedly survived the shift: ${sharedFrames.size}")
     }
   }
+
+  test("StatsManifest soundness law on generated data: pruned scan ≡ filter, dropped files hold no match") {
+    import spark.implicits._
+    import graft.sources.StatsManifest
+    import graft.sources.StatsManifest._
+    // adversarial value pool: nulls, negative/positive longs, empty and
+    // over-cap and non-ASCII strings (the cap and ASCII guards must cost
+    // pruning, never correctness)
+    val strPool = Seq("", "aa", "mm", "zz", "z" * 80, "αβγδε", "m" * 70)
+    val rowGen: Gen[(Long, Option[Long], String)] = for {
+      id <- Gen.chooseNum(0L, 10000L)
+      v <- Gen.option(Gen.chooseNum(-500L, 500L))
+      s <- Gen.oneOf(strPool)
+    } yield (id, v, s)
+    val data = samples(rowGen, 2000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smprop")
+    try {
+      val dir = tmp.toString + "/t"
+      data.toDF("id", "v", "s").repartition(16).write.parquet(dir)
+      StatsManifest.build(spark, dir, Seq("id", "v", "s"))
+      val full = spark.read.parquet(dir)
+      val allFiles = StatsManifest.listDataFiles(dir)
+      val predGen: Gen[Seq[StatPred]] = for {
+        lo <- Gen.chooseNum(-600L, 600L)
+        w <- Gen.chooseNum(0L, 400L)
+        sv <- Gen.oneOf(strPool)
+        idv <- Gen.chooseNum(0L, 10000L)
+        ps <- Gen.someOf(Seq[StatPred](
+          BetweenStat("v", lo, lo + w), EqStat("s", sv),
+          GeStat("id", idv), LeStat("s", sv), IsNullStat("v")))
+      } yield ps.toSeq
+      val cases = samples(predGen, 24).filter(_.nonEmpty)
+      assert(cases.size >= 15, "generator starved")
+      for ((preds, i) <- cases.zipWithIndex) {
+        val flt = preds.map(_.dataFilter).reduce(_ && _)
+        // parity: skipping never changes an answer
+        val got = StatsManifest.scan(spark, dir, preds)
+          .orderBy($"id", $"v", $"s").collect().map(_.toString).toSeq
+        val want = full.filter(flt)
+          .orderBy($"id", $"v", $"s").collect().map(_.toString).toSeq
+        assert(got == want, s"case $i parity: $preds")
+        // soundness: every DROPPED file provably holds no matching row
+        val (kept, total) = prunedFiles(spark, dir, manifestDirFor(dir), preds)
+        val dropped = allFiles.filterNot(kept.toSet)
+        assert(kept.size + dropped.size == total)
+        if (dropped.nonEmpty) {
+          val leaked = spark.read.parquet(dropped.map(f => s"$dir/$f"): _*)
+            .filter(flt).count()
+          assert(leaked == 0L, s"case $i: pruning dropped $leaked matching rows ($preds)")
+        }
+      }
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val c = java.nio.file.Files.list(p)
+          try c.forEach(rm(_)) finally c.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(tmp)
+    }
+  }
 }

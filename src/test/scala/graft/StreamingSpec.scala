@@ -869,6 +869,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // an empty batch is skipped without a ledger entry
       assert(!StreamingMerge.applyBatch(replay.limit(0), 99L, sf))
       assert(!StreamingMerge.appliedBatches(spark, sf).contains(99L))
+      // a restarted feed that starts SCORING documents (new column)
+      // evolves the served schema through the same per-batch verb
+      val scored = Seq((1L, "v3 one scored", "en", "web", 13L, 0.7, false))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "quality", "tombstone")
+      val refused = intercept[IllegalArgumentException](
+        StreamingMerge.applyBatch(scored, 100L, sf))
+      assert(refused.getMessage.contains("quality"), refused.getMessage)
+      assert(StreamingMerge.applyBatch(scored, 100L, sf, evolveSchema = true))
+      val evolved = Tables.load(spark, sf, "documents")
+      assert(evolved.columns.contains("quality"))
+      assert(evolved.filter($"doc_id" === 1L).select($"quality")
+        .as[Double].head() == 0.7)
+      assert(evolved.filter($"quality".isNull).count() == evolved.count() - 1)
     } finally {
       CorpusLayout.drop(spark, sf)
       spark.conf.unset(CorpusLayout.ConfKey)
