@@ -511,12 +511,20 @@ object MergeOps {
       throw new IllegalArgumentException(
         s"generation $gen of ($corpusDir, $table) does not exist " +
           s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
-    // mergeSchema: a generation holds hard-linked pre-evolution files
-    // next to evolved ones after an ADD-COLUMN apply; the union schema
-    // (missing columns read NULL) is what the catalog table serves, so
-    // the raw time-travel read must see it too. Footer cost is bounded
-    // by the generation's ≤|buckets| files.
-    s.read.option("mergeSchema", "true").parquet(path)
+    // When the generation carries a stats manifest, serve it through
+    // the manifest file index — time-travel reads then skip files on
+    // any user filter at planning time, like the live table's explicit
+    // scan path. Both branches read with mergeSchema semantics: a
+    // generation holds hard-linked pre-evolution files next to evolved
+    // ones after an ADD-COLUMN apply, and the union schema (missing
+    // columns read NULL) is what the catalog table serves, so the raw
+    // time-travel read must see it too. Footer cost is bounded by the
+    // generation's ≤|buckets| files.
+    if (graft.sources.StatsManifest.read(s,
+        graft.sources.StatsManifest.manifestDirFor(path)).isDefined)
+      graft.sources.ManifestFileIndex.table(s, path)
+    else
+      s.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** What changed between two retained generations, as an applicable

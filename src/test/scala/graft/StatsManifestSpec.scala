@@ -297,6 +297,20 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
           Seq(BetweenStat("n_chars", 100, 160)))
         .select($"doc_id", $"source", $"n_chars"))
       assert(got == expected, "pruned scan on the applied generation diverged")
+      // time-travel reads route through the manifest index when the
+      // generation carries one: same rows, and the scan's FileIndex IS
+      // the manifest index. (No skipping to assert here: this layout is
+      // hash-bucketed on doc_id, so every file spans ~the full n_chars
+      // range — pruning quality is the LAYOUT's property, the z-order
+      // tests above own that claim.)
+      val tt = MergeOps.readGeneration(spark, sf, "documents", 1)
+        .filter($"n_chars".between(100, 160))
+        .select($"doc_id", $"source", $"n_chars")
+      assert(rows(tt) == expected, "manifest-indexed time travel diverged")
+      tt.collect() // drive tt's own QueryExecution so the plan finalizes
+      val locs = scans(tt.queryExecution.executedPlan).map(_.relation.location)
+      assert(locs.nonEmpty && locs.forall(_.isInstanceOf[ManifestFileIndex]),
+        s"time-travel read did not route through the manifest index: $locs")
     } finally {
       CorpusLayout.drop(spark, sf)
       spark.conf.unset(CorpusLayout.ConfKey)
