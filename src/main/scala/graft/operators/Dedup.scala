@@ -1591,16 +1591,7 @@ object Dedup {
         // store path), so the temp store is garbage the moment wave 2
         // returns — delete it here or min-of-3 bench + oracle runs
         // accumulate parquet stores in /tmp indefinitely
-        locally {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p)) {
-              val c = java.nio.file.Files.list(p)
-              try c.forEach(rm(_)) finally c.close()
-            }
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(tmp)
-        }
+        graft.FsUtil.deleteRecursively(tmp)
         w1.unionByName(w2)
           .select($"i", $"j", $"est_jaccard")
           .orderBy($"i", $"j")

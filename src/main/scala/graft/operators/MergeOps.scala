@@ -460,7 +460,10 @@ object MergeOps {
       s"snapshot $k of $corpusDir does not exist (have: ${snapshots(s, corpusDir).mkString(",")})")
     new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       .linesIterator.map(_.split("\t", 2)).collect {
-        case Array(t, p) => t -> s.read.parquet(p)
+        // same manifest-index + mergeSchema routing as readGeneration:
+        // a pinned generation can be post-evolution mixed-schema, and
+        // the snapshot exists to reproduce EXACTLY what was served
+        case Array(t, p) => t -> graft.sources.ManifestFileIndex.table(s, p)
       }.toMap
   }
 
@@ -488,14 +491,7 @@ object MergeOps {
       .filterNot { case (_, p) =>
         pinned.contains(java.nio.file.Paths.get(p).normalize.toString) }
     doomed.map { case (_, p) =>
-      def rm(x: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(x)) {
-          val kids = java.nio.file.Files.list(x)
-          try kids.forEach(rm(_)) finally kids.close()
-        }
-        java.nio.file.Files.deleteIfExists(x)
-      }
-      rm(java.nio.file.Paths.get(p))
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
       p
     }
   }
@@ -511,20 +507,17 @@ object MergeOps {
       throw new IllegalArgumentException(
         s"generation $gen of ($corpusDir, $table) does not exist " +
           s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
-    // When the generation carries a stats manifest, serve it through
-    // the manifest file index — time-travel reads then skip files on
-    // any user filter at planning time, like the live table's explicit
-    // scan path. Both branches read with mergeSchema semantics: a
-    // generation holds hard-linked pre-evolution files next to evolved
-    // ones after an ADD-COLUMN apply, and the union schema (missing
-    // columns read NULL) is what the catalog table serves, so the raw
-    // time-travel read must see it too. Footer cost is bounded by the
-    // generation's ≤|buckets| files.
-    if (graft.sources.StatsManifest.read(s,
-        graft.sources.StatsManifest.manifestDirFor(path)).isDefined)
-      graft.sources.ManifestFileIndex.table(s, path)
-    else
-      s.read.option("mergeSchema", "true").parquet(path)
+    // Serve through the manifest file index: when the generation
+    // carries a stats manifest, time-travel reads skip files on any
+    // user filter at planning time like the live table's explicit scan
+    // path; without one, table() degrades to the plain read itself.
+    // Either way the read carries mergeSchema semantics: a generation
+    // holds hard-linked pre-evolution files next to evolved ones after
+    // an ADD-COLUMN apply, and the union schema (missing columns read
+    // NULL) is what the catalog table serves, so the raw time-travel
+    // read must see it too. Footer cost is bounded by the generation's
+    // ≤|buckets| files.
+    graft.sources.ManifestFileIndex.table(s, path)
   }
 
   /** What changed between two retained generations, as an applicable

@@ -1220,16 +1220,7 @@ object Pipeline {
           // materialize (lineage cut from the temp layout) so the
           // temp files can be deleted before the frame is consumed
           .localCheckpoint()
-        locally {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p)) {
-              val c = java.nio.file.Files.list(p)
-              try c.forEach(rm(_)) finally c.close()
-            }
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(tmp)
-        }
+        graft.FsUtil.deleteRecursively(tmp)
         res
       },
       Some("""

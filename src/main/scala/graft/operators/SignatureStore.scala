@@ -427,16 +427,8 @@ object SignatureStore {
               servedNow.contains(java.nio.file.Paths.get(p).normalize.toString))
             .toVector
         } finally kids.close()
-        doomed.foreach { p =>
-          def rm(x: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(x)) {
-              val c = java.nio.file.Files.list(x)
-              try c.forEach(rm(_)) finally c.close()
-            }
-            java.nio.file.Files.deleteIfExists(x)
-          }
-          rm(java.nio.file.Paths.get(p))
-        }
+        doomed.foreach(p =>
+          graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p)))
         doomed
       }
     }
@@ -475,13 +467,7 @@ object SignatureStore {
     Seq("sig", "comp").map(tableName(_, corpusDir))
       .filter(s.catalog.tableExists)
       .foreach(t => s.sql(s"DROP TABLE $t"))
-    storeDir(s, corpusDir).foreach { d =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(d))
-    }
+    storeDir(s, corpusDir).foreach(d =>
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 }

@@ -203,16 +203,8 @@ object VectorIndexStore {
         // n.drop(1).nonEmpty: a stray child named exactly "v" would pass
         // the vacuous forall and then "".toInt would abort the prune
         if (n.startsWith("v") && n.drop(1).nonEmpty &&
-            n.drop(1).forall(_.isDigit) && n.drop(1).toInt < cur) {
-          def rm(q: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(q)) {
-              val c = java.nio.file.Files.list(q)
-              try c.forEach(rm(_)) finally c.close()
-            }
-            java.nio.file.Files.deleteIfExists(q)
-          }
-          rm(p)
-        }
+            n.drop(1).forall(_.isDigit) && n.drop(1).toInt < cur)
+          graft.FsUtil.deleteRecursively(p)
       } finally kids.close()
     }
 
@@ -745,15 +737,7 @@ object VectorIndexStore {
   def drop(s: SparkSession, corpusDir: String): Unit =
     storeDir(s, corpusDir).foreach { d =>
       val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(root)) {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val children = java.nio.file.Files.list(p)
-            try children.forEach(rm(_)) finally children.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rm(root)
-      }
+      if (java.nio.file.Files.exists(root))
+        graft.FsUtil.deleteRecursively(root)
     }
 }

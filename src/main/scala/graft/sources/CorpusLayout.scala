@@ -214,13 +214,8 @@ object CorpusLayout {
   def drop(s: SparkSession, corpusDir: String): Unit = {
     keyed.keys.map(tableName(_, corpusDir)).filter(s.catalog.tableExists)
       .foreach(t => s.sql(s"DROP TABLE $t"))
-    s.conf.getOption(ConfKey).foreach { base =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(s"$base/${corpusKey(corpusDir)}"))
-    }
+    s.conf.getOption(ConfKey).foreach(base =>
+      graft.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(s"$base/${corpusKey(corpusDir)}")))
   }
 }

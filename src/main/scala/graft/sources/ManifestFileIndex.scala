@@ -54,7 +54,9 @@ object ManifestFileIndex {
             manifestDir: String = null): DataFrame = {
     val mdir = Option(manifestDir).getOrElse(StatsManifest.manifestDirFor(dataDir))
     StatsManifest.read(s, mdir) match {
-      case None => s.read.parquet(dataDir)
+      // mergeSchema on the degrade path too: an evolved dir mixes file
+      // schemas whether or not its manifest exists
+      case None => s.read.option("mergeSchema", "true").parquet(dataDir)
       case Some(m) =>
         val stats = m.collect().map { r =>
           def s_(c: String) = Option(r.getAs[String](c))

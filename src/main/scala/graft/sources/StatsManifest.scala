@@ -172,7 +172,10 @@ object StatsManifest {
             manifestDir: String = null): String = {
     require(cols.nonEmpty, "StatsManifest.build needs at least one column")
     val out = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
-    val df = s.read.parquet(dataDir)
+    // mergeSchema: an evolved generation mixes file schemas; the stat
+    // columns must resolve against the UNION schema (old files simply
+    // contribute all-NULL stats for a column they lack — sound)
+    val df = s.read.option("mergeSchema", "true").parquet(dataDir)
     writeManifest(s, df, cols, out)
     out
   }
@@ -189,7 +192,7 @@ object StatsManifest {
         case StringType => c -> "string"
         case dt => throw new IllegalArgumentException(
           s"StatsManifest: column '$c' has unsupported type $dt " +
-            "(stat long/double/string/date columns only)")
+            "(stat integral/fractional/string columns only)")
       }
     }
     // one scan: per-file rows + per-(file, col) nulls/min/max, reshaped
@@ -264,23 +267,45 @@ object StatsManifest {
     val all = listDataFiles(dataDir)
     val m = read(s, manifestDir).getOrElse(return (all, all.size))
     if (preds.isEmpty) return (all, all.size)
-    // numeric preds compare on the double VIEW of whichever lane the
-    // column landed in (long casts are exact below 2^53; double-lane
-    // bounds were widened at build); string preds on the string lane
+    // numeric preds compare on the double VIEW of whichever numeric lane
+    // the column landed in (long casts are exact below 2^53; double-lane
+    // bounds were widened at build); string preds on the string lane.
+    // The lane GUARD is soundness-critical: a probe whose type doesn't
+    // match the column's statted lane (EqStat("n_chars", "120"), or a
+    // mixed-type In) must never drop — the exact filter may still match
+    // under Spark's coercion, so only matching-lane rows may prune.
     val mnNum = coalesce(col("min_long").cast(DoubleType), col("min_dbl"))
     val mxNum = coalesce(col("max_long").cast(DoubleType), col("max_dbl"))
-    val dropped = preds.map { p =>
-      val (mn, mx) = p match {
-        case GeStat(_, _: String) => (col("min_str"), col("max_str"))
-        case LeStat(_, _: String) => (col("min_str"), col("max_str"))
-        case BetweenStat(_, _: String, _) => (col("min_str"), col("max_str"))
-        case EqStat(_, _: String) => (col("min_str"), col("max_str"))
-        case InStat(_, (_: String) +: _) => (col("min_str"), col("max_str"))
-        case _ => (mnNum, mxNum)
+    def probeKind(vs: Seq[Any]): Option[Boolean] = { // Some(isString) | mixed
+      val kinds = vs.map {
+        case _: String => Some(true)
+        case _: java.lang.Number => Some(false)
+        case _ => None
       }
-      // a file is droppable on this conjunct iff its stats row exists
-      // and mayMatch is definitively FALSE (null = unknown = keep)
-      m.filter(col("col") === lit(p.column))
+      if (kinds.forall(_.contains(true))) Some(true)
+      else if (kinds.forall(_.contains(false))) Some(false)
+      else None
+    }
+    val dropped = preds.map { p =>
+      val probe = p match {
+        case GeStat(_, v) => probeKind(Seq(v))
+        case LeStat(_, v) => probeKind(Seq(v))
+        case BetweenStat(_, lo, hi) => probeKind(Seq(lo, hi))
+        case EqStat(_, v) => probeKind(Seq(v))
+        case InStat(_, vs) => probeKind(vs)
+        case IsNullStat(_) => Some(false) // nulls counted in every lane
+      }
+      val (mn, mx, laneGuard) = (p, probe) match {
+        case (IsNullStat(_), _) => (mnNum, mxNum, lit(true))
+        case (_, Some(true)) => (col("min_str"), col("max_str"),
+          col("lane") === lit("string"))
+        case (_, Some(false)) => (mnNum, mxNum, col("lane") =!= lit("string"))
+        case (_, None) => (mnNum, mxNum, lit(false)) // mixed probe: never prune
+      }
+      // a file is droppable on this conjunct iff its stats row exists in
+      // the probe's own lane and mayMatch is definitively FALSE (null =
+      // unknown = keep)
+      m.filter(col("col") === lit(p.column) && laneGuard)
         .filter(!coalesce(p.mayMatch(mn, mx, col("nulls"), col("rows")), lit(true)))
         .select(col("file"))
     }.reduce(_ unionByName _).distinct()
@@ -297,14 +322,19 @@ object StatsManifest {
     val mdir = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
     val (keep, total) = prunedFiles(s, dataDir, mdir, preds)
     val flt = preds.map(_.dataFilter).reduceOption(_ && _).getOrElse(lit(true))
+    // every branch reads with mergeSchema: an evolved generation mixes
+    // file schemas, and single-footer inference could drop the added
+    // column from whichever subset this scan happens to read
+    def rd(paths: String*) =
+      s.read.option("mergeSchema", "true").parquet(paths: _*)
     if (keep.isEmpty)
       // no file can match: an empty frame with the directory's schema
       // (Filter(false) folds to an empty LocalRelation — zero tasks)
-      s.read.parquet(dataDir).filter(lit(false))
+      rd(dataDir).filter(lit(false))
     else if (keep.size == total)
-      s.read.parquet(dataDir).filter(flt)
+      rd(dataDir).filter(flt)
     else
-      s.read.parquet(keep.map(f => s"$dataDir/$f"): _*).filter(flt)
+      rd(keep.map(f => s"$dataDir/$f"): _*).filter(flt)
   }
 
   // ── incremental maintenance (generation chain) ──────────────────────
@@ -335,15 +365,7 @@ object StatsManifest {
       writeManifest(s, s.read.parquet(fresh.map(f => s"$newLoc/$f"): _*), cols, tmp)
       carried.unionByName(s.read.parquet(tmp))
         .repartition(1).write.mode("overwrite").parquet(out)
-      val rmDir = java.nio.file.Paths.get(tmp)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val c = java.nio.file.Files.list(p)
-          try c.forEach(rm(_)) finally c.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(rmDir)
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
     }
   }
 }

@@ -183,6 +183,35 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
       assert(keepCol.size == totalCol, "unstatted column caused pruning")
       assert(rows(StatsManifest.scan(spark, dir, q))
         == rows(full.filter($"source" === "src3")))
+
+      // lane confusion must never prune: a STRING probe against a
+      // long-statted column (and vice versa) evaluates the exact filter
+      // under Spark's coercion, so the manifest must keep every file
+      StatsManifest.build(spark, dir, Seq("n_chars", "source"))
+      val strProbe = Seq(EqStat("n_chars", "120"))
+      val (keepStr, totStr) = prunedFiles(spark, dir, manifestDirFor(dir), strProbe)
+      assert(keepStr.size == totStr, "string probe pruned a long-statted column")
+      assert(rows(StatsManifest.scan(spark, dir, strProbe))
+        == rows(full.filter($"n_chars" === "120")))
+      // ...and a NUMERIC probe against a string-statted column of
+      // numeric-looking values (Spark casts the column and matches,
+      // lexicographic string bounds would prune wrongly: "5" > "40")
+      val ndir = tmp.toString + "/numstr"
+      Seq("5", "40", "300").toDF("s").coalesce(1).write.parquet(ndir)
+      StatsManifest.build(spark, ndir, Seq("s"))
+      val nfull = spark.read.parquet(ndir)
+      val numProbe = Seq(GeStat("s", 40))
+      val (keepNum, totNum) = prunedFiles(spark, ndir, manifestDirFor(ndir), numProbe)
+      assert(keepNum.size == totNum, "numeric probe pruned a string-statted column")
+      assert(rows(StatsManifest.scan(spark, ndir, numProbe))
+        == rows(nfull.filter($"s" >= 40)))
+      assert(nfull.filter($"s" >= 40).count() == 2L)
+      // mixed-type IN: conservative, exact
+      val mixed = Seq(InStat("n_chars", Seq(120, "130")))
+      val (keepMix, totMix) = prunedFiles(spark, dir, manifestDirFor(dir), mixed)
+      assert(keepMix.size == totMix, "mixed-type IN pruned")
+      assert(rows(StatsManifest.scan(spark, dir, mixed))
+        == rows(full.filter($"n_chars".isInCollection(Seq(120, "130")))))
     } finally rmAll(tmp)
   }
 
