@@ -33,12 +33,17 @@ object ParquetSink {
     */
   def writeBatch(df: DataFrame, batchId: Long, path: String,
                  routeCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
     // Dynamic mode scopes mode("overwrite") to the partitions present in
-    // THIS write (just batch_id=batchId), not the whole table.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // THIS write (just batch_id=batchId), not the whole table. As a
+    // per-WRITE option, never a session conf: a session-wide dynamic
+    // mode leaks into every later partitioned overwrite on the session —
+    // and dynamic overwrites skip the top-level _SUCCESS marker, which
+    // silently broke VectorIndexStore's readiness probe in whatever
+    // workload ran after a sink batch (caught by suite-order bisection).
     df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy(routeCols :+ "batch_id": _*).parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(routeCols :+ "batch_id": _*).parquet(path)
   }
 
   /** Attach the idempotent sink to a stream (caller starts/stops). */
