@@ -462,7 +462,9 @@ object MergeOps {
       .linesIterator.map(_.split("\t", 2)).collect {
         // same manifest-index + mergeSchema routing as readGeneration:
         // a pinned generation can be post-evolution mixed-schema, and
-        // the snapshot exists to reproduce EXACTLY what was served
+        // the snapshot exists to reproduce EXACTLY what was served.
+        // Construction pays one footer-merge inference per pinned table
+        // (≤|buckets| footers); the manifest collect defers to first scan
         case Array(t, p) => t -> graft.sources.ManifestFileIndex.table(s, p)
       }.toMap
   }

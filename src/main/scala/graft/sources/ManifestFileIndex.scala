@@ -58,7 +58,10 @@ object ManifestFileIndex {
       // schemas whether or not its manifest exists
       case None => s.read.option("mergeSchema", "true").parquet(dataDir)
       case Some(m) =>
-        val stats = m.collect().map { r =>
+        // the collect is DEFERRED to the first listFiles call (a lazy val
+        // in the index): constructing the frame — readSnapshot builds one
+        // per pinned table — costs no manifest job until a scan plans
+        def collectStats(): Map[String, Map[String, ColStats]] = m.collect().map { r =>
           def s_(c: String) = Option(r.getAs[String](c))
           def l_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
             else Some(r.getAs[Long](c))
@@ -75,7 +78,7 @@ object ManifestFileIndex {
         val schema = s.read.option("mergeSchema", "true").parquet(dataDir).schema
         val base = new InMemoryFileIndex(s, Seq(new Path(dataDir)),
           Map.empty[String, String], Some(schema))
-        val rel = HadoopFsRelation(new ManifestFileIndex(base, stats),
+        val rel = HadoopFsRelation(new ManifestFileIndex(base, () => collectStats()),
           new StructType(), schema, None, new ParquetFileFormat, Map.empty)(s)
         org.apache.spark.sql.GraftPlanBridge.ofRows(s, LogicalRelation(rel, false))
     }
@@ -97,8 +100,13 @@ object ManifestFileIndex {
 
 final class ManifestFileIndex(
     base: InMemoryFileIndex,
-    stats: Map[String, Map[String, ManifestFileIndex.ColStats]]) extends FileIndex {
+    loadStats: () => Map[String, Map[String, ManifestFileIndex.ColStats]])
+  extends FileIndex {
   import ManifestFileIndex._
+
+  // deferred to the first pruning decision; a frame that is never
+  // scanned (an unused readSnapshot entry) never pays the manifest job
+  private lazy val stats = loadStats()
 
   override def rootPaths: Seq[Path] = base.rootPaths
   override def inputFiles: Array[String] = base.inputFiles

@@ -286,21 +286,24 @@ object StatsManifest {
       else if (kinds.forall(_.contains(false))) Some(false)
       else None
     }
+    def probeValues(p: StatPred): Seq[Any] = p match {
+      case GeStat(_, v) => Seq(v)
+      case LeStat(_, v) => Seq(v)
+      case BetweenStat(_, lo, hi) => Seq(lo, hi)
+      case EqStat(_, v) => Seq(v)
+      case InStat(_, vs) => vs
+      case IsNullStat(_) => Nil
+    }
     val dropped = preds.map { p =>
-      val probe = p match {
-        case GeStat(_, v) => probeKind(Seq(v))
-        case LeStat(_, v) => probeKind(Seq(v))
-        case BetweenStat(_, lo, hi) => probeKind(Seq(lo, hi))
-        case EqStat(_, v) => probeKind(Seq(v))
-        case InStat(_, vs) => probeKind(vs)
-        case IsNullStat(_) => Some(false) // nulls counted in every lane
-      }
-      val (mn, mx, laneGuard) = (p, probe) match {
-        case (IsNullStat(_), _) => (mnNum, mxNum, lit(true))
-        case (_, Some(true)) => (col("min_str"), col("max_str"),
-          col("lane") === lit("string"))
-        case (_, Some(false)) => (mnNum, mxNum, col("lane") =!= lit("string"))
-        case (_, None) => (mnNum, mxNum, lit(false)) // mixed probe: never prune
+      val (mn, mx, laneGuard) = p match {
+        // null counts are lane-independent — any lane's row may drop
+        case IsNullStat(_) => (mnNum, mxNum, lit(true))
+        case _ => probeKind(probeValues(p)) match {
+          case Some(true) => (col("min_str"), col("max_str"),
+            col("lane") === lit("string"))
+          case Some(false) => (mnNum, mxNum, col("lane") =!= lit("string"))
+          case None => (mnNum, mxNum, lit(false)) // mixed probe: never prune
+        }
       }
       // a file is droppable on this conjunct iff its stats row exists in
       // the probe's own lane and mayMatch is definitively FALSE (null =
@@ -322,19 +325,22 @@ object StatsManifest {
     val mdir = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
     val (keep, total) = prunedFiles(s, dataDir, mdir, preds)
     val flt = preds.map(_.dataFilter).reduceOption(_ && _).getOrElse(lit(true))
-    // every branch reads with mergeSchema: an evolved generation mixes
-    // file schemas, and single-footer inference could drop the added
-    // column from whichever subset this scan happens to read
-    def rd(paths: String*) =
-      s.read.option("mergeSchema", "true").parquet(paths: _*)
+    // every branch serves the FULL DIRECTORY's union schema (mergeSchema
+    // over all footers): an evolved generation mixes file schemas, and a
+    // kept SUBSET that happens to be all pre-evolution files would
+    // otherwise lose the added column — silently, or as an unresolvable-
+    // column error when the predicate itself names it (IsNullStat on the
+    // evolved column keeps exactly the pre-evolution files)
+    val all = s.read.option("mergeSchema", "true").parquet(dataDir)
     if (keep.isEmpty)
       // no file can match: an empty frame with the directory's schema
       // (Filter(false) folds to an empty LocalRelation — zero tasks)
-      rd(dataDir).filter(lit(false))
+      all.filter(lit(false))
     else if (keep.size == total)
-      rd(dataDir).filter(flt)
+      all.filter(flt)
     else
-      rd(keep.map(f => s"$dataDir/$f"): _*).filter(flt)
+      s.read.schema(all.schema).parquet(keep.map(f => s"$dataDir/$f"): _*)
+        .filter(flt)
   }
 
   // ── incremental maintenance (generation chain) ──────────────────────

@@ -430,14 +430,7 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       Seq("graft_af_facts", "graft_af_dims").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val c = java.nio.file.Files.list(p)
-          try c.forEach(rm(_)) finally c.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(base))
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
     }
   }
   test("whole-stage codegen: merge compiles into a codegen stage, bit-equal to the interpreted path") {

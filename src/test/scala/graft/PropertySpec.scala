@@ -802,14 +802,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         }
       }
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val c = java.nio.file.Files.list(p)
-          try c.forEach(rm(_)) finally c.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(tmp)
+      graft.FsUtil.deleteRecursively(tmp)
     }
   }
 }

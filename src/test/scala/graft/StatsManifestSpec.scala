@@ -39,13 +39,8 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
     here ++ kids.flatMap(scans)
   }
 
-  private def rmAll(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val c = java.nio.file.Files.list(p)
-      try c.forEach(rmAll(_)) finally c.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def rmAll(p: java.nio.file.Path): Unit =
+    graft.FsUtil.deleteRecursively(p)
 
   test("z-ordered corpus: box query skips files, pruned scan ≡ full filter, empty prune is empty") {
     import spark.implicits._
