@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.StructType
   * cost correctness only via the same soundness contract
   * [[StatsManifest]] documents (bounds only ever widen).
   *
-  * The manifest is collected ONCE at construction (|files|×|cols| rows —
-  * the same metadata scale as the file listing itself; Delta replays its
-  * log driver-side identically). Evaluation here is driver-side Scala,
+  * The manifest is read fresh and collected at the FIRST pruning
+  * decision, then held (|files|×|cols| rows — the same metadata scale as
+  * the file listing itself; Delta replays its log driver-side
+  * identically): constructing a frame costs no manifest job, a manifest
+  * rebuilt between construction and first scan is picked up rather than
+  * read from a stale file listing, and a manifest deleted in that window
+  * degrades to keep-all. Evaluation here is driver-side Scala,
   * deliberately mirroring [[StatsManifest.prunedFiles]]'s relational
   * evaluation; StatsManifestSpec pins the two paths to agree on the same
   * predicates so they cannot drift. Conservative outs, in addition to
@@ -57,28 +61,33 @@ object ManifestFileIndex {
       // mergeSchema on the degrade path too: an evolved dir mixes file
       // schemas whether or not its manifest exists
       case None => s.read.option("mergeSchema", "true").parquet(dataDir)
-      case Some(m) =>
-        // the collect is DEFERRED to the first listFiles call (a lazy val
-        // in the index): constructing the frame — readSnapshot builds one
-        // per pinned table — costs no manifest job until a scan plans
-        def collectStats(): Map[String, Map[String, ColStats]] = m.collect().map { r =>
-          def s_(c: String) = Option(r.getAs[String](c))
-          def l_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
-            else Some(r.getAs[Long](c))
-          def d_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
-            else Some(r.getAs[Double](c))
-          (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStats(
-            r.getAs[String]("lane"), r.getAs[Long]("rows"), r.getAs[Long]("nulls"),
-            l_("min_long"), l_("max_long"), d_("min_dbl"), d_("max_dbl"),
-            s_("min_str"), s_("max_str"))
-        }.groupBy(_._1._1)
-          .map { case (f, rows) => f -> rows.map { case ((_, c), st) => c -> st }.toMap }
-        // mergeSchema: the dir may mix pre-evolution linked files with
-        // evolved ones (MergeOps ADD COLUMN) — serve the union schema
-        val schema = s.read.option("mergeSchema", "true").parquet(dataDir).schema
+      case Some(_) =>
+        // DEFERRED manifest load (first listFiles call, see class doc):
+        // re-reads the manifest FRESH at that moment — no DataFrame (and
+        // no file listing) captured across the window, and a manifest
+        // that was rebuilt or deleted meanwhile resolves to its current
+        // state (deleted = empty map = keep-all)
+        def loadStats(): Map[String, Map[String, ColStats]] =
+          StatsManifest.read(s, mdir).map(_.collect().map { r =>
+            def s_(c: String) = Option(r.getAs[String](c))
+            def l_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+              else Some(r.getAs[Long](c))
+            def d_(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+              else Some(r.getAs[Double](c))
+            (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStats(
+              r.getAs[String]("lane"), r.getAs[Long]("rows"), r.getAs[Long]("nulls"),
+              l_("min_long"), l_("max_long"), d_("min_dbl"), d_("max_dbl"),
+              s_("min_str"), s_("max_str"))
+          }.groupBy(_._1._1)
+            .map { case (f, rows) => f -> rows.map { case ((_, c), st) => c -> st }.toMap })
+            .getOrElse(Map.empty)
+        // the union schema comes from the manifest's marker (one tiny
+        // file; mergeSchema inference only for pre-marker manifests) —
+        // the dir may mix pre-evolution linked files with evolved ones
+        val schema = StatsManifest.unionSchema(s, dataDir, mdir)
         val base = new InMemoryFileIndex(s, Seq(new Path(dataDir)),
           Map.empty[String, String], Some(schema))
-        val rel = HadoopFsRelation(new ManifestFileIndex(base, () => collectStats()),
+        val rel = HadoopFsRelation(new ManifestFileIndex(base, () => loadStats()),
           new StructType(), schema, None, new ParquetFileFormat, Map.empty)(s)
         org.apache.spark.sql.GraftPlanBridge.ofRows(s, LogicalRelation(rel, false))
     }

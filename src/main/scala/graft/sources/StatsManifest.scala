@@ -67,6 +67,29 @@ object StatsManifest {
 
   def manifestDirFor(dataDir: String): String = s"$dataDir/$SubDir"
 
+  // ── union-schema marker ─────────────────────────────────────────────
+  // The data directory's UNION schema (mergeSchema over every footer),
+  // captured once when the manifest is (re)built and read back by every
+  // scan — without it each pruned scan would pay a full-directory
+  // footer-merge inference, the exact per-file cost the manifest exists
+  // to avoid. The underscore name keeps it out of parquet listings.
+
+  private def schemaMarker(mdir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(mdir, "_SCHEMA")
+
+  private def writeSchemaMarker(mdir: String, schema: StructType): Unit =
+    java.nio.file.Files.write(schemaMarker(mdir), schema.json.getBytes("UTF-8"))
+
+  private[graft] def unionSchema(s: SparkSession, dataDir: String,
+                                 mdir: String): StructType = {
+    val p = schemaMarker(mdir)
+    if (java.nio.file.Files.exists(p))
+      DataType.fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .asInstanceOf[StructType]
+    else // pre-marker manifests: pay the inference once per call
+      s.read.option("mergeSchema", "true").parquet(dataDir).schema
+  }
+
   // ── predicates ──────────────────────────────────────────────────────
 
   /** A conjunct the manifest can prune on. `dataFilter` is the EXACT
@@ -233,6 +256,9 @@ object StatsManifest {
         mnS.as("min_str"), mxS.as("max_str"))
     }.reduce(_ unionByName _)
     rows.repartition(1).write.mode("overwrite").parquet(out)
+    // capture the data's union schema alongside the stats (see
+    // [[unionSchema]]) — `df` was opened with mergeSchema by every caller
+    writeSchemaMarker(out, df.schema)
   }
 
   private def ready(dir: String): Boolean =
@@ -325,22 +351,27 @@ object StatsManifest {
     val mdir = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
     val (keep, total) = prunedFiles(s, dataDir, mdir, preds)
     val flt = preds.map(_.dataFilter).reduceOption(_ && _).getOrElse(lit(true))
-    // every branch serves the FULL DIRECTORY's union schema (mergeSchema
-    // over all footers): an evolved generation mixes file schemas, and a
-    // kept SUBSET that happens to be all pre-evolution files would
-    // otherwise lose the added column — silently, or as an unresolvable-
-    // column error when the predicate itself names it (IsNullStat on the
-    // evolved column keeps exactly the pre-evolution files)
-    val all = s.read.option("mergeSchema", "true").parquet(dataDir)
-    if (keep.isEmpty)
+    // every branch serves the FULL DIRECTORY's union schema (from the
+    // manifest's schema marker — one tiny file, no footer sweep): an
+    // evolved generation mixes file schemas, and a kept SUBSET that
+    // happens to be all pre-evolution files would otherwise lose the
+    // added column — silently, or as an unresolvable-column error when
+    // the predicate itself names it (IsNullStat on the evolved column
+    // keeps exactly the pre-evolution files)
+    if (keep.isEmpty) {
       // no file can match: an empty frame with the directory's schema
       // (Filter(false) folds to an empty LocalRelation — zero tasks)
-      all.filter(lit(false))
-    else if (keep.size == total)
-      all.filter(flt)
-    else
-      s.read.schema(all.schema).parquet(keep.map(f => s"$dataDir/$f"): _*)
-        .filter(flt)
+      val sch = unionSchema(s, dataDir, mdir)
+      s.read.schema(sch).parquet(dataDir).filter(lit(false))
+    } else if (keep.size == total && !ready(mdir))
+      // no manifest at all: the plain degrade read
+      s.read.option("mergeSchema", "true").parquet(dataDir).filter(flt)
+    else {
+      val sch = unionSchema(s, dataDir, mdir)
+      val paths = if (keep.size == total) Seq(dataDir)
+        else keep.map(f => s"$dataDir/$f")
+      s.read.schema(sch).parquet(paths: _*).filter(flt)
+    }
   }
 
   // ── incremental maintenance (generation chain) ──────────────────────
@@ -366,11 +397,19 @@ object StatsManifest {
     val out = manifestDirFor(newLoc)
     if (fresh.isEmpty) {
       carried.repartition(1).write.mode("overwrite").parquet(out)
+      // no new files: the union schema is whatever the previous
+      // generation's marker recorded (fall back to one inference)
+      writeSchemaMarker(out, unionSchema(s, prevLoc, prevDir))
     } else {
       val tmp = s"$out.__build"
-      writeManifest(s, s.read.parquet(fresh.map(f => s"$newLoc/$f"): _*), cols, tmp)
+      // the apply's staging files carry the EVOLVED schema (a superset
+      // of every linked file's — applyChanges only ever adds columns),
+      // so their schema IS the generation's union schema
+      val freshDf = s.read.parquet(fresh.map(f => s"$newLoc/$f"): _*)
+      writeManifest(s, freshDf, cols, tmp)
       carried.unionByName(s.read.parquet(tmp))
         .repartition(1).write.mode("overwrite").parquet(out)
+      writeSchemaMarker(out, freshDf.schema)
       graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
     }
   }

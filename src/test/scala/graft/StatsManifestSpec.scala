@@ -259,6 +259,14 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
       assert(t2.filter($"doc_id" < 3).count()
         == spark.read.parquet(lay).filter($"doc_id" < 3).count(),
         "post-manifest file was pruned blind")
+
+      // a manifest REBUILT between frame construction and the first scan
+      // is read fresh — no stale file listing, answers stay exact
+      val t3 = ManifestFileIndex.table(spark, lay)
+      StatsManifest.build(spark, lay, Seq("n_chars"))
+      assert(t3.filter($"n_chars".between(100, 160)).count()
+        == spark.read.parquet(lay).filter($"n_chars".between(100, 160)).count(),
+        "rebuilt-manifest window broke the deferred load")
     } finally rmAll(tmp)
   }
 
