@@ -79,15 +79,23 @@ object MergeOps {
     * only corpus-sized stage, broadcast or bucket-co-located) UNION ALL
     * changes.upserts. Nothing pairwise, no window, no global sort.
     */
-  def applyChanges(target: DataFrame, changes: DataFrame,
+  def applyChanges(target: DataFrame, changes0: DataFrame,
                    key: String = "doc_id",
-                   evolveSchema: Boolean = false): DataFrame = {
-    require(changes.columns.contains(TombstoneCol),
+                   evolveSchema: Boolean = false,
+                   partial: Boolean = false): DataFrame = {
+    require(changes0.columns.contains(TombstoneCol),
       s"changeset must carry a '$TombstoneCol' boolean column")
+    // partial = UPDATE SET semantics: absent payload columns coalesce
+    // from the matched row via [[expandPartial]]. Off by default so a
+    // misspelled column in a full-row feed still fails loudly below
+    // instead of silently reading as "keep the old value".
+    val changes = if (partial) expandPartial(target, changes0, key) else changes0
     val payload = target.columns.filterNot(_ == key)
     val missing = (Seq(key) ++ payload).filterNot(changes.columns.contains)
     require(missing.isEmpty,
-      s"changeset is missing target columns: ${missing.mkString(", ")}")
+      s"changeset is missing target columns: ${missing.mkString(", ")}" +
+        " — pass partial = true for UPDATE SET semantics (absent columns" +
+        " keep the matched row's value)")
     val extra = changes.columns.filterNot(c =>
       c == key || c == TombstoneCol || payload.contains(c))
     require(evolveSchema || extra.isEmpty,
@@ -99,6 +107,47 @@ object MergeOps {
     val upserts = changes.filter(!col(TombstoneCol))
       .select(col(key) +: (payload ++ extra).map(col): _*)
     untouched.unionByName(upserts)
+  }
+
+  /** Expand a PARTIAL-COLUMN changeset (key + any subset of payload
+    * columns + [[TombstoneCol]]) into the full-row form [[applyChanges]]
+    * merges — SQL MERGE's `WHEN MATCHED THEN UPDATE SET col = v` /
+    * Delta's partial-update shape, so a feed that knows only the changed
+    * columns no longer has to pre-join the corpus itself:
+    *
+    *  - a payload column PRESENT in the changeset overwrites the matched
+    *    row's value (including an explicit NULL — presence means "SET");
+    *  - a payload column ABSENT from the changeset keeps the matched
+    *    row's value, and reads NULL for an inserted (unmatched) key;
+    *  - tombstones need carry only the key;
+    *  - columns the target lacks ride through untouched (evolution —
+    *    [[applyChanges]]'s `evolveSchema` contract decides their fate).
+    *
+    * Scale: the matched rows' absent-column values come from ONE
+    * changeset-key semi-join against the target (build side = the
+    * changeset keys — broadcast when day-sized, bucket-co-located over a
+    * [[graft.sources.CorpusLayout]]), then a changeset-sized×changeset-
+    * sized left join stitches them on. The corpus is never shuffled and
+    * its wide columns ride only for matched keys.
+    */
+  def expandPartial(target: DataFrame, changes: DataFrame,
+                    key: String = "doc_id"): DataFrame = {
+    require(changes.columns.contains(TombstoneCol),
+      s"changeset must carry a '$TombstoneCol' boolean column")
+    require(changes.columns.contains(key),
+      s"changeset must carry the key column '$key'")
+    val payload = target.columns.filterNot(_ == key)
+    val absent = payload.filterNot(changes.columns.contains)
+    if (absent.isEmpty) changes
+    else {
+      val present = changes.columns
+        .filterNot(c => c == key || c == TombstoneCol)
+      val old = target.join(changes.select(col(key)), Seq(key), "left_semi")
+        .select(col(key) +: absent.map(col): _*)
+      changes.join(old, Seq(key), "left")
+        .select(col(key) +: (present ++ absent).map(col)
+          :+ col(TombstoneCol): _*)
+    }
   }
 
   /** Derive the minimal full-row changeset that transforms release `v1`
@@ -248,20 +297,48 @@ object MergeOps {
     * `Tables.load`'s raw-parquet path — stale by one apply, never
     * broken. Returns the new generation's path.
     */
-  def applyToLayout(s: SparkSession, corpusDir: String, changes: DataFrame,
+  def applyToLayout(s: SparkSession, corpusDir: String, changes0: DataFrame,
                     table: String = "documents",
                     buckets: Int = -1,
                     cow: Boolean = true,
-                    evolveSchema: Boolean = false): String = {
+                    evolveSchema: Boolean = false,
+                    partial: Boolean = false): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
     val t = CorpusLayout.tableName(table, corpusDir)
-    val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
-      throw new IllegalStateException(
-        s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
+    require(CorpusLayout.ifPresent(s, corpusDir, table).isDefined,
+      s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first")
+    // sizing policy FIRST (see [[TargetBucketBytesKey]]): when the
+    // served B has drifted ≥4× off the sized count, pay the one full
+    // rewrite now so THIS apply (and every following one) is already
+    // changeset-sized under the new B. The explicit-`buckets` escape
+    // hatch skips the policy — the caller pinned a count on purpose.
+    if (buckets <= 0) maybeRebucket(s, corpusDir, table)
+    // resolve AFTER any rebucket: the relation, generation numbering and
+    // bucket count may all have moved
+    val target = CorpusLayout.ifPresent(s, corpusDir, table).get
     val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, curBuckets) = tableLayout(s, t)
+    // Bucket placement hashes the key's BINARY representation, and
+    // murmur3 differs by width: an IntegerType changeset key against a
+    // LongType corpus hashes to different bucket ids than the bucketed
+    // writer used, so touchedBuckets would classify the real home bucket
+    // "untouched" and hard-link it forward unmodified — silent duplicate
+    // or undeleted keys. Cast the changeset key to the target's type
+    // FIRST; a lossy cast yields NULL keys, which the badKeys check
+    // below rejects loudly.
+    val keyType = target.schema(keyCol).dataType
+    val changes1 = if (changes0.schema(keyCol).dataType == keyType) changes0
+      else changes0.withColumn(keyCol, col(keyCol).cast(keyType))
+    // a sparse (UPDATE SET) changeset expands to full rows HERE, before
+    // anything durable: the bucket math below only needs the key, but
+    // the downstream index applies (SignatureStore / VectorIndexStore)
+    // and the staging write want complete rows. Expansion is one
+    // changeset-key semi-join against the corpus — broadcast-sized, and
+    // bucket-co-located over this very layout.
+    val changes = if (partial) expandPartial(target, changes1, keyCol)
+      else changes1
     // buckets <= 0 = adopt the served generation's bucket count — the
     // right default, since a [[rebucket]] may have moved it off
     // DefaultBuckets; an explicit ask that disagrees is a caller bug.
@@ -544,6 +621,144 @@ object MergeOps {
       other.schema.filterNot(f => df.columns.contains(f.name))
         .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     changeset(pad(v1, v2), pad(v2, v1), keyCol)
+  }
+
+  // ── Bucket-count sizing policy ──────────────────────────────────────
+  // SCALING §8's honest limit, closed: copy-on-write's rewrite
+  // amplification for a k-key feed is the touched fraction 1−e^(−k/B),
+  // so B must TRACK THE CORPUS (one-task-sized buckets) for trickle
+  // applies to stay changeset-sized — B=32 rewrites 28% of a 100 TB
+  // corpus for a 10-key feed; B=10⁵ rewrites ~10⁻⁴ of it. The knob is
+  // [[TargetBucketBytesKey]]; [[applyToLayout]] consults the policy
+  // before each apply and folds in a [[rebucket]] when the served
+  // generation has drifted ≥4× off the sized count. The 4× hysteresis
+  // (with power-of-two counts) bounds maintenance: under geometric
+  // corpus growth the full rewrite is paid O(log corpus) times ever,
+  // and every apply in between is changeset-sized.
+
+  /** Session conf: target data bytes per bucket (suffixes k/m/g). Unset
+    * = no automatic re-bucketing — DefaultBuckets stands, the honest
+    * pre-round-11 behavior.
+    */
+  val TargetBucketBytesKey = "spark.graft.layout.targetBucketBytes"
+
+  private[graft] def parseBytes(v: String): Long = {
+    val t = v.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else (t, 1L)
+    math.round(num.toDouble * mult)
+  }
+
+  /** Data bytes of a generation dir (data files only — markers and the
+    * `_stats` manifest excluded). Driver-side listing, like the CoW
+    * file partition itself.
+    */
+  private[graft] def dataBytes(loc: String): Long = {
+    val dir = java.nio.file.Paths.get(loc)
+    val kids = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      kids.iterator().asScala
+        .filter(p => { val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".") &&
+            java.nio.file.Files.isRegularFile(p) })
+        .map(java.nio.file.Files.size(_)).sum
+    } finally kids.close()
+  }
+
+  /** The bucket count the sizing policy wants for `totalBytes` at
+    * `targetBytes` per bucket: ceil(total/target) rounded UP to a power
+    * of two (stability — counts move in doublings, so the 4× drift
+    * gate below fires predictably), floored at 1.
+    */
+  private[graft] def sizedBucketCount(totalBytes: Long, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"target bucket bytes must be positive, got $targetBytes")
+    val raw = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    var b = 1
+    while (b < raw && b < (1 << 30)) b <<= 1
+    b
+  }
+
+  /** Consult the sizing policy for a served layout table: when the
+    * [[TargetBucketBytesKey]] conf is set and the served generation's
+    * BYTES PER BUCKET has drifted ≥4× off the target (too fat — applies
+    * rewrite too much per touched bucket — or ≤¼, too thin — task and
+    * file overhead dominate), fold in a [[rebucket]] to the sized
+    * power-of-two count and return its path. The band is deliberately
+    * judged on raw bytes/bucket, not on the rounded count: power-of-two
+    * ceiling would halve the effective hysteresis, and per-file format
+    * overhead shifting total bytes across a rewrite could then re-fire
+    * the policy immediately (rebucket thrash). No conf or within-band =
+    * None, no work.
+    */
+  def maybeRebucket(s: SparkSession, corpusDir: String,
+                    table: String = "documents"): Option[String] =
+    s.conf.getOption(TargetBucketBytesKey).flatMap { v =>
+      val target = parseBytes(v)
+      val t = CorpusLayout.tableName(table, corpusDir)
+      if (!s.catalog.tableExists(t)) None
+      else {
+        val (loc, cur) = tableLayout(s, t)
+        val bytes = dataBytes(loc)
+        val perBucket = bytes.toDouble / cur
+        if (perBucket >= 4.0 * target || perBucket <= target / 4.0)
+          Some(rebucket(s, corpusDir, table, sizedBucketCount(bytes, target)))
+        else None
+      }
+    }
+
+  /** Fold the served generation into a FRESH one — same bucket count,
+    * every byte rewritten, no inode shared with any ancestor — so
+    * [[vacuum]] can reclaim a long trickle chain outright (streaming
+    * merge burns one generation per non-empty micro-batch; hard links
+    * keep the chain cheap, but the directory entries and the link-chain
+    * metadata still accrete — this is [[graft.streaming.ParquetSink]]'s
+    * `compact` verb for the generation chain). The rewrite ships ZERO
+    * Exchange: with auto-bucketed-scan forced on, the bucketed read
+    * yields partition i ≡ bucket i, and the bucketBy writer then emits
+    * exactly one fresh file per bucket without redistributing anything —
+    * a corpus-sized IO pass, never a corpus-sized shuffle. Readers are
+    * never blocked (same staging + swing as an apply); run it in the
+    * single-writer maintenance window like every other generation write.
+    */
+  def compactGenerations(s: SparkSession, corpusDir: String,
+                         table: String = "documents"): String = {
+    val keyCol = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
+    val t = CorpusLayout.tableName(table, corpusDir)
+    val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
+    val vpath = nextGenerationPath(s, corpusDir, table)
+    val (curLoc, b) = tableLayout(s, t)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.getOption(autoKey)
+    try {
+      // auto-bucketed-scan would DROP the bucketed scan here (no join in
+      // the plan to justify it) and the write would fan out per-task
+      // files; forcing it pins partition id == bucket id, which is what
+      // makes the write Exchange-free and one-file-per-bucket
+      s.conf.set(autoKey, "false")
+      target.write.format("parquet").option("path", vpath)
+        .bucketBy(b, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(s"${t}_staging")
+    } finally prevAuto match {
+      case Some(v) => s.conf.set(autoKey, v)
+      case None => s.conf.unset(autoKey)
+    }
+    CorpusLayout.writeBucketsMarker(vpath, b)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    s.catalog.refreshTable(t)
+    CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+    // every file name changed → the manifest carry degenerates to a full
+    // re-stat over the compacted generation (no-op without a manifest)
+    graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
+    vpath
   }
 
   /** Re-bucket a layout table at a new bucket count, as a new

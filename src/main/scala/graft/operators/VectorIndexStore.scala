@@ -439,6 +439,28 @@ object VectorIndexStore {
     val next = currentVersion(dir).getOrElse(0) + 1
     val vdir = s"$dir/v$next"
     val keys = changes.select($"vec_id").distinct().cache()
+    // unpersist on EVERY exit (an exception mid-apply would otherwise
+    // leak the cached frame for the session's lifetime), and tear down a
+    // half-staged vN on failure — harmless for serving (the pointer
+    // never flipped) but it would permanently burn the version number
+    // and its disk until pruneOldVersions
+    try applyChangesetStaged(s, served, vdir, next, changes, keys)
+    catch {
+      case e: Throwable =>
+        try graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(vdir))
+        catch { case _: Throwable => () }
+        throw e
+    } finally keys.unpersist()
+    true
+  }
+
+  private def applyChangesetStaged(s: SparkSession, served: String,
+                                   vdir: String, next: Int,
+                                   changes: DataFrame,
+                                   keys: DataFrame): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir0 = java.nio.file.Paths.get(vdir).getParent.toString
     val asn = assignmentsIn(s, served).get
     val oldCells = asn.join(keys, Seq("vec_id"), "left_semi")
       .select($"cell").distinct().collect().map(_.get(0).toString.toInt).toSet
@@ -504,9 +526,7 @@ object VectorIndexStore {
         linkTree(java.nio.file.Paths.get(served, "pq_codes", d),
           java.nio.file.Paths.get(vdir, "pq_codes", d))
     }
-    flip(dir, next)
-    keys.unpersist()
-    true
+    flip(dir0, next)
   }
 
   // ── PQ facet: product-quantized RESIDUAL codes per cell (IVFADC) ──

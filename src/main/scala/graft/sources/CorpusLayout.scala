@@ -176,7 +176,14 @@ object CorpusLayout {
 
   /** The bucketed layout for (corpus, table), when materialized —
     * self-healing: a missing registration re-attaches from disk first
-    * (see [[repairServing]]).
+    * (see [[repairServing]]). A served generation carrying a
+    * [[StatsManifest]] is served through
+    * [[ManifestFileIndex.bucketedTable]] instead of the catalog table:
+    * same schema, same HashPartitioning(key, buckets) — so id-keyed
+    * joins stay zero-Exchange — plus file skipping on every pushed
+    * filter, in the same plan. Build the manifest once
+    * (`StatsManifest.build(s, servedGeneration(...), cols)`); MERGE
+    * applies then carry it across generations automatically.
     */
   def ifPresent(s: SparkSession, corpusDir: String, table: String): Option[DataFrame] =
     if (!keyed.contains(table)) None
@@ -185,8 +192,36 @@ object CorpusLayout {
       if (!s.catalog.tableExists(t)) repairServing(s, corpusDir, table)
       Some(t).filter(s.catalog.tableExists).map { tt =>
         refreshIfStale(s, corpusDir, table, tt)
-        s.table(tt)
+        manifestServed(s, corpusDir, table).getOrElse(s.table(tt))
       }
+    }
+
+  /** The generation dir the epoch marker says is served, when recorded.
+    * Every swing (materialize, apply, rebucket, compact, repair) bumps
+    * it, so the marker IS current whenever the catalog table is.
+    */
+  def servedGeneration(s: SparkSession, corpusDir: String,
+                       table: String): Option[String] =
+    layoutRoot(s, corpusDir).map(epochFile(_, table))
+      .filter(java.nio.file.Files.exists(_))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim)
+
+  /** The manifest-pruning, bucket-spec-carrying frame over the served
+    * generation — Some only when the generation carries BOTH markers
+    * (a complete `_stats` manifest and `_BUCKETS`). Driver-side file
+    * probes only; no job.
+    */
+  private def manifestServed(s: SparkSession, corpusDir: String,
+                             table: String): Option[DataFrame] =
+    for {
+      loc <- servedGeneration(s, corpusDir, table)
+      if StatsManifest.hasManifest(loc)
+      bFile = java.nio.file.Paths.get(loc, BucketsMarker)
+      if java.nio.file.Files.exists(bFile)
+    } yield {
+      val buckets = new String(
+        java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
+      ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
     }
 
   /** Rewrite the keyed corpus tables as bucketed external tables.
@@ -206,6 +241,7 @@ object CorpusLayout {
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(t)
       writeBucketsMarker(path, buckets)
+      bumpEpoch(s, corpusDir, table, path)
       t
     }
   }

@@ -1,15 +1,22 @@
 package graft.sources
 
 /** HTTP registry client — the production [[RegistryBackend]] (VERDICT
-  * r9 #7). Speaks the reference registry's GET surface
-  * (`/root/reference/marda_extractors_api/__init__.py:96-123`): list
-  * endpoints `GET {base}/filetypes` and `GET {base}/extractors`, each
-  * returning a `{"data": [...]}` JSON document whose entries carry the
-  * same fields the reference client reads per id (`registered_extractors`
-  * on a filetype; `usage` / `installation` on an extractor entry —
-  * `tests/test_mpr.py:78-95` shows the entry wire shape). The three
-  * relational tables [[RegistryData.schemas]] serves are projections of
-  * those two documents:
+  * r9 #7). The reference client only evidences PER-ID endpoints —
+  * `GET {base}/filetypes/{id}` and `GET {base}/extractors/{id}`, each
+  * returning `{"data": {object}}`
+  * (`/root/reference/marda_extractors_api/__init__.py:96-123`). A
+  * relational snapshot needs ENUMERATION, which per-id GETs cannot
+  * provide, so this backend assumes the conventional REST extension of
+  * that surface: list endpoints `GET {base}/filetypes` and
+  * `GET {base}/extractors` returning `{"data": [...]}` whose entries
+  * carry the same fields the reference client reads per id
+  * (`registered_extractors` on a filetype; `usage` / `installation` on
+  * an extractor entry — `tests/test_mpr.py:78-95` shows the entry wire
+  * shape). A registry implementing ONLY the proven per-id surface fails
+  * both snapshot fetches with `error:not_found` — loudly, at first
+  * read, never as silently-empty tables. The three relational tables
+  * [[RegistryData.schemas]] serves are projections of those two
+  * documents:
   *
   *  - `filetypes`      → (id, registered_extractors) per filetype;
   *  - `usages`         → one row per entry of each extractor's `usage`

@@ -36,10 +36,22 @@ import org.apache.spark.sql.types.StructType
   * evaluation; StatsManifestSpec pins the two paths to agree on the same
   * predicates so they cannot drift. Conservative outs, in addition to
   * the manifest's own: an untranslatable filter prunes nothing; a
-  * non-ASCII string bound or probe prunes nothing (Scala compares
-  * UTF-16, Spark UTF8String compares UTF-8 bytes — they disagree above
-  * ASCII, so pruning there would be unsound); a file or column the
-  * manifest has never seen is always kept.
+  * a file or column the manifest has never seen is always kept.
+  * Non-ASCII strings prune too: every driver-side string comparison here
+  * runs over UTF-8 BYTES (unsigned lexicographic — exactly
+  * UTF8String.compareTo, the ordering Spark's min/max stats were
+  * computed under); comparing with Java's UTF-16 `String` ordering
+  * instead would disagree above the BMP and unsoundly drop files.
+  *
+  * Schema caveat (the one contract [[StatsManifest.scan]] holds
+  * slightly stronger): the served schema is the manifest marker's union
+  * schema, fixed at relation construction. Files appended to the
+  * directory OUTSIDE build/refreshAfterApply are never pruned (sound),
+  * but a NEW column only they carry stays absent from this relation
+  * until the manifest is rebuilt — mutate manifested directories only
+  * through the build/apply path, or rebuild after a direct append
+  * (`scan` detects this case per-scan and degrades to mergeSchema; a
+  * FileIndex cannot, its schema is already bound).
   */
 object ManifestFileIndex {
 
@@ -55,7 +67,28 @@ object ManifestFileIndex {
     * Degrades to the plain read when no manifest has been built.
     */
   def table(s: SparkSession, dataDir: String,
-            manifestDir: String = null): DataFrame = {
+            manifestDir: String = null): DataFrame =
+    build(s, dataDir, manifestDir, None)
+
+  /** [[table]] carrying the layout's bucket spec — the composition of
+    * the two scan-side layout facets (VERDICT r10 #4): the relation
+    * reports HashPartitioning(key, buckets) exactly like the catalog's
+    * bucketed table, so an id-keyed join over it still ships ZERO
+    * Exchange on this side, while listFiles prunes via the manifest —
+    * file skipping and bucketed co-location in the SAME plan.
+    * [[CorpusLayout.ifPresent]] routes a served generation here whenever
+    * it carries a manifest. Bucket identity comes from the `_NNNNN` file
+    * name suffix, which hard-linked CoW files keep by construction.
+    */
+  def bucketedTable(s: SparkSession, dataDir: String, buckets: Int,
+                    key: String, manifestDir: String = null): DataFrame =
+    build(s, dataDir, manifestDir,
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        buckets, Seq(key), Seq(key))))
+
+  private def build(s: SparkSession, dataDir: String, manifestDir: String,
+                    bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec])
+      : DataFrame = {
     val mdir = Option(manifestDir).getOrElse(StatsManifest.manifestDirFor(dataDir))
     StatsManifest.read(s, mdir) match {
       // mergeSchema on the degrade path too: an evolved dir mixes file
@@ -88,22 +121,49 @@ object ManifestFileIndex {
         val base = new InMemoryFileIndex(s, Seq(new Path(dataDir)),
           Map.empty[String, String], Some(schema))
         val rel = HadoopFsRelation(new ManifestFileIndex(base, () => loadStats()),
-          new StructType(), schema, None, new ParquetFileFormat, Map.empty)(s)
+          new StructType(), schema, bucketSpec, new ParquetFileFormat, Map.empty)(s)
         org.apache.spark.sql.GraftPlanBridge.ofRows(s, LogicalRelation(rel, false))
     }
   }
 
-  private def ascii(v: String): Boolean = v.forall(_ < 128)
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Strict upper sibling of a prefix: the shortest string above every
-    * string starting with `p` (last non-￿ char incremented). None
-    * when no such bound exists.
+  /** Unsigned lexicographic byte compare — UTF8String.compareTo's
+    * ordering, i.e. the ordering the manifest's min/max were computed
+    * under by Spark's own string min/max. Java `String` comparison
+    * (UTF-16 code units) disagrees with it above the BMP (surrogates
+    * sort below U+E000), so every stats comparison must run here.
     */
-  private def prefixSucc(p: String): Option[String] = {
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[graft] def utf8Cmp(a: String, b: String): Int = cmpBytes(utf8(a), utf8(b))
+
+  /** Strict upper sibling of a byte prefix: the shortest byte string
+    * above every byte string starting with `p` (trailing 0xFF bytes
+    * dropped, last remaining byte incremented). None when p is all 0xFF
+    * (no finite bound exists). Strings starting with string-prefix s
+    * have UTF-8 bytes in [utf8(s), prefixSuccBytes(utf8(s))) — UTF-8 is
+    * prefix-preserving, so the byte interval IS the prefix range.
+    */
+  private def prefixSuccBytes(p: Array[Byte]): Option[Array[Byte]] = {
     var i = p.length - 1
-    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
     if (i < 0) None
-    else Some(p.substring(0, i) + (p(i) + 1).toChar)
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 }
 
@@ -169,14 +229,18 @@ final class ManifestFileIndex(
       vs.exists(v => upperReaches(cols.get(c), v) && lowerReaches(cols.get(c), v))
     case sources.IsNull(c) => cols.get(c).forall(_.nulls > 0L)
     case sources.IsNotNull(c) => cols.get(c).forall(st => st.rows > st.nulls)
-    case sources.StringStartsWith(c, p) if ascii(p) =>
+    case sources.StringStartsWith(c, p) =>
       cols.get(c).forall { st =>
         if (st.lane != "string") true
         else if (st.minS.isEmpty) false // all-NULL column
         else {
-          val upOk = st.maxS.forall(mx => !ascii(mx) || mx >= p)
-          val loOk = prefixSucc(p).forall(succ =>
-            !ascii(st.minS.get) || st.minS.get < succ)
+          val pb = utf8(p)
+          val upOk = st.maxS.forall(mx => cmpBytes(utf8(mx), pb) >= 0)
+          // truncated minimum: still a valid lower bound (a code-point
+          // prefix is a byte prefix, hence <= in byte order) — the test
+          // only widens
+          val loOk = prefixSuccBytes(pb).forall(succ =>
+            cmpBytes(utf8(st.minS.get), succ) < 0)
           upOk && loOk
         }
       }
@@ -196,10 +260,10 @@ final class ManifestFileIndex(
           case Some(hi) => hi >= d - eps(d)
         }
       case None => v match {
-        case str: String if ascii(str) =>
+        case str: String =>
           if (s.lane != "string") true
           else if (s.minS.isEmpty) false // all-NULL column
-          else s.maxS.forall(mx => !ascii(mx) || mx >= str)
+          else s.maxS.forall(mx => utf8Cmp(mx, str) >= 0)
         case _ => true
       }
     }
@@ -216,13 +280,13 @@ final class ManifestFileIndex(
           case Some(lo) => lo <= d + eps(d)
         }
       case None => v match {
-        case str: String if ascii(str) =>
+        case str: String =>
           if (s.lane != "string") true
           else s.minS match {
             case None => false // all-NULL column
             // truncated minimum: still a valid lower bound, and the test
             // only widens (min' <= min keeps more files)
-            case Some(mn) => !ascii(mn) || mn <= str
+            case Some(mn) => utf8Cmp(mn, str) <= 0
           }
         case _ => true
       }

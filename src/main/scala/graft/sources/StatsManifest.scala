@@ -264,6 +264,13 @@ object StatsManifest {
   private def ready(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  /** Does `dataDir` carry a complete manifest at the default location?
+    * One driver-side existence probe — [[CorpusLayout.ifPresent]] uses
+    * it to decide whether a served generation routes through the
+    * manifest-pruning [[ManifestFileIndex]].
+    */
+  def hasManifest(dataDir: String): Boolean = ready(manifestDirFor(dataDir))
+
   /** The manifest frame, when one has been built. */
   def read(s: SparkSession, manifestDir: String): Option[DataFrame] =
     if (ready(manifestDir)) Some(s.read.parquet(manifestDir)) else None
@@ -366,13 +373,34 @@ object StatsManifest {
     } else if (keep.size == total && !ready(mdir))
       // no manifest at all: the plain degrade read
       s.read.option("mergeSchema", "true").parquet(dataDir).filter(flt)
-    else {
+    else if (hasUnknownFiles(s, mdir, keep)) {
+      // files written OUTSIDE build/refreshAfterApply (a direct append):
+      // correctly never pruned, but the marker schema predates them — a
+      // new column they carry would be silently absent. Degrade THIS
+      // scan's schema to a live footer merge; pruning still applies to
+      // the files the manifest does know.
+      val paths = if (keep.size == total) Seq(dataDir)
+        else keep.map(f => s"$dataDir/$f")
+      s.read.option("mergeSchema", "true").parquet(paths: _*).filter(flt)
+    } else {
       val sch = unionSchema(s, dataDir, mdir)
       val paths = if (keep.size == total) Seq(dataDir)
         else keep.map(f => s"$dataDir/$f")
       s.read.schema(sch).parquet(paths: _*).filter(flt)
     }
   }
+
+  /** Any of `files` unknown to the manifest? Unknown files are kept by
+    * pruning (sound) but postdate the schema marker — [[scan]] swaps the
+    * marker schema for live mergeSchema inference when it sees one. One
+    * tiny driver-side collect over the single-file manifest.
+    */
+  private def hasUnknownFiles(s: SparkSession, mdir: String,
+                              files: Seq[String]): Boolean =
+    read(s, mdir).exists { m =>
+      val known = m.select("file").distinct().collect().map(_.getString(0)).toSet
+      files.exists(!known(_))
+    }
 
   // ── incremental maintenance (generation chain) ──────────────────────
 

@@ -67,28 +67,49 @@ object StreamingMerge {
     */
   def applyBatch(changes: DataFrame, batchId: Long, corpusDir: String,
                  table: String = "documents",
-                 evolveSchema: Boolean = false): Boolean = {
+                 evolveSchema: Boolean = false,
+                 partial: Boolean = false,
+                 compactEvery: Int = 0,
+                 keepLast: Int = 2): Boolean = {
     val s = changes.sparkSession
     if (appliedBatches(s, corpusDir, table).contains(batchId)) false
     else if (changes.isEmpty) false
     else {
       MergeOps.applyToLayout(s, corpusDir, changes, table,
-        evolveSchema = evolveSchema)
+        evolveSchema = evolveSchema, partial = partial)
       val dir = ledgerDir(s, corpusDir, table)
       java.nio.file.Files.createDirectories(dir)
       try java.nio.file.Files.createFile(dir.resolve(s"b$batchId"))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      // fold the trickle chain every `compactEvery` applied batches
+      // (ParquetSink.compact's rhythm, generation-chain edition): the
+      // compacted generation shares no inode with its ancestors, so the
+      // vacuum right after reclaims the whole drained chain instead of
+      // keeping link-chain metadata alive forever. Inside the same
+      // foreachBatch = inside the stream's own single-writer window.
+      if (compactEvery > 0 &&
+          appliedBatches(s, corpusDir, table).size % compactEvery == 0) {
+        MergeOps.compactGenerations(s, corpusDir, table)
+        MergeOps.vacuum(s, corpusDir, table, keepLast)
+      }
       true
     }
   }
 
   /** Attach the merge sink to a changeset stream (caller starts/stops;
-    * set the checkpoint on the returned writer as usual).
+    * set the checkpoint on the returned writer as usual). `compactEvery`
+    * > 0 opts into in-stream maintenance: every that-many applied
+    * batches, the generation chain compacts and vacuums down to
+    * `keepLast` (snapshot pins always survive a vacuum).
     */
   def applyWriter(changes: DataFrame, corpusDir: String,
                   table: String = "documents",
-                  evolveSchema: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+                  evolveSchema: Boolean = false,
+                  partial: Boolean = false,
+                  compactEvery: Int = 0,
+                  keepLast: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch(
       (df: DataFrame, id: Long) =>
-        { applyBatch(df, id, corpusDir, table, evolveSchema); () })
+        { applyBatch(df, id, corpusDir, table, evolveSchema, partial,
+            compactEvery, keepLast); () })
 }

@@ -495,4 +495,254 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("partial changesets: UPDATE SET semantics — present columns set (even to NULL), absent columns carry") {
+    import spark.implicits._
+    val target = Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("doc_id", "text", "n_bytes")
+    // sparse feed: knows only n_bytes (and for key 2, an explicit NULL)
+    val sparse = Seq(
+      (1L, Some(100L), false), // matched: n_bytes SET, text carried
+      (2L, None: Option[Long], false), // matched: n_bytes SET to NULL (presence = SET)
+      (4L, Some(4L), false),   // insert: absent text reads NULL
+      (3L, None: Option[Long], true))  // tombstone: key alone suffices
+      .toDF("doc_id", "n_bytes", "tombstone")
+    val got = MergeOps.applyChanges(target, sparse, partial = true)
+    val expected = Seq((1L, Some("one"), Some(100L)),
+      (2L, Some("two"), None: Option[Long]),
+      (4L, None: Option[String], Some(4L)))
+      .toDF("doc_id", "text", "n_bytes")
+    assert(rows(got) == rows(expected), "partial apply diverged")
+    // a sparse changeset WITHOUT partial=true still fails loudly — the
+    // full-row contract keeps misspelled columns from silently reading
+    // as "carry the old value"
+    intercept[IllegalArgumentException](MergeOps.applyChanges(target, sparse))
+    // the p26 law re-proven through a sparse changeset: a full changeset
+    // whose only real edits touch one column, sparsified to that column,
+    // applies to the same corpus state
+    val v1 = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"n_chars".cast("long").as("n_bytes"))
+    val v2 = v1.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"text",
+        when($"doc_id" % 7 === 0, $"n_bytes" + 11).otherwise($"n_bytes")
+          .as("n_bytes"))
+    val full = MergeOps.changeset(v1, v2)
+    val sparse2 = full.select($"doc_id", $"n_bytes", $"tombstone")
+    assert(rows(MergeOps.applyChanges(v1, sparse2, partial = true)) == rows(v2),
+      "apply(v1, sparsify(changeset(v1, v2))) != v2")
+    // scale shape: with a broadcast-sized sparse feed the corpus side
+    // never shuffles — the expansion's semi-join and the apply's
+    // anti-join both broadcast the changeset (sparse2 above embeds the
+    // changeset DERIVATION's own diff-join exchanges, so the plan pin
+    // uses a literal feed, the shape a CDC source actually delivers)
+    val feed = Seq((1L, Some(5L), false), (2L, None: Option[Long], true))
+      .toDF("doc_id", "n_bytes", "tombstone")
+    val plan = MergeOps.applyChanges(v1, feed, partial = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"partial apply shuffles the corpus:\n$plan")
+  }
+
+  test("applyToLayout casts a width-mismatched changeset key before bucket math") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_kt").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      // IntegerType doc_id against the LongType corpus: murmur3 hashes
+      // differ by width, so an uncast key would classify the real home
+      // buckets "untouched" and hard-link them forward — duplicate
+      // upserted keys and undeleted tombstones
+      val ids = Tables.load(spark, sf, "documents")
+        .orderBy($"doc_id").limit(6).select($"doc_id").as[Long].collect()
+      val (up, del) = (ids.take(3), ids.drop(3))
+      val changes = Tables.load(spark, sf, "documents")
+        .filter($"doc_id".isin(ids: _*))
+        .select($"doc_id".cast("int").as("doc_id"),
+          concat(lit("cast-v2 "), $"text").as("text"), $"lang", $"source",
+          $"n_chars")
+        .withColumn("tombstone", $"doc_id".isin(del.map(_.toInt): _*))
+      assert(changes.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      MergeOps.applyToLayout(spark, sf, changes)
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val upserted = served.filter($"doc_id".isin(up: _*))
+        .groupBy($"doc_id").count().collect()
+      assert(upserted.length == 3 && upserted.forall(_.getLong(1) == 1L),
+        s"upserted keys duplicated or lost: ${upserted.mkString(",")}")
+      assert(served.filter($"doc_id".isin(up: _*) &&
+        !$"text".startsWith("cast-v2 ")).isEmpty,
+        "stale rows for upserted keys survive in the new generation")
+      assert(served.filter($"doc_id".isin(del: _*)).isEmpty,
+        "tombstoned keys survive in the new generation")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
+
+  test("bucket sizing policy: drifted B rebuckets before the apply, then applies stay CoW at the sized count") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // the pure sizing function: power-of-two ceil with a floor of 1
+    assert(MergeOps.sizedBucketCount(0L, 1024L) == 1)
+    assert(MergeOps.sizedBucketCount(1024L, 1024L) == 1)
+    assert(MergeOps.sizedBucketCount(1025L, 1024L) == 2)
+    assert(MergeOps.sizedBucketCount(100L << 20, 1L << 20) == 128)
+    assert(MergeOps.parseBytes("64m") == (64L << 20))
+    assert(MergeOps.parseBytes("2k") == 2048L)
+    assert(MergeOps.parseBytes("1.5g") == (3L << 29))
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_bs").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val t = CorpusLayout.tableName("documents", sf)
+      val loc0 = CorpusLayout.servedGeneration(spark, sf, "documents").get
+      val bytes = MergeOps.dataBytes(loc0)
+      // aim the policy at ~200 buckets: bytes/bucket at the served 32 is
+      // then ~6.25× the target — the ≥4× fat-bucket gate fires and the
+      // next apply folds in a rebucket to the pow2-sized 256. After the
+      // rewrite, even with tiny-file format overhead inflating total
+      // bytes 2–3×, bytes/bucket sits well inside the 4× band — the
+      // second apply must NOT re-fire (the thrash the raw-byte gate
+      // exists to prevent).
+      spark.conf.set(MergeOps.TargetBucketBytesKey, (bytes / 200).max(1L).toString)
+      def mkChanges(n: Int, tag: String) = {
+        val ids = Tables.load(spark, sf, "documents")
+          .orderBy($"doc_id").limit(n).select($"doc_id").as[Long].collect()
+        Tables.load(spark, sf, "documents").filter($"doc_id".isin(ids: _*))
+          .select($"doc_id", concat(lit(s"$tag "), $"text").as("text"),
+            $"lang", $"source", $"n_chars")
+          .withColumn("tombstone", lit(false))
+      }
+      MergeOps.applyToLayout(spark, sf, mkChanges(5, "sized-a"))
+      val (_, b1) = MergeOps.tableLayout(spark, t)
+      assert(b1 == 256, s"apply did not adopt the sized bucket count: $b1")
+      // within the 4× band now: the NEXT apply must NOT rebucket again,
+      // must stay copy-on-write at the sized B, and its rewritten set
+      // must be changeset-sized (≤ k files), not corpus-sized
+      val gensBefore = MergeOps.generations(spark, sf, "documents").size
+      MergeOps.applyToLayout(spark, sf, mkChanges(5, "sized-b"))
+      val gens = MergeOps.generations(spark, sf, "documents")
+      assert(gens.size == gensBefore + 1,
+        s"in-band apply burned ${gens.size - gensBefore} generations (rebucket thrash)")
+      val (last, prev) = (gens.last._2, gens(gens.size - 2)._2)
+      val kids = Files.list(Paths.get(last))
+      val rewritten = try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(p => { val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".") }) // data files, not markers/.crc
+          .count { p =>
+            val old = Paths.get(prev, p.getFileName.toString)
+            !(Files.exists(old) && Files.isSameFile(old, p))
+          }
+      } finally kids.close()
+      assert(rewritten <= 5,
+        s"apply at sized B rewrote $rewritten files for a 5-key feed")
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(served.filter($"text".startsWith("sized-b ")).count() == 5)
+    } finally {
+      spark.conf.unset(MergeOps.TargetBucketBytesKey)
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
+
+  test("compactGenerations folds a trickle chain: ≤B fresh files, identical rows, vacuum reclaims, zero Exchange") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_cp").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    // capture the compaction write's executed plan to prove the rewrite
+    // ships no Exchange (the forced bucketed scan is what guarantees it)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    try {
+      CorpusLayout.materialize(spark, sf)
+      // a trickle chain the StreamingMerge way: 20 one-key batches
+      val ids = Tables.load(spark, sf, "documents")
+        .orderBy($"doc_id").limit(20).select($"doc_id").as[Long].collect()
+      def oneKey(i: Int) = Tables.load(spark, sf, "documents")
+        .filter($"doc_id" === ids(i))
+        .select($"doc_id", concat(lit(s"trickle$i "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      (0 until 19).foreach { i =>
+        assert(graft.streaming.StreamingMerge.applyBatch(oneKey(i), i.toLong, sf),
+          s"batch $i did not apply")
+      }
+      assert(MergeOps.generations(spark, sf, "documents").size == 20,
+        "trickle chain did not accrete one generation per batch")
+      // the 20th batch rides the maintenance knob: apply, then compact +
+      // vacuum fold the whole drained chain down to ONE generation
+      spark.listenerManager.register(listener)
+      assert(graft.streaming.StreamingMerge.applyBatch(
+        oneKey(19), 19L, sf, compactEvery = 20, keepLast = 1))
+      val gens = MergeOps.generations(spark, sf, "documents")
+      assert(gens.size == 1,
+        s"vacuum after compact left ${gens.size} generations: ${gens.map(_._1)}")
+      val servedLoc = gens.last._2
+      val files = {
+        val kids = Files.list(Paths.get(servedLoc))
+        try {
+          import scala.jdk.CollectionConverters._
+          kids.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector
+        } finally kids.close()
+      }
+      assert(files.size <= CorpusLayout.DefaultBuckets,
+        s"compacted generation holds ${files.size} files > B")
+      // exactly one file per bucket suffix — the bucketed-scan write
+      // shape, not a per-task fan-out
+      val byBucket = files.groupBy(MergeOps.bucketIdOf)
+      assert(byBucket.forall(_._2.size == 1),
+        s"bucket with multiple files after compact: $byBucket")
+      // the compaction write: the ONE write in the captured window that
+      // carries no Exchange — the batch-20 apply's staging write has its
+      // deliberate touched-rows repartition, the compact rewrite must
+      // not (forced bucketed scan ⇒ partition i ≡ bucket i ⇒ bucketBy
+      // writes straight through). Delivery is async: wait bounded.
+      val deadline = System.nanoTime() + 10000000000L
+      def writeQes = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala
+          .map(_.executedPlan.toString)
+          .filter(p => p.contains("WriteFiles") &&
+            p.contains(servedLoc.substring(servedLoc.lastIndexOf('/') + 1)))
+          .toVector
+      }
+      while (writeQes.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      spark.listenerManager.unregister(listener)
+      assert(writeQes.nonEmpty, "listener saw no compaction write")
+      writeQes.foreach { p =>
+        assert(!p.contains("Exchange"), s"compaction rewrite shuffles:\n$p")
+      }
+      // rows identical to what the chain served: every trickle edit live
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(served.filter($"text".rlike("^trickle\\d+ ")).count() == 20,
+        "compacted corpus lost trickle edits")
+      assert(served.count() ==
+        Tables.load(spark, sf, "documents").count())
+    } finally {
+      try spark.listenerManager.unregister(listener)
+      catch { case _: Throwable => () }
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
