@@ -320,6 +320,83 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("merge_sized")) {
+    // ── CDC MERGE apply under the SIZING POLICY (round 12): §8's honest
+    // limit closed and re-measured. With TargetBucketBytesKey set, B
+    // tracks the corpus (ceil(bytes/target), power-of-two), so the same
+    // trickle feed touches ~k/B of the corpus instead of 1−e^(−k/32) —
+    // rewritten MB becomes bucket-granular (~k × target) instead of 28%
+    // of everything. Second claim: under geometric corpus growth the 4×
+    // hysteresis pays the full rewrite O(log corpus) times EVER —
+    // observed here as the rebucket count over a doubling sequence.
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    val szBase = java.nio.file.Files.createTempDirectory("graft_scaling_sz").toString
+    spark.conf.set(CorpusLayout.ConfKey, szBase)
+    graft.sources.CorpusLayout.materialize(spark, sfDir) // B = 32, §8's arm
+    spark.conf.set(MergeOps.TargetBucketBytesKey, "64k")
+    val szT = CorpusLayout.tableName("documents", sfDir)
+    // the one-time fold to the sized count (0 when 32 is already in band)
+    val rbT0 = System.nanoTime()
+    val moved = MergeOps.maybeRebucket(spark, sfDir)
+    results :+= ("merge_sized/rebucket_s" ->
+      (if (moved.isDefined) (System.nanoTime() - rbT0) / 1e9 else 0.0))
+    val bSized = MergeOps.tableLayout(spark, szT)._2
+    results :+= ("merge_sized/buckets" -> bSized.toDouble)
+    val szTrickle = docs.orderBy($"doc_id").limit(8)
+      .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+        $"lang", $"source", ($"n_chars" + 8L).as("n_chars"))
+      .withColumn("tombstone", $"doc_id" % 5 === 0).cache()
+    szTrickle.count()
+    arm("merge_sized/cow_trickle") {
+      MergeOps.applyToLayout(spark, sfDir, szTrickle)
+    }
+    locally { // rewritten/linked byte split of the last sized apply
+      val gens = MergeOps.generations(spark, sfDir, "documents")
+      val last = gens.last._2
+      val prev = gens(gens.size - 2)._2
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(last))
+      val (linked, rewritten) = try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(p => !p.getFileName.toString.startsWith("_"))
+          .partition { p =>
+            val old = java.nio.file.Paths.get(prev, p.getFileName.toString)
+            java.nio.file.Files.exists(old) && java.nio.file.Files.isSameFile(old, p)
+          } match { case (a, b) => (a.toVector, b.toVector) }
+      } finally kids.close()
+      def mb(ps: Vector[java.nio.file.Path]) =
+        math.round(ps.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      results :+= ("merge_sized/cow_linked_mb" -> mb(linked))
+      results :+= ("merge_sized/cow_rewritten_mb" -> mb(rewritten))
+    }
+    szTrickle.unpersist()
+    // doubling sequence: each wave re-inserts the whole corpus under
+    // fresh keys (injective |id|-shift), so bytes double per wave; the
+    // policy folds in rebuckets on its own inside applyToLayout. Claim:
+    // B moves ≈ doublings/2 (4× hysteresis), never once per apply.
+    val waves = 3
+    var rebuckets = 0
+    var lastB = bSized
+    (1 to waves).foreach { w =>
+      val served = CorpusLayout.ifPresent(spark, sfDir, "documents").get
+      val m = served.agg(max(abs($"doc_id"))).as[Long].head()
+      val ins = served.select((-(abs($"doc_id") + m + 1L)).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      MergeOps.applyToLayout(spark, sfDir, ins)
+      val b = MergeOps.tableLayout(spark, szT)._2
+      if (b != lastB) { rebuckets += 1; lastB = b }
+      System.err.println(s"[scaling] $label merge_sized wave $w: B=$b")
+    }
+    results :+= ("merge_sized/doublings" -> waves.toDouble)
+    results :+= ("merge_sized/rebuckets" -> rebuckets.toDouble)
+    results :+= ("merge_sized/final_buckets" -> lastB.toDouble)
+    graft.sources.CorpusLayout.drop(spark, sfDir)
+    spark.conf.unset(MergeOps.TargetBucketBytesKey)
+    spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
+    }
+
     if (enabled("vector_apply")) {
     // ── vector-index CDC apply: cell-scoped CoW applyChangeset vs the
     // full rebuild the store would otherwise need after corpus changes.

@@ -326,11 +326,32 @@ object MergeOps {
     // writer used, so touchedBuckets would classify the real home bucket
     // "untouched" and hard-link it forward unmodified — silent duplicate
     // or undeleted keys. Cast the changeset key to the target's type
-    // FIRST; a lossy cast yields NULL keys, which the badKeys check
-    // below rejects loudly.
+    // FIRST. Plain `cast` is unusable for the lossy case: ANSI mode
+    // THROWS on an overflowing narrowing cast, and with ANSI off it
+    // silently WRAPS — two distinct keys colliding onto one doc_id would
+    // upsert the wrong row past every check. `try_cast` nulls on
+    // overflow under either setting, and the round-trip comparison below
+    // also catches value-CHANGING conversions that don't null (double→
+    // long truncation), so any non-value-preserving key rejects loudly
+    // here, before anything durable.
     val keyType = target.schema(keyCol).dataType
-    val changes1 = if (changes0.schema(keyCol).dataType == keyType) changes0
-      else changes0.withColumn(keyCol, col(keyCol).cast(keyType))
+    val changes1 = {
+      val srcType = changes0.schema(keyCol).dataType
+      if (srcType == keyType) changes0
+      else {
+        val lossy = changes0
+          .select(col(keyCol).as("__src"),
+            col(keyCol).try_cast(keyType).try_cast(srcType).as("__rt"))
+          .filter(col("__src").isNotNull && !(col("__src") <=> col("__rt")))
+          .limit(5).collect()
+        require(lossy.isEmpty,
+          s"changeset key '$keyCol' (${srcType.sql}) does not round-trip " +
+            s"through the layout's key type (${keyType.sql}) — lossy cast " +
+            s"would mis-bucket or collide keys: " +
+            lossy.map(_.get(0)).mkString(", "))
+        changes0.withColumn(keyCol, col(keyCol).try_cast(keyType))
+      }
+    }
     // a sparse (UPDATE SET) changeset expands to full rows HERE, before
     // anything durable: the bucket math below only needs the key, but
     // the downstream index applies (SignatureStore / VectorIndexStore)
@@ -691,8 +712,13 @@ object MergeOps {
     * judged on raw bytes/bucket, not on the rounded count: power-of-two
     * ceiling would halve the effective hysteresis, and per-file format
     * overhead shifting total bytes across a rewrite could then re-fire
-    * the policy immediately (rebucket thrash). No conf or within-band =
-    * None, no work.
+    * the policy immediately (rebucket thrash). A rewrite additionally
+    * requires the SIZED COUNT to differ from the served one: at the
+    * count floor (tiny corpus, sized = 1 = cur) and the 2^30 cap the
+    * band stays "violated" forever, and without this guard every apply
+    * would pay a full-corpus rewrite and burn a generation — the
+    * opposite of the O(log corpus) maintenance bound. No conf,
+    * within-band, or already-at-sized-count = None, no work.
     */
   def maybeRebucket(s: SparkSession, corpusDir: String,
                     table: String = "documents"): Option[String] =
@@ -704,8 +730,9 @@ object MergeOps {
         val (loc, cur) = tableLayout(s, t)
         val bytes = dataBytes(loc)
         val perBucket = bytes.toDouble / cur
-        if (perBucket >= 4.0 * target || perBucket <= target / 4.0)
-          Some(rebucket(s, corpusDir, table, sizedBucketCount(bytes, target)))
+        val sized = sizedBucketCount(bytes, target)
+        if ((perBucket >= 4.0 * target || perBucket <= target / 4.0) && sized != cur)
+          Some(rebucket(s, corpusDir, table, sized))
         else None
       }
     }
@@ -760,6 +787,31 @@ object MergeOps {
     graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
     vpath
   }
+
+  /** Generation-count compaction policy — the self-tuning alternative to
+    * a raw "every N batches" cadence: compact (then vacuum to `keepLast`,
+    * snapshot pins always survive) only when the chain has accreted more
+    * than `maxGenerations` generations. Cost model for picking a bound:
+    * a compaction is one corpus-sized IO pass (zero shuffle), so its
+    * amortized overhead is corpusBytes / (maxGenerations × avgBatchBytes)
+    * — with day-sized batches at 1/1000 of the corpus, maxGenerations=64
+    * keeps amortized compaction under ~2% of ingest IO while bounding
+    * directory/link-chain metadata at 64 generations. Rules of thumb:
+    * high-rate trickles (minutes) → 32–128; nightly feeds → 8–16; and
+    * pair with keepLast ≥ 2 so one pre-compaction generation survives
+    * for in-flight readers. Returns the compacted generation's path, or
+    * None when the chain is still under the bound.
+    */
+  def maybeCompact(s: SparkSession, corpusDir: String,
+                   table: String = "documents",
+                   maxGenerations: Int = 64,
+                   keepLast: Int = 2): Option[String] =
+    if (maxGenerations > 0 &&
+        generations(s, corpusDir, table).size > maxGenerations) {
+      val p = compactGenerations(s, corpusDir, table)
+      vacuum(s, corpusDir, table, keepLast)
+      Some(p)
+    } else None
 
   /** Re-bucket a layout table at a new bucket count, as a new
     * generation — the lever SCALING.md §8 names: copy-on-write's

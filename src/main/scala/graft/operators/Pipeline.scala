@@ -1226,6 +1226,77 @@ object Pipeline {
       Some("""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars BETWEEN 100 AND 160 AND source IN ('src3', 'src7')
+        ORDER BY doc_id""")),
+
+    // ── p28: partial-column MERGE (UPDATE SET) through the durable ──
+    // layout path — the sparse-changeset capstone. The changeset carries
+    // ONLY (doc_id, lang, n_chars, tombstone): updates SET lang='xx' and
+    // n_chars=NULL (presence means SET — the explicit-NULL overwrite a
+    // coalesce-based expansion would silently lose), absent columns
+    // (text, source) keep the matched row's value and read NULL for
+    // inserted keys; tombstones delete by key alone. It flows through
+    // [[MergeOps.applyToLayout]](partial=true) — expandPartial's one
+    // changeset-key semi-join, the copy-on-write bucket rewrite, a real
+    // served generation read back — while the DuckDB oracle composes the
+    // same edit directly (UPDATE..SET as CASE + DELETE as WHERE + INSERT
+    // as UNION ALL), so the cross-engine law is apply(v1, sparse) ≡ v2
+    // value-for-value, including the NULL-vs-carry distinction. Runs in
+    // a PRIVATE sandbox corpus (own dir, own layout key): the bench
+    // session serves the shared corpus through its own layout and
+    // signature store, and a MERGE here must not mutate state other
+    // queries read — a store keyed on the sandbox corpus doesn't exist,
+    // so the auto index applies are no-ops by contract. Like p27/d25,
+    // the lifecycle cost (corpus copy + layout build + apply) is inside
+    // the query by design.
+    GQuery("p28_partial_update",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p28")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val updates = base
+            .filter($"doc_id" % 11 === 0 && $"doc_id" % 13 =!= 0)
+            .select($"doc_id", lit("xx").as("lang"),
+              lit(null).cast("long").as("n_chars"),
+              lit(false).as(MergeOps.TombstoneCol))
+          val deletes = base.filter($"doc_id" % 13 === 0)
+            .select($"doc_id", lit(null).cast("string").as("lang"),
+              lit(null).cast("long").as("n_chars"),
+              lit(true).as(MergeOps.TombstoneCol))
+          val inserts = base.filter($"doc_id" % 101 === 0)
+            .select((-($"doc_id" + 1L)).as("doc_id"), lit("new").as("lang"),
+              lit(7L).as("n_chars"), lit(false).as(MergeOps.TombstoneCol))
+          MergeOps.applyToLayout(s, corpus,
+            updates.unionByName(deletes).unionByName(inserts), partial = true)
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"lang", $"source",
+              $"n_chars")
+            .orderBy($"doc_id")
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1), NULL, 'new', NULL, 7
+        FROM documents WHERE doc_id % 101 = 0
         ORDER BY doc_id"""))
   )
 }

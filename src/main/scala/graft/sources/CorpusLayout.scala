@@ -206,10 +206,21 @@ object CorpusLayout {
       .filter(java.nio.file.Files.exists(_))
       .map(f => new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim)
 
+  // One entry per (session, table): the manifest-served relation is on
+  // the hottest read path (every Tables.load of a layout table), and a
+  // fresh ManifestFileIndex per call would pay its InMemoryFileIndex
+  // listing at build plus the lazy stats collect at first listFiles on
+  // EVERY query. Cache the built frame; invalidate when the served
+  // generation moves (epoch content = generation path) or the manifest
+  // itself is rebuilt in place (its _SUCCESS mtime moves).
+  private val servedRelation =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, DataFrame)]()
+
   /** The manifest-pruning, bucket-spec-carrying frame over the served
     * generation — Some only when the generation carries BOTH markers
     * (a complete `_stats` manifest and `_BUCKETS`). Driver-side file
-    * probes only; no job.
+    * probes only on the cached path; the listing + stats jobs are paid
+    * once per (session, generation), not per read.
     */
   private def manifestServed(s: SparkSession, corpusDir: String,
                              table: String): Option[DataFrame] =
@@ -219,19 +230,32 @@ object CorpusLayout {
       bFile = java.nio.file.Paths.get(loc, BucketsMarker)
       if java.nio.file.Files.exists(bFile)
     } yield {
-      val buckets = new String(
-        java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
-      ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
+      val stamp = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(
+          StatsManifest.manifestDirFor(loc), "_SUCCESS")).toMillis
+      val ck = s"${System.identityHashCode(s)}/${tableName(table, corpusDir)}"
+      Option(servedRelation.get(ck))
+        .collect { case (l, st, df) if l == loc && st == stamp => df }
+        .getOrElse {
+          val buckets = new String(
+            java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
+          val df = ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
+          servedRelation.put(ck, (loc, stamp, df))
+          df
+        }
     }
 
   /** Rewrite the keyed corpus tables as bucketed external tables.
-    * Returns the created table names.
+    * `tables` narrows the build to a subset of [[keyed]] (a corpus dir
+    * that only carries some of the keyed tables — p28's private MERGE
+    * sandbox). Returns the created table names.
     */
   def materialize(s: SparkSession, corpusDir: String,
-                  buckets: Int = DefaultBuckets): Seq[String] = {
+                  buckets: Int = DefaultBuckets,
+                  tables: Seq[String] = keyed.keys.toSeq): Seq[String] = {
     val base = s.conf.getOption(ConfKey).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to materialize"))
-    keyed.toSeq.sorted.map { case (table, key) =>
+    keyed.filter(kv => tables.contains(kv._1)).toSeq.sorted.map { case (table, key) =>
       val t = tableName(table, corpusDir)
       s.sql(s"DROP TABLE IF EXISTS $t")
       val path = s"$base/${corpusKey(corpusDir)}/$table"

@@ -12,8 +12,13 @@ package graft.sources
   * carry the same fields the reference client reads per id
   * (`registered_extractors` on a filetype; `usage` / `installation` on
   * an extractor entry — `tests/test_mpr.py:78-95` shows the entry wire
-  * shape). A registry implementing ONLY the proven per-id surface fails
-  * both snapshot fetches with `error:not_found` — loudly, at first
+  * shape). A registry implementing ONLY the proven per-id surface is
+  * still usable when the caller already knows its ids: pass them as
+  * `knownIds` (keyed `"filetypes"` / `"extractors"`) and a 404 on a
+  * list endpoint falls back to one `GET {base}/{doc}/{id}` per known id
+  * — the reference's own access pattern — assembling the same snapshot
+  * (an entry missing `id` in its body gets it injected from the URL).
+  * Without `knownIds`, the list-endpoint 404 stays loud — at first
   * read, never as silently-empty tables. The three relational tables
   * [[RegistryData.schemas]] serves are projections of those two
   * documents:
@@ -47,7 +52,9 @@ class HttpRegistryBackend(baseUrl: String,
                           connectTimeoutMs: Int = 2000,
                           readTimeoutMs: Int = 5000,
                           retries: Int = 2,
-                          retryBackoffMs: Int = 100) extends RegistryBackend {
+                          retryBackoffMs: Int = 100,
+                          knownIds: Map[String, Seq[String]] = Map.empty)
+    extends RegistryBackend {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
@@ -119,6 +126,24 @@ class HttpRegistryBackend(baseUrl: String,
 
   private def fetchDoc(path: String): JValue = get(s"$base/$path") match {
     case Ok(body) => JsonMethods.parse(body) \ "data"
+    case Failed("error:not_found", _)
+        if knownIds.getOrElse(path, Nil).nonEmpty =>
+      // no list endpoint — the reference's proven surface is per-id only
+      // (`__init__.py:96-123`): assemble the snapshot from one GET per
+      // known id. Driver-side, once per session, like the list path.
+      JArray(knownIds(path).toList.map { id =>
+        get(s"$base/$path/$id") match {
+          case Ok(body) => JsonMethods.parse(body) \ "data" match {
+            // a per-id body need not repeat its id — inject from the URL
+            // so the table projections below always see one
+            case JObject(fields) if !fields.exists(_._1 == "id") =>
+              JObject(JField("id", JString(id)) :: fields)
+            case other => other
+          }
+          case Failed(status, detail) => throw new IllegalStateException(
+            s"registry fetch failed [$status]: $detail")
+        }
+      })
     case Failed(status, detail) => throw new IllegalStateException(
       s"registry fetch failed [$status]: $detail")
   }

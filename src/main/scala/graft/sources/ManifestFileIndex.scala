@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.StructType
   * evaluation; StatsManifestSpec pins the two paths to agree on the same
   * predicates so they cannot drift. Conservative outs, in addition to
   * the manifest's own: an untranslatable filter prunes nothing; a
-  * a file or column the manifest has never seen is always kept.
+  * file or column the manifest has never seen is always kept.
   * Non-ASCII strings prune too: every driver-side string comparison here
   * runs over UTF-8 BYTES (unsigned lexicographic — exactly
   * UTF8String.compareTo, the ordering Spark's min/max stats were

@@ -297,9 +297,27 @@ object StatsManifest {
     */
   def prunedFiles(s: SparkSession, dataDir: String, manifestDir: String,
                   preds: Seq[StatPred]): (Seq[String], Int) = {
+    val (keep, total, _) = prunedFilesKnown(s, dataDir, manifestDir, preds)
+    (keep, total)
+  }
+
+  /** [[prunedFiles]] plus the manifest's own known-file set (None when
+    * no manifest exists), so [[scan]] can decide the unknown-files
+    * schema path without a second manifest job: the same single collect
+    * that evaluates the predicates also returns every file name the
+    * manifest carries.
+    */
+  private def prunedFilesKnown(s: SparkSession, dataDir: String,
+                               manifestDir: String, preds: Seq[StatPred])
+      : (Seq[String], Int, Option[Set[String]]) = {
     val all = listDataFiles(dataDir)
-    val m = read(s, manifestDir).getOrElse(return (all, all.size))
-    if (preds.isEmpty) return (all, all.size)
+    val m = read(s, manifestDir)
+      .getOrElse(return (all, all.size, None))
+    if (preds.isEmpty) {
+      val known = m.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      return (all, all.size, Some(known))
+    }
     // numeric preds compare on the double VIEW of whichever numeric lane
     // the column landed in (long casts are exact below 2^53; double-lane
     // bounds were widened at build); string preds on the string lane.
@@ -327,7 +345,7 @@ object StatsManifest {
       case InStat(_, vs) => vs
       case IsNullStat(_) => Nil
     }
-    val dropped = preds.map { p =>
+    val dropConds = preds.map { p =>
       val (mn, mx, laneGuard) = p match {
         // null counts are lane-independent — any lane's row may drop
         case IsNullStat(_) => (mnNum, mxNum, lit(true))
@@ -340,13 +358,20 @@ object StatsManifest {
       }
       // a file is droppable on this conjunct iff its stats row exists in
       // the probe's own lane and mayMatch is definitively FALSE (null =
-      // unknown = keep)
-      m.filter(col("col") === lit(p.column) && laneGuard)
-        .filter(!coalesce(p.mayMatch(mn, mx, col("nulls"), col("rows")), lit(true)))
-        .select(col("file"))
-    }.reduce(_ unionByName _).distinct()
-      .collect().map(_.getString(0)).toSet
-    (all.filterNot(dropped), all.size)
+      // unknown = keep; when(null) falls to otherwise, like the filter
+      // form this replaced)
+      col("col") === lit(p.column) && laneGuard &&
+        !coalesce(p.mayMatch(mn, mx, col("nulls"), col("rows")), lit(true))
+    }
+    // ONE manifest job serves both decisions [[scan]] needs: which files
+    // any conjunct definitively excludes, and which files the manifest
+    // knows at all (the unknown-files schema degrade probe).
+    val verdicts = m.groupBy(col("file"))
+      .agg(max(when(dropConds.reduce(_ || _), 1).otherwise(0)).as("__drop"))
+      .collect()
+    val known = verdicts.map(_.getString(0)).toSet
+    val dropped = verdicts.filter(_.getInt(1) == 1).map(_.getString(0)).toSet
+    (all.filterNot(dropped), all.size, Some(known))
   }
 
   /** Manifest-pruned scan: read only surviving files, then re-apply the
@@ -356,7 +381,7 @@ object StatsManifest {
   def scan(s: SparkSession, dataDir: String, preds: Seq[StatPred],
            manifestDir: String = null): DataFrame = {
     val mdir = Option(manifestDir).getOrElse(manifestDirFor(dataDir))
-    val (keep, total) = prunedFiles(s, dataDir, mdir, preds)
+    val (keep, total, known) = prunedFilesKnown(s, dataDir, mdir, preds)
     val flt = preds.map(_.dataFilter).reduceOption(_ && _).getOrElse(lit(true))
     // every branch serves the FULL DIRECTORY's union schema (from the
     // manifest's schema marker — one tiny file, no footer sweep): an
@@ -373,12 +398,13 @@ object StatsManifest {
     } else if (keep.size == total && !ready(mdir))
       // no manifest at all: the plain degrade read
       s.read.option("mergeSchema", "true").parquet(dataDir).filter(flt)
-    else if (hasUnknownFiles(s, mdir, keep)) {
+    else if (known.exists(k => keep.exists(!k(_)))) {
       // files written OUTSIDE build/refreshAfterApply (a direct append):
       // correctly never pruned, but the marker schema predates them — a
       // new column they carry would be silently absent. Degrade THIS
       // scan's schema to a live footer merge; pruning still applies to
-      // the files the manifest does know.
+      // the files the manifest does know. The known set rode along on
+      // prunedFilesKnown's single manifest job — no second probe.
       val paths = if (keep.size == total) Seq(dataDir)
         else keep.map(f => s"$dataDir/$f")
       s.read.option("mergeSchema", "true").parquet(paths: _*).filter(flt)
@@ -389,18 +415,6 @@ object StatsManifest {
       s.read.schema(sch).parquet(paths: _*).filter(flt)
     }
   }
-
-  /** Any of `files` unknown to the manifest? Unknown files are kept by
-    * pruning (sound) but postdate the schema marker — [[scan]] swaps the
-    * marker schema for live mergeSchema inference when it sees one. One
-    * tiny driver-side collect over the single-file manifest.
-    */
-  private def hasUnknownFiles(s: SparkSession, mdir: String,
-                              files: Seq[String]): Boolean =
-    read(s, mdir).exists { m =>
-      val known = m.select("file").distinct().collect().map(_.getString(0)).toSet
-      files.exists(!known(_))
-    }
 
   // ── incremental maintenance (generation chain) ──────────────────────
 

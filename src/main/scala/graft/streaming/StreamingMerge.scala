@@ -70,6 +70,7 @@ object StreamingMerge {
                  evolveSchema: Boolean = false,
                  partial: Boolean = false,
                  compactEvery: Int = 0,
+                 maxGenerations: Int = 0,
                  keepLast: Int = 2): Boolean = {
     val s = changes.sparkSession
     if (appliedBatches(s, corpusDir, table).contains(batchId)) false
@@ -87,29 +88,38 @@ object StreamingMerge {
       // vacuum right after reclaims the whole drained chain instead of
       // keeping link-chain metadata alive forever. Inside the same
       // foreachBatch = inside the stream's own single-writer window.
+      // `maxGenerations` is the self-tuning alternative (fold only when
+      // the chain exceeds the bound — see [[MergeOps.maybeCompact]]'s
+      // cost model for picking it); both policies compose, either alone
+      // is fine, neither is on by default.
       if (compactEvery > 0 &&
           appliedBatches(s, corpusDir, table).size % compactEvery == 0) {
         MergeOps.compactGenerations(s, corpusDir, table)
         MergeOps.vacuum(s, corpusDir, table, keepLast)
-      }
+      } else if (maxGenerations > 0)
+        MergeOps.maybeCompact(s, corpusDir, table, maxGenerations, keepLast)
       true
     }
   }
 
   /** Attach the merge sink to a changeset stream (caller starts/stops;
-    * set the checkpoint on the returned writer as usual). `compactEvery`
-    * > 0 opts into in-stream maintenance: every that-many applied
-    * batches, the generation chain compacts and vacuums down to
-    * `keepLast` (snapshot pins always survive a vacuum).
+    * set the checkpoint on the returned writer as usual). Two opt-in
+    * maintenance policies: `compactEvery` > 0 folds the chain every
+    * that-many applied batches; `maxGenerations` > 0 folds only when the
+    * chain exceeds that many generations ([[MergeOps.maybeCompact]] —
+    * the recommended knob, since it tracks chain growth rather than wall
+    * cadence). Both vacuum down to `keepLast` after folding; snapshot
+    * pins always survive a vacuum.
     */
   def applyWriter(changes: DataFrame, corpusDir: String,
                   table: String = "documents",
                   evolveSchema: Boolean = false,
                   partial: Boolean = false,
                   compactEvery: Int = 0,
+                  maxGenerations: Int = 0,
                   keepLast: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch(
       (df: DataFrame, id: Long) =>
         { applyBatch(df, id, corpusDir, table, evolveSchema, partial,
-            compactEvery, keepLast); () })
+            compactEvery, maxGenerations, keepLast); () })
 }

@@ -745,4 +745,63 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("maxGenerations policy: chain under the bound is untouched; past it, the fold's vacuum spares pins") {
+    // The generation-count trigger (MergeOps.maybeCompact, the
+    // recommended cadence knob) composed with a snapshot pin: a training
+    // run pins mid-trickle, the in-stream fold fires when the chain
+    // crosses the bound, and the keepLast=1 vacuum after the fold must
+    // keep BOTH the compacted generation and the pinned one — a pin is a
+    // contract across maintenance verbs, not just across plain vacuums.
+    import spark.implicits._
+    import java.nio.file.Paths
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_mg").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val ids = Tables.load(spark, sf, "documents")
+        .orderBy($"doc_id").limit(6).select($"doc_id").as[Long].collect()
+      def oneKey(i: Int) = Tables.load(spark, sf, "documents")
+        .filter($"doc_id" === ids(i))
+        .select($"doc_id", concat(lit(s"trickle$i "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .withColumn("tombstone", lit(false))
+      // 3 batches under the bound: the policy must NOT fire (gen0 + 3 = 4 ≤ 6)
+      (0 until 3).foreach { i =>
+        assert(graft.streaming.StreamingMerge.applyBatch(oneKey(i), i.toLong,
+          sf, maxGenerations = 6, keepLast = 1), s"batch $i did not apply")
+      }
+      assert(MergeOps.generations(spark, sf, "documents").size == 4,
+        "policy fired under the bound")
+      // pin the mid-trickle corpus the way a training run would
+      val pinRows = rows(CorpusLayout.ifPresent(spark, sf, "documents").get
+        .select($"doc_id", $"text"))
+      val (k, pins) = MergeOps.snapshot(spark, sf)
+      val pinnedName = Paths.get(pins("documents")).getFileName.toString
+      // 3 more: the 6th apply pushes the chain to 7 > 6 → fold + vacuum
+      (3 until 6).foreach { i =>
+        assert(graft.streaming.StreamingMerge.applyBatch(oneKey(i), i.toLong,
+          sf, maxGenerations = 6, keepLast = 1), s"batch $i did not apply")
+      }
+      val gens = MergeOps.generations(spark, sf, "documents")
+        .map(p => Paths.get(p._2).getFileName.toString)
+      assert(gens.size == 2,
+        s"expected exactly (pinned, compacted) after the fold, got $gens")
+      assert(gens.contains(pinnedName),
+        s"the fold's vacuum reclaimed pinned $pinnedName: $gens")
+      // the pinned snapshot still reads its exact mid-trickle contents
+      assert(rows(MergeOps.readSnapshot(spark, sf, k)("documents")
+          .select($"doc_id", $"text")) == pinRows,
+        "pinned generation diverged across the compaction fold")
+      // and the served corpus carries every trickle edit
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(served.filter($"text".rlike("^trickle\\d+ ")).count() == 6,
+        "compacted corpus lost trickle edits")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }

@@ -756,8 +756,9 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     import graft.sources.StatsManifest
     import graft.sources.StatsManifest._
     // adversarial value pool: nulls, negative/positive longs, empty and
-    // over-cap and non-ASCII strings (the cap and ASCII guards must cost
-    // pruning, never correctness)
+    // over-cap and non-ASCII strings (truncation/capping must cost
+    // pruning, never correctness; non-ASCII comparisons run in UTF-8
+    // byte space — StatsManifestSpec pins that they also PRUNE)
     val strPool = Seq("", "aa", "mm", "zz", "z" * 80, "αβγδε", "m" * 70)
     val rowGen: Gen[(Long, Option[Long], String)] = for {
       id <- Gen.chooseNum(0L, 10000L)

@@ -213,6 +213,92 @@ class RegistrySeamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** A registry implementing ONLY the reference's proven per-id surface
+    * (`GET /filetypes/{id}`, `GET /extractors/{id}` →
+    * `{"data": {object}}`, `__init__.py:96-123`): the bare list paths
+    * 404, and the per-id bodies deliberately omit `id` — the client must
+    * inject it from the URL.
+    */
+  private def withPerIdServer[T](f: String => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+      x.close()
+    }
+    val ftEntries = Map(
+      "biologic-mpr" -> """{"registered_extractors": ["galvani", "yadg"]}""",
+      "example-xy"   -> """{"registered_extractors": ["yadg"]}""",
+      "nexus-hdf5"   -> """{"registered_extractors": ["h5grove"]}""",
+      "csv"          -> """{"registered_extractors": ["newtool"]}""",
+      "tiff"         -> """{"registered_extractors": []}""")
+    val exEntries = Map(
+      "yadg" -> """{
+        "usage": [{"method": "python", "setup": "yadg",
+                   "command": "yadg.extractors.extract({{ input_type }}, {{ input_path }})"}],
+        "installation": [{"method": "pip", "packages": ["yadg~=5.0"]}]}""",
+      "galvani" -> """{
+        "usage": [{"method": "python", "setup": "galvani",
+                   "command": "galvani.MPRfile({{ input_path }})"}],
+        "installation": [{"method": "pip", "packages": ["galvani>=0.4"]}]}""",
+      "h5grove" -> """{
+        "usage": [{"method": "cli", "setup": "",
+                   "command": "h5dump {{ input_path }} > {{ output_path }}"}],
+        "installation": [{"method": "pip", "packages": ["h5grove"]}]}""",
+      "newtool" -> """{
+        "usage": [{"method": "cli", "setup": "",
+                   "command": "newtool {{ input_path }} --out {{ output_path }}"},
+                  {"method": "python", "setup": "newtool",
+                   "command": "newtool.load(path={{ input_path }}, fmt='auto')"}],
+        "installation": [{"method": "pip", "packages": ["newtool==1.2"]}]}""")
+    def handler(prefix: String, entries: Map[String, String])
+        : com.sun.net.httpserver.HttpHandler = (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath
+      if (path == prefix || path == prefix + "/") respond(x, 404, "")
+      else entries.get(path.stripPrefix(prefix + "/")) match {
+        case Some(body) => respond(x, 200, s"""{"data": $body}""")
+        case None => respond(x, 404, "")
+      }
+    }
+    server.createContext("/filetypes", handler("/filetypes", ftEntries))
+    server.createContext("/extractors", handler("/extractors", exEntries))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("per-id fallback: a registry serving ONLY the proven per-id surface still snapshots") {
+    withPerIdServer { base =>
+      val ftIds = Seq("biologic-mpr", "example-xy", "nexus-hdf5", "csv", "tiff")
+      val exIds = Seq("yadg", "galvani", "h5grove", "newtool")
+      val http = new graft.sources.HttpRegistryBackend(base,
+        knownIds = Map("filetypes" -> ftIds, "extractors" -> exIds))
+      // snapshot assembled from per-id GETs; ids injected from the URL
+      val ft = http.rows("filetypes").map(r => r.head -> r(1)).toMap
+      assert(ft("biologic-mpr") == List("galvani", "yadg") && ft("tiff") == Nil,
+        s"per-id snapshot wrong: $ft")
+      assert(ft.keySet == ftIds.toSet)
+      val u = http.rows("usages").filter(_.head == "newtool")
+      assert(u.map(r => (r(1), r(2))) == Seq((0, "cli"), (1, "python")),
+        s"usage ranks wrong through the fallback: $u")
+      val inst = http.rows("installations").filter(_.head == "yadg")
+      assert(inst == Seq(Seq("yadg", "pip", "yadg~=5.0")), s"installs: $inst")
+      // a missing known id stays loud (404 on the per-id GET itself)
+      val bad = new graft.sources.HttpRegistryBackend(base,
+        knownIds = Map("filetypes" -> (ftIds :+ "ghost"), "extractors" -> exIds))
+      val eg = intercept[IllegalStateException](bad.rows("filetypes"))
+      assert(eg.getMessage.contains("error:not_found"), eg.getMessage)
+      // and without knownIds the list-endpoint 404 still fails fast
+      val bare = new graft.sources.HttpRegistryBackend(base)
+      val e = intercept[IllegalStateException](bare.rows("filetypes"))
+      assert(e.getMessage.contains("error:not_found"), e.getMessage)
+    }
+  }
+
   test("HTTP failure modes map to r12's status vocabulary: 404, timeout, retry") {
     withServer { (base, hits) =>
       // 404 is a registry ANSWER — immediate, never retried

@@ -349,4 +349,113 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
       rmAll(java.nio.file.Paths.get(base))
     }
   }
+
+  test("manifest∘layout composition: ONE executed plan both skips files and ships zero Exchange on the id join") {
+    // The claim the two components make separately, pinned TOGETHER on a
+    // single executed plan: a manifested CorpusLayout generation read
+    // through ifPresent routes via ManifestFileIndex.bucketedTable, so a
+    // selective pushed filter skips files (numFiles < total) while the
+    // carried BucketSpec keeps the id-keyed join Exchange-free — the
+    // 100 TB "what changed since the last apply" read. Pruning works on
+    // the hash-bucketed layout precisely because CoW rewrites only
+    // touched buckets: hard-linked files keep their old stats rows, so a
+    // predicate that only new rows satisfy drops every untouched file.
+    import spark.implicits._
+    import java.nio.file.Files
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = Files.createTempDirectory("graft_smcomp").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val t = CorpusLayout.tableName("documents", sf)
+      val (gen0, _) = MergeOps.tableLayout(spark, t)
+      StatsManifest.build(spark, gen0, Seq("doc_id", "n_chars", "source"))
+      val target = CorpusLayout.ifPresent(spark, sf, "documents").get
+      // recrawl 3 docs, bumping n_chars into a sentinel range only the
+      // rewritten bucket files can contain
+      val up = target.filter($"doc_id".isin(5L, 17L, 40L))
+        .select($"doc_id", $"text", $"lang", $"source",
+          ($"n_chars" + 9000L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      val vpath = MergeOps.applyToLayout(spark, sf, up)
+      val total = StatsManifest.listDataFiles(vpath).size
+      val served = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val emb = spark.table(CorpusLayout.tableName("embeddings", sf))
+      val q = served.filter($"n_chars" >= 9000L).hint("merge")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select($"doc_id", $"n_chars")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 17L, 40L),
+        "composed read returned wrong rows")
+      val plan = q.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("Exchange"),
+        s"manifest-served layout join shuffled:\n$planStr")
+      val docScans = scans(plan)
+        .filter(_.relation.location.isInstanceOf[ManifestFileIndex])
+      assert(docScans.nonEmpty,
+        s"served read did not route through the manifest index:\n$planStr")
+      val nf = docScans.map(_.metrics("numFiles").value).sum
+      assert(nf > 0 && nf < total,
+        s"no file skipping in the composed plan: $nf of $total files")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      rmAll(java.nio.file.Paths.get(base))
+    }
+  }
+
+  test("non-ASCII string stats PRUNE files (byte-space ordering), not just stay sound") {
+    // PropertySpec's generated law proves non-ASCII comparisons never
+    // drop a matching file; this pins the EFFECTIVENESS half — when
+    // files partition cleanly on a non-ASCII column, equality and range
+    // predicates provably skip files. The pool crosses the UTF-16 /
+    // UTF-8 ordering divergence on purpose: U+FFFD sorts ABOVE the
+    // supplementary 😀 in Java's char ordering but BELOW it in UTF-8
+    // bytes (0xEF… < 0xF0…) — stats were written under UTF8String's
+    // unsigned byte order, so pruning must compare in byte space to be
+    // both sound AND effective here.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smuni")
+    try {
+      val dir = tmp.toString + "/t"
+      val vals = Seq("ánchor", "βeta", "γamma", "�repl", "😀emoji")
+      // one file per tag value: clean partitioning on the string column
+      vals.zipWithIndex.foreach { case (v, i) =>
+        Seq.tabulate(8)(j => (i * 100L + j, v)).toDF("id", "tag")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      StatsManifest.build(spark, dir, Seq("id", "tag"))
+      val full = spark.read.parquet(dir)
+      val mdir = manifestDirFor(dir)
+
+      // equality on a non-ASCII value: exactly one file survives
+      val eq = Seq(EqStat("tag", "βeta"))
+      val (keepEq, totEq) = prunedFiles(spark, dir, mdir, eq)
+      assert(totEq == vals.size, s"scenario broken: $totEq files")
+      assert(keepEq.size == 1, s"equality kept ${keepEq.size} of $totEq files")
+      assert(rows(StatsManifest.scan(spark, dir, eq))
+        == rows(full.filter($"tag" === "βeta")), "eq prune diverged")
+
+      // range straddling the UTF-16/UTF-8 divergence: tag >= U+FFFD must
+      // keep BOTH the U+FFFD file and the 😀 file (byte order: F0 > EF)
+      // and drop the three BMP-lowercase ones
+      val ge = Seq(GeStat("tag", "�"))
+      val (keepGe, _) = prunedFiles(spark, dir, mdir, ge)
+      assert(keepGe.size == 2, s"range kept ${keepGe.size} files (byte-order break)")
+      assert(rows(StatsManifest.scan(spark, dir, ge))
+        == rows(full.filter($"tag" >= "�")), "range prune diverged")
+      assert(full.filter($"tag" >= "�").count() == 16L,
+        "Spark-side comparison disagrees with the scenario")
+
+      // and the planner-integrated index prunes the same way (collect()
+      // on q ITSELF — count() would spawn a separate QueryExecution and
+      // leave q's scan metrics empty)
+      val q = ManifestFileIndex.table(spark, dir).filter($"tag" === "γamma")
+      assert(q.collect().length == 8)
+      val nf = scans(q.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      assert(nf == 1, s"planner path read $nf files for a one-file predicate")
+    } finally rmAll(tmp)
+  }
 }
