@@ -460,7 +460,15 @@ object MergeOps {
       // the staging table listed its files before the links landed
       s.catalog.refreshTable(s"${t}_staging")
     } else {
+      // repartition on the bucket expression so each task holds exactly
+      // one bucket — without it the bucketBy writer emits up to
+      // (tasks × B) files per full rewrite, which at a corpus-sized B
+      // (sizing policy, B≈10³⁺) explodes the file count generation over
+      // generation (observed locally: 33 tasks × 1024 buckets = 33k
+      // files in one broad apply). Same discipline as the touched-bucket
+      // write above; the shuffle is the one any bucketed rewrite pays.
       applyChanges(target, changes, keyCol, evolve)
+        .repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
         .bucketBy(nBuckets, keyCol).sortBy(keyCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")

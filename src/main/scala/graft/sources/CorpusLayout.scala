@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed corpus layout — the write-once data organization that makes
   * every per-document join in the engine shuffle-free (SURVEY §2.H, §5).
@@ -259,7 +260,12 @@ object CorpusLayout {
       val t = tableName(table, corpusDir)
       s.sql(s"DROP TABLE IF EXISTS $t")
       val path = s"$base/${corpusKey(corpusDir)}/$table"
+      // repartition on the bucket expression: one task per bucket, one
+      // file per bucket — without it the bucketBy writer emits up to
+      // (read tasks × B) files, which defeats the one-file-per-bucket
+      // CoW link arithmetic and explodes listings at corpus-sized B
       s.read.parquet(s"$corpusDir/$table.parquet")
+        .repartition(buckets, col(key))
         .write.format("parquet")
         .option("path", path)
         .bucketBy(buckets, key).sortBy(key)
