@@ -61,6 +61,48 @@ class CorpusLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("manifest-served relation is cached per (session, generation); invalidated by the next apply") {
+    // The hottest read path: a manifested layout routes every
+    // Tables.load through ManifestFileIndex.bucketedTable, whose
+    // construction pays an InMemoryFileIndex listing and whose first
+    // scan pays the stats collect. Pin that repeated reads of an
+    // unchanged generation return the SAME cached frame (one listing +
+    // one stats job per generation, not per query), and that an apply —
+    // which moves the served generation — invalidates it.
+    import org.apache.spark.sql.functions.{concat, lit}
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_c").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    try {
+      CorpusLayout.materialize(spark, sf)
+      val docT = CorpusLayout.tableName("documents", sf)
+      val gen0 = graft.operators.MergeOps.tableLayout(spark, docT)._1
+      graft.sources.StatsManifest.build(spark, gen0, Seq("doc_id", "n_chars"))
+      val a = CorpusLayout.ifPresent(spark, sf, "documents").get
+      val b = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(a eq b,
+        "manifest-served relation rebuilt on a repeated read of the same generation")
+      // an apply swings the generation: the cached frame must not be
+      // served stale — the next read builds (and re-caches) the new one
+      val up = a.filter($"doc_id" === 17L)
+        .select($"doc_id", concat(lit("c "), $"text").as("text"), $"lang",
+          $"source", ($"n_chars" + 1L).as("n_chars"))
+        .withColumn("tombstone", lit(false))
+      graft.operators.MergeOps.applyToLayout(spark, sf, up)
+      val c = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(!(a eq c), "post-apply read served the previous generation's cached frame")
+      assert(c.filter($"text".startsWith("c ")).count() == 1L,
+        "post-apply read does not see the applied edit")
+      val d = CorpusLayout.ifPresent(spark, sf, "documents").get
+      assert(c eq d, "new generation's relation not re-cached")
+    } finally {
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
+
   test("materialize without the conf fails; drop removes tables and files") {
     assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty)
     intercept[IllegalStateException](CorpusLayout.materialize(spark, sf))
