@@ -51,11 +51,13 @@ echo "== stale test-report prune (VERDICT r11 #6) =="
 # declared anywhere in the test sources (classes need not match their
 # file name — GraftSpec.scala declares EntrySpec + CallPlanParseSpec).
 python3 - <<'EOF'
-import glob, os, re, subprocess
+import glob, os, subprocess
 for xml in glob.glob('target/test-reports/TEST-*.xml'):
     cls = os.path.basename(xml)[len('TEST-'):-len('.xml')].split('.')[-1]
+    # word-boundary anchor: a deleted EntrySpec must not survive because
+    # a surviving EntrySpecial happens to share the prefix
     hit = subprocess.run(
-        ['grep', '-rlq', f'class {cls}', 'src/test/scala/'],
+        ['grep', '-rlqE', f'class {cls}\\b', 'src/test/scala/'],
         capture_output=True).returncode == 0
     if not hit:
         os.remove(xml)

@@ -251,6 +251,30 @@ object ScalingBench {
     spark.conf.unset(graft.operators.VectorIndexStore.ConfKey)
     }
 
+        // rewritten vs linked byte split of the LAST CoW generation vs its
+    // parent — ONE definition so merge_apply and merge_sized report the
+    // same measurement (dot-prefixed sidecars excluded, like every other
+    // data-file listing in the codebase)
+    def cowSplitMb(sfd: String): (Double, Double) = {
+      val gens = graft.operators.MergeOps.generations(spark, sfd, "documents")
+      val last = gens.last._2
+      val prev = gens(gens.size - 2)._2
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(last))
+      val (linked, rewritten) = try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter { p => val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".") }
+          .partition { p =>
+            val old = java.nio.file.Paths.get(prev, p.getFileName.toString)
+            java.nio.file.Files.exists(old) && java.nio.file.Files.isSameFile(old, p)
+          } match { case (a, b) => (a.toVector, b.toVector) }
+      } finally kids.close()
+      def mb(ps: Vector[java.nio.file.Path]) =
+        math.round(ps.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      (mb(linked), mb(rewritten))
+    }
+
     if (enabled("merge_apply")) {
     // ── CDC MERGE apply: bucket-scoped copy-on-write vs full rewrite
     // (round 10). Touched buckets = distinct pmod(hash(key), B) over the
@@ -284,25 +308,11 @@ object ScalingBench {
     }
     // rewritten vs linked split of the LAST CoW generation vs its parent
     locally {
-      val gens = graft.operators.MergeOps.generations(spark, sfDir, "documents")
-      val last = gens.last._2
-      val prev = gens(gens.size - 2)._2
-      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(last))
-      val (linked, rewritten) = try {
-        import scala.jdk.CollectionConverters._
-        kids.iterator().asScala
-          .filter(p => !p.getFileName.toString.startsWith("_"))
-          .partition { p =>
-            val old = java.nio.file.Paths.get(prev, p.getFileName.toString)
-            java.nio.file.Files.exists(old) && java.nio.file.Files.isSameFile(old, p)
-          } match { case (a, b) => (a.toVector, b.toVector) }
-      } finally kids.close()
-      def mb(ps: Vector[java.nio.file.Path]) =
-        math.round(ps.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      val (linkedMb, rewrittenMb) = cowSplitMb(sfDir)
       results :+= ("merge_apply/trickle_keys" -> kTrickle.toDouble)
       results :+= ("merge_apply/trickle_buckets_touched" -> bTrickle.toDouble)
-      results :+= ("merge_apply/cow_linked_mb" -> mb(linked))
-      results :+= ("merge_apply/cow_rewritten_mb" -> mb(rewritten))
+      results :+= ("merge_apply/cow_linked_mb" -> linkedMb)
+      results :+= ("merge_apply/cow_rewritten_mb" -> rewrittenMb)
     }
     arm("merge_apply/full_trickle") {
       graft.operators.MergeOps.applyToLayout(spark, sfDir, trickle, cow = false)
@@ -352,23 +362,9 @@ object ScalingBench {
       MergeOps.applyToLayout(spark, sfDir, szTrickle)
     }
     locally { // rewritten/linked byte split of the last sized apply
-      val gens = MergeOps.generations(spark, sfDir, "documents")
-      val last = gens.last._2
-      val prev = gens(gens.size - 2)._2
-      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(last))
-      val (linked, rewritten) = try {
-        import scala.jdk.CollectionConverters._
-        kids.iterator().asScala
-          .filter(p => !p.getFileName.toString.startsWith("_"))
-          .partition { p =>
-            val old = java.nio.file.Paths.get(prev, p.getFileName.toString)
-            java.nio.file.Files.exists(old) && java.nio.file.Files.isSameFile(old, p)
-          } match { case (a, b) => (a.toVector, b.toVector) }
-      } finally kids.close()
-      def mb(ps: Vector[java.nio.file.Path]) =
-        math.round(ps.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
-      results :+= ("merge_sized/cow_linked_mb" -> mb(linked))
-      results :+= ("merge_sized/cow_rewritten_mb" -> mb(rewritten))
+      val (linkedMb, rewrittenMb) = cowSplitMb(sfDir)
+      results :+= ("merge_sized/cow_linked_mb" -> linkedMb)
+      results :+= ("merge_sized/cow_rewritten_mb" -> rewrittenMb)
     }
     szTrickle.unpersist()
     // doubling sequence: each wave re-inserts the whole corpus under

@@ -335,50 +335,53 @@ object MergeOps {
     // long truncation), so any non-value-preserving key rejects loudly
     // here, before anything durable.
     val keyType = target.schema(keyCol).dataType
-    val changes1 = {
-      val srcType = changes0.schema(keyCol).dataType
-      if (srcType == keyType) changes0
-      else {
-        val lossy = changes0
-          .select(col(keyCol).as("__src"),
-            col(keyCol).try_cast(keyType).try_cast(srcType).as("__rt"))
-          .filter(col("__src").isNotNull && !(col("__src") <=> col("__rt")))
-          .limit(5).collect()
-        require(lossy.isEmpty,
-          s"changeset key '$keyCol' (${srcType.sql}) does not round-trip " +
-            s"through the layout's key type (${keyType.sql}) — lossy cast " +
-            s"would mis-bucket or collide keys: " +
-            lossy.map(_.get(0)).mkString(", "))
-        changes0.withColumn(keyCol, col(keyCol).try_cast(keyType))
-      }
-    }
+    val srcType = changes0.schema(keyCol).dataType
+    val changes1 = if (srcType == keyType) changes0
+      else changes0.withColumn("__src_key", col(keyCol))
+        .withColumn(keyCol, col(keyCol).try_cast(keyType))
+    // SQL MERGE raises on multiple source matches; enforce the same
+    // contract LOUDLY before anything lands on disk — a duplicate or
+    // NULL changeset key would write a generation with duplicate/orphan
+    // rows and silently corrupt every downstream uniqueness assumption
+    // (bucketed joins, stores, dedup). The SAME aggregate also verifies
+    // the key cast round-trips (a lossy width cast would mis-bucket or
+    // collide keys — see the try_cast note above): folding it in keeps
+    // the validation at ONE changeset-sized map-combined job instead of
+    // a separate full evaluation of the changeset plan per apply. Never
+    // corpus work; applyChanges stays a lazy combinator, so the durable
+    // path is where the check belongs.
+    val rtBad =
+      if (srcType == keyType) lit(false)
+      else col("__src_key").isNotNull &&
+        !(col(keyCol).try_cast(srcType) <=> col("__src_key"))
+    val badKeys = changes1.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        max(when(rtBad, 1).otherwise(0)).as("__lossy"))
+      .filter(col(keyCol).isNull || col("__n") > lit(1L) || col("__lossy") === 1)
+      .limit(5).collect()
+    require(badKeys.isEmpty,
+      s"changeset violates one-row-per-'$keyCol' (SQL MERGE's multiple-" +
+        s"match error), carries a NULL key, or its key (${srcType.sql}) " +
+        s"does not round-trip through the layout's key type " +
+        s"(${keyType.sql}): ${badKeys.map(_.toString).mkString(", ")}")
+    val changes2 = if (srcType == keyType) changes1
+      else changes1.drop("__src_key")
     // a sparse (UPDATE SET) changeset expands to full rows HERE, before
     // anything durable: the bucket math below only needs the key, but
     // the downstream index applies (SignatureStore / VectorIndexStore)
     // and the staging write want complete rows. Expansion is one
     // changeset-key semi-join against the corpus — broadcast-sized, and
-    // bucket-co-located over this very layout.
-    val changes = if (partial) expandPartial(target, changes1, keyCol)
-      else changes1
+    // bucket-co-located over this very layout. (The key checks above
+    // ran pre-expansion: expansion left-joins the unique-keyed corpus,
+    // so it preserves the changeset's key multiset.)
+    val changes = if (partial) expandPartial(target, changes2, keyCol)
+      else changes2
     // buckets <= 0 = adopt the served generation's bucket count — the
     // right default, since a [[rebucket]] may have moved it off
     // DefaultBuckets; an explicit ask that disagrees is a caller bug.
     val nBuckets = if (buckets <= 0) curBuckets else buckets
     require(curBuckets == nBuckets,
       s"layout for $t has $curBuckets buckets; apply asked for $nBuckets")
-    // SQL MERGE raises on multiple source matches; enforce the same
-    // contract LOUDLY before anything lands on disk — a duplicate or
-    // NULL changeset key would write a generation with duplicate/orphan
-    // rows and silently corrupt every downstream uniqueness assumption
-    // (bucketed joins, stores, dedup). One changeset-sized map-combined
-    // aggregate, never corpus work; applyChanges stays a lazy
-    // combinator, so the durable path is where the check belongs.
-    val badKeys = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .filter(col(keyCol).isNull || col("__n") > lit(1L))
-      .limit(5).collect()
-    require(badKeys.isEmpty,
-      s"changeset violates one-row-per-'$keyCol' (SQL MERGE's multiple-" +
-        s"match error): ${badKeys.map(_.toString).mkString(", ")}")
     cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow,
       evolveSchema)
     // bump the layout epoch so OTHER sessions' cached relations (a
@@ -807,19 +810,30 @@ object MergeOps {
     * directory/link-chain metadata at 64 generations. Rules of thumb:
     * high-rate trickles (minutes) → 32–128; nightly feeds → 8–16; and
     * pair with keepLast ≥ 2 so one pre-compaction generation survives
-    * for in-flight readers. Returns the compacted generation's path, or
-    * None when the chain is still under the bound.
+    * for in-flight readers. The bound counts only RECLAIMABLE
+    * generations: snapshot-pinned ones survive every vacuum by
+    * contract, so counting them would make the trigger re-fire on
+    * every apply once pins alone exceed the bound — a full corpus
+    * rewrite per batch, the same thrash pathology [[maybeRebucket]]'s
+    * sized-count guard closes on its side. Returns the compacted
+    * generation's path, or None when the reclaimable chain is still
+    * under the bound.
     */
   def maybeCompact(s: SparkSession, corpusDir: String,
                    table: String = "documents",
                    maxGenerations: Int = 64,
-                   keepLast: Int = 2): Option[String] =
-    if (maxGenerations > 0 &&
-        generations(s, corpusDir, table).size > maxGenerations) {
+                   keepLast: Int = 2): Option[String] = {
+    if (maxGenerations <= 0) return None
+    val pinned = snapshotPins(s, corpusDir, table)
+    val reclaimable = generations(s, corpusDir, table).count { case (_, p) =>
+      !pinned.contains(java.nio.file.Paths.get(p).normalize.toString)
+    }
+    if (reclaimable > maxGenerations) {
       val p = compactGenerations(s, corpusDir, table)
       vacuum(s, corpusDir, table, keepLast)
       Some(p)
     } else None
+  }
 
   /** Re-bucket a layout table at a new bucket count, as a new
     * generation — the lever SCALING.md §8 names: copy-on-write's

@@ -213,9 +213,18 @@ object CorpusLayout {
   // listing at build plus the lazy stats collect at first listFiles on
   // EVERY query. Cache the built frame; invalidate when the served
   // generation moves (epoch content = generation path) or the manifest
-  // itself is rebuilt in place (its _SUCCESS mtime moves).
-  private val servedRelation =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, DataFrame)]()
+  // itself is rebuilt in place (its _SUCCESS mtime moves). Lifecycle:
+  // entries hold a WeakReference to their session and a hit is honored
+  // only when the referent IS the asking session — identityHashCode is
+  // not unique, and without the check a collision could hand one
+  // session a frame bound to another (possibly stopped) one. [[drop]]
+  // evicts its tables' entries, and the map is size-capped (a driver
+  // that churns sessions would otherwise pin every dead session through
+  // its cached frame): past the cap it is simply cleared — the rebuild
+  // cost is one listing per live generation.
+  private val servedRelation = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], String, Long, DataFrame)]()
+  private val ServedRelationCap = 128
 
   /** The manifest-pruning, bucket-spec-carrying frame over the served
     * generation — Some only when the generation carries BOTH markers
@@ -236,12 +245,15 @@ object CorpusLayout {
           StatsManifest.manifestDirFor(loc), "_SUCCESS")).toMillis
       val ck = s"${System.identityHashCode(s)}/${tableName(table, corpusDir)}"
       Option(servedRelation.get(ck))
-        .collect { case (l, st, df) if l == loc && st == stamp => df }
+        .collect { case (ref, l, st, df)
+          if (ref.get eq s) && l == loc && st == stamp => df }
         .getOrElse {
           val buckets = new String(
             java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
           val df = ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
-          servedRelation.put(ck, (loc, stamp, df))
+          if (servedRelation.size >= ServedRelationCap) servedRelation.clear()
+          servedRelation.put(ck,
+            (new java.lang.ref.WeakReference(s), loc, stamp, df))
           df
         }
     }
@@ -254,6 +266,9 @@ object CorpusLayout {
   def materialize(s: SparkSession, corpusDir: String,
                   buckets: Int = DefaultBuckets,
                   tables: Seq[String] = keyed.keys.toSeq): Seq[String] = {
+    require(tables.forall(keyed.contains),
+      s"unknown layout table(s) ${tables.filterNot(keyed.contains).mkString(", ")}" +
+        s" — keyed tables are ${keyed.keys.toSeq.sorted.mkString(", ")}")
     val base = s.conf.getOption(ConfKey).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to materialize"))
     keyed.filter(kv => tables.contains(kv._1)).toSeq.sorted.map { case (table, key) =>
@@ -280,6 +295,8 @@ object CorpusLayout {
   def drop(s: SparkSession, corpusDir: String): Unit = {
     keyed.keys.map(tableName(_, corpusDir)).filter(s.catalog.tableExists)
       .foreach(t => s.sql(s"DROP TABLE $t"))
+    keyed.keys.foreach(table => servedRelation.remove(
+      s"${System.identityHashCode(s)}/${tableName(table, corpusDir)}"))
     s.conf.getOption(ConfKey).foreach(base =>
       graft.FsUtil.deleteRecursively(
         java.nio.file.Paths.get(s"$base/${corpusKey(corpusDir)}")))

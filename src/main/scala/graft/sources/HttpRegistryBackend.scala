@@ -138,7 +138,14 @@ class HttpRegistryBackend(baseUrl: String,
             // so the table projections below always see one
             case JObject(fields) if !fields.exists(_._1 == "id") =>
               JObject(JField("id", JString(id)) :: fields)
-            case other => other
+            case obj: JObject => obj
+            // anything else (no {"data": ...} envelope, non-object data)
+            // would silently vanish from every table projection — the
+            // exact silently-empty-tables outcome this class promises
+            // cannot happen. Fail loudly at the fetch instead.
+            case other => throw new IllegalStateException(
+              s"registry fetch failed [error:bad_body]: $base/$path/$id " +
+                s"returned no {\"data\": {object}} envelope (got ${other.getClass.getSimpleName})")
           }
           case Failed(status, detail) => throw new IllegalStateException(
             s"registry fetch failed [$status]: $detail")

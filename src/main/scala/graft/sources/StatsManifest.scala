@@ -297,6 +297,10 @@ object StatsManifest {
     */
   def prunedFiles(s: SparkSession, dataDir: String, manifestDir: String,
                   preds: Seq[StatPred]): (Seq[String], Int) = {
+    // empty conjunction prunes nothing: answer from the listing alone —
+    // only [[scan]] needs the known-file set prunedFilesKnown would pay
+    // a manifest job for here
+    if (preds.isEmpty) { val all = listDataFiles(dataDir); return (all, all.size) }
     val (keep, total, _) = prunedFilesKnown(s, dataDir, manifestDir, preds)
     (keep, total)
   }

@@ -768,10 +768,11 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
         .select($"doc_id", concat(lit(s"trickle$i "), $"text").as("text"),
           $"lang", $"source", $"n_chars")
         .withColumn("tombstone", lit(false))
-      // 3 batches under the bound: the policy must NOT fire (gen0 + 3 = 4 ≤ 6)
+      // 3 batches under the bound: the policy must NOT fire
+      // (gen0 + 3 = 4 reclaimable ≤ 5)
       (0 until 3).foreach { i =>
         assert(graft.streaming.StreamingMerge.applyBatch(oneKey(i), i.toLong,
-          sf, maxGenerations = 6, keepLast = 1), s"batch $i did not apply")
+          sf, maxGenerations = 5, keepLast = 1), s"batch $i did not apply")
       }
       assert(MergeOps.generations(spark, sf, "documents").size == 4,
         "policy fired under the bound")
@@ -780,10 +781,13 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
         .select($"doc_id", $"text"))
       val (k, pins) = MergeOps.snapshot(spark, sf)
       val pinnedName = Paths.get(pins("documents")).getFileName.toString
-      // 3 more: the 6th apply pushes the chain to 7 > 6 → fold + vacuum
+      // 3 more: the 6th apply pushes the RECLAIMABLE chain (the pinned
+      // generation does not count — vacuum can never fold it away, so
+      // counting it would re-fire the trigger forever) to 6 > 5 →
+      // fold + vacuum
       (3 until 6).foreach { i =>
         assert(graft.streaming.StreamingMerge.applyBatch(oneKey(i), i.toLong,
-          sf, maxGenerations = 6, keepLast = 1), s"batch $i did not apply")
+          sf, maxGenerations = 5, keepLast = 1), s"batch $i did not apply")
       }
       val gens = MergeOps.generations(spark, sf, "documents")
         .map(p => Paths.get(p._2).getFileName.toString)
