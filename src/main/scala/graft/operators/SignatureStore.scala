@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Materialized MinHash signature/component store — the production form
   * of the d02 pipeline (SURVEY §2.D).
@@ -178,7 +179,12 @@ object SignatureStore {
     s.sql(s"DROP TABLE IF EXISTS $sigT")
     s.sql(s"DROP TABLE IF EXISTS $compT")
     Dedup.releaseSignatures()
+    // repartition on the bucket expression before every bucketBy write
+    // (here and below): without it the writer emits up to (tasks × B)
+    // files — at cluster task counts that is millions of store files,
+    // and it defeats the one-file-per-bucket scan/maintenance arithmetic
     buildSignatures(s, Tables.load(s, corpusDir, "documents"))
+      .repartition(buckets, col("doc_id"))
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(sigT)
@@ -189,6 +195,7 @@ object SignatureStore {
     // schema stays (node, label) — node IS the doc_id, and bucketing keys
     // on column position in the join, not the name
     Dedup.dupComponents(s, corpusDir)
+      .repartition(buckets, col("node"))
       .write.format("parquet").option("path", s"$dir/comp_table")
       .bucketBy(buckets, "node").sortBy("node")
       .mode("overwrite").saveAsTable(compT)
@@ -231,6 +238,7 @@ object SignatureStore {
       case _ => ()
     }
     buildSignatures(s, newDocs)
+      .repartition(buckets, col("doc_id"))
       .write.format("parquet").option("path", s"$dir/sig_table")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode(mode).saveAsTable(sigT)
