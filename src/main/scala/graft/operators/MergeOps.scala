@@ -803,13 +803,20 @@ object MergeOps {
     * a raw "every N batches" cadence: compact (then vacuum to `keepLast`,
     * snapshot pins always survive) only when the chain has accreted more
     * than `maxGenerations` generations. Cost model for picking a bound:
-    * a compaction is one corpus-sized IO pass (zero shuffle), so its
-    * amortized overhead is corpusBytes / (maxGenerations × avgBatchBytes)
-    * — with day-sized batches at 1/1000 of the corpus, maxGenerations=64
-    * keeps amortized compaction under ~2% of ingest IO while bounding
-    * directory/link-chain metadata at 64 generations. Rules of thumb:
-    * high-rate trickles (minutes) → 32–128; nightly feeds → 8–16; and
-    * pair with keepLast ≥ 2 so one pre-compaction generation survives
+    * a fold is one corpus-sized IO pass (zero shuffle) paid once per
+    * ~maxGenerations applied batches, so its IO amortizes to
+    * corpusBytes / maxGenerations per batch — against an ingest batch of
+    * avgBatchBytes, the overhead ratio is
+    * (corpusBytes / avgBatchBytes) / maxGenerations. Pick
+    * maxGenerations ≈ (corpus/batch size ratio) / overheadBudget: a
+    * 1/1000-corpus trickle with a 25% IO budget wants maxGenerations
+    * ≈ 4000, NOT a small number — and that is fine, because the chain's
+    * cost between folds is metadata only (CoW hard links share bytes;
+    * [[vacuum]] already reclaims unpinned generation DIRS), so the fold
+    * is directory/inode hygiene, not byte reclaim. Small bounds
+    * (8–64) are right only when batches are a meaningful fraction of
+    * the corpus (nightly re-crawls), where the ratio itself is small.
+    * Pair with keepLast ≥ 2 so one pre-compaction generation survives
     * for in-flight readers. The bound counts only RECLAIMABLE
     * generations: snapshot-pinned ones survive every vacuum by
     * contract, so counting them would make the trigger re-fire on
