@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see AsOfHintRule; e38 gates it against DuckDB's native ASOF JOIN).
     e.injectResolutionRule(_ => graft.plans.AsOfHintRule)
 
+    // SQL surface for the CDC MERGE: MERGE INTO <graft_cl_… layout
+    // table> lowers onto MergeOps.applyToLayout via a runnable command
+    // (see MergeIntoLayoutRule; p29 gates it against a DuckDB-composed
+    // oracle). Non-layout targets keep Spark's stock v1 rejection.
+    e.injectResolutionRule(_ => graft.plans.MergeIntoLayoutRule)
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

@@ -831,6 +831,14 @@ object MergeOps {
                    maxGenerations: Int = 64,
                    keepLast: Int = 2): Option[String] = {
     if (maxGenerations <= 0) return None
+    // keepLast >= maxGenerations would re-violate the bound the moment
+    // the post-fold vacuum finishes (it RETAINS keepLast generations),
+    // so every subsequent apply would pay a full-corpus fold — the
+    // per-batch thrash this policy exists to close. Loud, not silent.
+    require(keepLast < maxGenerations,
+      s"keepLast ($keepLast) must be < maxGenerations ($maxGenerations): " +
+        "vacuum retains keepLast generations after a fold, so the bound " +
+        "would re-trigger on every apply")
     val pinned = snapshotPins(s, corpusDir, table)
     val reclaimable = generations(s, corpusDir, table).count { case (_, p) =>
       !pinned.contains(java.nio.file.Paths.get(p).normalize.toString)

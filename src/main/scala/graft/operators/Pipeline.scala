@@ -1298,5 +1298,83 @@ object Pipeline {
         SELECT -(doc_id + 1), NULL, 'new', NULL, 7
         FROM documents WHERE doc_id % 101 = 0
         ORDER BY doc_id"""))
+    ,
+
+    // ── p29: SQL MERGE INTO over the served layout — the SQL surface ──
+    // of the same durable CDC verb p26/p28 drive through the Scala API.
+    // Spark's stock parser yields MergeIntoTable and rejects v1 tables;
+    // [[graft.plans.MergeIntoLayoutRule]] (injectResolutionRule, the
+    // AsOfHintRule recipe at the command tier) claims the plan when the
+    // target is a graft_cl_ layout table and lowers WHEN MATCHED
+    // DELETE/UPDATE SET + WHEN NOT MATCHED INSERT onto
+    // [[MergeOps.applyToLayout]]'s copy-on-write generation apply. The
+    // statement exercises the full clause algebra: a conditioned DELETE
+    // ordered before an UPDATE (SQL first-clause-wins), an UPDATE value
+    // referencing BOTH sides (t.n_chars + s.bump), and an INSERT with
+    // literals. DuckDB 1.0 has no MERGE, so the oracle composes the
+    // identical edit as CASE/WHERE/UNION ALL (p28's recipe) — the
+    // cross-engine law is sql-merge(v1, src) ≡ composed-v2, value for
+    // value, through a REAL served-generation read-back. Same private
+    // sandbox + in-query lifecycle-cost design as p28.
+    GQuery("p29_sql_merge",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p29")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          base.filter($"doc_id" % 7 === 0 && $"doc_id" % 13 =!= 0)
+            .select($"doc_id", lit("zz").as("new_lang"), lit(2L).as("bump"),
+              lit(null).cast("string").as("new_text"), lit(false).as("is_del"))
+            .unionByName(base.filter($"doc_id" % 13 === 0)
+              .select($"doc_id", lit(null).cast("string").as("new_lang"),
+                lit(0L).as("bump"), lit(null).cast("string").as("new_text"),
+                lit(true).as("is_del")))
+            .unionByName(base.filter($"doc_id" % 101 === 0)
+              .select((-($"doc_id" + 1L)).as("doc_id"),
+                lit("new").as("new_lang"), lit(0L).as("bump"),
+                concat(lit("ins "), $"text").as("new_text"),
+                lit(false).as("is_del")))
+            .createOrReplaceTempView("p29_changes")
+          s.sql(
+            s"""MERGE INTO $t t USING p29_changes s ON t.doc_id = s.doc_id
+               |WHEN MATCHED AND s.is_del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET lang = s.new_lang,
+               |  n_chars = t.n_chars + s.bump
+               |WHEN NOT MATCHED THEN
+               |  INSERT (doc_id, text, lang, source, n_chars)
+               |  VALUES (s.doc_id, s.new_text, s.new_lang, 'sqlmerge', 5)
+               |""".stripMargin)
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"lang", $"source",
+              $"n_chars".cast("long").as("n_chars"))
+            .orderBy($"doc_id")
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          s.catalog.dropTempView("p29_changes")
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS lang,
+               source,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 2 ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1), md5('ins ' || text), 'new', 'sqlmerge', 5
+        FROM documents WHERE doc_id % 101 = 0
+        ORDER BY doc_id"""))
   )
 }

@@ -113,6 +113,48 @@ object CorpusLayout {
 
   private[graft] val BucketsMarker = "_BUCKETS"
 
+  /** Marker at the layout ROOT recording the corpus dir it serves —
+    * the reverse of [[corpusKey]]'s one-way hash, written by
+    * [[materialize]]. It exists for surfaces handed only a CATALOG
+    * table name (the SQL `MERGE INTO graft_cl_…` rule): they must map
+    * the name back to (corpusDir, table) to reach the layout verbs,
+    * and the hash in the name cannot be inverted. Filesystem-as-truth,
+    * like `_BUCKETS`: a fresh JVM recovers the mapping from disk.
+    */
+  private[graft] val CorpusMarker = "_CORPUS"
+
+  /** Reverse-map a `graft_cl_<table>_<hash12>` catalog table name to
+    * its (corpusDir, logical table), via the `_CORPUS` markers under
+    * the session's layout base. None when the name is not a layout
+    * table, the conf is unset, or no marker matches (pre-marker
+    * layout). Driver-side listing of the base dir only.
+    */
+  def corpusForTable(s: SparkSession, catalogTable: String): Option[(String, String)] = {
+    if (!catalogTable.startsWith("graft_cl_")) return None
+    val rest = catalogTable.stripPrefix("graft_cl_")
+    val parsed = keyed.keys.toSeq.sorted.collectFirst {
+      case table if rest.startsWith(table + "_") =>
+        (table, rest.stripPrefix(table + "_"))
+    }
+    for {
+      (table, hash12) <- parsed
+      base <- s.conf.getOption(ConfKey)
+      root = java.nio.file.Paths.get(base)
+      if java.nio.file.Files.isDirectory(root)
+      corpusDir <- {
+        val kids = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          kids.iterator().asScala
+            .filter(p => p.getFileName.toString.take(12) == hash12)
+            .map(_.resolve(CorpusMarker))
+            .find(java.nio.file.Files.exists(_))
+            .map(f => new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim)
+        } finally kids.close()
+      }
+    } yield (corpusDir, table)
+  }
+
   private[graft] def writeBucketsMarker(path: String, buckets: Int): Unit =
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, BucketsMarker),
@@ -220,11 +262,31 @@ object CorpusLayout {
   // session a frame bound to another (possibly stopped) one. [[drop]]
   // evicts its tables' entries, and the map is size-capped (a driver
   // that churns sessions would otherwise pin every dead session through
-  // its cached frame): past the cap it is simply cleared — the rebuild
-  // cost is one listing per live generation.
+  // its cached frame): past the cap, dead-referent entries (session
+  // already collected) evict first, and only if the map is STILL over
+  // does it fall back to a full clear — so one session churning past
+  // the cap no longer wipes every live session's cached relation.
+  // Staleness contract: the stamp is (generation path, manifest
+  // _SUCCESS mtime+size), so files appended DIRECTLY into a served
+  // generation dir outside the apply/swing verbs stay invisible until
+  // a manifest rebuild or epoch bump — direct appends require one (the
+  // swing verbs do this automatically; raw writers must too). The
+  // _SUCCESS size rides along because mtime is millisecond-granular:
+  // an in-place manifest rebuild completing within the same ms would
+  // otherwise serve a stale frame.
   private val servedRelation = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.lang.ref.WeakReference[SparkSession], String, Long, DataFrame)]()
+    String, (java.lang.ref.WeakReference[SparkSession], String, String, DataFrame)]()
   private val ServedRelationCap = 128
+
+  /** Evict dead-referent entries (session already collected); full clear
+    * only if the map is still over the cap afterwards — see the cache
+    * comment above.
+    */
+  private def evictServedRelation(): Unit = {
+    val it = servedRelation.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.get() == null) it.remove()
+    if (servedRelation.size >= ServedRelationCap) servedRelation.clear()
+  }
 
   /** The manifest-pruning, bucket-spec-carrying frame over the served
     * generation — Some only when the generation carries BOTH markers
@@ -240,9 +302,12 @@ object CorpusLayout {
       bFile = java.nio.file.Paths.get(loc, BucketsMarker)
       if java.nio.file.Files.exists(bFile)
     } yield {
-      val stamp = java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(
-          StatsManifest.manifestDirFor(loc), "_SUCCESS")).toMillis
+      val stamp = {
+        val f = java.nio.file.Paths.get(
+          StatsManifest.manifestDirFor(loc), "_SUCCESS")
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}/" +
+          s"${java.nio.file.Files.size(f)}"
+      }
       val ck = s"${System.identityHashCode(s)}/${tableName(table, corpusDir)}"
       Option(servedRelation.get(ck))
         .collect { case (ref, l, st, df)
@@ -251,7 +316,7 @@ object CorpusLayout {
           val buckets = new String(
             java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
           val df = ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
-          if (servedRelation.size >= ServedRelationCap) servedRelation.clear()
+          if (servedRelation.size >= ServedRelationCap) evictServedRelation()
           servedRelation.put(ck,
             (new java.lang.ref.WeakReference(s), loc, stamp, df))
           df
@@ -271,6 +336,12 @@ object CorpusLayout {
         s" — keyed tables are ${keyed.keys.toSeq.sorted.mkString(", ")}")
     val base = s.conf.getOption(ConfKey).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to materialize"))
+    // record the corpus dir at the layout root so catalog-name-only
+    // surfaces (SQL MERGE INTO) can map the table name back to it
+    val rootDir = java.nio.file.Paths.get(s"$base/${corpusKey(corpusDir)}")
+    java.nio.file.Files.createDirectories(rootDir)
+    java.nio.file.Files.write(rootDir.resolve(CorpusMarker),
+      corpusDir.getBytes("UTF-8"))
     keyed.filter(kv => tables.contains(kv._1)).toSeq.sorted.map { case (table, key) =>
       val t = tableName(table, corpusDir)
       s.sql(s"DROP TABLE IF EXISTS $t")

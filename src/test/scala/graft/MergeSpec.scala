@@ -808,4 +808,103 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("SQL MERGE INTO the served layout: clause order, old-value refs, by-source delete; malformed fails loudly") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlmerge")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    try {
+      CorpusLayout.materialize(spark, corpus, tables = Seq("documents"))
+      val t = CorpusLayout.tableName("documents", corpus)
+      // source: updates (7s not 13s), deletes (13s), inserts (negatives)
+      base.filter($"doc_id" % 7 === 0 && $"doc_id" % 13 =!= 0)
+        .select($"doc_id", lit("zz").as("new_lang"), lit(2L).as("bump"),
+          lit(null).cast("string").as("new_text"), lit(false).as("is_del"))
+        .unionByName(base.filter($"doc_id" % 13 === 0)
+          .select($"doc_id", lit(null).cast("string").as("new_lang"),
+            lit(0L).as("bump"), lit(null).cast("string").as("new_text"),
+            lit(true).as("is_del")))
+        .unionByName(base.filter($"doc_id" % 101 === 0)
+          .select((-($"doc_id" + 1L)).as("doc_id"), lit("new").as("new_lang"),
+            lit(0L).as("bump"), concat(lit("ins "), $"text").as("new_text"),
+            lit(false).as("is_del")))
+        .createOrReplaceTempView("sqlmerge_src")
+      spark.sql(
+        s"""MERGE INTO $t t USING sqlmerge_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.is_del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET lang = s.new_lang,
+           |  n_chars = t.n_chars + s.bump
+           |WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source, n_chars)
+           |  VALUES (s.doc_id, s.new_text, s.new_lang, 'sqlmerge', 5)
+           |""".stripMargin)
+      val expected = base.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"text",
+          when($"doc_id" % 7 === 0, "zz").otherwise($"lang").as("lang"),
+          $"source",
+          when($"doc_id" % 7 === 0, $"n_chars" + 2).otherwise($"n_chars")
+            .cast("long").as("n_chars"))
+        .unionByName(base.filter($"doc_id" % 101 === 0)
+          .select((-($"doc_id" + 1L)).as("doc_id"),
+            concat(lit("ins "), $"text").as("text"), lit("new").as("lang"),
+            lit("sqlmerge").as("source"), lit(5L).as("n_chars")))
+      val served = CorpusLayout.ifPresent(spark, corpus, "documents").get
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      assert(rows(served) == rows(expected),
+        "SQL MERGE result diverges from the composed edit")
+      // generation chain advanced through the same durable path
+      assert(MergeOps.generations(spark, corpus, "documents").size == 2,
+        "SQL MERGE did not append a generation")
+
+      // WHEN NOT MATCHED BY SOURCE DELETE: retain only the fed keys ∩ a
+      // target-side condition — everything else tombstones
+      spark.sql(s"SELECT doc_id FROM parquet.`$corpus/documents.parquet` " +
+        "WHERE doc_id % 2 = 0").createOrReplaceTempView("sqlmerge_keep")
+      spark.sql(
+        s"""MERGE INTO $t t USING sqlmerge_keep s ON t.doc_id = s.doc_id
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id > 0 THEN DELETE
+           |""".stripMargin)
+      val after = CorpusLayout.ifPresent(spark, corpus, "documents").get
+      assert(after.filter($"doc_id" > 0 && $"doc_id" % 2 =!= 0).count() == 0,
+        "by-source delete left unmatched positive keys")
+      assert(after.filter($"doc_id" < 0).count() ==
+        expected.filter($"doc_id" < 0).count(),
+        "by-source delete touched rows its condition excludes")
+
+      // malformed shapes reject loudly (the rule's whole point: silently
+      // keeping Spark's unsupported error or dropping a clause would be
+      // a data-corruption path)
+      def bad(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage != null, s"no message for: $sql")
+      }
+      bad(s"MERGE INTO $t t USING sqlmerge_keep s ON t.doc_id < s.doc_id " +
+        "WHEN MATCHED THEN DELETE")
+      bad(s"MERGE INTO $t t USING sqlmerge_keep s ON t.n_chars = s.doc_id " +
+        "WHEN MATCHED THEN DELETE")
+      bad(s"MERGE INTO $t t USING sqlmerge_keep s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id + 1")
+      bad(s"MERGE INTO $t t USING sqlmerge_keep s ON t.doc_id = s.doc_id " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET lang = 'x'")
+      // non-layout v1 targets keep Spark's stock rejection
+      base.limit(5).write.mode("overwrite")
+        .option("path", tmp.toString + "/plain")
+        .saveAsTable("sqlmerge_plain")
+      bad("MERGE INTO sqlmerge_plain t USING sqlmerge_keep s ON " +
+        "t.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+    } finally {
+      spark.catalog.dropTempView("sqlmerge_src")
+      spark.catalog.dropTempView("sqlmerge_keep")
+      spark.sql("DROP TABLE IF EXISTS sqlmerge_plain")
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
 }
