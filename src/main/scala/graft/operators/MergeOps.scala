@@ -309,6 +309,13 @@ object MergeOps {
     val t = CorpusLayout.tableName(table, corpusDir)
     require(CorpusLayout.ifPresent(s, corpusDir, table).isDefined,
       s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first")
+    // single-writer fence: every chain-mutating step below — resolve,
+    // stage, link, swing — runs under the generation lease, and the
+    // FIRST fenced step re-syncs this session's catalog to the chain
+    // tip, so a concurrent writer in another JVM can never be merged
+    // over (lost update) or raced to the same _vN.
+    GenerationLease.withLease(s, corpusDir, table) {
+    CorpusLayout.resyncServing(s, corpusDir, table)
     // sizing policy FIRST (see [[TargetBucketBytesKey]]): when the
     // served B has drifted ≥4× off the sized count, pay the one full
     // rewrite now so THIS apply (and every following one) is already
@@ -401,6 +408,7 @@ object MergeOps {
     else if (table == "embeddings")
       VectorIndexStore.applyChangeset(s, corpusDir, changes)
     vpath
+    } // GenerationLease.withLease
   }
 
   /** The bucket-scoped copy-on-write swing shared by the corpus apply
@@ -593,8 +601,12 @@ object MergeOps {
   def vacuum(s: SparkSession, corpusDir: String, table: String = "documents",
              keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    GenerationLease.withLease(s, corpusDir, table) {
+    // resync (subsumes the fresh-JVM re-attach): a concurrent writer may
+    // have advanced the chain — deleting "old" generations judged from a
+    // stale catalog could reclaim the dir an in-flight apply links from
+    CorpusLayout.resyncServing(s, corpusDir, table)
     val gens = generations(s, corpusDir, table)
-    CorpusLayout.repairServing(s, corpusDir, table) // fresh-JVM re-attach
     val served = tableLayout(s, CorpusLayout.tableName(table, corpusDir))._1
     val servedNorm = java.nio.file.Paths.get(served).normalize.toString
     val pinned = snapshotPins(s, corpusDir, table) + servedNorm
@@ -605,6 +617,7 @@ object MergeOps {
       graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
       p
     }
+    } // GenerationLease.withLease
   }
 
   /** Time-travel read: a not-yet-vacuumed generation as a plain parquet
@@ -768,6 +781,8 @@ object MergeOps {
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
     val t = CorpusLayout.tableName(table, corpusDir)
+    GenerationLease.withLease(s, corpusDir, table) {
+    CorpusLayout.resyncServing(s, corpusDir, table)
     val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
       throw new IllegalStateException(
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
@@ -797,6 +812,7 @@ object MergeOps {
     // re-stat over the compacted generation (no-op without a manifest)
     graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
     vpath
+    } // GenerationLease.withLease
   }
 
   /** Generation-count compaction policy — the self-tuning alternative to
@@ -872,6 +888,8 @@ object MergeOps {
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
     val t = CorpusLayout.tableName(table, corpusDir)
+    GenerationLease.withLease(s, corpusDir, table) {
+    CorpusLayout.resyncServing(s, corpusDir, table)
     val target = CorpusLayout.ifPresent(s, corpusDir, table).getOrElse(
       throw new IllegalStateException(
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
@@ -890,5 +908,6 @@ object MergeOps {
     // re-stat over the new generation — still the right upkeep
     graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
     vpath
+    } // GenerationLease.withLease
   }
 }

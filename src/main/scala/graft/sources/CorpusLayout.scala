@@ -217,6 +217,40 @@ object CorpusLayout {
     }
   }
 
+  /** Cross-writer catalog resync: point this SESSION's catalog entry at
+    * the newest complete generation on disk. The swing verbs update the
+    * catalog of the session that RAN them; a concurrent writer in
+    * another JVM advances the chain on disk while this JVM's catalog
+    * still names an older generation dir — and an apply planned against
+    * that stale frame would silently drop the other writer's edits (the
+    * classic lost update). Every chain-mutating verb calls this first,
+    * INSIDE the [[graft.operators.GenerationLease]], so the merge target
+    * is the chain tip by construction. Returns the re-attached path when
+    * a resync happened; None when the catalog already agreed with disk.
+    */
+  def resyncServing(s: SparkSession, corpusDir: String,
+                    table: String): Option[String] = {
+    if (!keyed.contains(table)) return None
+    val t = tableName(table, corpusDir)
+    if (!s.catalog.tableExists(t)) return repairServing(s, corpusDir, table)
+    val newest = listGenerations(s, corpusDir, table).reverse.find { case (_, p) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p, BucketsMarker))
+    }.map(_._2)
+    newest.flatMap { np =>
+      val loc = s.sql(s"DESCRIBE FORMATTED $t")
+        .filter(col("col_name") === "Location")
+        .collect().headOption.map(_.getString(1).stripPrefix("file:"))
+      val npN = java.nio.file.Paths.get(np).normalize.toString
+      if (loc.exists(l =>
+          java.nio.file.Paths.get(l).normalize.toString == npN)) None
+      else {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        repairServing(s, corpusDir, table)
+      }
+    }
+  }
+
   /** The bucketed layout for (corpus, table), when materialized —
     * self-healing: a missing registration re-attaches from disk first
     * (see [[repairServing]]). A served generation carrying a

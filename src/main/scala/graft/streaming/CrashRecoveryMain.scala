@@ -82,11 +82,41 @@ object CrashRecoveryMain {
       .withColumn("tombstone", pmod(col("doc_id"), lit(39)) === wave % 13)
   }
 
+  /** Deterministic contention wave `w`: each wave edits the DISJOINT
+    * key slice `doc_id ≡ w (mod 26)` (text prefix `cw$w`), so any
+    * serialization of the waves yields the same final corpus — which is
+    * what lets the spec pin "no lost updates" without pinning an
+    * interleaving. Two writers apply the even and odd waves
+    * concurrently; only the lease keeps their generation swings apart.
+    */
+  private[graft] def contendWave(spark: org.apache.spark.sql.SparkSession,
+                                 corpusDir: String, wave: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(26)) === wave)
+      .select(col("doc_id"),
+        concat(lit(s"cw$wave "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .withColumn("tombstone", org.apache.spark.sql.functions.lit(false))
+  }
+
   private def runMerge(mode: String, spark: org.apache.spark.sql.SparkSession,
                        corpusDir: String, layoutBase: String,
-                       dumpDir: String): Unit = {
+                       dumpDir: String, startWave: Int): Unit = {
     spark.conf.set(graft.sources.CorpusLayout.ConfKey, layoutBase)
-    if (mode == "crash-merge") {
+    if (mode == "contend-merge") {
+      // one of two concurrent writers: apply this writer's wave slice of
+      // 0..5 against the SHARED chain (repairServing re-attaches from
+      // disk; the generation lease serializes the swings; resyncServing
+      // re-reads the other writer's tip before each merge)
+      for (w <- startWave until 6 by 2)
+        StreamingMerge.applyBatch(contendWave(spark, corpusDir, w),
+          w.toLong, corpusDir)
+      graft.sources.CorpusLayout.ifPresent(spark, corpusDir, "documents")
+        .getOrElse(sys.error("contend-merge: no serving table"))
+        .write.mode("overwrite").parquet(dumpDir)
+      spark.stop()
+    } else if (mode == "crash-merge") {
       graft.sources.CorpusLayout.materialize(spark, corpusDir)
       StreamingMerge.applyBatch(mergeWave(spark, corpusDir, 0), 0, corpusDir)
       spark.conf.set(graft.operators.MergeOps.CrashPointKey, "after-drop")
@@ -112,7 +142,8 @@ object CrashRecoveryMain {
     val spark = graft.GraftSession.builder(master = "local[4]",
       shufflePartitions = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (mode.endsWith("-merge")) return runMerge(mode, spark, inputDir, outPath, ckptDir)
+    if (mode.endsWith("-merge"))
+      return runMerge(mode, spark, inputDir, outPath, ckptDir, crashAtBatch)
     val vectorMode = mode.endsWith("-vector")
     val stateMode = mode.endsWith("-state")
     val hhMode = mode.endsWith("-hh")

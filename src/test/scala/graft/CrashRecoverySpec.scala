@@ -483,4 +483,96 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(canon(servedDump) == canon(expected),
       "recovered corpus diverges from the batch composition of both waves")
   }
+
+  /** Like [[fork]] but non-blocking, with an explicit 5th argument
+    * (contend-merge's start wave) — the contention test needs BOTH
+    * writers alive at once.
+    */
+  private def forkAsync(mode: String, inputDir: String, outPath: String,
+                        ckptDir: String, fifth: String): (Process, java.io.File) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = "/opt/spark/jars/*:target/scala-2.13/classes"
+    val log = java.nio.file.Files.createTempFile("graft_fork_" + mode, ".log").toFile
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+    val cmd = Seq(javaBin, "-Xmx3g", "-cp", cp,
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      addOpens ++
+      Seq("graft.streaming.CrashRecoveryMain", mode, inputDir, outPath,
+        ckptDir, fifth)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File("."))
+    pb.redirectOutput(log)
+    pb.redirectErrorStream(true)
+    (pb.start(), log)
+  }
+
+  test("two concurrent MERGE writers on one chain: the lease serializes swings — no lost updates, no torn chain") {
+    import org.apache.spark.sql.functions._
+    assert(spark.conf.getOption(graft.sources.CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contend")
+    val layoutBase = tmp.toString + "/layout"
+    spark.conf.set(graft.sources.CorpusLayout.ConfKey, layoutBase)
+    try {
+      graft.sources.CorpusLayout.materialize(spark, sf, tables = Seq("documents"))
+      // two real JVMs, CONCURRENT: even waves vs odd waves of disjoint
+      // key slices — only the generation lease keeps their resolve→
+      // stage→link→swing sections apart; resyncServing makes each see
+      // the other's tip before every merge
+      val (pa, la) = forkAsync("contend-merge", sf, layoutBase,
+        tmp.toString + "/dumpA", "0")
+      val (pb, lb) = forkAsync("contend-merge", sf, layoutBase,
+        tmp.toString + "/dumpB", "1")
+      val doneA = pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      val doneB = pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!doneA) pa.destroyForcibly()
+      if (!doneB) pb.destroyForcibly()
+      def tail(f: java.io.File): String = scala.util.Using.resource(
+        scala.io.Source.fromFile(f))(_.getLines().toSeq.takeRight(25).mkString("\n"))
+      assert(doneA && doneB, "a contending writer hung (deadlocked lease?)")
+      assert(pa.exitValue() == 0, s"writer A failed; log tail:\n${tail(la)}")
+      assert(pb.exitValue() == 0, s"writer B failed; log tail:\n${tail(lb)}")
+
+      graft.sources.CorpusLayout.resyncServing(spark, sf, "documents")
+      val served = graft.sources.CorpusLayout.ifPresent(spark, sf, "documents").get
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // no lost update: every wave's slice edited (each apply merged the
+      // OTHER writer's tip, not a stale generation)
+      (0 until 6).foreach { w =>
+        val want = docs.filter(pmod(col("doc_id"), lit(26)) === w).count()
+        val got = served.filter(col("text").startsWith(s"cw$w ")).count()
+        assert(want > 0, s"degenerate slice $w at this SF")
+        assert(got == want, s"wave $w lost updates: $got of $want edits survive")
+      }
+      // no duplicates, no dropped rows
+      assert(served.count() == docs.count(), "row count drifted under contention")
+      assert(served.groupBy("doc_id").count()
+        .filter(col("count") > 1).isEmpty, "duplicate keys after contention")
+      // chain integrity: base + exactly one generation per wave, ids
+      // contiguous — two writers never raced into the same _vN
+      val gens = graft.operators.MergeOps.generations(spark, sf, "documents")
+      assert(gens.map(_._1) == (0 to 6), s"torn chain: ${gens.map(_._1)}")
+      // ledger: each batch marked exactly once
+      assert(graft.streaming.StreamingMerge.appliedBatches(spark, sf, "documents")
+        == (0L to 5L).toSet, "ledger diverged")
+      // both writers released: no lease file left behind
+      val root = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(layoutBase)))(
+        _.findFirst().get())
+      assert(!java.nio.file.Files.exists(root.resolve("documents_LEASE")),
+        "lease file leaked past release")
+    } finally {
+      graft.sources.CorpusLayout.drop(spark, sf)
+      spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
 }
