@@ -393,6 +393,58 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("merge_mor")) {
+    // ── merge-on-read deletion vectors (round 13): the same 8-key
+    // trickle as merge_apply, applied as a `_dv` sidecar over hard-
+    // linked base files. Claims measured: (1) the write bill drops to
+    // ~delta bytes — rewritten_mb ≈ 0 (every base file is a link) and
+    // dv_mb is changeset-sized, vs cow_rewritten_mb's bucketBytes floor
+    // in §8's table; (2) the read pays a bounded compose tax (broadcast
+    // anti-join + union) until (3) a fold clears the sidecar and the
+    // read returns to the pure bucketed plan.
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    val morBase = java.nio.file.Files.createTempDirectory("graft_scaling_mor").toString
+    spark.conf.set(CorpusLayout.ConfKey, morBase)
+    graft.sources.CorpusLayout.materialize(spark, sfDir)
+    val morTrickle = docs.orderBy($"doc_id").limit(8)
+      .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+        $"lang", $"source", ($"n_chars" + 8L).as("n_chars"))
+      .withColumn("tombstone", $"doc_id" % 5 === 0).cache()
+    morTrickle.count()
+    def morRead(): Unit = {
+      val served = CorpusLayout.ifPresent(spark, sfDir, "documents").get
+      served.agg(sum(length($"text"))).head()
+    }
+    arm("merge_mor/cow_read") { morRead() } // pre-apply baseline (pure plan)
+    arm("merge_mor/mor_trickle") {
+      MergeOps.applyToLayout(spark, sfDir, morTrickle, mode = "mor")
+    }
+    morTrickle.unpersist()
+    locally {
+      val (linkedMb, rewrittenMb) = cowSplitMb(sfDir)
+      val g1 = MergeOps.generations(spark, sfDir, "documents").last._2
+      val dvMb = {
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(g1, "_dv"))
+        // 5 dp: an 8-key sidecar is a few KB — 2 dp MB would read as 0
+        try math.round(walk.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum() / 10.0) / 100000.0
+        finally walk.close()
+      }
+      results :+= ("merge_mor/linked_mb" -> linkedMb)
+      results :+= ("merge_mor/rewritten_mb" -> rewrittenMb)
+      results :+= ("merge_mor/dv_mb" -> dvMb)
+    }
+    arm("merge_mor/composed_read") { morRead() } // the sidecar tax
+    arm("merge_mor/fold") {
+      MergeOps.compactGenerations(spark, sfDir, "documents")
+    }
+    arm("merge_mor/folded_read") { morRead() } // back to the pure plan
+    graft.sources.CorpusLayout.drop(spark, sfDir)
+    spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
+    }
+
     if (enabled("vector_apply")) {
     // ── vector-index CDC apply: cell-scoped CoW applyChangeset vs the
     // full rebuild the store would otherwise need after corpus changes.

@@ -49,6 +49,18 @@ object MergeOps {
     */
   val TombstoneCol = "tombstone"
 
+  /** Session conf selecting the durable apply strategy: `cow` (default)
+    * rewrites touched buckets — write cost has a bucketBytes FLOOR per
+    * touched bucket; `mor` (merge-on-read) hard-links every base file
+    * and writes the batch as a `_dv/` sidecar (tombstone keys + delta
+    * rows) the read path composes — write cost ≈ delta bytes, read pays
+    * a broadcast anti-join until a fold. The Delta/Iceberg deletion-
+    * vector trade, exposed as a conf so p26/p28-style flows run
+    * unchanged over either path; [[compactGenerations]], [[rebucket]]
+    * and any CoW apply over a MOR tip fold the sidecar away.
+    */
+  val MergeModeKey = "spark.graft.merge.mode"
+
   /** Test-only fault injection for the crash-recovery harness: set to
     * "after-drop" to halt the JVM inside [[applyToLayout]]'s catalog
     * swing, between DROP and RENAME — the window where the registration
@@ -302,7 +314,8 @@ object MergeOps {
                     buckets: Int = -1,
                     cow: Boolean = true,
                     evolveSchema: Boolean = false,
-                    partial: Boolean = false): String = {
+                    partial: Boolean = false,
+                    mode: String = ""): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
@@ -389,8 +402,26 @@ object MergeOps {
     val nBuckets = if (buckets <= 0) curBuckets else buckets
     require(curBuckets == nBuckets,
       s"layout for $t has $curBuckets buckets; apply asked for $nBuckets")
-    cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol, cow,
-      evolveSchema)
+    val morMode = (if (mode.nonEmpty) Some(mode)
+      else s.conf.getOption(MergeModeKey)).getOrElse("cow") match {
+      case "mor" => true
+      case "cow" => false
+      case other => throw new IllegalArgumentException(
+        s"$MergeModeKey must be 'cow' or 'mor', got '$other'")
+    }
+    require(!(morMode && evolveSchema),
+      "schema evolution requires a rewriting apply — MOR hard-links the " +
+        "base files verbatim; use mode=cow for the evolving batch")
+    if (morMode)
+      morSwingToPath(s, t, curLoc, nBuckets, vpath, changes, keyCol)
+    else
+      // a CoW apply over a MOR tip must FOLD the sidecar: the touched-
+      // bucket fast path reads base files directly and would silently
+      // drop the sidecar's edits, so force the full rewrite (whose
+      // `target` is the dv-composed effective frame) — this is also how
+      // a mixed-mode chain converges back to a pure bucketed layout
+      cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol,
+        cow && !CorpusLayout.hasDv(curLoc), evolveSchema)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
@@ -496,6 +527,73 @@ object MergeOps {
     s.catalog.refreshTable(t)
   }
 
+  /** The merge-on-read swing: hard-link EVERY base data file of the
+    * current generation forward (zero data bytes written — the CoW
+    * bucketBytes floor disappears), fold the batch into the `_dv/`
+    * sidecar, and swing the catalog. Sidecar algebra, changeset-sized
+    * end to end:
+    *
+    *  - `tombstones' = tombstones ∪ keys(changes)` — every key the
+    *    batch touches must stop being served from the base (updates get
+    *    their new version from the deltas; deletes just vanish);
+    *  - `deltas' = applyChanges(deltas, changes)` — the same MERGE
+    *    combinator, scoped to the sidecar: upserts land/replace, batch
+    *    tombstones evict stale delta rows.
+    *
+    * The sidecar is cumulative, so the READ only ever composes the
+    * SERVED generation's `_dv` (never a chain walk), and a fold —
+    * [[compactGenerations]], [[rebucket]], or a CoW apply — clears it.
+    * Locally the sidecar lands as a handful of files; at corpus scale
+    * it would bucket on the same key expression (the anti-join is
+    * broadcast until then, so the corpus side never shuffles either
+    * way). File-skipping stats carry verbatim: every base name is
+    * unchanged, and pruning stays sound because the compose only
+    * REMOVES base rows (anti-join) and adds delta rows whose scan
+    * carries the same pushed filters.
+    */
+  private[graft] def morSwingToPath(s: SparkSession, t: String, curLoc: String,
+                                    nBuckets: Int, vpath: String,
+                                    changes: DataFrame, keyCol: String): Unit = {
+    val dir = java.nio.file.Paths.get(vpath)
+    java.nio.file.Files.createDirectories(dir)
+    val kids = java.nio.file.Files.list(java.nio.file.Paths.get(curLoc))
+    try {
+      import scala.jdk.CollectionConverters._
+      kids.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .foreach(f => linkOrCopy(java.nio.file.Paths.get(curLoc, f),
+          java.nio.file.Paths.get(vpath, f)))
+    } finally kids.close()
+    val base = s.table(t)
+    val dvOf = (name: String) => s"$curLoc/${CorpusLayout.DvDir}/$name"
+    val prevTombs = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("tombstones"))
+      else base.select(col(keyCol)).limit(0)
+    val prevDeltas = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("deltas"))
+      else base.limit(0)
+    val newTombs = prevTombs.unionByName(changes.select(col(keyCol))).distinct()
+    val newDeltas = applyChanges(prevDeltas, changes, keyCol)
+    // materialized INTO the new generation before the swing — a crash
+    // past the markers is forward-recoverable like any complete
+    // generation; before them, the dir is garbage the next apply ignores
+    newTombs.repartition(1)
+      .write.mode("overwrite").parquet(s"$vpath/${CorpusLayout.DvDir}/tombstones")
+    newDeltas.repartition(1)
+      .write.mode("overwrite").parquet(s"$vpath/${CorpusLayout.DvDir}/deltas")
+    CorpusLayout.writeBucketsMarker(vpath, nBuckets)
+    // no Spark job wrote the generation ROOT — mark completeness by hand
+    // (repairServing's contract: _SUCCESS + _BUCKETS = attachable)
+    java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
+      Array.emptyByteArray)
+    val ddl = base.schema.toDDL
+    s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+    s.sql(s"CREATE TABLE ${t}_staging ($ddl) USING PARQUET " +
+      s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
+      s"LOCATION '$vpath'")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    s.catalog.refreshTable(t)
+  }
+
   /** Generation dirs of a layout table, oldest→newest: generation 0 is
     * the base `materialize` build at `<table>`, MERGE applies append
     * `<table>_vN`. Pure directory listing — no Spark job.
@@ -581,8 +679,14 @@ object MergeOps {
         // a pinned generation can be post-evolution mixed-schema, and
         // the snapshot exists to reproduce EXACTLY what was served.
         // Construction pays one footer-merge inference per pinned table
-        // (≤|buckets| footers); the manifest collect defers to first scan
-        case Array(t, p) => t -> graft.sources.ManifestFileIndex.table(s, p)
+        // (≤|buckets| footers); the manifest collect defers to first scan.
+        // A pinned MOR generation reads through its own sidecar — the
+        // snapshot reproduces the COMPOSED view that was served.
+        case Array(t, p) =>
+          val base = graft.sources.ManifestFileIndex.table(s, p)
+          t -> CorpusLayout.keyed.get(t)
+            .map(k => CorpusLayout.withDeletionVectors(s, p, base, k))
+            .getOrElse(base)
       }.toMap
   }
 
@@ -640,8 +744,12 @@ object MergeOps {
     // an ADD-COLUMN apply, and the union schema (missing columns read
     // NULL) is what the catalog table serves, so the raw time-travel
     // read must see it too. Footer cost is bounded by the generation's
-    // ≤|buckets| files.
-    graft.sources.ManifestFileIndex.table(s, path)
+    // ≤|buckets| files. A MOR generation composes its sidecar — the
+    // time-travel read sees what that generation SERVED, not its base.
+    val base = graft.sources.ManifestFileIndex.table(s, path)
+    CorpusLayout.keyed.get(table)
+      .map(k => CorpusLayout.withDeletionVectors(s, path, base, k))
+      .getOrElse(base)
   }
 
   /** What changed between two retained generations, as an applicable
@@ -788,6 +896,17 @@ object MergeOps {
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
     val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, b) = tableLayout(s, t)
+    if (CorpusLayout.hasDv(curLoc)) {
+      // folding a MOR tip: the effective frame is base⊖tombs∪deltas —
+      // an anti-join + union, whose output partitioning is NOT the
+      // bucketed scan's, so the exchange-free trick below would fan out
+      // per-task files. Pay the one repartition of the corpus; the fold
+      // is exactly the moment that cost belongs to.
+      target.repartition(b, col(keyCol))
+        .write.format("parquet").option("path", vpath)
+        .bucketBy(b, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(s"${t}_staging")
+    } else {
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = s.conf.getOption(autoKey)
     try {
@@ -802,6 +921,7 @@ object MergeOps {
     } finally prevAuto match {
       case Some(v) => s.conf.set(autoKey, v)
       case None => s.conf.unset(autoKey)
+    }
     }
     CorpusLayout.writeBucketsMarker(vpath, b)
     s.sql(s"DROP TABLE IF EXISTS $t")

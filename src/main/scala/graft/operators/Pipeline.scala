@@ -1376,5 +1376,77 @@ object Pipeline {
         SELECT -(doc_id + 1), md5('ins ' || text), 'new', 'sqlmerge', 5
         FROM documents WHERE doc_id % 101 = 0
         ORDER BY doc_id"""))
+    ,
+
+    // ── p30: merge-on-read MERGE — p28's sparse-changeset flow with ──
+    // the apply strategy flipped to deletion vectors
+    // ([[MergeOps.MergeModeKey]] = mor): the generation hard-links
+    // EVERY base file (zero data bytes written — the write-
+    // amplification floor drops from bucketBytes to delta bytes) and
+    // carries the batch as a `_dv/` sidecar the served read composes
+    // (base ⊖ tombstones ∪ deltas — tombstone side is delta-sized, so
+    // the anti-join broadcasts and the corpus never shuffles). The
+    // oracle is the same composed edit as p28's recipe, so the cross-
+    // engine law proves the MOR READ path end-to-end: expandPartial's
+    // explicit-NULL-SET vs absent-carry distinction must survive the
+    // sidecar fold and the composed read, value for value. MergeSpec
+    // additionally pins CoW↔MOR parity, the hard-link/zero-bytes
+    // property, and that compaction folds the sidecar away.
+    GQuery("p30_mor_update",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p30")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        val prevMode = s.conf.getOption(MergeOps.MergeModeKey)
+        s.conf.set(MergeOps.MergeModeKey, "mor")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val updates = base
+            .filter($"doc_id" % 9 === 0 && $"doc_id" % 13 =!= 0)
+            .select($"doc_id", lit("mm").as("lang"),
+              lit(null).cast("long").as("n_chars"),
+              lit(false).as(MergeOps.TombstoneCol))
+          val deletes = base.filter($"doc_id" % 13 === 0)
+            .select($"doc_id", lit(null).cast("string").as("lang"),
+              lit(null).cast("long").as("n_chars"),
+              lit(true).as(MergeOps.TombstoneCol))
+          val inserts = base.filter($"doc_id" % 103 === 0)
+            .select((-($"doc_id" + 1L)).as("doc_id"), lit("mor").as("lang"),
+              lit(9L).as("n_chars"), lit(false).as(MergeOps.TombstoneCol))
+          MergeOps.applyToLayout(s, corpus,
+            updates.unionByName(deletes).unionByName(inserts), partial = true)
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"lang", $"source",
+              $"n_chars")
+            .orderBy($"doc_id")
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          prevMode match {
+            case Some(v) => s.conf.set(MergeOps.MergeModeKey, v)
+            case None => s.conf.unset(MergeOps.MergeModeKey)
+          }
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN doc_id % 9 = 0 THEN 'mm' ELSE lang END AS lang,
+               source,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1), NULL, 'mor', NULL, 9
+        FROM documents WHERE doc_id % 103 = 0
+        ORDER BY doc_id"""))
   )
 }

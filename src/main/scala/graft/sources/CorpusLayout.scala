@@ -217,6 +217,40 @@ object CorpusLayout {
     }
   }
 
+  // ── Merge-on-read deletion vectors: a MOR generation hard-links ALL
+  // of its parent's data files and carries the batch's effect as a
+  // sidecar under `_dv/` — `tombstones` (suppressed keys) + `deltas`
+  // (replacement/new rows) — so a 1-key update writes ~delta bytes, not
+  // bucketBytes (the CoW write-amplification floor). Underscore dirs
+  // are invisible to data scans, so the bucketed catalog table and the
+  // manifest index keep serving the BASE files untouched; the read
+  // composes `base ⊖ tombstones ∪ deltas` on top. The tombstone side is
+  // cumulative-delta-sized → broadcast anti-join: the corpus side never
+  // shuffles. Chained MOR applies FOLD the sidecar (tombstones ∪ new
+  // keys; deltas merged changeset-style), and any full rewrite
+  // (compactGenerations / rebucket / a CoW apply over a MOR tip) folds
+  // the sidecar away entirely.
+
+  private[graft] val DvDir = "_dv"
+
+  private[graft] def hasDv(loc: String): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(loc, DvDir, "tombstones"))
+
+  /** Compose a generation's deletion-vector sidecar over its base frame:
+    * `base ⊖ tombstone keys ∪ deltas`. Identity when the generation has
+    * no sidecar.
+    */
+  private[graft] def withDeletionVectors(s: SparkSession, loc: String,
+                                         base: DataFrame,
+                                         key: String): DataFrame =
+    if (!hasDv(loc)) base
+    else {
+      val tombs = s.read.parquet(s"$loc/$DvDir/tombstones")
+      val deltas = s.read.parquet(s"$loc/$DvDir/deltas")
+      base.join(tombs, Seq(key), "left_anti").unionByName(deltas)
+    }
+
   /** Cross-writer catalog resync: point this SESSION's catalog entry at
     * the newest complete generation on disk. The swing verbs update the
     * catalog of the session that RAN them; a concurrent writer in
@@ -269,7 +303,13 @@ object CorpusLayout {
       if (!s.catalog.tableExists(t)) repairServing(s, corpusDir, table)
       Some(t).filter(s.catalog.tableExists).map { tt =>
         refreshIfStale(s, corpusDir, table, tt)
-        manifestServed(s, corpusDir, table).getOrElse(s.table(tt))
+        val base = manifestServed(s, corpusDir, table).getOrElse(s.table(tt))
+        // a MOR generation serves base ⊖ tombstones ∪ deltas; the
+        // sidecar frames are rebuilt per call (plan-time only — the
+        // cached base relation still carries the listing + stats)
+        servedGeneration(s, corpusDir, table)
+          .map(loc => withDeletionVectors(s, loc, base, keyed(table)))
+          .getOrElse(base)
       }
     }
 

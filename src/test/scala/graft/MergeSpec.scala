@@ -809,6 +809,113 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("merge-on-read deletion vectors: parity with CoW, zero base bytes written, folds clear the sidecar") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor")
+    val (corpusA, corpusB) = (tmp.toString + "/cow", tmp.toString + "/mor")
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpusA/documents.parquet")
+    base.write.parquet(s"$corpusB/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    def ups(m: Int, guard: Int, tag: String): DataFrame =
+      base.filter($"doc_id" % m === 0 && $"doc_id" % guard =!= 0)
+        .select($"doc_id", concat(lit(s"$tag "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+    def dels(m: Int): DataFrame = base.filter($"doc_id" % m === 0)
+      .select($"doc_id", lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"))
+      .withColumn(MergeOps.TombstoneCol, lit(true))
+    val changes1 = ups(7, 13, "w1").unionByName(dels(13))
+      .unionByName(base.filter($"doc_id" % 101 === 0)
+        .select((-($"doc_id" + 1L)).as("doc_id"),
+          concat(lit("ins "), $"text").as("text"), $"lang", $"source",
+          $"n_chars").withColumn(MergeOps.TombstoneCol, lit(false)))
+    val changes2 = ups(5, 17, "w2").unionByName(dels(17))
+    val changes3 = ups(3, 1000000007, "w3") // guard never fires: pure upsert wave
+    def served(c: String): org.apache.spark.sql.DataFrame =
+      CorpusLayout.ifPresent(spark, c, "documents").get
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def dataFiles(dir: String): Seq[String] = {
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector.sorted
+      } finally kids.close()
+    }
+    def ino(p: String): Any = java.nio.file.Files.getAttribute(
+      java.nio.file.Paths.get(p), "unix:ino")
+    try {
+      Seq(corpusA, corpusB).foreach(c =>
+        CorpusLayout.materialize(spark, c, tables = Seq("documents")))
+      MergeOps.applyToLayout(spark, corpusA, changes1)
+      MergeOps.applyToLayout(spark, corpusB, changes1, mode = "mor")
+      // parity law: the composed MOR read equals the CoW rewrite
+      assert(rows(served(corpusB)) == rows(served(corpusA)),
+        "MOR read diverges from CoW after the first apply")
+      // write amplification: EVERY base file of the MOR generation is a
+      // hard link of its parent (same inode — zero data bytes written);
+      // the sidecar is changeset-sized
+      val gensB = MergeOps.generations(spark, corpusB, "documents")
+      val (g0, g1) = (gensB(0)._2, gensB(1)._2)
+      assert(graft.sources.CorpusLayout.hasDv(g1), "MOR apply wrote no sidecar")
+      assert(dataFiles(g1) == dataFiles(g0),
+        "MOR generation's base file set drifted from its parent")
+      dataFiles(g1).foreach(f => assert(ino(s"$g1/$f") == ino(s"$g0/$f"),
+        s"base file $f was rewritten, not linked"))
+      val dvBytes = {
+        val dv = java.nio.file.Paths.get(g1, "_dv")
+        val all = java.nio.file.Files.walk(dv)
+        try {
+          import scala.jdk.CollectionConverters._
+          all.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        } finally all.close()
+      }
+      assert(dvBytes < MergeOps.dataBytes(g0) / 2,
+        s"sidecar is not delta-sized: $dvBytes vs base ${MergeOps.dataBytes(g0)}")
+      // chained MOR applies fold the sidecar (cumulative, no chain walk)
+      MergeOps.applyToLayout(spark, corpusA, changes2)
+      MergeOps.applyToLayout(spark, corpusB, changes2, mode = "mor")
+      assert(rows(served(corpusB)) == rows(served(corpusA)),
+        "MOR read diverges from CoW after a chained apply")
+      // time travel composes per generation: v1-as-served matches CoW's v1
+      assert(rows(MergeOps.readGeneration(spark, corpusB, "documents", 1)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")) ==
+        rows(MergeOps.readGeneration(spark, corpusA, "documents", 1)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")),
+        "MOR time-travel read diverges")
+      // compaction folds: fresh bucketed generation, sidecar gone, rows intact
+      val folded = MergeOps.compactGenerations(spark, corpusB, "documents")
+      assert(!graft.sources.CorpusLayout.hasDv(folded), "fold kept a sidecar")
+      assert(rows(served(corpusB)) == rows(served(corpusA)),
+        "fold changed the corpus")
+      // a CoW apply over a MOR tip folds too (the touched-bucket fast
+      // path must not serve stale base files)
+      MergeOps.applyToLayout(spark, corpusB, changes3, mode = "mor")
+      MergeOps.applyToLayout(spark, corpusB, ups(11, 1000000007, "w4"))
+      MergeOps.applyToLayout(spark, corpusA, changes3)
+      MergeOps.applyToLayout(spark, corpusA, ups(11, 1000000007, "w4"))
+      val tipB = MergeOps.generations(spark, corpusB, "documents").last._2
+      assert(!graft.sources.CorpusLayout.hasDv(tipB),
+        "CoW apply over a MOR tip did not fold the sidecar")
+      assert(rows(served(corpusB)) == rows(served(corpusA)),
+        "mixed-mode chain diverged from the pure-CoW chain")
+    } finally {
+      Seq(corpusA, corpusB).foreach(CorpusLayout.drop(spark, _))
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("SQL MERGE INTO the served layout: clause order, old-value refs, by-source delete; malformed fails loudly") {
     import spark.implicits._
     assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
