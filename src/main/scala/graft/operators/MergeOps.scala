@@ -412,8 +412,9 @@ object MergeOps {
     require(!(morMode && evolveSchema),
       "schema evolution requires a rewriting apply — MOR hard-links the " +
         "base files verbatim; use mode=cow for the evolving batch")
+    val colMapping = CorpusLayout.readMapping(curLoc)
     if (morMode)
-      morSwingToPath(s, t, curLoc, nBuckets, vpath, changes, keyCol)
+      morSwingToPath(s, t, curLoc, nBuckets, vpath, changes, keyCol, colMapping)
     else
       // a CoW apply over a MOR tip must FOLD the sidecar: the touched-
       // bucket fast path reads base files directly and would silently
@@ -421,7 +422,7 @@ object MergeOps {
       // `target` is the dv-composed effective frame) — this is also how
       // a mixed-mode chain converges back to a pure bucketed layout
       cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol,
-        cow && !CorpusLayout.hasDv(curLoc), evolveSchema)
+        cow && !CorpusLayout.hasDv(curLoc), evolveSchema, colMapping)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
@@ -460,7 +461,8 @@ object MergeOps {
                                     curLoc: String, nBuckets: Int, vpath: String,
                                     changes: DataFrame, keyCol: String,
                                     cow: Boolean,
-                                    evolve: Boolean = false): Unit = {
+                                    evolve: Boolean = false,
+                                    mapping: Map[String, Option[String]] = Map.empty): Unit = {
     // Partition the CURRENT generation's files by whether their bucket
     // can contain a changeset key. Resolved before any write so the
     // listing is of the generation the catalog serves right now.
@@ -485,13 +487,23 @@ object MergeOps {
     // the write itself is the materialization, and it lands in a fresh
     // path the source table never served, so no read-under-write either
     if (cow && parseable && untouchedFiles.nonEmpty) {
+      // the touched-bucket path runs in PHYSICAL space: rewritten files
+      // sit next to linked ones, so both must keep the files' own
+      // column names — the catalog table's schema IS the physical one,
+      // and the logical-named changeset translates back through the
+      // mapping (dropped physical slots refill as typed NULLs). The
+      // mapping marker carries forward: this generation still serves
+      // the logical view through it.
+      val physSchema = s.table(t).schema
+      val changesPhys = CorpusLayout.toPhysical(changes, mapping, physSchema)
       val touchedFiles = fileBuckets.collect {
         case (f, Some(b)) if touched.contains(b) => s"$curLoc/$f"
       }
       val touchedTarget =
-        if (touchedFiles.isEmpty) target.limit(0) // inserts into empty buckets
-        else s.read.schema(target.schema).parquet(touchedFiles: _*)
-      applyChanges(touchedTarget, changes, keyCol, evolve)
+        if (touchedFiles.isEmpty) // inserts into empty buckets
+          CorpusLayout.toPhysical(target, mapping, physSchema).limit(0)
+        else s.read.schema(physSchema).parquet(touchedFiles: _*)
+      applyChanges(touchedTarget, changesPhys, keyCol, evolve)
         .repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
         .bucketBy(nBuckets, keyCol).sortBy(keyCol)
@@ -499,9 +511,14 @@ object MergeOps {
       for (f <- untouchedFiles)
         linkOrCopy(java.nio.file.Paths.get(curLoc, f),
           java.nio.file.Paths.get(vpath, f))
+      if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
       // the staging table listed its files before the links landed
       s.catalog.refreshTable(s"${t}_staging")
     } else {
+      // full rewrite = REBASE: `target` is the logical view (mapping +
+      // any dv sidecar composed), so the fresh generation's physical
+      // names become the logical ones and no _MAPPING carries — the
+      // same fold discipline as the dv sidecar.
       // repartition on the bucket expression so each task holds exactly
       // one bucket — without it the bucketBy writer emits up to
       // (tasks × B) files per full rewrite, which at a corpus-sized B
@@ -553,7 +570,8 @@ object MergeOps {
     */
   private[graft] def morSwingToPath(s: SparkSession, t: String, curLoc: String,
                                     nBuckets: Int, vpath: String,
-                                    changes: DataFrame, keyCol: String): Unit = {
+                                    changes: DataFrame, keyCol: String,
+                                    mapping: Map[String, Option[String]] = Map.empty): Unit = {
     val dir = java.nio.file.Paths.get(vpath)
     java.nio.file.Files.createDirectories(dir)
     val kids = java.nio.file.Files.list(java.nio.file.Paths.get(curLoc))
@@ -565,13 +583,18 @@ object MergeOps {
           java.nio.file.Paths.get(vpath, f)))
     } finally kids.close()
     val base = s.table(t)
+    // the sidecar lives in PHYSICAL space (it composes BEFORE the
+    // mapping projection on read), so the logical changeset translates
+    // back first and the mapping marker carries forward
+    val changesPhys = CorpusLayout.toPhysical(changes, mapping, base.schema)
+    if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
     val dvOf = (name: String) => s"$curLoc/${CorpusLayout.DvDir}/$name"
     val prevTombs = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("tombstones"))
       else base.select(col(keyCol)).limit(0)
     val prevDeltas = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("deltas"))
       else base.limit(0)
-    val newTombs = prevTombs.unionByName(changes.select(col(keyCol))).distinct()
-    val newDeltas = applyChanges(prevDeltas, changes, keyCol)
+    val newTombs = prevTombs.unionByName(changesPhys.select(col(keyCol))).distinct()
+    val newDeltas = applyChanges(prevDeltas, changesPhys, keyCol)
     // materialized INTO the new generation before the swing — a crash
     // past the markers is forward-recoverable like any complete
     // generation; before them, the dir is garbage the next apply ignores
@@ -584,7 +607,15 @@ object MergeOps {
     // (repairServing's contract: _SUCCESS + _BUCKETS = attachable)
     java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
       Array.emptyByteArray)
-    val ddl = base.schema.toDDL
+    swingCatalog(s, t, vpath, keyCol, nBuckets, base.schema.toDDL)
+  }
+
+  /** Staging-create + rename swing for generations whose files already
+    * exist on disk (MOR and metadata swings — the bucketed WRITE swings
+    * go through saveAsTable instead). Same minimal-downtime shape.
+    */
+  private def swingCatalog(s: SparkSession, t: String, vpath: String,
+                           keyCol: String, nBuckets: Int, ddl: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
     s.sql(s"CREATE TABLE ${t}_staging ($ddl) USING PARQUET " +
       s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
@@ -592,6 +623,124 @@ object MergeOps {
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)
+  }
+
+  /** Link every data file (and the `_dv` sidecar, when present) of
+    * `curLoc` into `vpath` byte-for-byte — the shared copy step of the
+    * MOR and metadata swings.
+    */
+  private def linkGenerationForward(curLoc: String, vpath: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vpath))
+    val kids = java.nio.file.Files.list(java.nio.file.Paths.get(curLoc))
+    try {
+      import scala.jdk.CollectionConverters._
+      kids.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .foreach(f => linkOrCopy(java.nio.file.Paths.get(curLoc, f),
+          java.nio.file.Paths.get(vpath, f)))
+    } finally kids.close()
+    val dvSrc = java.nio.file.Paths.get(curLoc, CorpusLayout.DvDir)
+    if (java.nio.file.Files.isDirectory(dvSrc)) {
+      val walk = java.nio.file.Files.walk(dvSrc)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val dst = java.nio.file.Paths.get(vpath,
+            CorpusLayout.DvDir + "/" + dvSrc.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else linkOrCopy(p, dst)
+        }
+      } finally walk.close()
+    }
+  }
+
+  // ── DROP / RENAME COLUMN: per-generation column mapping (SURVEY
+  // §2.I) — the other half of schema evolution (ADD COLUMN rides the
+  // apply with NULL-fill). Both are METADATA-ONLY: the new generation
+  // hard-links every byte of its parent (data files AND dv sidecar)
+  // and only the `_MAPPING` marker changes; the serving read projects
+  // physical→logical (rename = alias, drop = omission). Applies keep
+  // working across the boundary — changesets speak LOGICAL names and
+  // translate back at the swing — and the mapping folds away at the
+  // next full rewrite, when logical names become the physical truth.
+  // The layout KEY cannot be renamed or dropped (row identity, bucket
+  // placement); renaming columns a table-format index derives from
+  // (documents.text → SignatureStore) leaves the index keyed on the
+  // old semantics — retrain in the same maintenance window, as with
+  // rebucket.
+
+  private def logicalColumns(m: Map[String, Option[String]],
+                             phys: org.apache.spark.sql.types.StructType): Seq[String] =
+    phys.fieldNames.toSeq.flatMap(p => m.get(p) match {
+      case None => Some(p)
+      case Some(Some(l)) => Some(l)
+      case Some(None) => None
+    })
+
+  private def physicalFor(m: Map[String, Option[String]], logical: String): String =
+    m.collectFirst { case (p, Some(l)) if l == logical => p }.getOrElse(logical)
+
+  /** Rename a logical column — a metadata-only generation (no file
+    * rewritten). Fails loudly on the key, an unknown source, or a
+    * colliding target. Returns the new generation's path.
+    */
+  def renameColumn(s: SparkSession, corpusDir: String, table: String,
+                   from: String, to: String): String = {
+    require(to.nonEmpty && !to.startsWith("_"),
+      s"invalid target column name '$to'")
+    metadataSwing(s, corpusDir, table) { (m, phys, keyCol) =>
+      require(from != keyCol, s"cannot rename the layout key '$keyCol'")
+      val logical = logicalColumns(m, phys)
+      require(logical.contains(from),
+        s"no column '$from' — logical columns are ${logical.mkString(", ")}")
+      require(!logical.contains(to), s"column '$to' already exists")
+      val p = physicalFor(m, from)
+      if (p == to) m - p else m + (p -> Some(to))
+    }
+  }
+
+  /** Drop a logical column — metadata-only: linked files keep the bytes,
+    * the serving projection omits them, and new rows fill the physical
+    * slot with NULL. Returns the new generation's path.
+    */
+  def dropColumn(s: SparkSession, corpusDir: String, table: String,
+                 column: String): String =
+    metadataSwing(s, corpusDir, table) { (m, phys, keyCol) =>
+      require(column != keyCol, s"cannot drop the layout key '$keyCol'")
+      val logical = logicalColumns(m, phys)
+      require(logical.contains(column),
+        s"no column '$column' — logical columns are ${logical.mkString(", ")}")
+      m + (physicalFor(m, column) -> None)
+    }
+
+  private def metadataSwing(s: SparkSession, corpusDir: String, table: String)
+      (update: (Map[String, Option[String]],
+        org.apache.spark.sql.types.StructType, String) => Map[String, Option[String]]): String = {
+    val keyCol = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
+    val t = CorpusLayout.tableName(table, corpusDir)
+    require(CorpusLayout.ifPresent(s, corpusDir, table).isDefined,
+      s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first")
+    GenerationLease.withLease(s, corpusDir, table) {
+      CorpusLayout.resyncServing(s, corpusDir, table)
+      val (curLoc, b) = tableLayout(s, t)
+      val vpath = nextGenerationPath(s, corpusDir, table)
+      val physSchema = s.table(t).schema
+      val newMapping = update(CorpusLayout.readMapping(curLoc), physSchema, keyCol)
+      linkGenerationForward(curLoc, vpath)
+      if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
+      CorpusLayout.writeBucketsMarker(vpath, b)
+      java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
+        Array.emptyByteArray)
+      swingCatalog(s, t, vpath, keyCol, b, physSchema.toDDL)
+      CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
+      // every file name is unchanged → the stats manifest carries
+      // verbatim (stats key on PHYSICAL columns, which didn't move)
+      graft.sources.StatsManifest.refreshAfterApply(s, curLoc, vpath)
+      vpath
+    }
   }
 
   /** Generation dirs of a layout table, oldest→newest: generation 0 is
@@ -680,13 +829,11 @@ object MergeOps {
         // the snapshot exists to reproduce EXACTLY what was served.
         // Construction pays one footer-merge inference per pinned table
         // (≤|buckets| footers); the manifest collect defers to first scan.
-        // A pinned MOR generation reads through its own sidecar — the
-        // snapshot reproduces the COMPOSED view that was served.
+        // A pinned generation reads through its own sidecar and column
+        // mapping — the snapshot reproduces the COMPOSED view it served.
         case Array(t, p) =>
-          val base = graft.sources.ManifestFileIndex.table(s, p)
-          t -> CorpusLayout.keyed.get(t)
-            .map(k => CorpusLayout.withDeletionVectors(s, p, base, k))
-            .getOrElse(base)
+          t -> CorpusLayout.applyMapping(rawGeneration(s, p, t),
+            CorpusLayout.readMapping(p))
       }.toMap
   }
 
@@ -730,11 +877,7 @@ object MergeOps {
     */
   def readGeneration(s: SparkSession, corpusDir: String, table: String,
                      gen: Int): DataFrame = {
-    val gens = generations(s, corpusDir, table)
-    val path = gens.collectFirst { case (g, p) if g == gen => p }.getOrElse(
-      throw new IllegalArgumentException(
-        s"generation $gen of ($corpusDir, $table) does not exist " +
-          s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
+    val path = generationPath(s, corpusDir, table, gen)
     // Serve through the manifest file index: when the generation
     // carries a stats manifest, time-travel reads skip files on any
     // user filter at planning time like the live table's explicit scan
@@ -744,8 +887,29 @@ object MergeOps {
     // an ADD-COLUMN apply, and the union schema (missing columns read
     // NULL) is what the catalog table serves, so the raw time-travel
     // read must see it too. Footer cost is bounded by the generation's
-    // ≤|buckets| files. A MOR generation composes its sidecar — the
-    // time-travel read sees what that generation SERVED, not its base.
+    // ≤|buckets| files. A MOR generation composes its sidecar, and a
+    // column-mapped one its projection — the time-travel read sees what
+    // that generation SERVED, not its physical base.
+    CorpusLayout.applyMapping(rawGeneration(s, path, table),
+      CorpusLayout.readMapping(path))
+  }
+
+  private def generationPath(s: SparkSession, corpusDir: String,
+                             table: String, gen: Int): String = {
+    val gens = generations(s, corpusDir, table)
+    gens.collectFirst { case (g, p) if g == gen => p }.getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen of ($corpusDir, $table) does not exist " +
+          s"(have: ${gens.map(_._1).mkString(",")} — older ones may be vacuumed)"))
+  }
+
+  /** A generation's frame in PHYSICAL space with its dv sidecar
+    * composed — shared by time travel ([[readGeneration]] adds the
+    * generation's own mapping) and [[generationDiff]] (which applies
+    * the NEWER side's mapping to both, so a rename diffs as unchanged).
+    */
+  private def rawGeneration(s: SparkSession, path: String,
+                            table: String): DataFrame = {
     val base = graft.sources.ManifestFileIndex.table(s, path)
     CorpusLayout.keyed.get(table)
       .map(k => CorpusLayout.withDeletionVectors(s, path, base, k))
@@ -764,8 +928,19 @@ object MergeOps {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
-    val (v1, v2) = (readGeneration(s, corpusDir, table, from),
-      readGeneration(s, corpusDir, table, to))
+    // Both sides read through the NEWER generation's column mapping
+    // (mappings name PHYSICAL columns, which are stable across metadata
+    // generations): a rename between `from` and `to` then surfaces the
+    // same logical name over the same bytes on both sides — diffing as
+    // unchanged, not every-row-changed — and a drop is omitted from
+    // both. (Across a full rewrite that REBASED a rename, the old
+    // physical is gone and the diff degrades to the padded add/remove
+    // shape below — still applicable, just not minimal.)
+    val mTo = CorpusLayout.readMapping(generationPath(s, corpusDir, table, to))
+    val v1 = CorpusLayout.applyMapping(
+      rawGeneration(s, generationPath(s, corpusDir, table, from), table), mTo)
+    val v2 = CorpusLayout.applyMapping(
+      rawGeneration(s, generationPath(s, corpusDir, table, to), table), mTo)
     // diffing across an ADD-COLUMN boundary: pad each side with the
     // columns only the other has (NULL — exactly what that generation's
     // readers observe), so the hash diff compares like with like and an

@@ -251,6 +251,79 @@ object CorpusLayout {
       base.join(tombs, Seq(key), "left_anti").unionByName(deltas)
     }
 
+  // ── Column mapping: DROP/RENAME as per-generation METADATA, the
+  // Delta/Iceberg column-mapping recipe. A generation may carry a
+  // `_MAPPING` marker — one line per remapped PHYSICAL column,
+  // `physical\tlogical` for a rename, `physical\t` for a drop — and the
+  // serving read applies it as a projection over the raw frame: rename
+  // = alias, drop = column omitted. Linked files are NEVER rewritten
+  // for either; the physical names inside parquet footers stay what the
+  // writer wrote. The mapping is cumulative and carries forward across
+  // metadata and CoW-touched generations; any FULL rewrite (rebucket,
+  // compactGenerations, a broad apply) writes the logical names as the
+  // new physical truth and clears it — the same fold discipline as the
+  // `_dv` sidecar. Compose order on read: base(physical) → deletion
+  // vectors (physical) → mapping projection (logical).
+
+  private[graft] val MappingMarker = "_MAPPING"
+
+  /** physical → Some(logical) rename | None drop. Empty = identity. */
+  private[graft] def readMapping(loc: String): Map[String, Option[String]] = {
+    val f = java.nio.file.Paths.get(loc, MappingMarker)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(p, l @ _*) = line.split("\t", 2): @unchecked
+        p -> l.headOption.filter(_.nonEmpty)
+      }.toMap
+  }
+
+  private[graft] def writeMapping(loc: String,
+                                  m: Map[String, Option[String]]): Unit = {
+    val body = m.toSeq.sorted.map { case (p, l) => s"$p\t${l.getOrElse("")}" }
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc, MappingMarker), body.getBytes("UTF-8"))
+  }
+
+  /** Physical frame → logical view: aliases renames, omits drops. */
+  private[graft] def applyMapping(df: DataFrame,
+                                  m: Map[String, Option[String]]): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val cols = df.columns.toSeq.flatMap { c =>
+        m.get(c) match {
+          case None => Some(col(c))            // unmapped = identity
+          case Some(Some(l)) => Some(col(c).as(l))
+          case Some(None) => None              // dropped
+        }
+      }
+      df.select(cols: _*)
+    }
+
+  /** Logical-named changeset → the physical space of the files: renames
+    * reverse-applied, dropped physical columns re-added as typed NULLs
+    * (they are invisible logically, but the physical row still has the
+    * slot — new rows carry NULL there).
+    */
+  private[graft] def toPhysical(df: DataFrame,
+                                m: Map[String, Option[String]],
+                                physSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val renamedBack = m.foldLeft(df) {
+        case (d, (p, Some(l))) if l != p && d.columns.contains(l) =>
+          d.withColumnRenamed(l, p)
+        case (d, _) => d
+      }
+      m.foldLeft(renamedBack) {
+        case (d, (p, None)) if !d.columns.contains(p) =>
+          d.withColumn(p, org.apache.spark.sql.functions.lit(null)
+            .cast(physSchema(p).dataType))
+        case (d, _) => d
+      }
+    }
+
   /** Cross-writer catalog resync: point this SESSION's catalog entry at
     * the newest complete generation on disk. The swing verbs update the
     * catalog of the session that RAN them; a concurrent writer in
@@ -304,11 +377,14 @@ object CorpusLayout {
       Some(t).filter(s.catalog.tableExists).map { tt =>
         refreshIfStale(s, corpusDir, table, tt)
         val base = manifestServed(s, corpusDir, table).getOrElse(s.table(tt))
-        // a MOR generation serves base ⊖ tombstones ∪ deltas; the
-        // sidecar frames are rebuilt per call (plan-time only — the
-        // cached base relation still carries the listing + stats)
+        // a MOR generation serves base ⊖ tombstones ∪ deltas, and a
+        // column mapping projects the physical names to the logical
+        // view; both are rebuilt per call (plan-time only — the cached
+        // base relation still carries the listing + stats)
         servedGeneration(s, corpusDir, table)
-          .map(loc => withDeletionVectors(s, loc, base, keyed(table)))
+          .map(loc => applyMapping(
+            withDeletionVectors(s, loc, base, keyed(table)),
+            readMapping(loc)))
           .getOrElse(base)
       }
     }

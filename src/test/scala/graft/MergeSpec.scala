@@ -916,6 +916,114 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DROP/RENAME column mapping: metadata-only swings, applies and MOR cross the boundary, diff sees a rename as unchanged, rewrites rebase") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_colmap")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    def served(): DataFrame = CorpusLayout.ifPresent(spark, corpus, "documents").get
+    def genDir(g: Int): String =
+      MergeOps.generations(spark, corpus, "documents")
+        .collectFirst { case (`g`, p) => p }.get
+    def ino(p: String): Any = java.nio.file.Files.getAttribute(
+      java.nio.file.Paths.get(p), "unix:ino")
+    def dataFiles(dir: String): Seq[String] = {
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector.sorted
+      } finally kids.close()
+    }
+    try {
+      CorpusLayout.materialize(spark, corpus, tables = Seq("documents"))
+      // v1: RENAME lang → language. Metadata only: every data file of
+      // the new generation is the parent's inode; only _MAPPING differs.
+      MergeOps.renameColumn(spark, corpus, "documents", "lang", "language")
+      var expected = base.withColumnRenamed("lang", "language")
+      assert(served().columns.toSeq ==
+        Seq("doc_id", "text", "language", "source", "n_chars"),
+        s"rename not visible: ${served().columns.mkString(",")}")
+      assert(rows(served()) == rows(expected), "rename changed values")
+      dataFiles(genDir(1)).foreach(f => assert(
+        ino(s"${genDir(1)}/$f") == ino(s"${genDir(0)}/$f"),
+        s"rename rewrote $f"))
+      // diff across the rename boundary: NOT every-row-changed — empty
+      assert(MergeOps.generationDiff(spark, corpus, "documents", 0, 1)
+        .isEmpty, "rename diffed as data change")
+      // v2: a CoW apply speaking the LOGICAL name crosses the boundary
+      val ch2 = base.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", concat(lit("r2 "), $"text").as("text"),
+          lit("xx").as("language"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      MergeOps.applyToLayout(spark, corpus, ch2)
+      expected = MergeOps.applyChanges(expected, ch2)
+      assert(rows(served()) == rows(expected), "post-rename apply diverged")
+      // replay across the boundary: v0 (old names) + diff(0,2) in the
+      // newer logical space reproduces v2
+      val diff02 = MergeOps.generationDiff(spark, corpus, "documents", 0, 2)
+      val replayed = MergeOps.applyChanges(
+        MergeOps.readGeneration(spark, corpus, "documents", 0)
+          .withColumnRenamed("lang", "language"), diff02)
+      assert(rows(replayed.select(expected.columns.map(col): _*)) ==
+        rows(expected), "replay across the rename boundary diverged")
+      // v3: a MOR apply carries the mapping and speaks logical names too
+      val ch3 = base.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", concat(lit("r3 "), $"text").as("text"),
+          lit("yy").as("language"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      MergeOps.applyToLayout(spark, corpus, ch3, mode = "mor")
+      expected = MergeOps.applyChanges(expected, ch3)
+      assert(rows(served()) == rows(expected), "post-rename MOR apply diverged")
+      assert(graft.sources.CorpusLayout.hasDv(genDir(3)), "MOR gen lost its sidecar")
+      // v4: DROP source — metadata only, column hidden, values intact
+      MergeOps.dropColumn(spark, corpus, "documents", "source")
+      expected = expected.drop("source")
+      assert(!served().columns.contains("source"), "drop did not hide the column")
+      assert(rows(served()) == rows(expected), "drop changed surviving values")
+      assert(MergeOps.generationDiff(spark, corpus, "documents", 3, 4)
+        .isEmpty, "drop diffed as data change")
+      // time travel still shows each generation's OWN view
+      assert(MergeOps.readGeneration(spark, corpus, "documents", 0)
+        .columns.contains("lang"), "gen-0 time travel lost its old name")
+      // a full rewrite REBASES: logical names become physical, no marker
+      val folded = MergeOps.compactGenerations(spark, corpus, "documents")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(folded, "_MAPPING")), "fold kept the mapping")
+      assert(!graft.sources.CorpusLayout.hasDv(folded), "fold kept the sidecar")
+      val physical = spark.read.parquet(folded)
+      assert(physical.columns.contains("language") &&
+        !physical.columns.contains("source") &&
+        !physical.columns.contains("lang"),
+        s"rebase wrote wrong physical names: ${physical.columns.mkString(",")}")
+      assert(rows(served()) == rows(expected), "rebase changed the corpus")
+      // rename round-trip restores the original name
+      MergeOps.renameColumn(spark, corpus, "documents", "language", "lang")
+      expected = expected.withColumnRenamed("language", "lang")
+      assert(rows(served()) == rows(expected), "round-trip rename diverged")
+      // malformed evolution fails loudly
+      intercept[IllegalArgumentException](
+        MergeOps.renameColumn(spark, corpus, "documents", "doc_id", "id"))
+      intercept[IllegalArgumentException](
+        MergeOps.dropColumn(spark, corpus, "documents", "doc_id"))
+      intercept[IllegalArgumentException](
+        MergeOps.renameColumn(spark, corpus, "documents", "text", "lang"))
+      intercept[IllegalArgumentException](
+        MergeOps.dropColumn(spark, corpus, "documents", "nope"))
+    } finally {
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("SQL MERGE INTO the served layout: clause order, old-value refs, by-source delete; malformed fails loudly") {
     import spark.implicits._
     assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
