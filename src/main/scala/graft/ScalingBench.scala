@@ -445,6 +445,78 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("recluster")) {
+    // ── clustering maintenance under CoW (round 13): a z-clustered
+    // layout (in-bucket z-sort + file split) prunes selective filters
+    // WITHIN buckets; every CoW apply rewrites touched buckets, and
+    // without reclusterTouched each rewritten bucket folds back into
+    // one wide key-sorted file — pruning quality decays apply over
+    // apply. Both arms run the SAME 10-wave trickle; `maintained`
+    // keeps the spec (applies re-sort + re-split), `unmaintained`
+    // strips the marker after the build (the no-maintenance
+    // counterfactual). kept_frac = files read / files present for one
+    // selective n_chars band, measured off the executed scan.
+    import graft.operators.MergeOps
+    import graft.sources.{CorpusLayout, StatsManifest}
+    def reclusterArm(maintained: Boolean): (Double, Double) = {
+      val rcBase = java.nio.file.Files.createTempDirectory("graft_scaling_rc").toString
+      spark.conf.set(CorpusLayout.ConfKey, rcBase)
+      try {
+        val nDocs = docs.count()
+        CorpusLayout.materialize(spark, sfDir, tables = Seq("documents"),
+          clusterBy = Seq("n_chars", "doc_id"),
+          clusterRowsPerFile = math.max(16L, nDocs / 32 / 6))
+        val gen0 = CorpusLayout.servedGeneration(spark, sfDir, "documents").get
+        StatsManifest.build(spark, gen0, Seq("doc_id", "n_chars"))
+        if (!maintained) java.nio.file.Files.delete(
+          java.nio.file.Paths.get(gen0, "_CLUSTER"))
+        // AQE-safe scan walk (query stages are leaves to children())
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+          val here = p match {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+            case _ => Nil
+          }
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          here ++ kids.flatMap(scansOf)
+        }
+        def keptFrac(): Double = {
+          val loc = CorpusLayout.servedGeneration(spark, sfDir, "documents").get
+          val q = CorpusLayout.ifPresent(spark, sfDir, "documents").get
+            .filter($"n_chars".between(100, 130)).select($"doc_id", $"n_chars")
+          q.collect()
+          val nf = scansOf(q.queryExecution.executedPlan)
+            .map(_.metrics("numFiles").value).sum
+          nf.toDouble / StatsManifest.listDataFiles(loc).size
+        }
+        val before = keptFrac()
+        (0 until 10).foreach { w =>
+          val ch = docs.filter($"doc_id" % 37 === w)
+            .select($"doc_id", concat(lit(s"rc$w "), $"text").as("text"),
+              $"lang", $"source", ($"n_chars" + 1L).cast("long").as("n_chars"))
+            .withColumn("tombstone", lit(false))
+          MergeOps.applyToLayout(spark, sfDir, ch)
+        }
+        (before, keptFrac())
+      } finally {
+        CorpusLayout.drop(spark, sfDir)
+        spark.conf.unset(CorpusLayout.ConfKey)
+      }
+    }
+    locally {
+      val (b0, a0) = reclusterArm(maintained = true)
+      results :+= ("recluster/kept_frac_built" -> math.round(b0 * 1000) / 1000.0)
+      results :+= ("recluster/kept_frac_maintained" -> math.round(a0 * 1000) / 1000.0)
+      val (_, a1) = reclusterArm(maintained = false)
+      results :+= ("recluster/kept_frac_unmaintained" -> math.round(a1 * 1000) / 1000.0)
+    }
+    }
+
     if (enabled("vector_apply")) {
     // ── vector-index CDC apply: cell-scoped CoW applyChangeset vs the
     // full rebuild the store would otherwise need after corpus changes.

@@ -503,14 +503,26 @@ object MergeOps {
         if (touchedFiles.isEmpty) // inserts into empty buckets
           CorpusLayout.toPhysical(target, mapping, physSchema).limit(0)
         else s.read.schema(physSchema).parquet(touchedFiles: _*)
-      applyChanges(touchedTarget, changesPhys, keyCol, evolve)
-        .repartition(nBuckets, col(keyCol)) // partition id == bucket id
+      // reclusterTouched: when the layout carries a cluster spec, the
+      // merged rows RECOMPUTE the z-value (the changeset's rows arrive
+      // with _zv refilled as NULL) and the rewritten buckets re-sort +
+      // re-split by it — without this, every touched bucket would fold
+      // back into one key-sorted wide file and the manifest's pruning
+      // quality would decay apply over apply
+      val spec = CorpusLayout.readClusterSpec(curLoc)
+      val merged = spec.foldLeft(
+        applyChanges(touchedTarget, changesPhys, keyCol, evolve))(
+        (d, sp) => d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+      merged.repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
-        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+        .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
+        .bucketBy(nBuckets, keyCol)
+        .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
         .mode("overwrite").saveAsTable(s"${t}_staging")
       for (f <- untouchedFiles)
         linkOrCopy(java.nio.file.Paths.get(curLoc, f),
           java.nio.file.Paths.get(vpath, f))
+      spec.foreach(CorpusLayout.writeClusterSpec(vpath, _))
       if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
       // the staging table listed its files before the links landed
       s.catalog.refreshTable(s"${t}_staging")
@@ -526,11 +538,23 @@ object MergeOps {
       // generation (observed locally: 33 tasks × 1024 buckets = 33k
       // files in one broad apply). Same discipline as the touched-bucket
       // write above; the shuffle is the one any bucketed rewrite pays.
-      applyChanges(target, changes, keyCol, evolve)
-        .repartition(nBuckets, col(keyCol)) // partition id == bucket id
+      // A cluster spec survives the rebase: its columns translate to
+      // the logical names (which become physical here), _zv recomputes
+      // over the logical frame and stays the one physical-only column.
+      val spec = CorpusLayout.readClusterSpec(curLoc)
+        .flatMap(CorpusLayout.rebaseSpec(_, mapping))
+      val out = spec.foldLeft(applyChanges(target, changes, keyCol, evolve))(
+        (d, sp) => d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+      out.repartition(nBuckets, col(keyCol)) // partition id == bucket id
         .write.format("parquet").option("path", vpath)
-        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+        .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
+        .bucketBy(nBuckets, keyCol)
+        .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
         .mode("overwrite").saveAsTable(s"${t}_staging")
+      spec.foreach { sp =>
+        CorpusLayout.writeClusterSpec(vpath, sp)
+        CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
+      }
     }
     // the generation is complete on disk: mark it (with its bucket
     // count) BEFORE the swing, so a crash anywhere past this line is
@@ -572,20 +596,11 @@ object MergeOps {
                                     nBuckets: Int, vpath: String,
                                     changes: DataFrame, keyCol: String,
                                     mapping: Map[String, Option[String]] = Map.empty): Unit = {
-    val dir = java.nio.file.Paths.get(vpath)
-    java.nio.file.Files.createDirectories(dir)
-    val kids = java.nio.file.Files.list(java.nio.file.Paths.get(curLoc))
-    try {
-      import scala.jdk.CollectionConverters._
-      kids.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-        .foreach(f => linkOrCopy(java.nio.file.Paths.get(curLoc, f),
-          java.nio.file.Paths.get(vpath, f)))
-    } finally kids.close()
+    linkGenerationForward(curLoc, vpath, withDv = false)
     val base = s.table(t)
     // the sidecar lives in PHYSICAL space (it composes BEFORE the
     // mapping projection on read), so the logical changeset translates
-    // back first and the mapping marker carries forward
+    // back first and the mapping + cluster markers carry forward
     val changesPhys = CorpusLayout.toPhysical(changes, mapping, base.schema)
     if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
     val dvOf = (name: String) => s"$curLoc/${CorpusLayout.DvDir}/$name"
@@ -613,23 +628,27 @@ object MergeOps {
   /** Staging-create + rename swing for generations whose files already
     * exist on disk (MOR and metadata swings — the bucketed WRITE swings
     * go through saveAsTable instead). Same minimal-downtime shape.
+    * SORTED BY states what the linked files honor (z-clustered files
+    * sort by `_zv`, not the key).
     */
   private def swingCatalog(s: SparkSession, t: String, vpath: String,
                            keyCol: String, nBuckets: Int, ddl: String): Unit = {
+    val sortCol = CorpusLayout.sortColFor(vpath).getOrElse(keyCol)
     s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
     s.sql(s"CREATE TABLE ${t}_staging ($ddl) USING PARQUET " +
-      s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
+      s"CLUSTERED BY ($keyCol) SORTED BY ($sortCol) INTO $nBuckets BUCKETS " +
       s"LOCATION '$vpath'")
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
     s.catalog.refreshTable(t)
   }
 
-  /** Link every data file (and the `_dv` sidecar, when present) of
-    * `curLoc` into `vpath` byte-for-byte — the shared copy step of the
-    * MOR and metadata swings.
+  /** Link every data file (the `_dv` sidecar too, when asked) of
+    * `curLoc` into `vpath` byte-for-byte, carrying the `_CLUSTER`
+    * marker — the shared copy step of the MOR and metadata swings.
     */
-  private def linkGenerationForward(curLoc: String, vpath: String): Unit = {
+  private def linkGenerationForward(curLoc: String, vpath: String,
+                                    withDv: Boolean): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vpath))
     val kids = java.nio.file.Files.list(java.nio.file.Paths.get(curLoc))
     try {
@@ -639,8 +658,12 @@ object MergeOps {
         .foreach(f => linkOrCopy(java.nio.file.Paths.get(curLoc, f),
           java.nio.file.Paths.get(vpath, f)))
     } finally kids.close()
+    val cl = java.nio.file.Paths.get(curLoc, CorpusLayout.ClusterMarker)
+    if (java.nio.file.Files.exists(cl))
+      java.nio.file.Files.copy(cl,
+        java.nio.file.Paths.get(vpath, CorpusLayout.ClusterMarker))
     val dvSrc = java.nio.file.Paths.get(curLoc, CorpusLayout.DvDir)
-    if (java.nio.file.Files.isDirectory(dvSrc)) {
+    if (withDv && java.nio.file.Files.isDirectory(dvSrc)) {
       val walk = java.nio.file.Files.walk(dvSrc)
       try {
         import scala.jdk.CollectionConverters._
@@ -729,7 +752,7 @@ object MergeOps {
       val vpath = nextGenerationPath(s, corpusDir, table)
       val physSchema = s.table(t).schema
       val newMapping = update(CorpusLayout.readMapping(curLoc), physSchema, keyCol)
-      linkGenerationForward(curLoc, vpath)
+      linkGenerationForward(curLoc, vpath, withDv = true)
       if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
       CorpusLayout.writeBucketsMarker(vpath, b)
       java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
@@ -1071,15 +1094,25 @@ object MergeOps {
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
     val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, b) = tableLayout(s, t)
+    // a cluster spec survives the fold: its columns rebase through the
+    // mapping (the fold writes logical names), _zv recomputes, files
+    // re-sort + re-split by it (SORTED BY stays truthful)
+    val spec = CorpusLayout.readClusterSpec(curLoc)
+      .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc)))
+    def clustered(d: DataFrame): DataFrame = spec.foldLeft(d)(
+      (x, sp) => x.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+    val sortCol = spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol)
+    val maxRows = spec.map(_.rowsPerFile).getOrElse(0L)
     if (CorpusLayout.hasDv(curLoc)) {
       // folding a MOR tip: the effective frame is base⊖tombs∪deltas —
       // an anti-join + union, whose output partitioning is NOT the
       // bucketed scan's, so the exchange-free trick below would fan out
       // per-task files. Pay the one repartition of the corpus; the fold
       // is exactly the moment that cost belongs to.
-      target.repartition(b, col(keyCol))
+      clustered(target).repartition(b, col(keyCol))
         .write.format("parquet").option("path", vpath)
-        .bucketBy(b, keyCol).sortBy(keyCol)
+        .option("maxRecordsPerFile", maxRows)
+        .bucketBy(b, keyCol).sortBy(sortCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
     } else {
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -1088,15 +1121,22 @@ object MergeOps {
       // auto-bucketed-scan would DROP the bucketed scan here (no join in
       // the plan to justify it) and the write would fan out per-task
       // files; forcing it pins partition id == bucket id, which is what
-      // makes the write Exchange-free and one-file-per-bucket
+      // makes the write Exchange-free and one-file-per-bucket (the
+      // mapping projection and _zv recompute are per-row — both preserve
+      // the scan's partitioning)
       s.conf.set(autoKey, "false")
-      target.write.format("parquet").option("path", vpath)
-        .bucketBy(b, keyCol).sortBy(keyCol)
+      clustered(target).write.format("parquet").option("path", vpath)
+        .option("maxRecordsPerFile", maxRows)
+        .bucketBy(b, keyCol).sortBy(sortCol)
         .mode("overwrite").saveAsTable(s"${t}_staging")
     } finally prevAuto match {
       case Some(v) => s.conf.set(autoKey, v)
       case None => s.conf.unset(autoKey)
     }
+    }
+    spec.foreach { sp =>
+      CorpusLayout.writeClusterSpec(vpath, sp)
+      CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
     }
     CorpusLayout.writeBucketsMarker(vpath, b)
     s.sql(s"DROP TABLE IF EXISTS $t")
@@ -1190,10 +1230,23 @@ object MergeOps {
         s"no bucketed layout for ($corpusDir, $table) — run CorpusLayout.materialize first"))
     val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, _) = tableLayout(s, t)
-    target.repartition(newBuckets, col(keyCol))
+    // a cluster spec survives the rebucket: columns rebase through the
+    // mapping (full rewrite), _zv recomputes, SORTED BY stays truthful,
+    // files re-split at the spec's row bound
+    val spec = CorpusLayout.readClusterSpec(curLoc)
+      .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc)))
+    spec.foldLeft(target)((d, sp) =>
+        d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+      .repartition(newBuckets, col(keyCol))
       .write.format("parquet").option("path", vpath)
-      .bucketBy(newBuckets, keyCol).sortBy(keyCol)
+      .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
+      .bucketBy(newBuckets, keyCol)
+      .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
       .mode("overwrite").saveAsTable(s"${t}_staging")
+    spec.foreach { sp =>
+      CorpusLayout.writeClusterSpec(vpath, sp)
+      CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
+    }
     CorpusLayout.writeBucketsMarker(vpath, newBuckets)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")

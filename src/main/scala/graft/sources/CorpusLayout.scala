@@ -209,8 +209,12 @@ object CorpusLayout {
       // the next apply's staging write; it is external — dropping the
       // registration never touches the generation's files
       s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+      // SORTED BY must state what the files HONOR: a z-clustered
+      // generation sorts buckets by _zv, and claiming the key would let
+      // a one-file bucket feed a sort-merge join unsorted data
+      val sortCol = sortColFor(path).getOrElse(key)
       s.sql(s"CREATE TABLE $t ($schema) USING PARQUET " +
-        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
         s"LOCATION '$path'")
       bumpEpoch(s, corpusDir, table, path)
       path
@@ -250,6 +254,88 @@ object CorpusLayout {
       val deltas = s.read.parquet(s"$loc/$DvDir/deltas")
       base.join(tombs, Seq(key), "left_anti").unionByName(deltas)
     }
+
+  // ── Cluster spec: optional multi-column z-clustering INSIDE each
+  // bucket (SURVEY §2.H — ZOrderLayout's skipping, composed with the
+  // bucketed layout). With a `_CLUSTER` marker, every generation write
+  // sorts each bucket's rows by a Morton z-value over the spec's
+  // columns and splits files at `rowsPerFile`, so each file is a tight
+  // axis-aligned box and the stats manifest prunes selective filters on
+  // the spec columns — while bucket-key joins stay co-located (hash
+  // placement is untouched; only the in-bucket ORDER and file split
+  // change). The helper `_zv` column is physical-only: the column
+  // mapping hides it (a standing `_zv → dropped` entry), and every
+  // apply RECOMPUTES it for rewritten rows — without that, each CoW
+  // apply would fold touched buckets back into one key-sorted wide
+  // file and pruning quality would decay generation over generation
+  // (the reclusterTouched maintenance this spec exists for). Bucket
+  // bounds are frozen at materialize: drifted values clamp into the
+  // edge buckets until a full rewrite, ZOrderLayout's freshness
+  // contract. The catalog table truthfully declares SORTED BY `_zv`
+  // (never the key — a one-file bucket would otherwise let a
+  // sort-merge join trust an ordering the files don't have).
+
+  final case class ClusterSpec(cols: Seq[String], bits: Int,
+                               rowsPerFile: Long,
+                               bounds: Seq[(Double, Double)])
+
+  private[graft] val ClusterMarker = "_CLUSTER"
+  private[graft] val ZCol = "_zv"
+
+  private[graft] def readClusterSpec(loc: String): Option[ClusterSpec] = {
+    val f = java.nio.file.Paths.get(loc, ClusterMarker)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .linesIterator.filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split("\t", 2): @unchecked; k -> v }
+        .toMap
+      Some(ClusterSpec(
+        kv("cols").split(",").toSeq,
+        kv("bits").toInt,
+        kv("rows").toLong,
+        kv("bounds").split(",").toSeq.map { b =>
+          val Array(lo, hi) = b.split(":"): @unchecked
+          (lo.toDouble, hi.toDouble)
+        }))
+    }
+  }
+
+  private[graft] def writeClusterSpec(loc: String, spec: ClusterSpec): Unit = {
+    val body = Seq(
+      s"cols\t${spec.cols.mkString(",")}",
+      s"bits\t${spec.bits}",
+      s"rows\t${spec.rowsPerFile}",
+      s"bounds\t${spec.bounds.map { case (lo, hi) => s"$lo:$hi" }.mkString(",")}"
+    ).mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc, ClusterMarker), body.getBytes("UTF-8"))
+  }
+
+  /** The spec's Morton z-value as a codegen'd column expression. */
+  private[graft] def zExpr(spec: ClusterSpec): org.apache.spark.sql.Column =
+    ZOrderLayout.zValue(spec.cols.zip(spec.bounds).map { case (c, (lo, hi)) =>
+      if (lo == hi) org.apache.spark.sql.functions.lit(0L)
+      else ZOrderLayout.bucketize(col(c), lo, hi, spec.bits)
+    }, spec.bits)
+
+  /** The SORTED BY column a generation's files actually honor. */
+  private[graft] def sortColFor(loc: String): Option[String] =
+    readClusterSpec(loc).map(_ => ZCol)
+
+  /** A cluster spec speaks PHYSICAL column names; a full rewrite
+    * rebases physical := logical, so the carried spec translates its
+    * columns through the mapping — and dies (None) if one was dropped.
+    */
+  private[graft] def rebaseSpec(spec: ClusterSpec,
+                                m: Map[String, Option[String]]): Option[ClusterSpec] = {
+    val cols = spec.cols.map(p => m.get(p) match {
+      case None => Some(p)
+      case Some(l) => l
+    })
+    if (cols.exists(_.isEmpty)) None
+    else Some(spec.copy(cols = cols.flatten))
+  }
 
   // ── Column mapping: DROP/RENAME as per-generation METADATA, the
   // Delta/Iceberg column-mapping recipe. A generation may carry a
@@ -465,7 +551,8 @@ object CorpusLayout {
         .getOrElse {
           val buckets = new String(
             java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
-          val df = ManifestFileIndex.bucketedTable(s, loc, buckets, keyed(table))
+          val df = ManifestFileIndex.bucketedTable(s, loc, buckets,
+            keyed(table), sortCol = sortColFor(loc).getOrElse(keyed(table)))
           if (servedRelation.size >= ServedRelationCap) evictServedRelation()
           servedRelation.put(ck,
             (new java.lang.ref.WeakReference(s), loc, stamp, df))
@@ -480,10 +567,18 @@ object CorpusLayout {
     */
   def materialize(s: SparkSession, corpusDir: String,
                   buckets: Int = DefaultBuckets,
-                  tables: Seq[String] = keyed.keys.toSeq): Seq[String] = {
+                  tables: Seq[String] = keyed.keys.toSeq,
+                  clusterBy: Seq[String] = Nil,
+                  clusterBits: Int = 8,
+                  clusterRowsPerFile: Long = 1L << 17): Seq[String] = {
     require(tables.forall(keyed.contains),
       s"unknown layout table(s) ${tables.filterNot(keyed.contains).mkString(", ")}" +
         s" — keyed tables are ${keyed.keys.toSeq.sorted.mkString(", ")}")
+    require(clusterBy.isEmpty || tables.size == 1,
+      "clusterBy applies to ONE table per materialize call (the spec's " +
+        "columns are table-specific)")
+    require(clusterBy.isEmpty || clusterRowsPerFile > 0,
+      s"clusterRowsPerFile must be positive, got $clusterRowsPerFile")
     val base = s.conf.getOption(ConfKey).getOrElse(throw new IllegalStateException(
       s"$ConfKey is not set on this session — nowhere to materialize"))
     // record the corpus dir at the layout root so catalog-name-only
@@ -500,12 +595,29 @@ object CorpusLayout {
       // file per bucket — without it the bucketBy writer emits up to
       // (read tasks × B) files, which defeats the one-file-per-bucket
       // CoW link arithmetic and explodes listings at corpus-sized B
-      s.read.parquet(s"$corpusDir/$table.parquet")
-        .repartition(buckets, col(key))
-        .write.format("parquet")
-        .option("path", path)
-        .bucketBy(buckets, key).sortBy(key)
-        .mode("overwrite").saveAsTable(t)
+      val src = s.read.parquet(s"$corpusDir/$table.parquet")
+      if (clusterBy.isEmpty)
+        src.repartition(buckets, col(key))
+          .write.format("parquet")
+          .option("path", path)
+          .bucketBy(buckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(t)
+      else {
+        // z-clustered build: each bucket's rows sort by the Morton
+        // z-value and split at rowsPerFile — many tight-box files per
+        // bucket instead of one wide one (see the cluster-spec comment)
+        val spec = ClusterSpec(clusterBy, clusterBits, clusterRowsPerFile,
+          ZOrderLayout.columnBounds(src, clusterBy))
+        src.withColumn(ZCol, zExpr(spec))
+          .repartition(buckets, col(key))
+          .write.format("parquet")
+          .option("path", path)
+          .option("maxRecordsPerFile", clusterRowsPerFile)
+          .bucketBy(buckets, key).sortBy(ZCol)
+          .mode("overwrite").saveAsTable(t)
+        writeClusterSpec(path, spec)
+        writeMapping(path, Map(ZCol -> None)) // _zv is physical-only
+      }
       writeBucketsMarker(path, buckets)
       bumpEpoch(s, corpusDir, table, path)
       t

@@ -81,10 +81,11 @@ object ManifestFileIndex {
     * name suffix, which hard-linked CoW files keep by construction.
     */
   def bucketedTable(s: SparkSession, dataDir: String, buckets: Int,
-                    key: String, manifestDir: String = null): DataFrame =
+                    key: String, manifestDir: String = null,
+                    sortCol: String = null): DataFrame =
     build(s, dataDir, manifestDir,
       Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        buckets, Seq(key), Seq(key))))
+        buckets, Seq(key), Seq(Option(sortCol).getOrElse(key)))))
 
   private def build(s: SparkSession, dataDir: String, manifestDir: String,
                     bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec])

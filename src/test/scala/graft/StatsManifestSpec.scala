@@ -458,4 +458,78 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestBase {
       assert(nf == 1, s"planner path read $nf files for a one-file predicate")
     } finally rmAll(tmp)
   }
+
+  test("cluster spec: reclusterTouched keeps pruning quality through 10 trickle applies") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recluster")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    try {
+      // z-clustered layout: each of the 8 buckets splits into ~4 z-tight
+      // files, so a selective n_chars filter can skip WITHIN buckets
+      CorpusLayout.materialize(spark, corpus, buckets = 8,
+        tables = Seq("documents"),
+        clusterBy = Seq("n_chars", "doc_id"), clusterRowsPerFile = 16)
+      val gen0 = CorpusLayout.servedGeneration(spark, corpus, "documents").get
+      StatsManifest.build(spark, gen0, Seq("doc_id", "n_chars"))
+      def served(): DataFrame =
+        CorpusLayout.ifPresent(spark, corpus, "documents").get
+      assert(!served().columns.contains("_zv"),
+        "the physical-only _zv column leaked into the logical view")
+      val flt = $"n_chars".between(100, 130)
+      def keptFrac(): (Double, Long, Long) = {
+        val loc = CorpusLayout.servedGeneration(spark, corpus, "documents").get
+        val q = served().filter(flt).select($"doc_id", $"n_chars")
+        q.collect()
+        val nf = scans(q.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        val total = StatsManifest.listDataFiles(loc).size.toLong
+        (nf.toDouble / total, nf, total)
+      }
+      val (frac0, nf0, total0) = keptFrac()
+      assert(total0 > 8, s"clustered build did not split buckets: $total0 files")
+      // nontrivial in-bucket skipping at build time (z interleaves BOTH
+      // dims, so a one-dim band keeps ~half the per-bucket files; the
+      // LAW under test is the no-decay assertion below)
+      assert(frac0 < 0.8, s"no in-bucket skipping at build time: $nf0/$total0")
+      // value parity against the raw corpus before any apply
+      assert(rows(served().filter(flt).select($"doc_id", $"n_chars")) ==
+        rows(base.filter(flt).select($"doc_id", $"n_chars")),
+        "clustered read diverged from the raw corpus")
+      // 10 trickle applies, each touching a handful of keys — every
+      // rewritten bucket re-sorts and re-splits by the z-value
+      var expected = base
+      (0 until 10).foreach { w =>
+        val ch = base.filter($"doc_id" % 50 === w)
+          .select($"doc_id", concat(lit(s"t$w "), $"text").as("text"),
+            $"lang", $"source", ($"n_chars" + 1L).as("n_chars"))
+          .withColumn(MergeOps.TombstoneCol, lit(false))
+        MergeOps.applyToLayout(spark, corpus, ch)
+        expected = MergeOps.applyChanges(expected, ch)
+      }
+      val (frac10, nf10, total10) = keptFrac()
+      // soundness first: the pruned read still answers exactly
+      assert(rows(served().filter(flt).select($"doc_id", $"n_chars")) ==
+        rows(expected.filter(flt).select($"doc_id", $"n_chars")),
+        "pruned read diverged after 10 applies")
+      // the maintenance law: pruning quality did NOT decay — rewritten
+      // buckets kept their z-split (without reclusterTouched each apply
+      // folds touched buckets into one wide file and the kept fraction
+      // drifts toward 1)
+      assert(total10 > 8, s"applies folded the z-split away: $total10 files")
+      assert(frac10 <= frac0 * 1.5 + 0.05,
+        s"pruning decayed: kept $nf10/$total10 (${frac10}) vs initial " +
+          s"$nf0/$total0 (${frac0})")
+    } finally {
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      rmAll(tmp)
+    }
+  }
 }
