@@ -209,6 +209,33 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q24 error law holds at sf1: scale evidence for the one oracle-less query") {
+    import spark.implicits._
+    // The sf0.001 probe and the generated-cardinality law above cover the
+    // small and synthetic regimes; this runs the REAL q24 plan against
+    // the sf1 corpus (~600k lineitem rows, repo-local generated data) so
+    // the only oracle-less query has scale evidence too. Cancels (not
+    // fails) when the gitignored corpus has not been generated.
+    val sf1 = "testdata-scaled/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(sf1, "lineitem.parquet")),
+      s"sf1 corpus not generated (runMain graft.ScaleGen /root/testdata/sf0.1 $sf1 10)")
+    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sf1)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf1, "lineitem")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "q24@sf1 group keys diverge from exact")
+    exact.foreach { case (k, x) =>
+      // distinct l_partkey saturates at |part| (~20k at sf1) — the bound
+      // pins that this probe runs 10× beyond the sf0.001/sf0.01 regime
+      assert(x > 10000, s"q24@sf1[$k]: cardinality $x too small — not scale evidence")
+      val rel = math.abs(approx(k).toDouble - x) / x
+      assert(rel <= 0.10, f"q24@sf1[$k]: approx=${approx(k)} exact=$x rel-err=$rel%.4f > 10%%")
+    }
+  }
+
   test("q24 HLL law: rel error ≤ 5σ across scalacheck-varied cardinalities (log-spread)") {
     import spark.implicits._
     // The single-point sf-corpus probe above can't catch an HLL regression
