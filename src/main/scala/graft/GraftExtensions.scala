@@ -41,6 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // oracle). Non-layout targets keep Spark's stock v1 rejection.
     e.injectResolutionRule(_ => graft.plans.MergeIntoLayoutRule)
 
+    // SQL surface for generation time travel: SELECT … FROM
+    // <graft_cl_… layout table> VERSION AS OF n resolves to
+    // MergeOps.readGeneration's composed frame (see TimeTravelLayoutRule;
+    // p31 gates it against a DuckDB-composed oracle). HINT-resolution
+    // placement, not extendedResolutionRules: the stock
+    // RelationResolution throws UNSUPPORTED_FEATURE.TIME_TRAVEL for v1
+    // tables in the SAME fixpoint pass, BEFORE extended rules run — the
+    // hint batch precedes Resolution entirely, and this rewrite needs
+    // nothing resolved (it matches the relation by NAME).
+    e.injectHintResolutionRule(s => new graft.plans.TimeTravelLayoutRule(s))
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

@@ -1448,5 +1448,68 @@ object Pipeline {
         SELECT -(doc_id + 1), NULL, 'mor', NULL, 9
         FROM documents WHERE doc_id % 103 = 0
         ORDER BY doc_id"""))
+    ,
+
+    // ── p31: SQL time travel — `VERSION AS OF n` over the served ──
+    // layout, the SQL spelling of [[MergeOps.readGeneration]]. Spark's
+    // parser yields RelationTimeTravel and rejects v1 tables;
+    // [[graft.plans.TimeTravelLayoutRule]] claims it for layout tables
+    // and resolves to the generation's COMPOSED frame (dv sidecar +
+    // column mapping + manifest-pruned scan). One statement reads BOTH
+    // retained generations — the pre-apply corpus (v0) and the merged
+    // result (v1) — so the oracle pins that time travel serves each
+    // generation's exact contents, not the live table twice. Same
+    // sandbox + lifecycle-in-query design as p28/p29/p30.
+    GQuery("p31_sql_time_travel",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p31")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val changes = base
+            .filter($"doc_id" % 6 === 0 && $"doc_id" % 17 =!= 0)
+            .select($"doc_id", concat(lit("tt "), $"text").as("text"),
+              $"lang", $"source", $"n_chars")
+            .withColumn(MergeOps.TombstoneCol, lit(false))
+            .unionByName(base.filter($"doc_id" % 17 === 0)
+              .select($"doc_id", lit(null).cast("string").as("text"),
+                lit(null).cast("string").as("lang"),
+                lit(null).cast("string").as("source"),
+                lit(null).cast("long").as("n_chars"))
+              .withColumn(MergeOps.TombstoneCol, lit(true)))
+          MergeOps.applyToLayout(s, corpus, changes)
+          s.sql(
+            s"""SELECT doc_id, md5(text) AS h, 'v0' AS gen
+               |FROM $t VERSION AS OF 0
+               |UNION ALL
+               |SELECT doc_id, md5(text) AS h, 'v1' AS gen
+               |FROM $t VERSION AS OF 1
+               |ORDER BY gen, doc_id
+               |""".stripMargin)
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h, 'v0' AS gen FROM documents
+        UNION ALL
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 6 = 0 THEN 'tt ' || text ELSE text END) AS h,
+               'v1' AS gen
+        FROM documents WHERE doc_id % 17 <> 0
+        ORDER BY gen, doc_id"""))
   )
 }

@@ -1092,6 +1092,21 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
         expected.filter($"doc_id" < 0).count(),
         "by-source delete touched rows its condition excludes")
 
+      // SQL time travel over the same chain: VERSION AS OF n serves
+      // generation n's exact contents (the rule resolves to
+      // readGeneration's composed frame); malformed spellings reject
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 0")
+        .head().getLong(0) == base.count(),
+        "VERSION AS OF 0 diverged from the pre-merge corpus")
+      assert(spark.sql(
+          s"SELECT doc_id FROM $t VERSION AS OF 1 WHERE doc_id < 0").count()
+        == expected.filter($"doc_id" < 0).count(),
+        "VERSION AS OF 1 lost the merge's inserts")
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM $t TIMESTAMP AS OF '2026-01-01'").collect())
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM $t VERSION AS OF 99").collect())
+
       // malformed shapes reject loudly (the rule's whole point: silently
       // keeping Spark's unsupported error or dropping a clause would be
       // a data-corruption path)
