@@ -916,6 +916,129 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-13 capstone: cluster spec × SQL MERGE × rename-of-a-spec-column × MOR × rebase × time travel compose on one chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capstone")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    def served(): DataFrame = CorpusLayout.ifPresent(spark, corpus, "documents").get
+    def genDir(g: Int): String = MergeOps.generations(spark, corpus, "documents")
+      .collectFirst { case (`g`, p) => p }.get
+    def dataFiles(dir: String): Seq[String] = {
+      val kids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector.sorted
+      } finally kids.close()
+    }
+    try {
+      // z-clustered build on (n_chars, doc_id): every later write must
+      // keep the in-bucket split alive — including after n_chars is
+      // RENAMED (the spec rebases through the mapping at full rewrites)
+      CorpusLayout.materialize(spark, corpus, buckets = 8,
+        tables = Seq("documents"),
+        clusterBy = Seq("n_chars", "doc_id"), clusterRowsPerFile = 16)
+      val t = CorpusLayout.tableName("documents", corpus)
+      assert(dataFiles(genDir(0)).size > 8, "clustered build did not split buckets")
+      // v1: SQL MERGE over the clustered layout (CoW touched path must
+      // recompute _zv and carry _CLUSTER + the _zv mapping entry)
+      base.filter($"doc_id" % 7 === 0 && $"doc_id" % 19 =!= 0)
+        .select($"doc_id", concat(lit("c1 "), $"text").as("new_text"),
+          lit(false).as("is_del"))
+        .unionByName(base.filter($"doc_id" % 19 === 0)
+          .select($"doc_id", lit(null).cast("string").as("new_text"),
+            lit(true).as("is_del")))
+        .createOrReplaceTempView("capstone_src")
+      spark.sql(
+        s"""MERGE INTO $t t USING capstone_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.is_del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = s.new_text
+           |""".stripMargin)
+      var expected = base.filter($"doc_id" % 19 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat(lit("c1 "), $"text"))
+            .otherwise($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+      assert(rows(served()) == rows(expected), "v1 SQL MERGE diverged")
+      assert(dataFiles(genDir(1)).size > 8,
+        "SQL MERGE folded the z-split away (reclusterTouched lost)")
+      // v2: rename a SPEC column — metadata only
+      MergeOps.renameColumn(spark, corpus, "documents", "n_chars", "len")
+      expected = expected.withColumnRenamed("n_chars", "len")
+      assert(rows(served()) == rows(expected), "v2 rename diverged")
+      // v3: MOR apply speaking the NEW logical name
+      val ch3 = base.filter($"doc_id" % 5 === 0 && $"doc_id" % 19 =!= 0)
+        .select($"doc_id", concat(lit("c3 "), $"text").as("text"),
+          $"lang", $"source", ($"n_chars" + 100L).as("len"))
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      MergeOps.applyToLayout(spark, corpus, ch3, mode = "mor")
+      expected = MergeOps.applyChanges(expected, ch3)
+      assert(rows(served()) == rows(expected), "v3 MOR over renamed layout diverged")
+      assert(graft.sources.CorpusLayout.hasDv(genDir(3)), "v3 lost its sidecar")
+      // v4: a CoW apply over the MOR tip → full rewrite → REBASE:
+      // sidecar folds, mapping folds (len becomes physical), and the
+      // cluster spec's renamed column rebases with it
+      val ch4 = base.filter($"doc_id" % 11 === 0 && $"doc_id" % 19 =!= 0)
+        .select($"doc_id", concat(lit("c4 "), $"text").as("text"),
+          $"lang", $"source", $"n_chars".as("len"))
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      MergeOps.applyToLayout(spark, corpus, ch4)
+      expected = MergeOps.applyChanges(expected, ch4)
+      assert(rows(served()) == rows(expected), "v4 fold-apply diverged")
+      val g4 = genDir(4)
+      assert(!graft.sources.CorpusLayout.hasDv(g4), "v4 kept the sidecar")
+      val phys = spark.read.parquet(g4)
+      assert(phys.columns.contains("len") && !phys.columns.contains("n_chars"),
+        s"rebase wrote wrong physical names: ${phys.columns.mkString(",")}")
+      assert(phys.columns.contains("_zv"), "rebase dropped the z column")
+      val spec4 = graft.sources.CorpusLayout.readClusterSpec(g4)
+      assert(spec4.exists(_.cols == Seq("len", "doc_id")),
+        s"cluster spec did not rebase the renamed column: ${spec4.map(_.cols)}")
+      assert(dataFiles(g4).size > 8, "rebase lost the z-split")
+      // v5: a plain CoW touched apply under the REBASED spec (recompute
+      // now reads the new physical name)
+      val ch5 = base.filter($"doc_id" % 23 === 0 && $"doc_id" % 19 =!= 0)
+        .select($"doc_id", concat(lit("c5 "), $"text").as("text"),
+          $"lang", $"source", $"n_chars".as("len"))
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      MergeOps.applyToLayout(spark, corpus, ch5)
+      expected = MergeOps.applyChanges(expected, ch5)
+      assert(rows(served()) == rows(expected), "v5 post-rebase apply diverged")
+      // time travel reads every generation's own composed view
+      assert(rows(spark.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM $t VERSION AS OF 0")) ==
+        rows(base), "VERSION AS OF 0 diverged from the build")
+      assert(rows(spark.sql(s"SELECT doc_id, text, lang, source, len " +
+        s"FROM $t VERSION AS OF 3")) ==
+        rows(MergeOps.applyChanges(
+          base.filter($"doc_id" % 19 =!= 0)
+            .select($"doc_id",
+              when($"doc_id" % 7 === 0, concat(lit("c1 "), $"text"))
+                .otherwise($"text").as("text"),
+              $"lang", $"source", $"n_chars".as("len")), ch3)),
+        "VERSION AS OF 3 diverged from the MOR generation's view")
+      // maintenance end state: fold + vacuum leave one clean generation
+      MergeOps.compactGenerations(spark, corpus, "documents")
+      MergeOps.vacuum(spark, corpus, "documents", keepLast = 1)
+      assert(MergeOps.generations(spark, corpus, "documents").size == 1,
+        "vacuum left a chain")
+      assert(rows(served()) == rows(expected), "fold+vacuum changed the corpus")
+    } finally {
+      spark.catalog.dropTempView("capstone_src")
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("DROP/RENAME column mapping: metadata-only swings, applies and MOR cross the boundary, diff sees a rename as unchanged, rewrites rebase") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
