@@ -887,4 +887,80 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("streaming MOR: each micro-batch is a sidecar over hard-linked bases; ledger replays; fold converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    import graft.streaming.StreamingMerge
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val base = java.nio.file.Files.createTempDirectory("graft_smor").toString
+    spark.conf.set(CorpusLayout.ConfKey, base)
+    // the conf is the ONLY switch: the same applyWriter pipeline now
+    // folds every micro-batch as a deletion-vector sidecar (foreachBatch
+    // clones inherit session confs set before start)
+    spark.conf.set(MergeOps.MergeModeKey, "mor")
+    try {
+      CorpusLayout.materialize(spark, sf)
+      def genDir(g: Int): String = MergeOps.generations(spark, sf, "documents")
+        .collectFirst { case (`g`, p) => p }.get
+      def dataFiles(dir: String): Seq[String] = {
+        val kids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          kids.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector.sorted
+        } finally kids.close()
+      }
+      def ino(p: String): Any = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(p), "unix:ino")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, String, String, String, Long, Boolean)]
+      val q = StreamingMerge.applyWriter(
+        in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars", "tombstone"),
+        sf).start()
+      try {
+        in.addData((1L, "v2 one", "en", "web", 6L, false),
+          (-7L, "brand new", "en", "web", 9L, false),
+          (2L, "", "", "", 0L, true))
+        q.processAllAvailable()
+        in.addData((-7L, "", "", "", 0L, true),
+          (2L, "two is back", "en", "web", 11L, false))
+        q.processAllAvailable()
+      } finally q.stop()
+      val served = Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(served(1L) == "v2 one" && served(2L) == "two is back" &&
+        !served.contains(-7L), "streamed MOR merge state wrong")
+      assert(StreamingMerge.appliedBatches(spark, sf) == Set(0L, 1L))
+      // the trickle chain never rewrote a base byte: every generation's
+      // data files are generation 0's inodes, batches live in sidecars
+      (1 to 2).foreach { g =>
+        assert(graft.sources.CorpusLayout.hasDv(genDir(g)), s"gen $g has no sidecar")
+        assert(dataFiles(genDir(g)) == dataFiles(genDir(0)),
+          s"gen $g's base file set drifted")
+        dataFiles(genDir(g)).foreach(f => assert(
+          ino(s"${genDir(g)}/$f") == ino(s"${genDir(0)}/$f"),
+          s"gen $g rewrote base file $f"))
+      }
+      // replay short-circuit still holds over the MOR chain
+      val replay = Seq((1L, "SHOULD NOT LAND", "en", "web", 1L, false))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "tombstone")
+      assert(!StreamingMerge.applyBatch(replay, 1L, sf), "ledgered id re-applied")
+      // fold: back to a pure bucketed generation, same contents
+      val folded = MergeOps.compactGenerations(spark, sf, "documents")
+      assert(!graft.sources.CorpusLayout.hasDv(folded), "fold kept a sidecar")
+      val after = Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after == served, "fold changed the streamed corpus")
+    } finally {
+      spark.conf.unset(MergeOps.MergeModeKey)
+      CorpusLayout.drop(spark, sf)
+      spark.conf.unset(CorpusLayout.ConfKey)
+    }
+  }
 }
