@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // nothing resolved (it matches the relation by NAME).
     e.injectHintResolutionRule(s => new graft.plans.TimeTravelLayoutRule(s))
 
+    // Composed serving through the catalog NAME: a plain SELECT of a
+    // graft_cl_ table whose generation carries a dv sidecar or column
+    // mapping substitutes the composed view during analysis — raw base
+    // files must never serve a MOR/mapped generation (see
+    // ComposedServingRule; registered AFTER the time-travel rule so
+    // VERSION AS OF claims its relations first).
+    e.injectHintResolutionRule(s => new graft.plans.ComposedServingRule(s))
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

@@ -5,51 +5,50 @@ import org.apache.spark.sql.SparkSession
 /** Single-writer lease on a layout table's generation chain (SURVEY
   * §2.I): every verb that stages a new generation or reclaims old ones
   * ([[MergeOps.applyToLayout]], [[MergeOps.rebucket]],
-  * [[MergeOps.compactGenerations]], [[MergeOps.vacuum]]) runs inside
-  * [[withLease]], so two concurrent appliers — two
+  * [[MergeOps.compactGenerations]], [[MergeOps.vacuum]], the metadata
+  * swings) runs inside [[withLease]], so two concurrent appliers — two
   * [[graft.streaming.StreamingMerge]] queries, or a compactor racing an
   * applier, possibly in DIFFERENT JVMs — serialize instead of both
   * staging the same `_vN` and corrupting the chain. Crash recovery was
   * already filesystem-forward (CrashRecoverySpec); this closes
   * CONTENTION, the other half of multi-writer safety.
   *
-  * Mechanics (local filesystem; on an object store the same protocol
-  * rides conditional PUTs, as Delta/Iceberg commit services do):
+  * Mechanics: an OS file lock (`FileChannel.tryLock`) on
+  * `<layoutRoot>/<table>_LEASE`, the kernel-mediated primitive — NOT a
+  * marker-file protocol with mtime heartbeats and staleness heuristics.
+  * The first cut here WAS such a protocol, and review killed it for the
+  * classic reason: stale-takeover (judge-then-rename) is a TOCTOU — two
+  * contenders can both judge one incarnation stale, the loser's
+  * pre-decided rename then tombs the winner's FRESH lease, and two
+  * writers hold a "single-writer" lease. The kernel lock has no such
+  * window by construction:
   *
-  *  - the lease is one file `<layoutRoot>/<table>_LEASE`, taken with an
-  *    atomic create-new; the content is the holder token (pid@host/uuid)
-  *    for diagnosis;
-  *  - while held, a daemon heartbeat touches the file's mtime every
-  *    leaseMs/3, so a LIVE holder never looks stale no matter how long
-  *    its apply runs;
-  *  - a lease whose mtime is older than leaseMs is STALE (holder died —
-  *    halt() leaves no cleanup). Takeover is rename-then-delete: rename
-  *    to a unique tomb name is atomic, so exactly one contender reclaims
-  *    a given stale lease; everyone then re-races the create;
-  *  - release deletes the file only while the heartbeat still owns it —
-  *    a holder that lost its lease to a (mis-tuned) stale takeover must
-  *    not delete the new holder's lease;
-  *  - REENTRANT per thread: applyToLayout holds the lease while its
-  *    sizing policy folds in a rebucket, which would otherwise deadlock
-  *    against itself. A thread-local held-set makes nested acquires
-  *    no-ops.
+  *  - acquisition is atomic in the kernel; a holder that dies — clean
+  *    exit, `Runtime.halt`, SIGKILL — has its lock released by the OS
+  *    immediately, so a crashed applier never needs a staleness clock
+  *    (CrashRecoverySpec's halt/replay pair exercises exactly this);
+  *  - within one JVM, a second thread's `tryLock` on a held file throws
+  *    `OverlappingFileLockException` — mapped to the same wait-retry as
+  *    the cross-process busy case;
+  *  - the lock FILE is never deleted: unlink-on-release is the other
+  *    classic race (a waiter holding the old inode acquires a lock
+  *    nobody else can see). An empty `_LEASE` file per table is the
+  *    whole residue; the holder token inside is diagnosis only.
   *
-  * Waiters poll (50 ms): chain maintenance is seconds-granular, not a
-  * hot lock. [[LeaseMsKey]]/[[WaitMsKey]] tune the staleness horizon and
-  * the acquire deadline; acquire past the deadline throws rather than
-  * proceeding unfenced.
+  * REENTRANT per thread: applyToLayout holds the lease while its sizing
+  * policy folds in a rebucket, which would otherwise deadlock against
+  * itself. Waiters poll (50 ms): chain maintenance is seconds-granular,
+  * not a hot lock. [[WaitMsKey]] bounds the acquire; past the deadline
+  * it throws rather than proceeding unfenced. On an object store this
+  * primitive becomes a conditional PUT (the Delta/Iceberg commit-service
+  * shape); the local engine gets the kernel's version of the same
+  * guarantee.
   */
 object GenerationLease {
-
-  /** Session conf: lease staleness horizon (ms). A holder heartbeats at
-    * a third of this, so only a DEAD holder's lease crosses it.
-    */
-  val LeaseMsKey = "spark.graft.merge.leaseMs"
 
   /** Session conf: max time an acquire waits before throwing (ms). */
   val WaitMsKey = "spark.graft.merge.leaseWaitMs"
 
-  private val DefaultLeaseMs = 60000L
   private val DefaultWaitMs = 600000L
 
   private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
@@ -69,104 +68,53 @@ object GenerationLease {
     val path = leasePath(s, corpusDir, table)
     val key = path.toAbsolutePath.normalize.toString
     if (held.get.contains(key)) return body // reentrant: already fenced
-    val leaseMs = s.conf.getOption(LeaseMsKey).map(_.toLong)
-      .getOrElse(DefaultLeaseMs)
     val waitMs = s.conf.getOption(WaitMsKey).map(_.toLong)
       .getOrElse(DefaultWaitMs)
-    val token = s"${java.lang.ProcessHandle.current.pid}@" +
-      s"${java.net.InetAddress.getLocalHost.getHostName}/" +
-      java.util.UUID.randomUUID.toString
-    acquire(path, token, leaseMs, waitMs)
-    val beat = heartbeat(path, token, leaseMs)
+    val (channel, lock) = acquire(path, waitMs)
     held.get += key
     try body finally {
       held.get -= key
-      beat.interrupt()
-      beat.join(2000)
-      // delete only our own lease: a stale takeover (mis-tuned horizon)
-      // may have replaced it with another holder's file
-      try {
-        if (java.nio.file.Files.exists(path) &&
-            new String(java.nio.file.Files.readAllBytes(path),
-              "UTF-8") == token)
-          java.nio.file.Files.deleteIfExists(path)
-      } catch { case _: java.io.IOException => () }
+      try lock.release() catch { case _: java.io.IOException => () }
+      try channel.close() catch { case _: java.io.IOException => () }
+      // the lock FILE stays — unlinking a lock file re-opens the
+      // two-holders-on-different-inodes race (see class doc)
     }
   }
 
-  private def acquire(path: java.nio.file.Path, token: String,
-                      leaseMs: Long, waitMs: Long): Unit = {
+  private def acquire(path: java.nio.file.Path, waitMs: Long)
+      : (java.nio.channels.FileChannel, java.nio.channels.FileLock) = {
     val deadline = System.nanoTime() + waitMs * 1000000L
-    var attempt = 0
     while (true) {
-      try {
-        // atomic create-new + content in two steps: CREATE_NEW decides
-        // the winner; the token lands before anyone could judge the
-        // file stale (mtime is fresh by construction)
-        java.nio.file.Files.write(path, token.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        return
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          try {
-            val age = System.currentTimeMillis() -
-              java.nio.file.Files.getLastModifiedTime(path).toMillis
-            // dead-pid fast path: a holder that halt()ed on THIS host is
-            // stale immediately — CrashRecovery's replay must not sit
-            // out the whole time horizon waiting for a corpse
-            val deadLocal = scala.util.Try {
-              val holder = new String(
-                java.nio.file.Files.readAllBytes(path), "UTF-8")
-              val pid = holder.takeWhile(_ != '@').toLong
-              val host = holder.dropWhile(_ != '@').drop(1).takeWhile(_ != '/')
-              host == java.net.InetAddress.getLocalHost.getHostName &&
-                java.lang.ProcessHandle.of(pid)
-                  .map[java.lang.Boolean](p => p.isAlive)
-                  .orElse(java.lang.Boolean.FALSE) == java.lang.Boolean.FALSE
-            }.getOrElse(false)
-            if (age > leaseMs || deadLocal) {
-              // stale: holder died. Rename-then-delete so exactly one
-              // contender reclaims THIS lease incarnation; the rename
-              // fails for everyone else and they re-race the create.
-              val tomb = path.resolveSibling(
-                s"${path.getFileName}.tomb.${java.util.UUID.randomUUID}")
-              java.nio.file.Files.move(path, tomb)
-              java.nio.file.Files.deleteIfExists(tomb)
-            }
-          } catch { case _: java.io.IOException => () } // lost a race — loop
-          if (System.nanoTime() > deadline)
-            throw new IllegalStateException(
-              s"generation lease at $path not acquired within ${waitMs}ms " +
-                s"(holder: ${scala.util.Try(new String(
-                  java.nio.file.Files.readAllBytes(path), "UTF-8"))
-                  .getOrElse("<gone>")})")
-          attempt += 1
-          Thread.sleep(50)
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = try ch.tryLock() catch {
+        // same-JVM holder (another thread/session): busy, like EAGAIN
+        case _: java.nio.channels.OverlappingFileLockException => null
+        case e: java.io.IOException => ch.close(); throw e
       }
+      if (lock != null) {
+        // holder token for DIAGNOSIS only (who is applying right now);
+        // correctness lives entirely in the kernel lock
+        val token = s"${java.lang.ProcessHandle.current.pid}@" +
+          s"${java.net.InetAddress.getLocalHost.getHostName}/" +
+          s"${System.currentTimeMillis()}\n"
+        try {
+          ch.truncate(0)
+          ch.write(java.nio.ByteBuffer.wrap(token.getBytes("UTF-8")))
+          ch.force(false)
+        } catch { case _: java.io.IOException => () }
+        return (ch, lock)
+      }
+      ch.close()
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"generation lease at $path not acquired within ${waitMs}ms " +
+            s"(holder: ${scala.util.Try(new String(
+              java.nio.file.Files.readAllBytes(path), "UTF-8").trim)
+              .getOrElse("<unreadable>")})")
+      Thread.sleep(50)
     }
-  }
-
-  private def heartbeat(path: java.nio.file.Path, token: String,
-                        leaseMs: Long): Thread = {
-    val t = new Thread(() => {
-      try {
-        while (!Thread.currentThread.isInterrupted) {
-          Thread.sleep(math.max(50L, leaseMs / 3))
-          // touch only while the file is still ours
-          if (new String(java.nio.file.Files.readAllBytes(path),
-              "UTF-8") == token)
-            java.nio.file.Files.setLastModifiedTime(path,
-              java.nio.file.attribute.FileTime.fromMillis(
-                System.currentTimeMillis()))
-        }
-      } catch {
-        case _: InterruptedException => ()
-        case _: java.io.IOException => ()
-      }
-    }, s"graft-lease-heartbeat-${path.getFileName}")
-    t.setDaemon(true)
-    t.start()
-    t
+    throw new IllegalStateException("unreachable")
   }
 }

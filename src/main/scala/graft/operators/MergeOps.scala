@@ -443,6 +443,39 @@ object MergeOps {
     } // GenerationLease.withLease
   }
 
+
+  /** The ONE clustered bucketed staging write every generation rewrite
+    * shares (touched-bucket CoW, full-rewrite rebase, compaction fold,
+    * rebucket): recompute `_zv` when a cluster spec rides along, sort
+    * files by what they will actually honor, split at the spec's row
+    * bound, and persist the `_CLUSTER` (and, for rebasing writes, the
+    * `_zv` mapping) markers next to the write. `repartitionFirst` is
+    * the one-task-per-bucket discipline — skipped only by the
+    * exchange-free compaction path, whose input is already
+    * bucket-partitioned.
+    */
+  private def clusteredStagingWrite(s: SparkSession, df: DataFrame,
+                                    spec: Option[CorpusLayout.ClusterSpec],
+                                    nBuckets: Int, keyCol: String,
+                                    vpath: String, t: String,
+                                    repartitionFirst: Boolean,
+                                    writeZMapping: Boolean): Unit = {
+    val out = spec.foldLeft(df)((d, sp) =>
+      d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+    val aligned = if (repartitionFirst) out.repartition(nBuckets, col(keyCol))
+      else out
+    aligned.write.format("parquet").option("path", vpath)
+      .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
+      .mode("overwrite").saveAsTable(s"${t}_staging")
+    spec.foreach { sp =>
+      CorpusLayout.writeClusterSpec(vpath, sp)
+      if (writeZMapping)
+        CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
+    }
+  }
+
   /** The bucket-scoped copy-on-write swing shared by the corpus apply
     * and the table-format index apply ([[SignatureStore.applyChangeset]]):
     * write the merged TOUCHED buckets to `vpath` as a staging table,
@@ -494,7 +527,7 @@ object MergeOps {
       // mapping (dropped physical slots refill as typed NULLs). The
       // mapping marker carries forward: this generation still serves
       // the logical view through it.
-      val physSchema = s.table(t).schema
+      val physSchema = CorpusLayout.physicalSchema(s, t)
       val changesPhys = CorpusLayout.toPhysical(changes, mapping, physSchema)
       val touchedFiles = fileBuckets.collect {
         case (f, Some(b)) if touched.contains(b) => s"$curLoc/$f"
@@ -509,23 +542,18 @@ object MergeOps {
       // re-split by it — without this, every touched bucket would fold
       // back into one key-sorted wide file and the manifest's pruning
       // quality would decay apply over apply
-      val spec = CorpusLayout.readClusterSpec(curLoc)
-      val merged = spec.foldLeft(
-        applyChanges(touchedTarget, changesPhys, keyCol, evolve))(
-        (d, sp) => d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
-      merged.repartition(nBuckets, col(keyCol)) // partition id == bucket id
-        .write.format("parquet").option("path", vpath)
-        .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
-        .bucketBy(nBuckets, keyCol)
-        .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
-        .mode("overwrite").saveAsTable(s"${t}_staging")
+      // raw (un-rebased) spec: this branch stays in physical space, and
+      // the FULL mapping carries below (it already holds the _zv entry)
+      clusteredStagingWrite(s,
+        applyChanges(touchedTarget, changesPhys, keyCol, evolve),
+        CorpusLayout.readClusterSpec(curLoc), nBuckets, keyCol, vpath, t,
+        repartitionFirst = true, writeZMapping = false)
       for (f <- untouchedFiles)
         linkOrCopy(java.nio.file.Paths.get(curLoc, f),
           java.nio.file.Paths.get(vpath, f))
-      spec.foreach(CorpusLayout.writeClusterSpec(vpath, _))
       if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
       // the staging table listed its files before the links landed
-      s.catalog.refreshTable(s"${t}_staging")
+      CorpusLayout.refreshRelationCache(s, s"${t}_staging")
     } else {
       // full rewrite = REBASE: `target` is the logical view (mapping +
       // any dv sidecar composed), so the fresh generation's physical
@@ -541,20 +569,11 @@ object MergeOps {
       // A cluster spec survives the rebase: its columns translate to
       // the logical names (which become physical here), _zv recomputes
       // over the logical frame and stays the one physical-only column.
-      val spec = CorpusLayout.readClusterSpec(curLoc)
-        .flatMap(CorpusLayout.rebaseSpec(_, mapping))
-      val out = spec.foldLeft(applyChanges(target, changes, keyCol, evolve))(
-        (d, sp) => d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
-      out.repartition(nBuckets, col(keyCol)) // partition id == bucket id
-        .write.format("parquet").option("path", vpath)
-        .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
-        .bucketBy(nBuckets, keyCol)
-        .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
-        .mode("overwrite").saveAsTable(s"${t}_staging")
-      spec.foreach { sp =>
-        CorpusLayout.writeClusterSpec(vpath, sp)
-        CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
-      }
+      clusteredStagingWrite(s, applyChanges(target, changes, keyCol, evolve),
+        CorpusLayout.readClusterSpec(curLoc)
+          .flatMap(CorpusLayout.rebaseSpec(_, mapping)),
+        nBuckets, keyCol, vpath, t,
+        repartitionFirst = true, writeZMapping = true)
     }
     // the generation is complete on disk: mark it (with its bucket
     // count) BEFORE the swing, so a crash anywhere past this line is
@@ -565,7 +584,7 @@ object MergeOps {
     if (s.conf.getOption(CrashPointKey).contains("after-drop"))
       Runtime.getRuntime.halt(137) // test-only: die mid-swing, no cleanup
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
-    s.catalog.refreshTable(t)
+    CorpusLayout.refreshRelationCache(s, t)
   }
 
   /** The merge-on-read swing: hard-link EVERY base data file of the
@@ -597,17 +616,20 @@ object MergeOps {
                                     changes: DataFrame, keyCol: String,
                                     mapping: Map[String, Option[String]] = Map.empty): Unit = {
     linkGenerationForward(curLoc, vpath, withDv = false)
-    val base = s.table(t)
-    // the sidecar lives in PHYSICAL space (it composes BEFORE the
-    // mapping projection on read), so the logical changeset translates
-    // back first and the mapping + cluster markers carry forward
-    val changesPhys = CorpusLayout.toPhysical(changes, mapping, base.schema)
+    // catalog-metadata schema + schema-pinned empty frames: s.table(t)
+    // passes the composed-serving rule and would hand back the LOGICAL
+    // view, but the sidecar lives in PHYSICAL space (it composes BEFORE
+    // the mapping projection on read)
+    val physSchema = CorpusLayout.physicalSchema(s, t)
+    def emptyPhys(sch: org.apache.spark.sql.types.StructType): DataFrame =
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    val changesPhys = CorpusLayout.toPhysical(changes, mapping, physSchema)
     if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
     val dvOf = (name: String) => s"$curLoc/${CorpusLayout.DvDir}/$name"
     val prevTombs = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("tombstones"))
-      else base.select(col(keyCol)).limit(0)
+      else emptyPhys(org.apache.spark.sql.types.StructType(Seq(physSchema(keyCol))))
     val prevDeltas = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("deltas"))
-      else base.limit(0)
+      else emptyPhys(physSchema)
     val newTombs = prevTombs.unionByName(changesPhys.select(col(keyCol))).distinct()
     val newDeltas = applyChanges(prevDeltas, changesPhys, keyCol)
     // materialized INTO the new generation before the swing — a crash
@@ -622,7 +644,7 @@ object MergeOps {
     // (repairServing's contract: _SUCCESS + _BUCKETS = attachable)
     java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
       Array.emptyByteArray)
-    swingCatalog(s, t, vpath, keyCol, nBuckets, base.schema.toDDL)
+    swingCatalog(s, t, vpath, keyCol, nBuckets, physSchema.toDDL)
   }
 
   /** Staging-create + rename swing for generations whose files already
@@ -640,7 +662,7 @@ object MergeOps {
       s"LOCATION '$vpath'")
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
-    s.catalog.refreshTable(t)
+    CorpusLayout.refreshRelationCache(s, t)
   }
 
   /** Link every data file (the `_dv` sidecar too, when asked) of
@@ -750,7 +772,7 @@ object MergeOps {
       CorpusLayout.resyncServing(s, corpusDir, table)
       val (curLoc, b) = tableLayout(s, t)
       val vpath = nextGenerationPath(s, corpusDir, table)
-      val physSchema = s.table(t).schema
+      val physSchema = CorpusLayout.physicalSchema(s, t)
       val newMapping = update(CorpusLayout.readMapping(curLoc), physSchema, keyCol)
       linkGenerationForward(curLoc, vpath, withDv = true)
       if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
@@ -1099,21 +1121,14 @@ object MergeOps {
     // re-sort + re-split by it (SORTED BY stays truthful)
     val spec = CorpusLayout.readClusterSpec(curLoc)
       .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc)))
-    def clustered(d: DataFrame): DataFrame = spec.foldLeft(d)(
-      (x, sp) => x.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
-    val sortCol = spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol)
-    val maxRows = spec.map(_.rowsPerFile).getOrElse(0L)
     if (CorpusLayout.hasDv(curLoc)) {
       // folding a MOR tip: the effective frame is base⊖tombs∪deltas —
       // an anti-join + union, whose output partitioning is NOT the
       // bucketed scan's, so the exchange-free trick below would fan out
       // per-task files. Pay the one repartition of the corpus; the fold
       // is exactly the moment that cost belongs to.
-      clustered(target).repartition(b, col(keyCol))
-        .write.format("parquet").option("path", vpath)
-        .option("maxRecordsPerFile", maxRows)
-        .bucketBy(b, keyCol).sortBy(sortCol)
-        .mode("overwrite").saveAsTable(s"${t}_staging")
+      clusteredStagingWrite(s, target, spec, b, keyCol, vpath, t,
+        repartitionFirst = true, writeZMapping = true)
     } else {
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = s.conf.getOption(autoKey)
@@ -1125,23 +1140,17 @@ object MergeOps {
       // mapping projection and _zv recompute are per-row — both preserve
       // the scan's partitioning)
       s.conf.set(autoKey, "false")
-      clustered(target).write.format("parquet").option("path", vpath)
-        .option("maxRecordsPerFile", maxRows)
-        .bucketBy(b, keyCol).sortBy(sortCol)
-        .mode("overwrite").saveAsTable(s"${t}_staging")
+      clusteredStagingWrite(s, target, spec, b, keyCol, vpath, t,
+        repartitionFirst = false, writeZMapping = true)
     } finally prevAuto match {
       case Some(v) => s.conf.set(autoKey, v)
       case None => s.conf.unset(autoKey)
     }
     }
-    spec.foreach { sp =>
-      CorpusLayout.writeClusterSpec(vpath, sp)
-      CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
-    }
     CorpusLayout.writeBucketsMarker(vpath, b)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
-    s.catalog.refreshTable(t)
+    CorpusLayout.refreshRelationCache(s, t)
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
     // every file name changed → the manifest carry degenerates to a full
     // re-stat over the compacted generation (no-op without a manifest)
@@ -1233,24 +1242,15 @@ object MergeOps {
     // a cluster spec survives the rebucket: columns rebase through the
     // mapping (full rewrite), _zv recomputes, SORTED BY stays truthful,
     // files re-split at the spec's row bound
-    val spec = CorpusLayout.readClusterSpec(curLoc)
-      .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc)))
-    spec.foldLeft(target)((d, sp) =>
-        d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
-      .repartition(newBuckets, col(keyCol))
-      .write.format("parquet").option("path", vpath)
-      .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
-      .bucketBy(newBuckets, keyCol)
-      .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(keyCol))
-      .mode("overwrite").saveAsTable(s"${t}_staging")
-    spec.foreach { sp =>
-      CorpusLayout.writeClusterSpec(vpath, sp)
-      CorpusLayout.writeMapping(vpath, Map(CorpusLayout.ZCol -> None))
-    }
+    clusteredStagingWrite(s, target,
+      CorpusLayout.readClusterSpec(curLoc)
+        .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc))),
+      newBuckets, keyCol, vpath, t,
+      repartitionFirst = true, writeZMapping = true)
     CorpusLayout.writeBucketsMarker(vpath, newBuckets)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
-    s.catalog.refreshTable(t)
+    CorpusLayout.refreshRelationCache(s, t)
     CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
     // every file name changed, so the carry degenerates to a full
     // re-stat over the new generation — still the right upkeep

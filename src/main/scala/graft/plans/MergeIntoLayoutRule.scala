@@ -239,8 +239,11 @@ case class MergeIntoLayoutCommand(
     // ONE corpus×source-keys semi-join (broadcast / bucket-co-located —
     // the corpus side never shuffles), then everything downstream is
     // source-sized.
+    // __old_<key> rides along (aliased from the same column as __k):
+    // clause conditions and UPDATE values may reference t.<key> too,
+    // and the rule name-spaced EVERY target attribute
     val olds = tgt.join(srcKeys, tgt(keyCol) === srcKeys("__k"), "left_semi")
-      .select((col(keyCol).as("__k") +:
+      .select((col(keyCol).as("__k") +: col(keyCol).as(s"__old_$keyCol") +:
         payload.map(c => col(c).as(s"__old_$c"))) :+
         lit(true).as("__matched"): _*)
     val joined = src.join(olds, Seq("__k"), "left")

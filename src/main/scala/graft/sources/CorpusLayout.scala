@@ -85,6 +85,19 @@ object CorpusLayout {
         generation.getBytes("UTF-8"))
     }
 
+  /** Invalidate the session's cached relation for a catalog table at
+    * the SESSION-CATALOG tier — NOT `spark.catalog.refreshTable`, which
+    * re-ANALYZES the table name to walk cached data plans: with the
+    * composed-serving rule active, that analysis resolves a MOR/mapped
+    * layout name to the composed frame (no CatalogTable attached) and
+    * Spark's cache walk NPEs on the missing metadata. The engine never
+    * `.cache()`s layout tables, so metadata/relation-cache invalidation
+    * is the entire requirement.
+    */
+  private[graft] def refreshRelationCache(s: SparkSession, t: String): Unit =
+    s.sessionState.catalog.refreshTable(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+
   private def refreshIfStale(s: SparkSession, corpusDir: String,
                              table: String, t: String): Unit =
     for (root <- layoutRoot(s, corpusDir)) {
@@ -92,7 +105,7 @@ object CorpusLayout {
       if (java.nio.file.Files.exists(f)) {
         val cur = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
         val key = s"${System.identityHashCode(s)}/$t"
-        if (seenEpoch.put(key, cur) != cur) s.catalog.refreshTable(t)
+        if (seenEpoch.put(key, cur) != cur) refreshRelationCache(s, t)
       }
     }
 
@@ -444,6 +457,50 @@ object CorpusLayout {
     }
   }
 
+  /** The composed logical plan a `graft_cl_` catalog NAME must serve
+    * when its generation carries a dv sidecar or a column mapping —
+    * None when no marker maps the name, nothing is served, or the
+    * generation needs no composition (the stock catalog path is then
+    * already correct AND keeps its relation-cache/bucketed-scan
+    * niceties). The base is a NON-catalog relation
+    * ([[ManifestFileIndex.bucketedTable]], which carries the bucket
+    * spec with or without stats), so the substituted plan can never
+    * re-trigger the serving rule — analysis converges in one pass.
+    * Used by [[graft.plans.ComposedServingRule]]: without it, a plain
+    * `SELECT * FROM graft_cl_…` — the same name the SQL MERGE and
+    * VERSION AS OF surfaces legitimize — would scan only the
+    * hard-linked base files of a MOR generation (deleted rows
+    * resurface, updates vanish) or the physical names of a mapped one.
+    */
+  private[graft] def composedServing(s: SparkSession,
+                                     catalogTable: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    for {
+      (corpusDir, table) <- corpusForTable(s, catalogTable)
+      loc <- servedGeneration(s, corpusDir, table)
+      mapping = readMapping(loc)
+      if hasDv(loc) || mapping.nonEmpty
+      bFile = java.nio.file.Paths.get(loc, BucketsMarker)
+      if java.nio.file.Files.exists(bFile)
+    } yield {
+      val buckets = new String(
+        java.nio.file.Files.readAllBytes(bFile), "UTF-8").trim.toInt
+      val base = ManifestFileIndex.bucketedTable(s, loc, buckets,
+        keyed(table), sortCol = sortColFor(loc).getOrElse(keyed(table)))
+      applyMapping(withDeletionVectors(s, loc, base, keyed(table)), mapping)
+        .queryExecution.analyzed
+    }
+
+  /** The catalog table's PHYSICAL schema, straight from catalog
+    * metadata — never through `s.table(t)`, whose analysis passes the
+    * composed-serving rule and would return the LOGICAL view (mapping
+    * applied, `_zv` hidden). The swing internals merge and write in
+    * physical space, so this is their schema source of truth.
+    */
+  private[graft] def physicalSchema(s: SparkSession,
+                                    t: String): org.apache.spark.sql.types.StructType =
+    s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).schema
+
   /** The bucketed layout for (corpus, table), when materialized —
     * self-healing: a missing registration re-attaches from disk first
     * (see [[repairServing]]). A served generation carrying a
@@ -462,16 +519,33 @@ object CorpusLayout {
       if (!s.catalog.tableExists(t)) repairServing(s, corpusDir, table)
       Some(t).filter(s.catalog.tableExists).map { tt =>
         refreshIfStale(s, corpusDir, table, tt)
-        val base = manifestServed(s, corpusDir, table).getOrElse(s.table(tt))
-        // a MOR generation serves base ⊖ tombstones ∪ deltas, and a
-        // column mapping projects the physical names to the logical
-        // view; both are rebuilt per call (plan-time only — the cached
-        // base relation still carries the listing + stats)
-        servedGeneration(s, corpusDir, table)
-          .map(loc => applyMapping(
-            withDeletionVectors(s, loc, base, keyed(table)),
-            readMapping(loc)))
-          .getOrElse(base)
+        servedGeneration(s, corpusDir, table) match {
+          case None => s.table(tt) // pre-epoch layout: plain catalog view
+          case Some(loc) =>
+            val mapping = readMapping(loc)
+            val needsCompose = hasDv(loc) || mapping.nonEmpty
+            // a MOR generation serves base ⊖ tombstones ∪ deltas, and a
+            // column mapping projects physical names to the logical
+            // view; both are rebuilt per call (plan-time only). When
+            // composition is needed the base must be a NON-catalog
+            // relation: the ComposedServingRule rewrites catalog-name
+            // references during analysis, and composing over an
+            // already-composed frame would double-apply the sidecar
+            // (duplicate delta rows).
+            val base = manifestServed(s, corpusDir, table).getOrElse {
+              if (!needsCompose) s.table(tt)
+              else {
+                val bFile = java.nio.file.Paths.get(loc, BucketsMarker)
+                val buckets = new String(java.nio.file.Files.readAllBytes(
+                  bFile), "UTF-8").trim.toInt
+                ManifestFileIndex.bucketedTable(s, loc, buckets,
+                  keyed(table),
+                  sortCol = sortColFor(loc).getOrElse(keyed(table)))
+              }
+            }
+            applyMapping(withDeletionVectors(s, loc, base, keyed(table)),
+              mapping)
+        }
       }
     }
 

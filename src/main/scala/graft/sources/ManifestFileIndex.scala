@@ -94,7 +94,20 @@ object ManifestFileIndex {
     StatsManifest.read(s, mdir) match {
       // mergeSchema on the degrade path too: an evolved dir mixes file
       // schemas whether or not its manifest exists
-      case None => s.read.option("mergeSchema", "true").parquet(dataDir)
+      case None if bucketSpec.isEmpty =>
+        s.read.option("mergeSchema", "true").parquet(dataDir)
+      case None =>
+        // no manifest but a bucket spec to honor: same relation shape
+        // with keep-all pruning, so bucket co-location survives for
+        // layouts that never built stats (the composed-serving base)
+        val schema = StatsManifest.unionSchema(s, dataDir, mdir)
+        val base = new InMemoryFileIndex(s, Seq(new Path(dataDir)),
+          Map.empty[String, String], Some(schema))
+        val rel = HadoopFsRelation(
+          new ManifestFileIndex(base, () => Map.empty),
+          new StructType(), schema, bucketSpec, new ParquetFileFormat,
+          Map.empty)(s)
+        org.apache.spark.sql.GraftPlanBridge.ofRows(s, LogicalRelation(rel, false))
       case Some(_) =>
         // DEFERRED manifest load (first listFiles call, see class doc):
         // re-reads the manifest FRESH at that moment — no DataFrame (and

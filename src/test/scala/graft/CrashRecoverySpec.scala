@@ -563,12 +563,20 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestBase {
       // ledger: each batch marked exactly once
       assert(graft.streaming.StreamingMerge.appliedBatches(spark, sf, "documents")
         == (0L to 5L).toSet, "ledger diverged")
-      // both writers released: no lease file left behind
+      // both writers released: the kernel lock is free again (the lock
+      // FILE persists by design — unlinking it would re-open the
+      // two-holders-on-different-inodes race)
       val root = scala.util.Using.resource(
         java.nio.file.Files.list(java.nio.file.Paths.get(layoutBase)))(
         _.findFirst().get())
-      assert(!java.nio.file.Files.exists(root.resolve("documents_LEASE")),
-        "lease file leaked past release")
+      val leaseFile = root.resolve("documents_LEASE")
+      assert(java.nio.file.Files.exists(leaseFile), "lease file missing")
+      scala.util.Using.resource(java.nio.channels.FileChannel.open(leaseFile,
+          java.nio.file.StandardOpenOption.WRITE)) { ch =>
+        val probe = ch.tryLock()
+        assert(probe != null, "lease still held after both writers exited")
+        probe.release()
+      }
     } finally {
       graft.sources.CorpusLayout.drop(spark, sf)
       spark.conf.unset(graft.sources.CorpusLayout.ConfKey)

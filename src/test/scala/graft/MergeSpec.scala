@@ -887,6 +887,12 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       MergeOps.applyToLayout(spark, corpusB, changes2, mode = "mor")
       assert(rows(served(corpusB)) == rows(served(corpusA)),
         "MOR read diverges from CoW after a chained apply")
+      // a plain SQL SELECT of the catalog NAME composes too
+      // (ComposedServingRule): the raw base would resurrect deletes
+      assert(rows(spark.sql("SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM ${CorpusLayout.tableName("documents", corpusB)}")) ==
+        rows(served(corpusA)),
+        "plain SQL SELECT served the raw MOR base files")
       // time travel composes per generation: v1-as-served matches CoW's v1
       assert(rows(MergeOps.readGeneration(spark, corpusB, "documents", 1)
           .select($"doc_id", $"text", $"lang", $"source", $"n_chars")) ==
@@ -983,6 +989,14 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       expected = MergeOps.applyChanges(expected, ch3)
       assert(rows(served()) == rows(expected), "v3 MOR over renamed layout diverged")
       assert(graft.sources.CorpusLayout.hasDv(genDir(3)), "v3 lost its sidecar")
+      // plain SQL SELECT * composes sidecar + mapping: logical column
+      // set (renamed, no _zv, no physical name) and composed rows
+      val sqlServed = spark.sql(s"SELECT * FROM $t")
+      assert(sqlServed.columns.toSeq ==
+        Seq("doc_id", "text", "lang", "source", "len"),
+        s"SQL SELECT leaked physical names: ${sqlServed.columns.mkString(",")}")
+      assert(rows(sqlServed) == rows(expected),
+        "SQL SELECT served the raw base under MOR+mapping")
       // v4: a CoW apply over the MOR tip → full rewrite → REBASE:
       // sidecar folds, mapping folds (len becomes physical), and the
       // cluster spec's renamed column rebases with it
@@ -1214,6 +1228,22 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       assert(after.filter($"doc_id" < 0).count() ==
         expected.filter($"doc_id" < 0).count(),
         "by-source delete touched rows its condition excludes")
+
+      // matched clause conditions may reference the TARGET side —
+      // including the key (regression: the joined frame must carry
+      // __old_<key>, not just __k)
+      val afterNow = CorpusLayout.ifPresent(spark, corpus, "documents").get
+      val wantTk = afterNow.filter($"doc_id" > 0 && $"doc_id" % 100 === 0 &&
+        $"n_chars" > 0).count()
+      assert(wantTk > 0, "degenerate target-side-condition scenario")
+      spark.sql(
+        s"""MERGE INTO $t t USING sqlmerge_keep s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND t.doc_id % 100 = 0 AND t.n_chars > 0
+           |THEN UPDATE SET lang = 'tk'
+           |""".stripMargin)
+      assert(CorpusLayout.ifPresent(spark, corpus, "documents").get
+        .filter($"lang" === "tk").count() == wantTk,
+        "target-side clause condition mis-evaluated")
 
       // SQL time travel over the same chain: VERSION AS OF n serves
       // generation n's exact contents (the rule resolves to
