@@ -41,6 +41,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // oracle). Non-layout targets keep Spark's stock v1 rejection.
     e.injectResolutionRule(_ => graft.plans.MergeIntoLayoutRule)
 
+    // SQL surface for the remaining row-level DML verbs: UPDATE /
+    // DELETE FROM / INSERT INTO|OVERWRITE against a graft_cl_ layout
+    // table lower onto the same applyToLayout generation apply (see
+    // DmlLayoutRule; p32/p33/p34 gate them against DuckDB-composed
+    // oracles). Non-layout targets keep Spark's stock v1 rejection.
+    e.injectResolutionRule(_ => graft.plans.DmlLayoutRule)
+
+    // SQL surface for schema evolution: ALTER TABLE <graft_cl_…> ADD
+    // COLUMNS / RENAME COLUMN / DROP COLUMN lower onto the metadata-only
+    // mapping swings (see AlterLayoutRule; p35 gates the composition).
+    // Hint-batch placement: ResolveSessionCatalog rejects v1 ALTER …
+    // COLUMN inside the Resolution batch itself, before injected
+    // resolution rules run.
+    e.injectHintResolutionRule(s => new graft.plans.AlterLayoutRule(s))
+
     // SQL surface for generation time travel: SELECT … FROM
     // <graft_cl_… layout table> VERSION AS OF n resolves to
     // MergeOps.readGeneration's composed frame (see TimeTravelLayoutRule;

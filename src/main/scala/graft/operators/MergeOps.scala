@@ -759,7 +759,64 @@ object MergeOps {
       m + (physicalFor(m, column) -> None)
     }
 
-  private def metadataSwing(s: SparkSession, corpusDir: String, table: String)
+  /** ADD COLUMNS as a metadata-only generation: every existing byte
+    * hard-links; the only new bytes are ONE zero-row "schema anchor"
+    * parquet file (bucket-0 named, footer only) carrying the widened
+    * physical schema. Serving and time-travel reads infer schema from
+    * file-footer union, so the anchor IS the durable record of the ADD —
+    * Spark's partition-0 writer emits a footer-only file for an empty
+    * frame by design (the mechanism that preserves schema for empty
+    * datasets), and parquet NULL-fills a requested column a file lacks,
+    * so every untouched row reads the new columns as NULL (the
+    * Delta/Iceberg metadata-only ADD COLUMN). The anchor rides bucket 0
+    * until the next rewrite of that bucket folds it away; until then
+    * bucket 0 holds two files, which costs nothing at read beyond
+    * Spark's (correct) refusal to claim per-bucket sort order there.
+    * Fails loudly on a name colliding with any LOGICAL or PHYSICAL
+    * column (a dropped physical slot must not be shadowed — the mapping
+    * entry would hide the new column too).
+    */
+  def addColumns(s: SparkSession, corpusDir: String, table: String,
+                 cols: Seq[(String, org.apache.spark.sql.types.DataType)]): String = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "duplicate column in ADD COLUMNS")
+    cols.foreach { case (n, _) =>
+      require(n.nonEmpty && !n.startsWith("_"), s"invalid column name '$n'") }
+    metadataSwing(s, corpusDir, table, widen = cols) { (m, phys, _) =>
+      val taken = (logicalColumns(m, phys) ++ phys.fieldNames).toSet
+      cols.foreach { case (n, _) =>
+        require(!taken.contains(n), s"column '$n' already exists") }
+      m
+    }
+  }
+
+  /** Write the zero-row schema-anchor file for [[addColumns]] into the
+    * new generation dir, named as a bucket-0 file so bucket discipline
+    * holds (zero rows trivially satisfy the bucket's key-placement and
+    * sort invariants).
+    */
+  private def writeSchemaAnchor(s: SparkSession, vpath: String,
+                                schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stage = java.nio.file.Paths.get(vpath, "_anchor_stage")
+    s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.parquet(stage.toString)
+    val src = Option(stage.toFile.listFiles())
+      .flatMap(_.find(f => f.isFile && f.getName.endsWith(".parquet")))
+      .map(_.toPath)
+      .getOrElse(throw new IllegalStateException(
+        "empty-frame write produced no schema-anchor file"))
+    val n = src.getFileName.toString
+    val bucketed = if (n.contains(".c000")) n.replace(".c000", "_00000.c000")
+      else n.stripSuffix(".parquet") + "_00000.parquet"
+    java.nio.file.Files.move(src,
+      java.nio.file.Paths.get(vpath, bucketed))
+    graft.FsUtil.deleteRecursively(stage)
+  }
+
+  private def metadataSwing(s: SparkSession, corpusDir: String, table: String,
+                            widen: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty)
       (update: (Map[String, Option[String]],
         org.apache.spark.sql.types.StructType, String) => Map[String, Option[String]]): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
@@ -774,12 +831,16 @@ object MergeOps {
       val vpath = nextGenerationPath(s, corpusDir, table)
       val physSchema = CorpusLayout.physicalSchema(s, t)
       val newMapping = update(CorpusLayout.readMapping(curLoc), physSchema, keyCol)
+      val widened = org.apache.spark.sql.types.StructType(
+        physSchema.fields ++ widen.map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
       linkGenerationForward(curLoc, vpath, withDv = true)
+      if (widen.nonEmpty) writeSchemaAnchor(s, vpath, widened)
       if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
       CorpusLayout.writeBucketsMarker(vpath, b)
       java.nio.file.Files.write(java.nio.file.Paths.get(vpath, "_SUCCESS"),
         Array.emptyByteArray)
-      swingCatalog(s, t, vpath, keyCol, b, physSchema.toDDL)
+      swingCatalog(s, t, vpath, keyCol, b, widened.toDDL)
       CorpusLayout.bumpEpoch(s, corpusDir, table, vpath)
       // every file name is unchanged → the stats manifest carries
       // verbatim (stats key on PHYSICAL columns, which didn't move)

@@ -1511,5 +1511,188 @@ object Pipeline {
                'v1' AS gen
         FROM documents WHERE doc_id % 17 <> 0
         ORDER BY gen, doc_id"""))
+    ,
+
+    // ── p32: SQL UPDATE over the served layout — the row-level verb ──
+    // Spark's v1 path rejects at planning; [[graft.plans.DmlLayoutRule]]
+    // claims the resolved UpdateTable and lowers it onto
+    // [[MergeOps.applyToLayout]] as a PARTIAL changeset (key + assigned
+    // columns only — the wide text column never rides; expandPartial
+    // carries it from the matched row). RHS evaluate against the OLD
+    // row (SQL's rule: the n_chars assignment reads the pre-update
+    // value), and the WHERE filter plans over the manifest-pruned
+    // served read. The oracle composes the identical edit as CASE.
+    // Same private-sandbox lifecycle-in-query design as p28–p31.
+    GQuery("p32_sql_update",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p32")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          s.sql(s"UPDATE $t SET lang = 'up', n_chars = n_chars + 2 " +
+            "WHERE doc_id % 8 = 0")
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"lang", $"source",
+              $"n_chars".cast("long").as("n_chars"))
+            .orderBy($"doc_id")
+            .localCheckpoint() // lineage cut so the sandbox can delete
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN doc_id % 8 = 0 THEN 'up' ELSE lang END AS lang,
+               source,
+               CAST(CASE WHEN doc_id % 8 = 0 THEN n_chars + 2 ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY doc_id"""))
+    ,
+
+    // ── p33: SQL DELETE + INSERT INTO over the served layout — the ──
+    // other two row-level verbs through the same lowering: DELETE
+    // tombstones carry the key ALONE (no payload rides the changeset);
+    // INSERT INTO is full-row with unlisted columns NULL and rejects
+    // existing keys loudly (upsert is spelled MERGE — without the
+    // lowering, Spark's stock v1 INSERT would append RAW parquet into
+    // the served generation dir, invisible to manifest and chain).
+    // Two statements, one generation each, one composed oracle.
+    GQuery("p33_sql_delete_insert",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p33")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          s.sql(s"DELETE FROM $t WHERE doc_id % 11 = 0")
+          s.sql(s"INSERT INTO $t (doc_id, text, lang) " +
+            s"SELECT -(doc_id + 1), 'ins ' || text, 'new' " +
+            s"FROM parquet.`$corpus/documents.parquet` WHERE doc_id % 107 = 0")
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"lang", $"source",
+              $"n_chars".cast("long").as("n_chars"))
+            .orderBy($"doc_id")
+            .localCheckpoint() // lineage cut so the sandbox can delete
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h, lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT -(doc_id + 1), md5('ins ' || text), 'new', NULL, NULL
+        FROM documents WHERE doc_id % 107 = 0
+        ORDER BY doc_id"""))
+    ,
+
+    // ── p34: SQL INSERT OVERWRITE — full replacement through the ──
+    // chain: the query's rows land as upserts plus ONE keys-only
+    // anti-join emitting tombstones for every key the query no longer
+    // carries, so the served table becomes exactly the query result
+    // while v0 stays readable (VERSION AS OF 0 — the read-back unions
+    // both, pinning that OVERWRITE is a generation, not an erase).
+    GQuery("p34_sql_overwrite",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p34")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          s.sql(s"INSERT OVERWRITE $t " +
+            s"SELECT doc_id, text, 'ow' AS lang, source, n_chars " +
+            s"FROM parquet.`$corpus/documents.parquet` WHERE doc_id % 3 = 0")
+          s.sql(
+            s"""SELECT doc_id, md5(text) AS h, lang, 'v1' AS gen FROM $t
+               |UNION ALL
+               |SELECT doc_id, md5(text) AS h, lang, 'v0' AS gen
+               |FROM $t VERSION AS OF 0
+               |ORDER BY gen, doc_id
+               |""".stripMargin)
+            .localCheckpoint() // lineage cut so the sandbox can delete
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h, 'ow' AS lang, 'v1' AS gen
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, md5(text) AS h, lang, 'v0' AS gen FROM documents
+        ORDER BY gen, doc_id"""))
+    ,
+
+    // ── p35: SQL schema evolution — ALTER TABLE RENAME / DROP / ADD ──
+    // COLUMN ([[graft.plans.AlterLayoutRule]], hint-batch: Spark's
+    // ResolveSessionCatalog rejects v1 ALTER … COLUMN inside the
+    // Resolution batch, before injected resolution rules run) lowered
+    // onto the metadata-only mapping swings and the zero-row
+    // schema-anchor ADD — every existing byte hard-links. The follow-up
+    // UPDATE speaks the NEW names (language, note): the composed
+    // serving substitution resolves DML against the LOGICAL schema, so
+    // a renamed column cannot silently no-op (the round-13 review
+    // hole). The oracle composes rename+drop+add+update in one SELECT.
+    GQuery("p35_sql_evolution",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p35")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          s.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+          s.sql(s"ALTER TABLE $t DROP COLUMN source")
+          s.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+          s.sql(s"UPDATE $t SET note = 'n1', language = 'ev' " +
+            "WHERE doc_id % 9 = 0")
+          CorpusLayout.ifPresent(s, corpus, "documents").get
+            .select($"doc_id", md5($"text").as("h"), $"language",
+              $"n_chars".cast("long").as("n_chars"), $"note")
+            .orderBy($"doc_id")
+            .localCheckpoint() // lineage cut so the sandbox can delete
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN doc_id % 9 = 0 THEN 'ev' ELSE lang END AS language,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CASE WHEN doc_id % 9 = 0 THEN 'n1' END AS note
+        FROM documents
+        ORDER BY doc_id"""))
   )
 }

@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.CorpusLayout
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Serve the COMPOSED view through the catalog NAME (SURVEY §2.H): a
@@ -24,33 +24,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * columns. The substituted base is a non-catalog relation, so the rule
   * can never re-match inside its own replacement. Generations needing
   * no composition keep the stock catalog path (zero overhead, relation
-  * cache intact). Carve-outs: MERGE INTO targets stay unresolved-named
-  * for [[MergeIntoLayoutRule]] to claim (its lowering resolves the
-  * target itself — composed — via the layout verbs), and INSERT targets
-  * keep Spark's stock write-path behavior.
+  * cache intact).
+  *
+  * DML targets substitute too — deliberately: a MERGE / UPDATE / DELETE
+  * / INSERT against a mapped generation must resolve its assignments
+  * and conditions against the LOGICAL schema (the physical catalog
+  * schema would let `SET old_name = …` resolve and then silently no-op
+  * against the logically-named serving frame — the round-13 review
+  * hole). The substituted plan is wrapped in a `SubqueryAlias` carrying
+  * the catalog name, so the DML lowering rules ([[MergeIntoLayoutRule]],
+  * [[DmlLayoutRule]]) can still identify the layout table under the
+  * resolved target and route the edit through the generation-chain
+  * verbs.
   */
 class ComposedServingRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val excluded = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    plan.foreach {
-      case m: MergeIntoTable => m.targetTable.foreach {
-        case u: UnresolvedRelation => excluded.add(u)
-        case _ => ()
-      }
-      case i: InsertIntoStatement => i.table.foreach {
-        case u: UnresolvedRelation => excluded.add(u)
-        case _ => ()
-      }
-      case _ => ()
-    }
-    plan.transformUp {
-      case u: UnresolvedRelation
-          if !excluded.contains(u) && u.multipartIdentifier.size == 1 &&
-            u.multipartIdentifier.head.startsWith("graft_cl_") =>
-        CorpusLayout.composedServing(session, u.multipartIdentifier.head)
-          .getOrElse(u)
-    }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.size == 1 &&
+          u.multipartIdentifier.head.startsWith("graft_cl_") =>
+      val name = u.multipartIdentifier.head
+      CorpusLayout.composedServing(session, name)
+        .map(p => SubqueryAlias(name, p))
+        .getOrElse(u)
   }
 }

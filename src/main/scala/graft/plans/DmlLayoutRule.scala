@@ -1,0 +1,295 @@
+package graft.plans
+
+import graft.sources.CorpusLayout
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, GraftPlanBridge}
+
+/** Shared target recognition for the SQL DML rules: the layout catalog
+  * table under a resolved DML target — either the stock session-catalog
+  * relation (generations needing no composition) or the `SubqueryAlias`
+  * tag [[ComposedServingRule]] wraps around the composed logical view
+  * of a MOR / column-mapped generation.
+  */
+private[plans] object LayoutSql {
+
+  def layoutTarget(p: LogicalPlan): Option[String] = p.collectFirst {
+    case lr: LogicalRelation
+        if lr.catalogTable.exists(_.identifier.table.startsWith("graft_cl_")) =>
+      lr.catalogTable.get.identifier.table
+    case sa: SubqueryAlias if sa.alias.startsWith("graft_cl_") => sa.alias
+  }
+
+  /** (logical table, key column) for a `graft_cl_<table>_<k>` name. */
+  def tableKey(tableName: String, fail: String => Nothing): (String, String) = {
+    val logicalTable = CorpusLayout.keyed.keys.toSeq.sorted.collectFirst {
+      case t if tableName.stripPrefix("graft_cl_").startsWith(t + "_") => t
+    }.getOrElse(fail(s"cannot parse layout table name '$tableName'"))
+    (logicalTable, CorpusLayout.keyed(logicalTable))
+  }
+
+  /** Resolve the corpus + served frame a lowered command edits. */
+  def servedTarget(spark: SparkSession, tableName: String, logicalTable: String,
+                   verb: String): (String, org.apache.spark.sql.DataFrame) = {
+    val (corpusDir, _) = CorpusLayout.corpusForTable(spark, tableName)
+      .getOrElse(throw new IllegalStateException(
+        s"$verb $tableName: no _CORPUS marker maps this layout table back " +
+          "to its corpus under the session's layout base " +
+          "(CorpusLayout.materialize writes it)"))
+    val tgt = CorpusLayout.ifPresent(spark, corpusDir, logicalTable)
+      .getOrElse(throw new IllegalStateException(
+        s"$verb $tableName: the layout table is not served"))
+    (corpusDir, tgt)
+  }
+
+  /** Rewrite resolved target attribute references to plain name lookups:
+    * the command re-reads the target as a FRESH served frame whose
+    * exprIds cannot match the analyzed plan's, so names are the stable
+    * currency (single-relation scope — every reference is the target's).
+    * Subqueries reject loudly: their outer references would need exprId
+    * rebinding against the fresh frame, which names cannot express —
+    * MERGE INTO … USING (the subquery as a source) is the supported
+    * spelling.
+    */
+  def nameOnly(e: Expression, what: String, fail: String => Nothing): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"$what must not contain a subquery — stage the subquery as a " +
+        "MERGE INTO source instead")
+    e.transform { case a: AttributeReference => UnresolvedAttribute(Seq(a.name)) }
+  }
+}
+
+/** SQL surface for the row-level DML verbs Spark's v1 path lacks
+  * (SURVEY §2.I): `UPDATE`, `DELETE FROM` and `INSERT INTO | OVERWRITE`
+  * against a served corpus-layout table lower onto
+  * [[graft.operators.MergeOps.applyToLayout]] — the same copy-on-write /
+  * merge-on-read generation apply the Scala API, SQL MERGE and the
+  * streaming applier use, so every SQL edit inherits the generation
+  * chain, the key-validation gate, manifest carry, index-store coherence
+  * and the single-writer lease for free. The [[MergeIntoLayoutRule]]
+  * recipe: Spark resolves these plans generically and only rejects v1
+  * tables at planning (`DataSourceV2Strategy`), so a resolution rule
+  * claims the resolved node first; non-layout targets keep Spark's stock
+  * rejection. Without the INSERT lowering, Spark's stock v1 path would
+  * APPEND RAW PARQUET into the served generation directory — bytes the
+  * manifest, bucket markers and generation chain know nothing about.
+  *
+  * Semantics and scale:
+  *  - `UPDATE t SET c = e, … [WHERE p]` — changeset = the served read
+  *    filtered by `p` (manifest file-skipping applies), projecting the
+  *    key + ASSIGNED columns only (`partial = true`, expandPartial's
+  *    UPDATE SET discipline) — wide unassigned columns never ride the
+  *    changeset. All RHS evaluate against the OLD row (SQL's rule).
+  *  - `DELETE FROM t [WHERE p]` — tombstones carry the key alone.
+  *  - `INSERT INTO` — full-row inserts (unlisted columns = NULL); a key
+  *    that already exists rejects LOUDLY with the offenders (layout
+  *    tables are keyed; silent upsert would make INSERT destructive —
+  *    that verb is spelled MERGE). The existence probe is one keys-only
+  *    semi-join, insert-sized build side, the corpus never shuffles.
+  *  - `INSERT OVERWRITE` — full replacement: the query's rows as
+  *    upserts plus one keys-only anti-join emitting tombstones for
+  *    every key the query no longer carries.
+  *
+  * Cost honesty: an unfiltered UPDATE/DELETE/OVERWRITE is a corpus-sized
+  * changeset and degrades to applyToLayout's full-rewrite arm — exactly
+  * what the statement asked for; a selective one stays changeset-sized
+  * under CoW and delta-sized under `spark.graft.merge.mode = mor`.
+  */
+object DmlLayoutRule extends Rule[LogicalPlan] {
+
+  private def fail(verb: String)(msg: String): Nothing =
+    throw new IllegalArgumentException(s"$verb <graft layout table>: $msg")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u: UpdateTable if u.resolved && LayoutSql.layoutTarget(u.table).isDefined =>
+      lowerUpdate(u, LayoutSql.layoutTarget(u.table).get)
+    case d: DeleteFromTable if d.resolved && LayoutSql.layoutTarget(d.table).isDefined =>
+      lowerDelete(d, LayoutSql.layoutTarget(d.table).get)
+    case i: InsertIntoStatement
+        if i.table.resolved && i.query.resolved &&
+          LayoutSql.layoutTarget(i.table).isDefined =>
+      lowerInsert(i, LayoutSql.layoutTarget(i.table).get)
+  }
+
+  private def lowerUpdate(u: UpdateTable, tableName: String): LogicalPlan = {
+    val f = fail("UPDATE") _
+    val (logicalTable, keyCol) = LayoutSql.tableKey(tableName, f)
+    val assigns = u.assignments.flatMap {
+      case Assignment(k: AttributeReference, v: AttributeReference)
+          if k.exprId == v.exprId => None // identity (aligned) assignment
+      case Assignment(k: AttributeReference, v) =>
+        Some(k.name -> LayoutSql.nameOnly(v, s"SET ${k.name}", f))
+      case Assignment(k, _) => f(s"SET must assign a target column, got $k")
+    }
+    if (assigns.isEmpty) f("no effective SET assignment")
+    assigns.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
+      .headOption.foreach(n => f(s"column '$n' assigned more than once"))
+    if (assigns.exists(_._1 == keyCol)) f(
+      s"SET must not reassign the layout key '$keyCol' (row identity — " +
+        "DELETE + INSERT instead)")
+    UpdateLayoutCommand(tableName, logicalTable, keyCol,
+      UpdateLayoutCommand.Spec(assigns,
+        u.condition.map(LayoutSql.nameOnly(_, "WHERE", f))))
+  }
+
+  private def lowerDelete(d: DeleteFromTable, tableName: String): LogicalPlan = {
+    val f = fail("DELETE FROM") _
+    val (logicalTable, keyCol) = LayoutSql.tableKey(tableName, f)
+    DeleteLayoutCommand(tableName, logicalTable, keyCol,
+      DeleteLayoutCommand.Spec(LayoutSql.nameOnly(d.condition, "WHERE", f)))
+  }
+
+  private def lowerInsert(i: InsertIntoStatement, tableName: String): LogicalPlan = {
+    val verb = if (i.overwrite) "INSERT OVERWRITE" else "INSERT INTO"
+    val f = fail(verb) _
+    val (logicalTable, keyCol) = LayoutSql.tableKey(tableName, f)
+    if (i.partitionSpec.nonEmpty) f(
+      "PARTITION is not supported — layout tables are bucketed, not partitioned")
+    if (i.ifPartitionNotExists) f("IF NOT EXISTS is not supported")
+    val tgtCols = i.table.output.map(_.name)
+    val qOut = i.query.output
+    // (target column, query output position); unmapped target columns
+    // insert as NULL
+    val mapping: Seq[(String, Int)] =
+      if (i.byName) {
+        val bad = qOut.map(_.name).filterNot(n => tgtCols.contains(n))
+        if (bad.nonEmpty) f(
+          s"BY NAME columns not in the target: ${bad.mkString(", ")}")
+        qOut.map(_.name).distinct.size == qOut.size ||
+          f("BY NAME query emits a duplicate column name")
+        qOut.zipWithIndex.map { case (a, idx) => a.name -> idx }
+      } else if (i.userSpecifiedCols.nonEmpty) {
+        if (i.userSpecifiedCols.size != qOut.size) f(
+          s"column list names ${i.userSpecifiedCols.size} columns but the " +
+            s"query emits ${qOut.size}")
+        val bad = i.userSpecifiedCols.filterNot(tgtCols.contains)
+        if (bad.nonEmpty) f(s"unknown target columns: ${bad.mkString(", ")}")
+        if (i.userSpecifiedCols.distinct.size != i.userSpecifiedCols.size)
+          f("duplicate column in the column list")
+        i.userSpecifiedCols.zipWithIndex
+      } else {
+        if (qOut.size != tgtCols.size) f(
+          s"positional INSERT needs ${tgtCols.size} columns " +
+            s"(${tgtCols.mkString(", ")}), the query emits ${qOut.size}")
+        tgtCols.zipWithIndex
+      }
+    if (!mapping.exists(_._1 == keyCol)) f(
+      s"INSERT must supply the layout key '$keyCol'")
+    InsertLayoutCommand(tableName, logicalTable, keyCol, i.query, mapping,
+      overwrite = i.overwrite)
+  }
+}
+
+object UpdateLayoutCommand {
+  /** Opaque expression holder — same rationale as
+    * [[MergeIntoLayoutCommand.Clause]]: the name-only lookups are
+    * deliberately unresolved, so they must not ride Expression-typed
+    * constructor args where CheckAnalysis' traversal walks them.
+    */
+  final case class Spec(assigns: Seq[(String, Expression)],
+                        cond: Option[Expression])
+}
+
+/** `UPDATE <layout> SET … [WHERE …]` lowered onto the generation chain. */
+case class UpdateLayoutCommand(
+    tableName: String, logicalTable: String, keyCol: String,
+    spec: UpdateLayoutCommand.Spec) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MergeOps
+    val (corpusDir, tgt) =
+      LayoutSql.servedTarget(spark, tableName, logicalTable, "UPDATE")
+    val rows = spec.cond.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
+    val changes = rows.select(
+      col(keyCol) +: spec.assigns.map { case (n, e) =>
+        Bridge.column(e).cast(tgt.schema(n).dataType).as(n) } :+
+        lit(false).as(MergeOps.TombstoneCol): _*)
+    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable,
+      partial = true)
+    Seq.empty
+  }
+}
+
+object DeleteLayoutCommand {
+  /** Opaque holder — see [[UpdateLayoutCommand.Spec]]. */
+  final case class Spec(cond: Expression)
+}
+
+/** `DELETE FROM <layout> [WHERE …]` lowered onto the generation chain. */
+case class DeleteLayoutCommand(
+    tableName: String, logicalTable: String, keyCol: String,
+    spec: DeleteLayoutCommand.Spec) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MergeOps
+    val (corpusDir, tgt) =
+      LayoutSql.servedTarget(spark, tableName, logicalTable, "DELETE FROM")
+    val changes = tgt.filter(Bridge.column(spec.cond))
+      .select(col(keyCol), lit(true).as(MergeOps.TombstoneCol))
+    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable,
+      partial = true)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO | OVERWRITE <layout>` lowered onto the generation chain.
+  * INTO rejects existing keys loudly (upsert is spelled MERGE);
+  * OVERWRITE tombstones every key the query no longer carries.
+  */
+case class InsertLayoutCommand(
+    tableName: String, logicalTable: String, keyCol: String,
+    source: LogicalPlan, mapping: Seq[(String, Int)],
+    overwrite: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MergeOps
+    val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
+    val (corpusDir, tgt) =
+      LayoutSql.servedTarget(spark, tableName, logicalTable, verb)
+    val src = GraftPlanBridge.ofRows(spark, source)
+    val qOut = source.output
+    val byName = mapping.toMap
+    // full-row inserts: unmapped columns are explicit NULL (OVERWRITE
+    // must not carry old values for kept keys — the query's row IS the
+    // row)
+    val inserts = src.select(tgt.columns.toSeq.map { c =>
+      byName.get(c) match {
+        case Some(idx) =>
+          Bridge.column(qOut(idx)).cast(tgt.schema(c).dataType).as(c)
+        case None => lit(null).cast(tgt.schema(c).dataType).as(c)
+      }
+    } :+ lit(false).as(MergeOps.TombstoneCol): _*)
+    val changes = if (overwrite) {
+      val gone = tgt.select(col(keyCol))
+        .join(inserts.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(col(keyCol) +: tgt.columns.toSeq.filterNot(_ == keyCol).map(c =>
+          lit(null).cast(tgt.schema(c).dataType).as(c)) :+
+          lit(true).as(MergeOps.TombstoneCol): _*)
+      inserts.unionByName(gone)
+    } else {
+      // keys-only existence probe: insert-sized build side, the corpus
+      // never shuffles; sample offenders ride back for the message
+      val dup = tgt.select(col(keyCol))
+        .join(inserts.select(col(keyCol)), Seq(keyCol), "left_semi")
+        .limit(5).collect()
+      require(dup.isEmpty,
+        s"$verb $tableName: key(s) already present — layout tables are " +
+          s"keyed on '$keyCol' and INSERT never overwrites; upsert is " +
+          s"spelled MERGE INTO: ${dup.map(_.get(0)).mkString(", ")}")
+      inserts
+    }
+    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable)
+    Seq.empty
+  }
+}

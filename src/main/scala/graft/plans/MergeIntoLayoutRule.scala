@@ -68,15 +68,12 @@ object MergeIntoLayoutRule extends Rule[LogicalPlan] {
         "(exprs over source); WHEN NOT MATCHED BY SOURCE [AND c over " +
         "target] THEN DELETE")
 
-  /** The layout catalog table under a MERGE target, if any: the target
-    * resolves through the session catalog to a LogicalRelation whose
-    * CatalogTable carries the `graft_cl_` name [[CorpusLayout]] issues.
+  /** The layout catalog table under a MERGE target, if any — the stock
+    * catalog relation or [[ComposedServingRule]]'s tagged composed view
+    * (see [[LayoutSql.layoutTarget]]).
     */
-  private def layoutTarget(p: LogicalPlan): Option[String] = p.collectFirst {
-    case lr: LogicalRelation
-        if lr.catalogTable.exists(_.identifier.table.startsWith("graft_cl_")) =>
-      lr.catalogTable.get.identifier.table
-  }
+  private def layoutTarget(p: LogicalPlan): Option[String] =
+    LayoutSql.layoutTarget(p)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case m: MergeIntoTable if m.resolved && layoutTarget(m.targetTable).isDefined =>

@@ -1,0 +1,265 @@
+package graft
+
+import graft.operators.MergeOps
+import graft.sources.CorpusLayout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL DML/DDL surface over served corpus layouts
+  * ([[graft.plans.DmlLayoutRule]] / [[graft.plans.AlterLayoutRule]]):
+  * UPDATE / DELETE FROM / INSERT INTO|OVERWRITE / ALTER TABLE … COLUMN
+  * lower onto the SAME generation-chain verbs the Scala API uses. Pins
+  * (1) value-level semantics of each verb against composed expectations,
+  * (2) that every SQL edit rides the chain — generations advance, the
+  * previously-served generation's files are never mutated or appended to
+  * (Spark's stock v1 INSERT would write raw parquet into the served
+  * directory), (3) the logical-name law: after ALTER RENAME, SQL MERGE /
+  * UPDATE speak the NEW name and the old one fails as an ordinary
+  * unresolved column (round-13 review hole: physical-schema resolution
+  * silently no-op'd renamed SET clauses), (4) loud rejection of every
+  * malformed shape, with non-layout targets keeping Spark's stock
+  * errors.
+  */
+class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  private def withSandbox(tag: String)(body: (String, String, DataFrame) => Unit): Unit = {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    try {
+      CorpusLayout.materialize(spark, corpus, tables = Seq("documents"))
+      body(corpus, CorpusLayout.tableName("documents", corpus),
+        base.localCheckpoint())
+    } finally {
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
+  private def served(corpus: String): DataFrame =
+    CorpusLayout.ifPresent(spark, corpus, "documents").get
+
+  private def dataFiles(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+  }
+
+  test("SQL UPDATE / DELETE / INSERT ride the generation chain with SQL semantics") {
+    import spark.implicits._
+    withSandbox("sqldml") { (corpus, t, base) =>
+      // UPDATE: RHS evaluates against the OLD row; unassigned wide
+      // columns carry (partial-changeset discipline)
+      spark.sql(s"UPDATE $t SET lang = 'up', n_chars = n_chars + 1 " +
+        "WHERE doc_id % 7 = 0")
+      val afterUpdate = base.select($"doc_id", $"text",
+        when($"doc_id" % 7 === 0, "up").otherwise($"lang").as("lang"),
+        $"source",
+        when($"doc_id" % 7 === 0, $"n_chars" + 1).otherwise($"n_chars")
+          .cast("long").as("n_chars"))
+      assert(rows(served(corpus)) == rows(afterUpdate),
+        "UPDATE diverged from the composed edit")
+      assert(MergeOps.generations(spark, corpus, "documents").size == 2,
+        "UPDATE did not append a generation")
+
+      // DELETE: rows gone, nothing else touched
+      spark.sql(s"DELETE FROM $t WHERE doc_id % 13 = 0")
+      val afterDelete = afterUpdate.filter($"doc_id" % 13 =!= 0)
+      assert(rows(served(corpus)) == rows(afterDelete),
+        "DELETE diverged from the composed edit")
+
+      // INSERT INTO with a column list: unlisted columns read NULL; the
+      // previously-served generation's data files are untouched (stock
+      // v1 INSERT would append raw parquet into that directory)
+      val preGen = MergeOps.generations(spark, corpus, "documents").last._2
+      val preFiles = dataFiles(preGen)
+      spark.sql(s"INSERT INTO $t (doc_id, text, lang) " +
+        s"SELECT -(doc_id + 1), text, 'ins' FROM parquet.`$corpus/documents.parquet` " +
+        "WHERE doc_id % 101 = 0")
+      val inserted = base.filter($"doc_id" % 101 === 0)
+        .select((-($"doc_id" + 1L)).as("doc_id"), $"text",
+          lit("ins").as("lang"), lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+      assert(rows(served(corpus)) == rows(afterDelete.unionByName(inserted)),
+        "INSERT INTO diverged from the composed edit")
+      assert(dataFiles(preGen) == preFiles,
+        "INSERT INTO wrote files into the previously served generation dir")
+      assert(MergeOps.generations(spark, corpus, "documents").size == 4,
+        "INSERT INTO did not append a generation")
+
+      // INSERT INTO an existing key rejects loudly and burns no generation
+      val e = intercept[Exception](spark.sql(
+        s"INSERT INTO $t SELECT * FROM parquet.`$corpus/documents.parquet` " +
+          "WHERE doc_id % 50 = 0"))
+      assert(e.getMessage.contains("MERGE"),
+        s"existing-key INSERT error unhelpful: ${e.getMessage}")
+      assert(MergeOps.generations(spark, corpus, "documents").size == 4,
+        "rejected INSERT still burned a generation")
+
+      // INSERT OVERWRITE: the table becomes exactly the query result
+      spark.sql(s"INSERT OVERWRITE $t " +
+        s"SELECT doc_id, text, 'ow' AS lang, source, n_chars " +
+        s"FROM parquet.`$corpus/documents.parquet` WHERE doc_id % 2 = 0")
+      val ow = base.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text", lit("ow").as("lang"), $"source", $"n_chars")
+      assert(rows(served(corpus)) == rows(ow),
+        "INSERT OVERWRITE diverged from the query result")
+
+      // malformed shapes reject loudly
+      intercept[Exception](spark.sql(
+        s"UPDATE $t SET doc_id = doc_id + 1 WHERE doc_id = 2"))
+      intercept[Exception](spark.sql(
+        s"UPDATE $t SET lang = 'x', lang = 'y' WHERE doc_id = 2"))
+      intercept[Exception](spark.sql(
+        s"DELETE FROM $t WHERE doc_id IN (SELECT doc_id FROM " +
+          s"parquet.`$corpus/documents.parquet`)"))
+      intercept[Exception](spark.sql(
+        s"INSERT INTO $t SELECT doc_id FROM parquet.`$corpus/documents.parquet`"))
+      intercept[Exception](spark.sql(
+        s"INSERT INTO $t (text, lang) SELECT text, lang " +
+          s"FROM parquet.`$corpus/documents.parquet` LIMIT 1"))
+
+      // non-layout v1 targets keep Spark's stock rejections
+      base.limit(5).write.mode("overwrite")
+        .option("path", corpus + "/plain").saveAsTable("sqldml_plain")
+      try {
+        intercept[Exception](spark.sql(
+          "UPDATE sqldml_plain SET lang = 'x' WHERE doc_id = 1"))
+        intercept[Exception](spark.sql(
+          "DELETE FROM sqldml_plain WHERE doc_id = 1"))
+      } finally spark.sql("DROP TABLE IF EXISTS sqldml_plain")
+    }
+  }
+
+  test("SQL ALTER TABLE evolves metadata-only; DML speaks logical names afterwards") {
+    import spark.implicits._
+    withSandbox("sqlddl") { (corpus, t, base) =>
+      def gen(i: Int): String =
+        MergeOps.generations(spark, corpus, "documents")(i)._2
+      def ino(p: String): Any = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(p), "unix:ino")
+
+      // RENAME + DROP: metadata-only — every data file hard-links (same
+      // inode), the serving projection follows
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+      spark.sql(s"ALTER TABLE $t DROP COLUMN source")
+      assert(served(corpus).columns.toSeq ==
+        Seq("doc_id", "text", "language", "n_chars"),
+        s"evolved serving schema wrong: ${served(corpus).columns.mkString(",")}")
+      val f0 = dataFiles(gen(0)).head
+      assert(ino(s"${gen(0)}/$f0") == ino(s"${gen(2)}/$f0"),
+        "ALTER rewrote a data file — must be a pure metadata swing")
+
+      // ADD COLUMNS: zero-row evolving apply — hard-links everything,
+      // untouched rows read NULL
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING, score DOUBLE)")
+      assert(served(corpus).columns.toSeq ==
+        Seq("doc_id", "text", "language", "n_chars", "note", "score"))
+      assert(served(corpus).filter($"note".isNotNull).count() == 0,
+        "added column must read NULL on untouched rows")
+      assert(ino(s"${gen(0)}/$f0") == ino(s"${gen(3)}/$f0"),
+        "ADD COLUMNS rewrote a data file")
+
+      // DML speaks the LOGICAL names now: UPDATE the renamed and added
+      // columns; the old physical name fails as an ordinary unresolved
+      // column (round-13 hole: it resolved physically and silently
+      // no-op'd)
+      spark.sql(s"UPDATE $t SET language = 'ren', note = 'n1' " +
+        "WHERE doc_id % 11 = 0")
+      val hit = served(corpus).filter($"doc_id" % 11 === 0)
+      assert(hit.count() > 0 &&
+        hit.filter($"language" === "ren" && $"note" === "n1").count() == hit.count(),
+        "UPDATE through the rename/add boundary mis-applied")
+      intercept[Exception](spark.sql(
+        s"UPDATE $t SET lang = 'x' WHERE doc_id = 1"))
+      intercept[Exception](spark.sql(
+        s"UPDATE $t SET source = 'x' WHERE doc_id = 1"))
+
+      // SQL MERGE over the mapped generation: assignments resolve against
+      // the logical view (the composed target), value-correct end-to-end
+      spark.sql(s"SELECT doc_id FROM parquet.`$corpus/documents.parquet` " +
+        "WHERE doc_id % 11 = 0").createOrReplaceTempView("sqlddl_keys")
+      try {
+        spark.sql(
+          s"""MERGE INTO $t t USING sqlddl_keys s ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET language = 'mrg',
+             |  score = t.n_chars * 1.0
+             |""".stripMargin)
+        val m = served(corpus).filter($"doc_id" % 11 === 0)
+        assert(m.filter($"language" === "mrg" &&
+          $"score" === $"n_chars" * 1.0).count() == m.count(),
+          "SQL MERGE mis-applied over the mapped generation")
+        intercept[Exception](spark.sql(
+          s"""MERGE INTO $t t USING sqlddl_keys s ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET lang = 'x'
+             |""".stripMargin))
+      } finally spark.catalog.dropTempView("sqlddl_keys")
+
+      // time travel reads each generation through ITS mapping era
+      assert(spark.sql(s"SELECT lang FROM $t VERSION AS OF 0").count() ==
+        base.count(), "VERSION AS OF 0 lost the pre-rename name")
+
+      // malformed evolution rejects loudly
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $t RENAME COLUMN doc_id TO id"))
+      intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN doc_id"))
+      intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN nope"))
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $t ADD COLUMNS (bad INT NOT NULL)"))
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $t ADD COLUMNS (bad INT DEFAULT 3)"))
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $t ADD COLUMNS (note STRING)")) // exists
+      // DROP COLUMN IF EXISTS on a missing column is a quiet no-op
+      val gens = MergeOps.generations(spark, corpus, "documents").size
+      spark.sql(s"ALTER TABLE $t DROP COLUMN IF EXISTS nope")
+      assert(MergeOps.generations(spark, corpus, "documents").size == gens,
+        "IF EXISTS no-op burned a generation")
+    }
+  }
+
+  test("SQL UPDATE under merge-on-read matches CoW value-for-value") {
+    import spark.implicits._
+    withSandbox("sqlmor") { (corpus, t, base) =>
+      val prevMode = spark.conf.getOption(MergeOps.MergeModeKey)
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try {
+        val preGen = MergeOps.generations(spark, corpus, "documents").last._2
+        val preFiles = dataFiles(preGen)
+        spark.sql(s"UPDATE $t SET lang = 'mor' WHERE doc_id % 17 = 0")
+        spark.sql(s"DELETE FROM $t WHERE doc_id % 19 = 0")
+        val expect = base.filter($"doc_id" % 19 =!= 0)
+          .select($"doc_id", $"text",
+            when($"doc_id" % 17 === 0, "mor").otherwise($"lang").as("lang"),
+            $"source", $"n_chars")
+        assert(rows(served(corpus)) == rows(expect),
+          "MOR-mode SQL DML diverged from the composed edit")
+        // the MOR generations hard-link every base file: the new tips
+        // carry the SAME data file names, plus a _dv sidecar
+        val tip = MergeOps.generations(spark, corpus, "documents").last._2
+        assert(dataFiles(tip) == preFiles,
+          "MOR SQL DML rewrote base data files")
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tip, "_dv")),
+          "MOR SQL DML wrote no sidecar")
+      } finally {
+        prevMode match {
+          case Some(v) => spark.conf.set(MergeOps.MergeModeKey, v)
+          case None => spark.conf.unset(MergeOps.MergeModeKey)
+        }
+      }
+    }
+  }
+}
