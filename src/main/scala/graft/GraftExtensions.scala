@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution rules run.
     e.injectHintResolutionRule(s => new graft.plans.AlterLayoutRule(s))
 
+    // SQL surface for the chain-maintenance verbs Spark's grammar has
+    // no spelling for: DESCRIBE HISTORY / VACUUM [RETAIN n GENERATIONS]
+    // / OPTIMIZE over graft_cl_ tables — the Delta-style delegating
+    // parser (see GraftSqlParser); every other statement delegates to
+    // the stock parser verbatim.
+    e.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
+
     // SQL surface for generation time travel: SELECT … FROM
     // <graft_cl_… layout table> VERSION AS OF n resolves to
     // MergeOps.readGeneration's composed frame (see TimeTravelLayoutRule;

@@ -907,8 +907,8 @@ object MergeOps {
     }
   }
 
-  private def snapshotPins(s: SparkSession, corpusDir: String,
-                           table: String): Set[String] = {
+  private[graft] def snapshotPins(s: SparkSession, corpusDir: String,
+                                  table: String): Set[String] = {
     val dir = snapshotDir(s, corpusDir)
     snapshots(s, corpusDir).flatMap { k =>
       new String(java.nio.file.Files.readAllBytes(dir.resolve(s"s$k")), "UTF-8")

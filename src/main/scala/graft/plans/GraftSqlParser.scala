@@ -1,0 +1,162 @@
+package graft.plans
+
+import graft.sources.CorpusLayout
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType, LongType, BooleanType}
+
+/** SQL surface for the chain-maintenance verbs (SURVEY §2.H) — the last
+  * piece of "a SQL-first user manages the corpus lifecycle entirely
+  * from SQL". Spark's grammar has no spelling for these (they are table-
+  * format verbs, not ANSI SQL), so this is the injectParser tier — the
+  * same delegating-parser recipe Delta Lake uses for its VACUUM /
+  * OPTIMIZE / DESCRIBE HISTORY:
+  *
+  * {{{
+  *   DESCRIBE HISTORY graft_cl_…                    -- the generation chain
+  *   VACUUM graft_cl_… [RETAIN <n> GENERATIONS]     -- MergeOps.vacuum
+  *   OPTIMIZE graft_cl_…                            -- MergeOps.compactGenerations
+  * }}}
+  *
+  * Only statements whose target identifier carries the `graft_cl_`
+  * prefix are claimed — everything else (including DESCRIBE HISTORY on
+  * other tables) delegates to Spark's stock parser verbatim, stock
+  * errors included. The commands lower onto the SAME lease-fenced verbs
+  * the Scala API uses, so SQL maintenance inherits resync, pin
+  * awareness and the single-writer fence; DESCRIBE HISTORY is a pure
+  * driver-side listing (generation, files, bytes, served/pinned/dv/
+  * mapped flags) — the audit view of the chain, no Spark job.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescribeHistoryRe(t) => DescribeHistoryCommand(t)
+    case VacuumRe(t, _, n) =>
+      VacuumLayoutCommand(t, Option(n).map(_.toInt).getOrElse(2))
+    case OptimizeRe(t) => OptimizeLayoutCommand(t)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // anchored, case-insensitive, optional trailing semicolon; the
+  // graft_cl_ prefix is part of the match so non-layout statements
+  // fall through to the stock parser (and its stock errors)
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(graft_cl_\w+)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(graft_cl_\w+)(\s+RETAIN\s+(\d+)\s+GENERATIONS)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(graft_cl_\w+)\s*;?\s*""".r
+
+  private[plans] def resolve(spark: SparkSession, tableName: String,
+                             verb: String): (String, String) = {
+    val (logicalTable, _) = LayoutSql.tableKey(tableName,
+      m => throw new IllegalArgumentException(s"$verb $tableName: $m"))
+    val (corpusDir, _) = CorpusLayout.corpusForTable(spark, tableName)
+      .getOrElse(throw new IllegalStateException(
+        s"$verb $tableName: no _CORPUS marker maps this layout table " +
+          "back to its corpus under the session's layout base"))
+    (corpusDir, logicalTable)
+  }
+}
+
+/** `DESCRIBE HISTORY <layout>` — the generation chain as rows. Pure
+  * driver-side listing (the same directory walk `generations` does):
+  * per generation its file count, byte footprint (hard-linked bytes
+  * count in every generation that links them — the inode-dedup'd
+  * number is vacuum's concern), and the served / snapshot-pinned /
+  * dv-sidecar / column-mapped flags.
+  */
+case class DescribeHistoryCommand(tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("generation", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("served", BooleanType, nullable = false),
+    StructField("pinned", BooleanType, nullable = false),
+    StructField("dv", BooleanType, nullable = false),
+    StructField("mapped", BooleanType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.MergeOps
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "DESCRIBE HISTORY")
+    val servedLoc = CorpusLayout.ifPresent(spark, corpusDir, table)
+      .flatMap(_ => CorpusLayout.servedGeneration(spark, corpusDir, table))
+      .map(p => java.nio.file.Paths.get(p).normalize.toString)
+    val pins = MergeOps.snapshotPins(spark, corpusDir, table)
+    MergeOps.generations(spark, corpusDir, table).map { case (g, p) =>
+      val dir = new java.io.File(p)
+      val data = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val norm = java.nio.file.Paths.get(p).normalize.toString
+      Row(g, p, data.length, data.map(_.length).sum,
+        servedLoc.contains(norm), pins.contains(norm),
+        CorpusLayout.hasDv(p), CorpusLayout.readMapping(p).nonEmpty)
+    }
+  }
+}
+
+/** `VACUUM <layout> [RETAIN n GENERATIONS]` — [[graft.operators.MergeOps.vacuum]]
+  * through SQL: reclaims drained, unpinned, non-served generations,
+  * returning the deleted paths.
+  */
+case class VacuumLayoutCommand(tableName: String, keepLast: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("deleted_path", StringType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "VACUUM")
+    graft.operators.MergeOps.vacuum(spark, corpusDir, table, keepLast)
+      .map(Row(_))
+  }
+}
+
+/** `OPTIMIZE <layout>` — [[graft.operators.MergeOps.compactGenerations]]
+  * through SQL: folds the trickle chain (and any MOR sidecar) into one
+  * fresh no-shared-inode generation, returning its path.
+  */
+case class OptimizeLayoutCommand(tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("new_generation", StringType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "OPTIMIZE")
+    Seq(Row(graft.operators.MergeOps.compactGenerations(spark, corpusDir, table)))
+  }
+}

@@ -230,6 +230,44 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL maintenance verbs: DESCRIBE HISTORY / OPTIMIZE / VACUUM drive the chain") {
+    import spark.implicits._
+    withSandbox("sqlmaint") { (corpus, t, base) =>
+      spark.sql(s"UPDATE $t SET lang = 'v1' WHERE doc_id % 5 = 0")
+      val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+      assert(hist.length == 2, s"expected 2 generations, got ${hist.length}")
+      assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1), "generation numbering")
+      assert(!hist(0).getBoolean(4) && hist(1).getBoolean(4),
+        "served flag must mark the chain tip only")
+      assert(hist.forall(_.getInt(2) > 0), "every generation lists files")
+
+      // OPTIMIZE folds the chain into a fresh generation
+      val folded = spark.sql(s"OPTIMIZE $t").collect()
+      assert(folded.length == 1 &&
+        folded.head.getString(0).contains("documents_v2"),
+        s"OPTIMIZE must return the new generation, got ${folded.toSeq}")
+
+      // VACUUM RETAIN 1 GENERATIONS reclaims the two drained generations
+      val deleted = spark.sql(s"VACUUM $t RETAIN 1 GENERATIONS").collect()
+      assert(deleted.length == 2,
+        s"expected 2 reclaimed generations, got ${deleted.toSeq}")
+      assert(spark.sql(s"DESCRIBE HISTORY $t").count() == 1,
+        "post-vacuum chain must be the compacted generation alone")
+      // contents survived the fold + vacuum
+      val expect = base.select($"doc_id", $"text",
+        when($"doc_id" % 5 === 0, "v1").otherwise($"lang").as("lang"),
+        $"source", $"n_chars")
+      assert(rows(served(corpus)) == rows(expect),
+        "OPTIMIZE+VACUUM changed the served contents")
+
+      // malformed / non-layout statements keep stock behavior
+      intercept[Exception](spark.sql(s"VACUUM $t RETAIN 0 GENERATIONS"))
+      intercept[Exception](spark.sql("VACUUM some_other_table"))
+      intercept[Exception](spark.sql("DESCRIBE HISTORY some_other_table"))
+      intercept[Exception](spark.sql("OPTIMIZE some_other_table"))
+    }
+  }
+
   test("SQL UPDATE under merge-on-read matches CoW value-for-value") {
     import spark.implicits._
     withSandbox("sqlmor") { (corpus, t, base) =>
