@@ -82,6 +82,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // VERSION AS OF claims its relations first).
     e.injectHintResolutionRule(s => new graft.plans.ComposedServingRule(s))
 
+    // Change-data-feed read surface: SELECT * FROM
+    // graft_changes('<graft_cl_ table>', fromGen[, toGen]) substitutes
+    // MergeOps.changeFeed's plan — a TABLE function, so the feed stays a
+    // distributed scan of the _cdf sidecars (a command would collect to
+    // the driver). Args must be literals (it is a catalog-metadata
+    // lookup, not a per-row function).
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(table, fromGen[, toGen]) - change data feed of a graft_cl_ layout table across generations (fromGen, toGen]"),
+      (exprs: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+          throw new IllegalStateException(
+            "graft_changes requires an active SparkSession"))
+        if (exprs.size < 2 || exprs.size > 3) throw new IllegalArgumentException(
+          "graft_changes(table, fromGen[, toGen]) takes 2 or 3 arguments")
+        val name = exprs.head match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_changes: table must be a string literal, got $other")
+        }
+        def gen(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_changes: $what must be an integer literal, got $other")
+        }
+        val (corpusDir, table) =
+          graft.plans.GraftSqlParser.resolve(s, name, "graft_changes")
+        graft.operators.MergeOps.changeFeed(s, corpusDir, table,
+            gen(exprs(1), "fromGen"),
+            exprs.lift(2).map(gen(_, "toGen")).getOrElse(-1))
+          .queryExecution.analyzed
+      }))
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),

@@ -445,6 +445,56 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("change_feed")) {
+    // ── change data feed (round 13, second half): the same 8-key
+    // trickle applied with spark.graft.merge.changeFeed on. Claims
+    // measured: (1) the sidecar is changeset-sized (cdf_mb, KB not MB);
+    // (2) the apply pays only the slice write + one keys-only semi-join
+    // (feed_trickle vs merge_apply/cow_trickle at the same SF); (3)
+    // reading WHAT CHANGED from the feed is delta IO, while deriving
+    // the same slice with generationDiff re-reads and hashes BOTH
+    // corpus generations — the gap grows with corpus size while the
+    // feed read stays flat.
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    val cfBase = java.nio.file.Files.createTempDirectory("graft_scaling_cf").toString
+    spark.conf.set(CorpusLayout.ConfKey, cfBase)
+    graft.sources.CorpusLayout.materialize(spark, sfDir)
+    spark.conf.set(MergeOps.ChangeFeedKey, "true")
+    val cfTrickle = docs.orderBy($"doc_id").limit(8)
+      .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+        $"lang", $"source", ($"n_chars" + 8L).as("n_chars"))
+      .withColumn("tombstone", $"doc_id" % 5 === 0).cache()
+    cfTrickle.count()
+    arm("change_feed/feed_trickle") {
+      MergeOps.applyToLayout(spark, sfDir, cfTrickle)
+    }
+    cfTrickle.unpersist()
+    locally {
+      val top = MergeOps.generations(spark, sfDir, "documents").last._2
+      val cdfMb = {
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(top, "_cdf"))
+        try math.round(walk.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum() / 10.0) / 100000.0
+        finally walk.close()
+      }
+      results :+= ("change_feed/cdf_mb" -> cdfMb)
+    }
+    def topGen(): Int = MergeOps.generations(spark, sfDir, "documents").last._1
+    arm("change_feed/feed_read") {
+      MergeOps.changeFeed(spark, sfDir, "documents", topGen() - 1, topGen())
+        .agg(count(lit(1))).head()
+    }
+    arm("change_feed/diff_derive") {
+      MergeOps.generationDiff(spark, sfDir, "documents", topGen() - 1, topGen())
+        .agg(count(lit(1))).head()
+    }
+    spark.conf.unset(MergeOps.ChangeFeedKey)
+    graft.sources.CorpusLayout.drop(spark, sfDir)
+    spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
+    }
+
     if (enabled("recluster")) {
     // ── clustering maintenance under CoW (round 13): a z-clustered
     // layout (in-bucket z-sort + file split) prunes selective filters

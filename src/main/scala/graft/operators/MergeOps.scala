@@ -61,6 +61,27 @@ object MergeOps {
     */
   val MergeModeKey = "spark.graft.merge.mode"
 
+  /** Session conf enabling the CHANGE DATA FEED (Delta's
+    * `enableChangeDataFeed` shape, "CDC out" to the MERGE verbs' "CDC
+    * in"): when true, every [[applyToLayout]] also persists its
+    * effective changeset as a `_cdf/` sidecar inside the new generation
+    * dir — key + payload + `_change_type`
+    * (insert / update_postimage / delete; replay-safe no-op tombstones
+    * are excluded because they changed nothing) — so downstream
+    * consumers (index rebuilds, replicas, caches) read WHAT CHANGED
+    * per generation at delta cost instead of diffing corpus pairs.
+    * [[changeFeed]] is the read verb; `graft_changes(table, from, to)`
+    * the SQL spelling. Off by default: the feed costs one extra
+    * changeset-sized write + one corpus keys-only semi-join per apply
+    * (matched-ness decides insert vs update). Generations that change
+    * no rows (metadata swings, compaction, rebucket) contribute empty
+    * slices.
+    */
+  val ChangeFeedKey = "spark.graft.merge.changeFeed"
+
+  private def changeFeedOn(s: SparkSession): Boolean =
+    s.conf.getOption(ChangeFeedKey).exists(_.toBoolean)
+
   /** Test-only fault injection for the crash-recovery harness: set to
     * "after-drop" to halt the JVM inside [[applyToLayout]]'s catalog
     * swing, between DROP and RENAME — the window where the registration
@@ -423,6 +444,11 @@ object MergeOps {
       // a mixed-mode chain converges back to a pure bucketed layout
       cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol,
         cow && !CorpusLayout.hasDv(curLoc), evolveSchema, colMapping)
+    // change data feed: persist THIS apply's effective changeset as a
+    // `_cdf/` sidecar in the new generation (see [[ChangeFeedKey]]).
+    // `target` still resolves — the old generation's files are kept on
+    // disk for in-flight readers, this read included.
+    if (changeFeedOn(s)) writeChangeFeedSlice(s, target, changes, keyCol, vpath)
     // bump the layout epoch so OTHER sessions' cached relations (a
     // foreachBatch clone ran this swing; the driver session is still
     // holding the old generation's resolved plan) refresh on next read
@@ -814,6 +840,123 @@ object MergeOps {
       java.nio.file.Paths.get(vpath, bucketed))
     graft.FsUtil.deleteRecursively(stage)
   }
+
+  /** Persist one apply's change-feed slice (see [[ChangeFeedKey]]):
+    * key + payload + `_change_type`. Matched-ness (insert vs update)
+    * comes from ONE corpus keys-only semi-join — the changeset is the
+    * build side, the corpus never shuffles — then a changeset×changeset
+    * stitch; replay-safe no-op tombstones (unmatched keys) drop out.
+    */
+  private def writeChangeFeedSlice(s: SparkSession, target: DataFrame,
+                                   changes: DataFrame, keyCol: String,
+                                   vpath: String): Unit = {
+    val mk = target.select(col(keyCol))
+      .join(changes.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .withColumn("__m", lit(true))
+    changes.join(mk, Seq(keyCol), "left")
+      .withColumn(ChangeTypeCol,
+        when(col(TombstoneCol) && col("__m"), "delete")
+          .when(!col(TombstoneCol) && col("__m"), "update_postimage")
+          .when(!col(TombstoneCol), "insert"))
+      .filter(col(ChangeTypeCol).isNotNull)
+      .drop(TombstoneCol, "__m")
+      .write.mode("overwrite").parquet(s"$vpath/$CdfDir")
+  }
+
+  /** Change-type column of the feed: insert / update_postimage /
+    * delete. Post-images only: with the key they replay exactly
+    * (pre-images are one [[readGeneration]] away — persisting them
+    * would double the sidecar for a value time travel already serves).
+    */
+  val ChangeTypeCol = "_change_type"
+  /** Generation whose apply produced the feed row. */
+  val CommitGenCol = "_commit_generation"
+  private[graft] val CdfDir = "_cdf"
+
+  /** The change data feed across generations `(fromGen, toGen]` — what
+    * [[applyToLayout]] changed, per generation, at delta cost (the
+    * sidecars are changeset-sized; the corpus is never read, let alone
+    * diffed). Requires [[ChangeFeedKey]] to have been on for every
+    * row-changing apply in the range — a missing sidecar fails loudly
+    * (deriving it silently via generationDiff would hide that the feed
+    * contract was broken). Generations with no row changes (metadata
+    * swings, compaction, rebucket) contribute empty slices. Slices
+    * speak the LOGICAL schema of their generation; across a rename
+    * boundary the union NULL-pads per era (consumers of a renamed feed
+    * project per slice, Delta CDF's column-mapping caveat).
+    * SQL spelling: `SELECT * FROM graft_changes('<table>', from[, to])`.
+    */
+  def changeFeed(s: SparkSession, corpusDir: String,
+                 table: String = "documents",
+                 fromGen: Int, toGen: Int = -1): DataFrame = {
+    val gens = generations(s, corpusDir, table).toMap
+    val top = if (toGen < 0) gens.keys.max else toGen
+    require(fromGen >= 0 && fromGen < top,
+      s"changeFeed needs 0 <= fromGen < toGen, got ($fromGen, $top)")
+    (fromGen + 1 to top).flatMap { g =>
+      val p = gens.getOrElse(g, throw new IllegalArgumentException(
+        s"generation $g of ($corpusDir, $table) is not retained — " +
+          s"have ${gens.keys.toSeq.sorted.mkString(", ")}"))
+      val cdf = java.nio.file.Paths.get(p, CdfDir)
+      val files = Option(cdf.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (java.nio.file.Files.isDirectory(cdf) && files.isEmpty) None
+      else if (!java.nio.file.Files.isDirectory(cdf)) {
+        // a generation may legitimately lack the sidecar only when it
+        // changed no rows (metadata swing / compaction / rebucket have
+        // no _cdf at all); a ROW-CHANGING apply without one means the
+        // feed was off — fail loudly rather than serve a gapped feed
+        if (isRowPreserving(s, gens, g)) None
+        else throw new IllegalStateException(
+          s"generation $g (${p}) carries no change-feed sidecar — " +
+            s"enable $ChangeFeedKey before applying, or derive this " +
+            "slice explicitly with MergeOps.generationDiff")
+      } else Some(
+        s.read.option("mergeSchema", "true").parquet(cdf.toString)
+          .withColumn(CommitGenCol, lit(g)))
+    }.reduceLeftOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        // every generation in range changed no rows — a legitimate
+        // quiet window: an EMPTY feed in the serving's logical shape
+        val tgt = CorpusLayout.ifPresent(s, corpusDir, table)
+          .getOrElse(throw new IllegalStateException(
+            s"no bucketed layout for ($corpusDir, $table)"))
+        tgt.limit(0)
+          .withColumn(ChangeTypeCol, lit(null).cast("string"))
+          .withColumn(CommitGenCol, lit(null).cast("int"))
+      }
+  }
+
+  /** A generation with no row-level changes: every data file of the
+    * previous generation rides forward under the same name (metadata
+    * swings and MOR links preserve names; compaction/rebucket REWRITE —
+    * those always re-derive from a served read, and a compaction of a
+    * feed-recorded chain still changes no rows, so name-preservation is
+    * the conservative test: false negatives fail loudly above, never
+    * silently).
+    */
+  private def isRowPreserving(s: SparkSession, gens: Map[Int, String],
+                              g: Int): Boolean =
+    gens.get(g - 1).exists { prev =>
+      // data file names AND dv-sidecar file names must ride forward
+      // unchanged: a MOR apply links every base name but rewrites the
+      // cumulative _dv — rows changed, the feed must not read empty
+      def names(d: String): Set[String] = {
+        def ls(dir: java.io.File, pre: String): Seq[String] =
+          Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(pre + _.getName)
+        ls(new java.io.File(d), "") ++
+          ls(new java.io.File(d, CorpusLayout.DvDir), "dv/") ++
+          ls(new java.io.File(new java.io.File(d, CorpusLayout.DvDir),
+            "tombstones"), "dv/t/") ++
+          ls(new java.io.File(new java.io.File(d, CorpusLayout.DvDir),
+            "deltas"), "dv/d/")
+      }.toSet
+      val p = names(prev); val c = names(gens(g))
+      p.nonEmpty && p.subsetOf(c)
+    }
 
   private def metadataSwing(s: SparkSession, corpusDir: String, table: String,
                             widen: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty)
@@ -1208,6 +1351,11 @@ object MergeOps {
       case None => s.conf.unset(autoKey)
     }
     }
+    // a fold changes no rows: stamp an EMPTY feed slice so changeFeed
+    // ranges crossing it stay readable (the rewrite renames every file,
+    // which the conservative row-preservation test cannot vouch for)
+    if (changeFeedOn(s)) java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(vpath, CdfDir))
     CorpusLayout.writeBucketsMarker(vpath, b)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
@@ -1308,6 +1456,10 @@ object MergeOps {
         .flatMap(CorpusLayout.rebaseSpec(_, CorpusLayout.readMapping(curLoc))),
       newBuckets, keyCol, vpath, t,
       repartitionFirst = true, writeZMapping = true)
+    // rebucket changes no rows — stamp an empty feed slice (see
+    // compactGenerations)
+    if (changeFeedOn(s)) java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(vpath, CdfDir))
     CorpusLayout.writeBucketsMarker(vpath, newBuckets)
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")

@@ -74,7 +74,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(graft_cl_\w+)\s*;?\s*""".r
 
-  private[plans] def resolve(spark: SparkSession, tableName: String,
+  private[graft] def resolve(spark: SparkSession, tableName: String,
                              verb: String): (String, String) = {
     val (logicalTable, _) = LayoutSql.tableKey(tableName,
       m => throw new IllegalArgumentException(s"$verb $tableName: $m"))

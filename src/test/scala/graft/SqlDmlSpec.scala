@@ -268,6 +268,71 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("change data feed: _cdf slices, graft_changes TVF, replay law, gapped-feed rejection") {
+    import spark.implicits._
+    withSandbox("cdf") { (corpus, t, base) =>
+      val prev = spark.conf.getOption(MergeOps.ChangeFeedKey)
+      spark.conf.set(MergeOps.ChangeFeedKey, "true")
+      try {
+        spark.sql(s"UPDATE $t SET lang = 'u1' WHERE doc_id % 7 = 0")
+        spark.sql(s"DELETE FROM $t WHERE doc_id % 13 = 0")
+        spark.sql(s"INSERT INTO $t (doc_id, text, lang) " +
+          s"SELECT -(doc_id + 1), text, 'i1' " +
+          s"FROM parquet.`$corpus/documents.parquet` WHERE doc_id % 101 = 0")
+
+        // the TVF serves the recorded slices with per-generation labels
+        val feed = spark.sql(s"SELECT * FROM graft_changes('$t', 0, 3)")
+        val byType = feed.groupBy($"_commit_generation", $"_change_type")
+          .count().collect()
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(byType == Map(
+          (1, "update_postimage") -> base.filter($"doc_id" % 7 === 0).count(),
+          (2, "delete") -> base.filter($"doc_id" % 13 === 0).count(),
+          (3, "insert") -> base.filter($"doc_id" % 101 === 0).count()),
+          s"feed slices wrong: $byType")
+        // update post-images carry the FULL row (carried text included)
+        assert(feed.filter($"_change_type" === "update_postimage" &&
+          ($"text".isNull || $"lang" =!= "u1")).count() == 0,
+          "update post-image must carry the complete post row")
+
+        // replay law: folding the feed onto generation 0 reproduces the tip
+        val v0 = MergeOps.readGeneration(spark, corpus, "documents", 0)
+        val replayed = (1 to 3).foldLeft(v0) { (acc, g) =>
+          val cs = MergeOps.changeFeed(spark, corpus, "documents", g - 1, g)
+            .withColumn(MergeOps.TombstoneCol, $"_change_type" === "delete")
+            .drop("_change_type", "_commit_generation")
+          MergeOps.applyChanges(acc, cs)
+        }
+        assert(rows(replayed) ==
+          rows(MergeOps.readGeneration(spark, corpus, "documents", 3)),
+          "feed replay diverged from the tip generation")
+
+        // quiet generations (metadata swing, fold) read as an EMPTY feed
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+        spark.sql(s"OPTIMIZE $t")
+        assert(spark.sql(s"SELECT * FROM graft_changes('$t', 3)").count() == 0,
+          "metadata swing / fold must contribute empty feed slices")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(MergeOps.ChangeFeedKey, v)
+          case None => spark.conf.unset(MergeOps.ChangeFeedKey)
+        }
+      }
+    }
+    // a row-changing apply recorded WITHOUT the feed fails loudly —
+    // silently deriving (or skipping) the slice would serve a gapped feed
+    withSandbox("cdfoff") { (corpus, t, base) =>
+      spark.sql(s"UPDATE $t SET lang = 'x' WHERE doc_id % 5 = 0")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        MergeOps.generations(spark, corpus, "documents").last._2, "_cdf")),
+        "feed sidecar written although the conf is off")
+      val e = intercept[IllegalStateException](
+        MergeOps.changeFeed(spark, corpus, "documents", 0, 1).count())
+      assert(e.getMessage.contains(MergeOps.ChangeFeedKey),
+        s"gapped-feed error unhelpful: ${e.getMessage}")
+    }
+  }
+
   test("SQL UPDATE under merge-on-read matches CoW value-for-value") {
     import spark.implicits._
     withSandbox("sqlmor") { (corpus, t, base) =>
