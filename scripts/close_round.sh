@@ -68,8 +68,14 @@ echo "== explain refresh =="
 sbt --batch "runMain graft.ExplainAll docs/explains" > /dev/null
 
 echo "== commit =="
-git add BENCH_LOCAL.json BENCH_HISTORY.jsonl BENCH_BUDGET.json docs/explains \
-        BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json 2>/dev/null || true
+# per-path adds: git add aborts the WHOLE command on one bad pathspec
+# (a driver artifact like COPYCHECK.json may not exist this round), and
+# the old single-command form silently staged nothing in that case
+for f in BENCH_LOCAL.json BENCH_HISTORY.jsonl BENCH_BUDGET.json \
+         BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json; do
+  [ -e "$f" ] && git add "$f"
+done
+git add docs/explains
 if ! git diff --cached --quiet; then
   git commit -m "Round ${label}: bench + explain artifacts"
 else

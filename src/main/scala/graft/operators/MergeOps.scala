@@ -1062,6 +1062,100 @@ object MergeOps {
     }.toSet
   }
 
+  // ── TAGS: named generation refs (Iceberg's tag shape) — release
+  // management for the chain: `tagGeneration("v2-train")` pins the
+  // generation a run read, `VERSION AS OF 'v2-train'` reads it forever
+  // (vacuum keeps tagged generations like snapshot pins), `dropTag`
+  // releases the bytes at the next vacuum. One tiny file per (table,
+  // tag) under the layout root — same durability story as snapshots.
+
+  private def tagsDir(s: SparkSession, corpusDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(layoutRoot(s, corpusDir), "tags")
+
+  private def tagFile(s: SparkSession, corpusDir: String, table: String,
+                      name: String): java.nio.file.Path = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid tag name '$name' — [A-Za-z][A-Za-z0-9_.-]*")
+    tagsDir(s, corpusDir).resolve(s"${table}__$name")
+  }
+
+  /** Tag a generation (default: the served one) with `name`. Fails on
+    * an existing tag (retagging is drop + create — an accidental move
+    * of a name a training run depends on must be loud). Returns the
+    * tagged generation dir.
+    */
+  def tagGeneration(s: SparkSession, corpusDir: String,
+                    table: String = "documents",
+                    name: String, generation: Int = -1): String =
+    GenerationLease.withLease(s, corpusDir, table) {
+      CorpusLayout.resyncServing(s, corpusDir, table)
+      val gens = generations(s, corpusDir, table)
+      val g = if (generation < 0) gens.last._1 else generation
+      val p = gens.toMap.getOrElse(g, throw new IllegalArgumentException(
+        s"generation $g of ($corpusDir, $table) is not retained — " +
+          s"have ${gens.map(_._1).mkString(", ")}"))
+      val f = tagFile(s, corpusDir, table, name)
+      java.nio.file.Files.createDirectories(f.getParent)
+      require(!java.nio.file.Files.exists(f),
+        s"tag '$name' already exists for $table (generation " +
+          s"${tags(s, corpusDir, table).getOrElse(name, -1)}) — dropTag first")
+      java.nio.file.Files.write(f, s"$g\t$p".getBytes("UTF-8"))
+      p
+    }
+
+  /** Drop a tag; returns whether it existed. The tagged generation's
+    * bytes reclaim at the NEXT vacuum (tags pin, they don't own).
+    */
+  def dropTag(s: SparkSession, corpusDir: String, table: String = "documents",
+              name: String): Boolean =
+    java.nio.file.Files.deleteIfExists(tagFile(s, corpusDir, table, name))
+
+  /** Retained tags of a table: name → generation number. */
+  def tags(s: SparkSession, corpusDir: String,
+           table: String = "documents"): Map[String, Int] = {
+    val dir = tagsDir(s, corpusDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Map.empty
+    else {
+      val kids = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"${table}__"))
+          .map { f =>
+            val name = f.getFileName.toString.stripPrefix(s"${table}__")
+            val g = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+              .split("\t", 2)(0).toInt
+            name -> g
+          }.toMap
+      } finally kids.close()
+    }
+  }
+
+  private[graft] def tagPins(s: SparkSession, corpusDir: String,
+                             table: String): Set[String] = {
+    val dir = tagsDir(s, corpusDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+    else {
+      val kids = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"${table}__"))
+          .map(f => java.nio.file.Paths.get(new String(
+            java.nio.file.Files.readAllBytes(f), "UTF-8").split("\t", 2)(1))
+            .normalize.toString)
+          .toSet
+      } finally kids.close()
+    }
+  }
+
+  /** Snapshot pins ∪ tag pins — the full set vacuum and the compaction
+    * bound must respect.
+    */
+  private[graft] def pins(s: SparkSession, corpusDir: String,
+                          table: String): Set[String] =
+    snapshotPins(s, corpusDir, table) ++ tagPins(s, corpusDir, table)
+
   /** The generation assignment snapshot K pinned: table → raw frame of
     * the pinned generation dir (audit/reproduce surface, like
     * [[readGeneration]]).
@@ -1109,7 +1203,7 @@ object MergeOps {
     val gens = generations(s, corpusDir, table)
     val served = tableLayout(s, CorpusLayout.tableName(table, corpusDir))._1
     val servedNorm = java.nio.file.Paths.get(served).normalize.toString
-    val pinned = snapshotPins(s, corpusDir, table) + servedNorm
+    val pinned = pins(s, corpusDir, table) + servedNorm
     val doomed = gens.dropRight(keepLast)
       .filterNot { case (_, p) =>
         pinned.contains(java.nio.file.Paths.get(p).normalize.toString) }
@@ -1408,7 +1502,7 @@ object MergeOps {
       s"keepLast ($keepLast) must be < maxGenerations ($maxGenerations): " +
         "vacuum retains keepLast generations after a fold, so the bound " +
         "would re-trigger on every apply")
-    val pinned = snapshotPins(s, corpusDir, table)
+    val pinned = pins(s, corpusDir, table)
     val reclaimable = generations(s, corpusDir, table).count { case (_, p) =>
       !pinned.contains(java.nio.file.Paths.get(p).normalize.toString)
     }

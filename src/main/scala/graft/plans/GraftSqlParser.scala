@@ -42,6 +42,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(t, _, n) =>
       VacuumLayoutCommand(t, Option(n).map(_.toInt).getOrElse(2))
     case OptimizeRe(t) => OptimizeLayoutCommand(t)
+    case CheckTableRe(t) => CheckLayoutCommand(t)
+    case CreateTagRe(t, name, _, g) =>
+      CreateTagCommand(t, name, Option(g).map(_.toInt).getOrElse(-1))
+    case DropTagRe(t, name) => DropTagCommand(t, name)
+    case ShowTagsRe(t) => ShowTagsCommand(t)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -73,6 +78,18 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+(graft_cl_\w+)(\s+RETAIN\s+(\d+)\s+GENERATIONS)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(graft_cl_\w+)\s*;?\s*""".r
+  private val CheckTableRe =
+    """(?is)\s*CHECK\s+TABLE\s+(graft_cl_\w+)\s*;?\s*""".r
+  // Iceberg's ref verbs: CREATE/DROP TAG are not in Spark's ALTER
+  // grammar, so they must be claimed here; every OTHER ALTER on a
+  // layout table falls through to the stock parser and the
+  // AlterLayoutRule hint tier
+  private val CreateTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+(graft_cl_\w+)\s+CREATE\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+(graft_cl_\w+)\s+DROP\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)\s*;?\s*""".r
+  private val ShowTagsRe =
+    """(?is)\s*SHOW\s+TAGS\s+(graft_cl_\w+)\s*;?\s*""".r
 
   private[graft] def resolve(spark: SparkSession, tableName: String,
                              verb: String): (String, String) = {
@@ -113,7 +130,7 @@ case class DescribeHistoryCommand(tableName: String)
     val servedLoc = CorpusLayout.ifPresent(spark, corpusDir, table)
       .flatMap(_ => CorpusLayout.servedGeneration(spark, corpusDir, table))
       .map(p => java.nio.file.Paths.get(p).normalize.toString)
-    val pins = MergeOps.snapshotPins(spark, corpusDir, table)
+    val pins = MergeOps.pins(spark, corpusDir, table)
     MergeOps.generations(spark, corpusDir, table).map { case (g, p) =>
       val dir = new java.io.File(p)
       val data = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -158,5 +175,76 @@ case class OptimizeLayoutCommand(tableName: String)
     val (corpusDir, table) =
       GraftSqlParser.resolve(spark, tableName, "OPTIMIZE")
     Seq(Row(graft.operators.MergeOps.compactGenerations(spark, corpusDir, table)))
+  }
+}
+
+/** `ALTER TABLE <layout> CREATE TAG <name> [AS OF VERSION n]` —
+  * [[graft.operators.MergeOps.tagGeneration]]: a named generation ref
+  * (Iceberg's tag shape). Tagged generations survive VACUUM; `VERSION
+  * AS OF '<name>'` reads them.
+  */
+case class CreateTagCommand(tableName: String, tag: String,
+                            generation: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("tagged_generation", StringType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "CREATE TAG")
+    Seq(Row(graft.operators.MergeOps.tagGeneration(
+      spark, corpusDir, table, tag, generation)))
+  }
+}
+
+/** `ALTER TABLE <layout> DROP TAG <name>` — releases the pin; the bytes
+  * reclaim at the next VACUUM.
+  */
+case class DropTagCommand(tableName: String, tag: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("existed", BooleanType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "DROP TAG")
+    Seq(Row(graft.operators.MergeOps.dropTag(spark, corpusDir, table, tag)))
+  }
+}
+
+/** `SHOW TAGS <layout>` — name → generation of every retained tag. */
+case class ShowTagsCommand(tableName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("generation", IntegerType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "SHOW TAGS")
+    graft.operators.MergeOps.tags(spark, corpusDir, table).toSeq.sorted
+      .map { case (n, g) => Row(n, g) }
+  }
+}
+
+/** `CHECK TABLE <layout>` — [[graft.operators.Fsck.checkTable]] through
+  * SQL: audit the served generation's physical invariants (markers,
+  * mapping, file naming, bucket placement, key uniqueness, manifest
+  * soundness, dv sidecar) as (check, status, details) rows.
+  */
+case class CheckLayoutCommand(tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("check", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("details", StringType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (corpusDir, table) =
+      GraftSqlParser.resolve(spark, tableName, "CHECK TABLE")
+    graft.operators.Fsck.checkTable(spark, corpusDir, table)
+      .map(f => Row(f.check, f.status, f.details))
   }
 }

@@ -41,10 +41,17 @@ class TimeTravelLayoutRule(session: SparkSession) extends Rule[LogicalPlan] {
               "generations are numbered (VERSION AS OF n); pin moments " +
               "with MergeOps.snapshot")
           val gen = version.getOrElse(throw new IllegalArgumentException(
-            s"time travel on $name needs VERSION AS OF <generation>"))
+            s"time travel on $name needs VERSION AS OF <generation | 'tag'>"))
+          // an integer reads that generation; anything else resolves as
+          // a TAG (MergeOps.tagGeneration — Iceberg's `VERSION AS OF
+          // 'ref'` spelling), failing with the available names
           val n = try gen.toInt catch {
-            case _: NumberFormatException => throw new IllegalArgumentException(
-              s"VERSION AS OF on $name must be an integer generation, got '$gen'")
+            case _: NumberFormatException =>
+              val tags = graft.operators.MergeOps.tags(session, corpusDir, table)
+              tags.getOrElse(gen, throw new IllegalArgumentException(
+                s"VERSION AS OF on $name: '$gen' is neither an integer " +
+                  s"generation nor a retained tag — tags: " +
+                  s"${tags.keys.toSeq.sorted.mkString(", ")}"))
           }
           graft.operators.MergeOps.readGeneration(session, corpusDir, table, n)
             .queryExecution.analyzed

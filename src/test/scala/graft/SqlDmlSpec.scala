@@ -333,6 +333,103 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tags: named generation refs pin vacuum and resolve in VERSION AS OF") {
+    import spark.implicits._
+    withSandbox("sqltag") { (corpus, t, base) =>
+      spark.sql(s"UPDATE $t SET lang = 't1' WHERE doc_id % 4 = 0")
+      spark.sql(s"ALTER TABLE $t CREATE TAG train-v1 AS OF VERSION 1")
+      spark.sql(s"UPDATE $t SET lang = 't2' WHERE doc_id % 4 = 0")
+      spark.sql(s"OPTIMIZE $t")
+      assert(spark.sql(s"SHOW TAGS $t").collect().map(r =>
+        r.getString(0) -> r.getInt(1)).toSeq == Seq("train-v1" -> 1))
+
+      // vacuum reclaims everything EXCEPT the served and tagged
+      // generations; DESCRIBE HISTORY shows the pin
+      val kept = spark.sql(s"VACUUM $t RETAIN 1 GENERATIONS").count()
+      assert(kept == 2, s"expected 2 reclaimed (gens 0 and 2), got $kept")
+      val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+        .map(r => r.getInt(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+      assert(hist.keySet == Set(1, 3), s"retained set wrong: ${hist.keySet}")
+      assert(hist(1) == (false, true), "tagged generation must read pinned")
+
+      // the tag name works wherever a generation number does
+      val tagged = spark.sql(s"SELECT doc_id, lang FROM $t " +
+        "VERSION AS OF 'train-v1'")
+      val want = base.select($"doc_id",
+        when($"doc_id" % 4 === 0, "t1").otherwise($"lang").as("lang"))
+      assert(rows(tagged) == rows(want),
+        "VERSION AS OF 'tag' diverged from the tagged generation")
+
+      // drop releases the pin: next vacuum reclaims the generation
+      spark.sql(s"ALTER TABLE $t DROP TAG train-v1")
+      assert(spark.sql(s"VACUUM $t RETAIN 1 GENERATIONS").count() == 1,
+        "dropped tag did not release the generation")
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM $t VERSION AS OF 'train-v1'").collect())
+
+      // malformed / duplicate tags reject loudly
+      spark.sql(s"ALTER TABLE $t CREATE TAG again")
+      intercept[Exception](spark.sql(s"ALTER TABLE $t CREATE TAG again"))
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $t CREATE TAG nope AS OF VERSION 99"))
+    }
+  }
+
+  test("CHECK TABLE: healthy audit is all-ok; planted corruption is caught by name") {
+    import spark.implicits._
+    withSandbox("fsck") { (corpus, t, base) =>
+      // exercise the full surface first: an apply (chain + manifest
+      // carry), a metadata rename (mapping checks), a MOR delete (dv
+      // sidecar checks)
+      spark.sql(s"UPDATE $t SET lang = 'f1' WHERE doc_id % 6 = 0")
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+      val prevMode = spark.conf.getOption(MergeOps.MergeModeKey)
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try spark.sql(s"DELETE FROM $t WHERE doc_id % 17 = 0")
+      finally prevMode match {
+        case Some(v) => spark.conf.set(MergeOps.MergeModeKey, v)
+        case None => spark.conf.unset(MergeOps.MergeModeKey)
+      }
+      val healthy = spark.sql(s"CHECK TABLE $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(healthy.keySet == Set("markers", "column_mapping",
+        "file_naming", "bucket_placement", "key_uniqueness", "dv_sidecar"),
+        s"unexpected check set: ${healthy.keySet}")
+      assert(healthy.values.forall(_ == "ok"),
+        s"healthy corpus flagged: $healthy")
+
+      // corruption 1: move a data file to a wrong-bucket name — rows no
+      // longer live where hash(key) says; placement must FAIL
+      val tip = MergeOps.generations(spark, corpus, "documents").last._2
+      val victim = new java.io.File(tip).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .maxBy(_.length)
+      val m = java.util.regex.Pattern.compile("_(\\d{5})\\.")
+        .matcher(victim.getName)
+      assert(m.find(), s"no bucket suffix in ${victim.getName}")
+      val wrong = (m.group(1).toInt + 1) % 32
+      java.nio.file.Files.move(victim.toPath,
+        victim.toPath.resolveSibling(victim.getName.replace(
+          s"_${m.group(1)}.", f"_$wrong%05d.")))
+      // corruption 2: duplicate another file under a fresh (valid) name
+      // — its keys now exist twice; uniqueness must FAIL
+      val src = new java.io.File(tip).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .filter(f => f.length() > 0 && !f.getName.contains(f"_$wrong%05d"))
+        .maxBy(_.length)
+      java.nio.file.Files.copy(src.toPath,
+        src.toPath.resolveSibling("part-fsckdup-" + src.getName))
+      val corrupt = spark.sql(s"CHECK TABLE $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(corrupt("bucket_placement") == "FAIL",
+        s"misplaced file not caught: $corrupt")
+      assert(corrupt("key_uniqueness") == "FAIL",
+        s"duplicated keys not caught: $corrupt")
+      assert(corrupt("markers") == "ok" && corrupt("column_mapping") == "ok",
+        s"unrelated checks flipped: $corrupt")
+    }
+  }
+
   test("SQL UPDATE under merge-on-read matches CoW value-for-value") {
     import spark.implicits._
     withSandbox("sqlmor") { (corpus, t, base) =>
