@@ -963,4 +963,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(CorpusLayout.ConfKey)
     }
   }
+
+  test("streaming change feed: applies surface as change rows per generation, exactly once") {
+    import spark.implicits._
+    import graft.operators.MergeOps
+    import graft.sources.CorpusLayout
+    import graft.streaming.StreamingChangeFeed
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scf")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    spark.conf.set(MergeOps.ChangeFeedKey, "true")
+    try {
+      CorpusLayout.materialize(spark, corpus, tables = Seq("documents"))
+      val q = StreamingChangeFeed.readStream(spark, corpus, "documents")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cdf_stream_out").start()
+      try {
+        def change(m: Int, tag: String) = base.filter($"doc_id" % m === 0)
+          .select($"doc_id", concat(lit(s"$tag "), $"text").as("text"),
+            $"lang", $"source", $"n_chars")
+          .withColumn(MergeOps.TombstoneCol, $"doc_id" % (2 * m) === 0)
+        // wave 1: updates + deletes; wave 2 on the survivors
+        MergeOps.applyToLayout(spark, corpus, change(6, "w1"))
+        q.processAllAvailable()
+        val out1 = spark.table("cdf_stream_out")
+        val w1 = change(6, "w1")
+        assert(out1.filter($"_commit_generation" === 1).count() == w1.count(),
+          "wave-1 slice incomplete on the stream")
+        assert(out1.filter($"_change_type" === "delete").count() ==
+          w1.filter($"doc_id" % 12 === 0).count(),
+          "wave-1 deletes mislabeled")
+        MergeOps.applyToLayout(spark, corpus,
+          change(9, "w2").filter($"doc_id" % 12 =!= 0))
+        q.processAllAvailable()
+        val out2 = spark.table("cdf_stream_out")
+        assert(out2.filter($"_commit_generation" === 2 &&
+          $"_change_type" === "update_postimage" &&
+          !$"text".startsWith("w2")).count() == 0,
+          "wave-2 post-images must carry wave-2 text")
+        // exactly-once per file: re-listing never re-emits a seen slice
+        q.processAllAvailable()
+        assert(spark.table("cdf_stream_out").count() == out2.count(),
+          "idle micro-batch re-emitted seen slices")
+        // the streamed rows ARE the batch feed, value for value
+        val streamed = spark.table("cdf_stream_out")
+          .select($"doc_id", $"text", $"_change_type", $"_commit_generation")
+          .orderBy($"_commit_generation", $"doc_id", $"_change_type")
+          .collect().map(_.toString).toSeq
+        val batch = MergeOps.changeFeed(spark, corpus, "documents", 0)
+          .select($"doc_id", $"text", $"_change_type", $"_commit_generation")
+          .orderBy($"_commit_generation", $"doc_id", $"_change_type")
+          .collect().map(_.toString).toSeq
+        assert(streamed == batch, "stream diverged from the batch feed")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(MergeOps.ChangeFeedKey)
+      CorpusLayout.drop(spark, corpus)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
 }
