@@ -28,10 +28,25 @@ object BenchOne {
     // signature frame dropped between runs) instead of BenchOne's default
     // warm-reuse timing.
     val cold = args.length > 1 && args.contains("cold")
+    // task-level spill accumulator (Bench's listener rationale: the
+    // shuffle-write sorter's spill has no plan-level SQLMetric)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
     (1 to 3).foreach { i =>
+      val s0 = spilled.get()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      Thread.sleep(300) // listener delivery is async
+      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"($n rows, spill ${(spilled.get() - s0) / 1e6}%.1f MB)")
       if (cold) {
         spark.catalog.clearCache()
         graft.operators.Dedup.releaseSignatures()

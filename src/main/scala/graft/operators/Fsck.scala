@@ -97,9 +97,13 @@ object Fsck {
     // files; the file's name says where the writer put it, the hash
     // says where it belongs
     val raw = s.read.option("mergeSchema", "true").parquet(loc)
+    // LAST `_NNNNN.` group, same rule as MergeOps.bucketIdOf — a name
+    // carrying two such groups (schema-anchor rename + task suffix)
+    // must classify identically here and in the writer/compaction path;
+    // the greedy `.*` prefix pins the match to the final occurrence
     val misplaced = raw
       .select(col(keyCol),
-        regexp_extract(input_file_name(), "_(\\d{5})\\.", 1).cast("int")
+        regexp_extract(input_file_name(), ".*_(\\d{5})\\.", 1).cast("int")
           .as("__fb"))
       .filter(col("__fb").isNotNull &&
         pmod(hash(col(keyCol)), lit(buckets)).cast("int") =!= col("__fb"))

@@ -79,6 +79,16 @@ object MergeOps {
     */
   val ChangeFeedKey = "spark.graft.merge.changeFeed"
 
+  /** Opt-in `update_preimage` rows in the change feed (Delta CDF's row
+    * type): the OLD values of every updated key, from one more
+    * changeset-keyed semi-join against the pre-apply served frame —
+    * changeset-sized, never a corpus rewrite. Off by default: the
+    * post-image-only feed replays exactly with half the sidecar bytes,
+    * and time travel already serves old values; turn this on for
+    * consumers that expect Delta's pre+post pairing.
+    */
+  val PreImageKey = "spark.graft.merge.changeFeed.preImages"
+
   private def changeFeedOn(s: SparkSession): Boolean =
     s.conf.getOption(ChangeFeedKey).exists(_.toBoolean)
 
@@ -336,7 +346,32 @@ object MergeOps {
                     cow: Boolean = true,
                     evolveSchema: Boolean = false,
                     partial: Boolean = false,
-                    mode: String = ""): String = {
+                    mode: String = ""): String =
+    applyToLayoutFrom(s, corpusDir, table, buckets, cow, evolveSchema,
+      partial, mode)(_ => changes0)
+
+  /** [[applyToLayout]] with the changeset DERIVED from the served frame
+    * INSIDE the single-writer lease (post-resync): a command whose
+    * changeset or validation reads the corpus it is about to edit
+    * (INSERT's existing-key probe, OVERWRITE's gone-key anti-join,
+    * UPDATE/DELETE's WHERE scan) would otherwise check-then-act across
+    * the lease boundary — a concurrent writer committing between the
+    * outside read and the lease turns a loud rejection into a silent
+    * lost update. `mkChanges` receives the lease-resynced served frame;
+    * `preApply` (optional) runs AFTER the changeset snapshot and key
+    * validation with (served frame, snapshotted changeset) — the rows it
+    * approves are bit-for-bit the rows applied, so a non-deterministic
+    * source can never pass the probe yet apply different keys.
+    */
+  def applyToLayoutFrom(s: SparkSession, corpusDir: String,
+                    table: String = "documents",
+                    buckets: Int = -1,
+                    cow: Boolean = true,
+                    evolveSchema: Boolean = false,
+                    partial: Boolean = false,
+                    mode: String = "",
+                    preApply: (DataFrame, DataFrame) => Unit = null)
+                   (mkChanges: DataFrame => DataFrame): String = {
     val keyCol = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no bucketed layout key (CorpusLayout.keyed)"))
@@ -359,6 +394,7 @@ object MergeOps {
     // resolve AFTER any rebucket: the relation, generation numbering and
     // bucket count may all have moved
     val target = CorpusLayout.ifPresent(s, corpusDir, table).get
+    val changes0 = mkChanges(target)
     val vpath = nextGenerationPath(s, corpusDir, table)
     val (curLoc, curBuckets) = tableLayout(s, t)
     // Bucket placement hashes the key's BINARY representation, and
@@ -377,9 +413,20 @@ object MergeOps {
     // here, before anything durable.
     val keyType = target.schema(keyCol).dataType
     val srcType = changes0.schema(keyCol).dataType
-    val changes1 = if (srcType == keyType) changes0
+    val changes1raw = if (srcType == keyType) changes0
       else changes0.withColumn("__src_key", col(keyCol))
         .withColumn(keyCol, col(keyCol).try_cast(keyType))
+    // snapshot the changeset ONCE before anything durable OR validating:
+    // the key check below, the swing, the `_cdf` slice and the index
+    // applies each force this plan, and a non-deterministic source (a
+    // streaming foreachBatch frame, rand()/now()-derived rows, a table
+    // changing underneath) would otherwise pass validation on one row
+    // set and APPLY another — and persist a feed slice differing from
+    // the rows actually applied, breaking the feed's replay law.
+    // localCheckpoint truncates lineage to materialized blocks
+    // (changeset-sized, never corpus); lost blocks fail loudly instead
+    // of silently recomputing a different changeset.
+    val changes1 = changes1raw.localCheckpoint(true)
     // SQL MERGE raises on multiple source matches; enforce the same
     // contract LOUDLY before anything lands on disk — a duplicate or
     // NULL changeset key would write a generation with duplicate/orphan
@@ -407,6 +454,7 @@ object MergeOps {
         s"(${keyType.sql}): ${badKeys.map(_.toString).mkString(", ")}")
     val changes2 = if (srcType == keyType) changes1
       else changes1.drop("__src_key")
+    if (preApply != null) preApply(target, changes2)
     // a sparse (UPDATE SET) changeset expands to full rows HERE, before
     // anything durable: the bucket math below only needs the key, but
     // the downstream index applies (SignatureStore / VectorIndexStore)
@@ -415,7 +463,11 @@ object MergeOps {
     // bucket-co-located over this very layout. (The key checks above
     // ran pre-expansion: expansion left-joins the unique-keyed corpus,
     // so it preserves the changeset's key multiset.)
-    val changes = if (partial) expandPartial(target, changes2, keyCol)
+    // (expansion re-snapshots: its corpus semi-join would otherwise be
+    // re-run by each downstream consumer — swing, slice, index applies —
+    // against the documented one-semi-join cost)
+    val changes = if (partial)
+      expandPartial(target, changes2, keyCol).localCheckpoint(true)
       else changes2
     // buckets <= 0 = adopt the served generation's bucket count — the
     // right default, since a [[rebucket]] may have moved it off
@@ -853,20 +905,55 @@ object MergeOps {
     val mk = target.select(col(keyCol))
       .join(changes.select(col(keyCol)), Seq(keyCol), "left_semi")
       .withColumn("__m", lit(true))
-    changes.join(mk, Seq(keyCol), "left")
+    val post = changes.join(mk, Seq(keyCol), "left")
       .withColumn(ChangeTypeCol,
         when(col(TombstoneCol) && col("__m"), "delete")
           .when(!col(TombstoneCol) && col("__m"), "update_postimage")
           .when(!col(TombstoneCol), "insert"))
       .filter(col(ChangeTypeCol).isNotNull)
       .drop(TombstoneCol, "__m")
+    val slice = if (!s.conf.getOption(PreImageKey).exists(_.toBoolean)) post
+      else {
+        // pre-images (see [[PreImageKey]]): target ⋉ upsert-keys IS the
+        // updated-row set — inserts have no target row, tombstones are
+        // deletes — and reads the PRE-apply generation (its files are
+        // kept on disk for in-flight readers, this one included)
+        val pre = target.join(
+            changes.filter(!col(TombstoneCol)).select(col(keyCol)),
+            Seq(keyCol), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        post.unionByName(pre, allowMissingColumns = true)
+      }
+    // stamp the slice's LOGICAL schema (constant column — one RLE'd
+    // dictionary entry in the footer): the streaming reader pins its
+    // start-time schema and a fixed-schema parquet source would
+    // otherwise NULL-fill a renamed column's rows SILENTLY; with the
+    // stamp it fails loudly at the era boundary (Delta's CDF
+    // schema-change behavior). Batch readers drop it — changeFeed's
+    // per-era NULL-padding union stays the documented batch contract.
+    slice.withColumn(SchemaFpCol, lit(schemaFp(slice.schema)))
       .write.mode("overwrite").parquet(s"$vpath/$CdfDir")
   }
 
+  /** Slice-constant logical-schema stamp (see [[writeChangeFeedSlice]]). */
+  private[graft] val SchemaFpCol = "_schema_fp"
+
+  /** The era fingerprint: NAMES and TYPES only, order- and
+    * nullability-normalized — a changeset's projection order and
+    * lit-derived NOT NULLs vary per DML verb within one era; only a
+    * rename/drop/type change is a new era.
+    */
+  private[graft] def schemaFp(st: org.apache.spark.sql.types.StructType): String =
+    st.fields.filterNot(f =>
+        f.name == ChangeTypeCol || f.name == SchemaFpCol ||
+          f.name == CommitGenCol)
+      .map(f => s"${f.name}:${f.dataType.sql}").sorted.mkString(",")
+
   /** Change-type column of the feed: insert / update_postimage /
-    * delete. Post-images only: with the key they replay exactly
+    * delete. Post-images by default: with the key they replay exactly
     * (pre-images are one [[readGeneration]] away — persisting them
     * would double the sidecar for a value time travel already serves).
+    * [[PreImageKey]] opts in Delta-style `update_preimage` rows.
     */
   val ChangeTypeCol = "_change_type"
   /** Generation whose apply produced the feed row. */
@@ -913,6 +1000,7 @@ object MergeOps {
             "slice explicitly with MergeOps.generationDiff")
       } else Some(
         s.read.option("mergeSchema", "true").parquet(cdf.toString)
+          .drop(SchemaFpCol) // streaming-reader stamp, not feed payload
           .withColumn(CommitGenCol, lit(g)))
     }.reduceLeftOption((a, b) =>
         a.unionByName(b, allowMissingColumns = true))

@@ -1694,5 +1694,85 @@ object Pipeline {
                CASE WHEN doc_id % 9 = 0 THEN 'n1' END AS note
         FROM documents
         ORDER BY doc_id"""))
+    ,
+
+    // ── p36: TIMESTAMP AS OF — Delta-style timestamp time travel over ──
+    // the generation ledger ([[graft.plans.TimeTravelLayoutRule]] +
+    // the `_COMMIT_TS` marker every epoch bump stamps once). Resolution
+    // law: the newest retained generation committed at-or-before the
+    // asked moment — probed at FOUR moments against the same two
+    // generations p31 pins by number: commit(v0) exactly (boundary →
+    // v0), strictly between the commits (→ still v0), commit(v1)
+    // exactly (→ v1), an hour after the tip (→ the tip serves).
+    // Before-first rejection is SqlDmlSpec's pin. The ledger reads are
+    // driver-side marker lookups — one tiny file per retained
+    // generation, never a data scan; the timestamp probes then plan as
+    // ordinary generation reads (manifest-pruned, same as p31). Same
+    // private-sandbox lifecycle-in-query design as p28–p35.
+    GQuery("p36_timestamp_travel",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p36")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
+          val t = CorpusLayout.tableName("documents", corpus)
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val changes = base
+            .filter($"doc_id" % 6 === 0 && $"doc_id" % 17 =!= 0)
+            .select($"doc_id", concat(lit("tt "), $"text").as("text"),
+              $"lang", $"source", $"n_chars")
+            .withColumn(MergeOps.TombstoneCol, lit(false))
+            .unionByName(base.filter($"doc_id" % 17 === 0)
+              .select($"doc_id", lit(null).cast("string").as("text"),
+                lit(null).cast("string").as("lang"),
+                lit(null).cast("string").as("source"),
+                lit(null).cast("long").as("n_chars"))
+              .withColumn(MergeOps.TombstoneCol, lit(true)))
+          MergeOps.applyToLayout(s, corpus, changes)
+          val ts = s.sql(s"DESCRIBE HISTORY $t").collect()
+            .map(r => r.getInt(0) ->
+              r.getAs[java.sql.Timestamp]("committed_at").getTime).toMap
+          // materialize and the apply are seconds of real writes apart;
+          // equal-or-adjacent millis would make "between" ill-defined —
+          // fail loudly rather than hash-match by luck
+          require(ts(1) > ts(0) + 1,
+            s"commit times not separable: $ts")
+          def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+            .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+            .toString.replace('T', ' ')
+          val arms = Seq(
+            "at_v0" -> ts(0), "between" -> (ts(0) + ts(1)) / 2,
+            "at_v1" -> ts(1), "after_tip" -> (ts(1) + 3600L * 1000))
+          arms.map { case (armName, ms) =>
+            s.sql(s"SELECT doc_id, md5(text) AS h, '$armName' AS arm " +
+              s"FROM $t TIMESTAMP AS OF '${fmt(ms)}'")
+          }.reduce(_.unionByName(_))
+            .orderBy($"arm", $"doc_id")
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        WITH v0 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        v1 AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 6 = 0 THEN 'tt ' || text
+                               ELSE text END) AS h
+               FROM documents WHERE doc_id % 17 <> 0)
+        SELECT doc_id, h, 'at_v0' AS arm FROM v0
+        UNION ALL SELECT doc_id, h, 'between' FROM v0
+        UNION ALL SELECT doc_id, h, 'at_v1' FROM v1
+        UNION ALL SELECT doc_id, h, 'after_tip' FROM v1
+        ORDER BY arm, doc_id"""))
   )
 }

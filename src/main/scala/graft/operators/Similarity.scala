@@ -237,7 +237,18 @@ object Similarity {
           explode(array(($"bucket" +:
             (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
         val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
-        probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
+        // shuffled-HASH band join (r13 spill fix): SMJ sorted the probe
+        // side WITH its 64-double array attached (~1 KB rows × 7|V|) and
+        // spilled ~2 GB at sf1; hashing the corpus side per bucket
+        // partition sorts nothing, so the wide rows only ever STREAM.
+        // Measured sf1 A/B: 78-152 s (SMJ) / 60-115 s (thin ids +
+        // vector re-fetch joins — the pairs-sized wide intermediate just
+        // moves the cost) / 17-33 s (this shape), all spill-free at 8 g.
+        // At 100 TB the build side is each partition's bucket slice —
+        // bounded by corpus/P, same envelope every SHJ in the engine
+        // assumes — and LSH bits grow with log|V| to cap bucket volume.
+        probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket")
+              .hint("shuffle_hash"),
             $"probe" === $"bucket" && $"src" =!= $"dst")
           .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(w))
@@ -985,7 +996,10 @@ object Similarity {
         // localCheckpoint: the seed graph feeds BOTH the undirected edge
         // set and the candidate union — without it Spark re-runs the LSH
         // join + ranking window once per consumer (d08's discipline).
-        val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket"),
+        // shuffled-hash band join — s05's r13 spill fix (see the note
+        // there): no sort ever sees the wide probe rows
+        val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket")
+              .hint("shuffle_hash"),
             $"probe" === $"bucket" && $"src" =!= $"dst")
           .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(wSeed))
@@ -999,9 +1013,15 @@ object Similarity {
           .filter($"src" =!= $"dst")
         val cand = hop2.union(knn).distinct()
         val wRef = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        // vector fetches as hash joins for the same reason as the seed:
+        // an SMJ here would sort the CANDIDATE-sized stream with a
+        // 64-double array attached (2-hop volume is hub-quadratic in the
+        // undirected top-2 graph, so this side is the big one)
         cand
-          .join(e.select($"vec_id".as("src"), $"v".as("xv")), "src")
-          .join(e.select($"vec_id".as("dst"), $"v".as("yv")), "dst")
+          .join(e.select($"vec_id".as("src"), $"v".as("xv"))
+            .hint("shuffle_hash"), "src")
+          .join(e.select($"vec_id".as("dst"), $"v".as("yv"))
+            .hint("shuffle_hash"), "dst")
           .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
           .withColumn("rn", row_number().over(wRef))
           .filter($"rn" <= 2)

@@ -63,6 +63,40 @@ private[plans] object LayoutSql {
         "MERGE INTO source instead")
     e.transform { case a: AttributeReference => UnresolvedAttribute(Seq(a.name)) }
   }
+
+  /** Store-assignment cast for SET / INSERT column coercions, mirroring
+    * [[graft.operators.MergeOps.applyToLayout]]'s key-cast guard: plain
+    * `cast` silently WRAPS an overflowing narrowing with ANSI off (and
+    * throws mid-write with it on), so a `SET n_chars = <too-wide expr>`
+    * would persist wrong values without error. `try_cast` nulls on
+    * overflow under either setting, and the round-trip comparison also
+    * rejects value-CHANGING conversions that don't null (double→long
+    * truncation) — any non-value-preserving assignment raises loudly
+    * per offending row, before anything durable (the changeset snapshot
+    * forces this projection under the lease, ahead of the swing).
+    *
+    * `raw` must already be resolved (so the SOURCE type is known); the
+    * returned column reads `raw(name)` and carries the TARGET type.
+    */
+  def storeAssign(raw: org.apache.spark.sql.DataFrame, name: String,
+                  to: org.apache.spark.sql.types.DataType,
+                  verb: String, table: String): Column = {
+    import org.apache.spark.sql.functions._
+    val from = raw.schema(name).dataType
+    if (from == to) col(name)
+    else {
+      val casted = col(name).try_cast(to)
+      when(col(name).isNotNull &&
+          (casted.isNull || !(casted.try_cast(from) <=> col(name))),
+          raise_error(concat(
+            lit(s"$verb $table: value for '$name' "),
+            col(name).cast("string"),
+            lit(s" does not round-trip ${from.sql} -> ${to.sql} — " +
+              "cast explicitly if the loss is intended")))
+            .cast(to))
+        .otherwise(casted).as(name)
+    }
+  }
 }
 
 /** SQL surface for the row-level DML verbs Spark's v1 path lacks
@@ -204,15 +238,24 @@ case class UpdateLayoutCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     import graft.operators.MergeOps
-    val (corpusDir, tgt) =
+    val (corpusDir, _) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, "UPDATE")
-    val rows = spec.cond.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
-    val changes = rows.select(
-      col(keyCol) +: spec.assigns.map { case (n, e) =>
-        Bridge.column(e).cast(tgt.schema(n).dataType).as(n) } :+
-        lit(false).as(MergeOps.TombstoneCol): _*)
-    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable,
-      partial = true)
+    // the WHERE scan and RHS evaluation read the frame the lease just
+    // resynced — not a pre-lease snapshot a concurrent writer could
+    // have moved past (check-then-act)
+    MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+        partial = true) { tgt =>
+      val rows = spec.cond.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
+      // resolve the RHS first so storeAssign sees the SOURCE types
+      val raw = rows.select(
+        col(keyCol) +: spec.assigns.map { case (n, e) =>
+          Bridge.column(e).as(n) }: _*)
+      raw.select(
+        col(keyCol) +: spec.assigns.map { case (n, _) =>
+          LayoutSql.storeAssign(raw, n, tgt.schema(n).dataType,
+            "UPDATE", tableName) } :+
+          lit(false).as(MergeOps.TombstoneCol): _*)
+    }
     Seq.empty
   }
 }
@@ -230,12 +273,14 @@ case class DeleteLayoutCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     import graft.operators.MergeOps
-    val (corpusDir, tgt) =
+    val (corpusDir, _) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, "DELETE FROM")
-    val changes = tgt.filter(Bridge.column(spec.cond))
-      .select(col(keyCol), lit(true).as(MergeOps.TombstoneCol))
-    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable,
-      partial = true)
+    // WHERE scan under the lease — see UPDATE's note
+    MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+        partial = true) { tgt =>
+      tgt.filter(Bridge.column(spec.cond))
+        .select(col(keyCol), lit(true).as(MergeOps.TombstoneCol))
+    }
     Seq.empty
   }
 }
@@ -255,41 +300,61 @@ case class InsertLayoutCommand(
     import org.apache.spark.sql.functions._
     import graft.operators.MergeOps
     val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
-    val (corpusDir, tgt) =
+    val (corpusDir, _) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, verb)
     val src = GraftPlanBridge.ofRows(spark, source)
     val qOut = source.output
     val byName = mapping.toMap
     // full-row inserts: unmapped columns are explicit NULL (OVERWRITE
     // must not carry old values for kept keys — the query's row IS the
-    // row)
-    val inserts = src.select(tgt.columns.toSeq.map { c =>
-      byName.get(c) match {
-        case Some(idx) =>
-          Bridge.column(qOut(idx)).cast(tgt.schema(c).dataType).as(c)
-        case None => lit(null).cast(tgt.schema(c).dataType).as(c)
-      }
-    } :+ lit(false).as(MergeOps.TombstoneCol): _*)
-    val changes = if (overwrite) {
-      val gone = tgt.select(col(keyCol))
-        .join(inserts.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .select(col(keyCol) +: tgt.columns.toSeq.filterNot(_ == keyCol).map(c =>
-          lit(null).cast(tgt.schema(c).dataType).as(c)) :+
-          lit(true).as(MergeOps.TombstoneCol): _*)
-      inserts.unionByName(gone)
-    } else {
-      // keys-only existence probe: insert-sized build side, the corpus
-      // never shuffles; sample offenders ride back for the message
-      val dup = tgt.select(col(keyCol))
-        .join(inserts.select(col(keyCol)), Seq(keyCol), "left_semi")
-        .limit(5).collect()
-      require(dup.isEmpty,
-        s"$verb $tableName: key(s) already present — layout tables are " +
-          s"keyed on '$keyCol' and INSERT never overwrites; upsert is " +
-          s"spelled MERGE INTO: ${dup.map(_.get(0)).mkString(", ")}")
-      inserts
+    // row). mkChanges/preApply run INSIDE the generation lease against
+    // the lease-resynced frame: the existing-key probe and the
+    // gone-key anti-join would otherwise check-then-act across the
+    // lease boundary (a concurrent writer committing the same key in
+    // that window turns the loudly-rejecting INSERT into a silent
+    // upsert, or survives an OVERWRITE that should have tombstoned it).
+    def insertsFor(tgt: org.apache.spark.sql.DataFrame) = {
+      // resolve the query's columns first so storeAssign sees SOURCE
+      // types; unmapped columns join as typed NULLs afterwards
+      val mapped = tgt.columns.toSeq.filter(byName.contains)
+      val raw = src.select(mapped.map(c =>
+        Bridge.column(qOut(byName(c))).as(c)): _*)
+      raw.select(tgt.columns.toSeq.map { c =>
+        if (byName.contains(c))
+          LayoutSql.storeAssign(raw, c, tgt.schema(c).dataType, verb, tableName)
+        else lit(null).cast(tgt.schema(c).dataType).as(c)
+      } :+ lit(false).as(MergeOps.TombstoneCol): _*)
     }
-    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable)
+    if (overwrite)
+      MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable) { tgt =>
+        // snapshot: the plan reads `inserts` twice (rows + anti-join
+        // build) — a non-deterministic query must not diverge between
+        // the kept keys and the tombstoned complement
+        val inserts = insertsFor(tgt).localCheckpoint(true)
+        val gone = tgt.select(col(keyCol))
+          .join(inserts.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(col(keyCol) +: tgt.columns.toSeq.filterNot(_ == keyCol).map(c =>
+            lit(null).cast(tgt.schema(c).dataType).as(c)) :+
+            lit(true).as(MergeOps.TombstoneCol): _*)
+        inserts.unionByName(gone)
+      }
+    else
+      // keys-only existence probe: insert-sized build side, the corpus
+      // never shuffles; sample offenders ride back for the message. It
+      // runs as a post-snapshot preApply: the keys it approves are
+      // bit-for-bit the keys applied (a non-deterministic query cannot
+      // pass the probe yet insert different keys), and no concurrent
+      // writer can commit between probe and apply (both hold the lease).
+      MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+          preApply = (tgt, snap) => {
+            val dup = tgt.select(col(keyCol))
+              .join(snap.select(col(keyCol)), Seq(keyCol), "left_semi")
+              .limit(5).collect()
+            require(dup.isEmpty,
+              s"$verb $tableName: key(s) already present — layout tables are " +
+                s"keyed on '$keyCol' and INSERT never overwrites; upsert is " +
+                s"spelled MERGE INTO: ${dup.map(_.get(0)).mkString(", ")}")
+          })(insertsFor)
     Seq.empty
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType, LongType, BooleanType}
+import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType, LongType, BooleanType, TimestampType}
 
 /** SQL surface for the chain-maintenance verbs (SURVEY §2.H) — the last
   * piece of "a SQL-first user manages the corpus lifecycle entirely
@@ -116,6 +116,7 @@ case class DescribeHistoryCommand(tableName: String)
   override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
     StructField("generation", IntegerType, nullable = false),
     StructField("path", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
     StructField("files", IntegerType, nullable = false),
     StructField("bytes", LongType, nullable = false),
     StructField("served", BooleanType, nullable = false),
@@ -136,7 +137,8 @@ case class DescribeHistoryCommand(tableName: String)
       val data = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       val norm = java.nio.file.Paths.get(p).normalize.toString
-      Row(g, p, data.length, data.map(_.length).sum,
+      Row(g, p, new java.sql.Timestamp(CorpusLayout.commitTsOf(p)),
+        data.length, data.map(_.length).sum,
         servedLoc.contains(norm), pins.contains(norm),
         CorpusLayout.hasDv(p), CorpusLayout.readMapping(p).nonEmpty)
     }

@@ -18,10 +18,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * is a `graft_cl_` layout table, leaving every other target on
   * Spark's stock behavior.
   *
-  * `TIMESTAMP AS OF` fails loudly: generations are numbered, not
-  * timestamped — the snapshot verb ([[graft.operators.MergeOps.snapshot]])
-  * is the moment-pinning surface. A vacuumed or unknown generation
-  * fails with readGeneration's have-list. The rewrite embeds the
+  * `TIMESTAMP AS OF <ts>` resolves through the generation ledger's
+  * commit times ([[graft.sources.CorpusLayout.commitTsOf]] — the
+  * `_COMMIT_TS` marker every epoch bump stamps once): the newest
+  * retained generation committed at-or-before `ts`; a moment before
+  * the first retained commit fails loudly with the valid range
+  * (Delta's semantics — DESCRIBE HISTORY's `committed_at` column
+  * serves the ledger). Cross-table moment pinning stays
+  * [[graft.operators.MergeOps.snapshot]]'s job. A vacuumed or unknown
+  * generation fails with readGeneration's have-list. The rewrite embeds the
   * resolved generation frame's ANALYZED plan, so everything above
   * (filters, projections) re-resolves against it and pushdown reaches
   * the manifest index exactly as on the live table.
@@ -36,22 +41,48 @@ class TimeTravelLayoutRule(session: SparkSession) extends Rule[LogicalPlan] {
       CorpusLayout.corpusForTable(session, name) match {
         case None => tt // no marker maps it — keep Spark's stock path
         case Some((corpusDir, table)) =>
-          if (ts.nonEmpty) throw new IllegalArgumentException(
-            s"TIMESTAMP AS OF is not supported on layout table $name — " +
-              "generations are numbered (VERSION AS OF n); pin moments " +
-              "with MergeOps.snapshot")
-          val gen = version.getOrElse(throw new IllegalArgumentException(
-            s"time travel on $name needs VERSION AS OF <generation | 'tag'>"))
-          // an integer reads that generation; anything else resolves as
-          // a TAG (MergeOps.tagGeneration — Iceberg's `VERSION AS OF
-          // 'ref'` spelling), failing with the available names
-          val n = try gen.toInt catch {
-            case _: NumberFormatException =>
-              val tags = graft.operators.MergeOps.tags(session, corpusDir, table)
-              tags.getOrElse(gen, throw new IllegalArgumentException(
-                s"VERSION AS OF on $name: '$gen' is neither an integer " +
-                  s"generation nor a retained tag — tags: " +
-                  s"${tags.keys.toSeq.sorted.mkString(", ")}"))
+          val n: Int = if (ts.nonEmpty) {
+            // TIMESTAMP AS OF: resolve against the generation ledger's
+            // commit times (CorpusLayout.commitTsOf) — newest retained
+            // generation committed at-or-before the asked moment;
+            // before-the-first-commit fails loudly (Delta's semantics).
+            // Driver-side: one marker read per retained generation.
+            val expr = ts.get
+            if (!expr.foldable) throw new IllegalArgumentException(
+              s"TIMESTAMP AS OF on $name needs a constant timestamp, " +
+                s"got ${expr.sql}")
+            val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+              expr, org.apache.spark.sql.types.TimestampType,
+              Some(session.sessionState.conf.sessionLocalTimeZone)).eval()
+            if (micros == null) throw new IllegalArgumentException(
+              s"TIMESTAMP AS OF on $name: ${expr.sql} does not parse as " +
+                "a timestamp")
+            val askedMs = micros.asInstanceOf[Long] / 1000L
+            val stamped = graft.operators.MergeOps
+              .generations(session, corpusDir, table)
+              .map { case (g, p) => (g, CorpusLayout.commitTsOf(p)) }
+            val eligible = stamped.filter(_._2 <= askedMs)
+            if (eligible.isEmpty) throw new IllegalArgumentException(
+              s"TIMESTAMP AS OF on $name: ${expr.sql} is before the " +
+                s"first retained commit (${new java.sql.Timestamp(
+                  stamped.map(_._2).min)}) — DESCRIBE HISTORY $name " +
+                "lists the retained range")
+            eligible.maxBy(_._1)._1
+          } else {
+            val gen = version.getOrElse(throw new IllegalArgumentException(
+              s"time travel on $name needs VERSION AS OF <generation | " +
+                "'tag'> or TIMESTAMP AS OF <ts>"))
+            // an integer reads that generation; anything else resolves as
+            // a TAG (MergeOps.tagGeneration — Iceberg's `VERSION AS OF
+            // 'ref'` spelling), failing with the available names
+            try gen.toInt catch {
+              case _: NumberFormatException =>
+                val tags = graft.operators.MergeOps.tags(session, corpusDir, table)
+                tags.getOrElse(gen, throw new IllegalArgumentException(
+                  s"VERSION AS OF on $name: '$gen' is neither an integer " +
+                    s"generation nor a retained tag — tags: " +
+                    s"${tags.keys.toSeq.sorted.mkString(", ")}"))
+            }
           }
           graft.operators.MergeOps.readGeneration(session, corpusDir, table, n)
             .queryExecution.analyzed

@@ -75,7 +75,14 @@ object CorpusLayout {
     java.nio.file.Paths.get(root, s"${table}_EPOCH")
 
   /** Record that (corpus, table) now serves `generation` — written by the
-    * MERGE apply after its catalog swing commits.
+    * MERGE apply after its catalog swing commits. Also stamps the
+    * generation's commit time (once): every generation-creating path —
+    * materialize, CoW/MOR swings, metadata swings, compaction,
+    * rebucket — funnels its first epoch bump through here, so the
+    * marker is the durable "when did this generation become visible"
+    * record that `TIMESTAMP AS OF` and DESCRIBE HISTORY resolve
+    * against. Repair paths re-bump the epoch for an EXISTING
+    * generation; the absence guard keeps them from moving history.
     */
   private[graft] def bumpEpoch(s: SparkSession, corpusDir: String,
                                table: String, generation: String): Unit =
@@ -83,7 +90,29 @@ object CorpusLayout {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
       java.nio.file.Files.write(epochFile(root, table),
         generation.getBytes("UTF-8"))
+      val m = java.nio.file.Paths.get(generation, CommitTsMarker)
+      if (java.nio.file.Files.isDirectory(m.getParent) &&
+          !java.nio.file.Files.exists(m))
+        java.nio.file.Files.write(m,
+          String.valueOf(System.currentTimeMillis).getBytes("UTF-8"))
     }
+
+  /** Commit-time marker of a finalized generation (epoch millis). */
+  private[graft] val CommitTsMarker = "_COMMIT_TS"
+
+  /** When generation dir `path` became the served tip: the marker when
+    * present; the directory's mtime for pre-marker generations (Delta
+    * itself time-travels on commit-file mtimes, so the fallback speaks
+    * the same fuzzy-but-standard language — and only for chains built
+    * before the marker existed).
+    */
+  private[graft] def commitTsOf(path: String): Long = {
+    val m = java.nio.file.Paths.get(path, CommitTsMarker)
+    if (java.nio.file.Files.exists(m))
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim.toLong
+    else java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis
+  }
 
   /** Invalidate the session's cached relation for a catalog table at
     * the SESSION-CATALOG tier — NOT `spark.catalog.refreshTable`, which

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * not per generation — a multi-file slice can straddle two
   * micro-batches (group by `_commit_generation` downstream when a
   * consumer needs whole-generation transactions); (2) the schema is
-  * frozen at stream start — restart the stream after a DROP/RENAME
-  * evolution (Delta CDF's own restriction); (3) generations must
+  * frozen at stream start — a slice written past a DROP/RENAME
+  * boundary FAILS the stream loudly (the `_schema_fp` stamp; Delta
+  * CDF's own restriction), and a restarted stream resumes cleanly on
+  * the new era via the checkpoint's seen-files log; (3) generations must
   * outlive the consumer's lag: vacuum reclaims `_cdf` bytes with the
   * generation dir, so retain (or tag) at least the consumer's horizon.
   *
@@ -58,12 +60,39 @@ object StreamingChangeFeed {
     // glob roots are exempt from Spark's hidden-path filter, so the
     // underscore-prefixed sidecar dir is listable here while staying
     // invisible to every DATA listing of the generation itself
-    val glob = s"$parent/$table*/${MergeOps.CdfDir}"
+    // `_v*` (not a bare `$table*`): a sibling directory merely SHARING
+    // the table-name prefix (documents_backup/) must never feed slices
+    // into this table's stream
+    val glob = s"$parent/${table}_v*/${MergeOps.CdfDir}"
+    val gen = regexp_extract(input_file_name(), s"/${table}_v(\\d+)/", 1)
+    // schema-freeze enforcement (caveat 2 made LOUD): every slice is
+    // stamped with its era's logical schema; a fixed-schema parquet
+    // source would NULL-fill a renamed/dropped column's rows silently,
+    // so a slice written past a DROP/RENAME boundary raises instead —
+    // restart the stream (its fresh start-time schema + the
+    // checkpoint's seen-files log resume cleanly on the new era).
+    val expect = MergeOps.schemaFp(schemaFor(s, corpusDir, table))
     s.readStream
-      .schema(schemaFor(s, corpusDir, table))
+      .schema(schemaFor(s, corpusDir, table)
+        .add(MergeOps.SchemaFpCol, "string"))
       .parquet(glob)
+      .filter(
+        when(col(MergeOps.SchemaFpCol).isNull ||
+            col(MergeOps.SchemaFpCol) =!= lit(expect),
+          raise_error(concat(
+            lit("change-feed slice speaks a different schema era than " +
+              "this stream's start (DROP/RENAME evolution?) — restart " +
+              "the consumer; slice: "),
+            coalesce(col(MergeOps.SchemaFpCol), lit("<unstamped>")),
+            lit(" vs stream: "), lit(expect))).cast("boolean"))
+          .otherwise(lit(true)))
+      .drop(MergeOps.SchemaFpCol)
       .withColumn(MergeOps.CommitGenCol,
-        coalesce(regexp_extract(input_file_name(),
-          s"/${table}_v(\\d+)/", 1).cast("int"), lit(0)))
+        // an unparseable slice path is a feed-contract violation — fail
+        // loudly instead of mislabeling the slice as generation 0
+        when(gen === "", raise_error(concat(
+            lit("change-feed slice path parses no generation: "),
+            input_file_name())).cast("int"))
+          .otherwise(gen.cast("int")))
   }
 }

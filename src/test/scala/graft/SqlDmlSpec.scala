@@ -237,9 +237,14 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
       val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
       assert(hist.length == 2, s"expected 2 generations, got ${hist.length}")
       assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1), "generation numbering")
-      assert(!hist(0).getBoolean(4) && hist(1).getBoolean(4),
+      assert(!hist(0).getAs[Boolean]("served") && hist(1).getAs[Boolean]("served"),
         "served flag must mark the chain tip only")
-      assert(hist.forall(_.getInt(2) > 0), "every generation lists files")
+      assert(hist.forall(_.getAs[Int]("files") > 0), "every generation lists files")
+      // commit times serve the TIMESTAMP AS OF ledger: present,
+      // non-decreasing along the chain
+      val ts = hist.map(_.getAs[java.sql.Timestamp]("committed_at").getTime)
+      assert(ts.forall(_ > 0) && ts.sorted.sameElements(ts),
+        s"committed_at must be monotone along the chain, got ${ts.toSeq}")
 
       // OPTIMIZE folds the chain into a fresh generation
       val folded = spark.sql(s"OPTIMIZE $t").collect()
@@ -333,6 +338,147 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CDF pre-images: opt-in update_preimage rows pair with post-images per key") {
+    import spark.implicits._
+    withSandbox("cdfpre") { (corpus, t, base) =>
+      val prev = spark.conf.getOption(MergeOps.ChangeFeedKey)
+      spark.conf.set(MergeOps.ChangeFeedKey, "true")
+      spark.conf.set(MergeOps.PreImageKey, "true")
+      try {
+        spark.sql(s"UPDATE $t SET lang = 'u1' WHERE doc_id % 7 = 0")
+        spark.sql(s"DELETE FROM $t WHERE doc_id % 13 = 0")
+        val feed = spark.sql(s"SELECT * FROM graft_changes('$t', 0, 2)")
+          .localCheckpoint()
+        val nUpd = base.filter($"doc_id" % 7 === 0).count()
+        val byType = feed.groupBy($"_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(byType("update_preimage") == nUpd &&
+          byType("update_postimage") == nUpd,
+          s"pre/post must pair 1:1 per updated key, got $byType")
+        // the pre row is the OLD row: original lang, same carried text
+        val pair = feed.filter($"_change_type".startsWith("update_"))
+          .groupBy($"doc_id").agg(
+            max(when($"_change_type" === "update_preimage", $"lang")).as("pl"),
+            max(when($"_change_type" === "update_postimage", $"lang")).as("ql"),
+            countDistinct($"text").as("nt"), count(lit(1)).as("n"))
+        assert(pair.filter($"n" =!= 2 || $"ql" =!= "u1" || $"pl" === "u1" ||
+            $"nt" =!= 1).count() == 0,
+          "pre-image must carry the pre-apply values, post the new ones")
+        // deletes don't duplicate: the DELETE generation's slice carries
+        // no pre-image rows (a key updated in gen 1 AND deleted in gen 2
+        // keeps its gen-1 pre-image — slices are per-apply)
+        assert(feed.filter($"_change_type" === "update_preimage" &&
+          $"_commit_generation" === 2).count() == 0,
+          "tombstone-only applies must not emit update_preimage rows")
+        // the replay law holds once pre-images are filtered (Delta
+        // consumers' rule — a pre-image is information, not an edit)
+        val v0 = MergeOps.readGeneration(spark, corpus, "documents", 0)
+        val replayed = (1 to 2).foldLeft(v0) { (acc, g) =>
+          val cs = MergeOps.changeFeed(spark, corpus, "documents", g - 1, g)
+            .filter($"_change_type" =!= "update_preimage")
+            .withColumn(MergeOps.TombstoneCol, $"_change_type" === "delete")
+            .drop("_change_type", "_commit_generation")
+          MergeOps.applyChanges(acc, cs)
+        }
+        assert(rows(replayed) ==
+          rows(MergeOps.readGeneration(spark, corpus, "documents", 2)),
+          "pre-image feed replay (preimages filtered) diverged from the tip")
+        // the streaming reader surfaces the same rows (one micro-batch)
+        val stream = graft.streaming.StreamingChangeFeed
+          .readStream(spark, corpus, "documents")
+        val out = java.nio.file.Files.createTempDirectory("graft_cdfpre_out")
+        val q = stream.writeStream.format("memory")
+          .queryName("cdfpre_feed")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        val streamed = spark.table("cdfpre_feed")
+          .groupBy($"_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(streamed.getOrElse("update_preimage", 0L) == nUpd,
+          s"streaming reader must surface pre-image rows, got $streamed")
+        graft.FsUtil.deleteRecursively(out)
+      } finally {
+        spark.conf.unset(MergeOps.PreImageKey)
+        prev match {
+          case Some(v) => spark.conf.set(MergeOps.ChangeFeedKey, v)
+          case None => spark.conf.unset(MergeOps.ChangeFeedKey)
+        }
+      }
+    }
+  }
+
+  test("streaming CDF across a RENAME: pre-evolution stream fails loudly, restart resumes clean") {
+    import spark.implicits._
+    withSandbox("cdfevo") { (corpus, t, base) =>
+      val prev = spark.conf.getOption(MergeOps.ChangeFeedKey)
+      spark.conf.set(MergeOps.ChangeFeedKey, "true")
+      val out = java.nio.file.Files.createTempDirectory("graft_cdfevo")
+      try {
+        import org.apache.spark.sql.streaming.Trigger
+        spark.sql(s"UPDATE $t SET lang = 'e1' WHERE doc_id % 11 = 0")
+        // phase 1: consume the pre-evolution slice; checkpoint survives
+        // (parquet sink — the memory sink cannot recover a checkpoint)
+        val s1 = graft.streaming.StreamingChangeFeed
+          .readStream(spark, corpus, "documents")
+        val q1 = s1.writeStream.format("parquet")
+          .option("path", s"$out/sink")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q1.awaitTermination(60000)
+        assert(spark.read.parquet(s"$out/sink").count() ==
+          base.filter($"doc_id" % 11 === 0).count(), "phase-1 slice lost")
+
+        // capture a reader whose start-time schema PREDATES the rename
+        val stale = graft.streaming.StreamingChangeFeed
+          .readStream(spark, corpus, "documents")
+
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+        spark.sql(s"UPDATE $t SET language = 'e2' WHERE doc_id % 11 = 0")
+
+        // the pre-evolution stream must FAIL LOUDLY on the new-era
+        // slice — a fixed-schema parquet source would otherwise
+        // NULL-fill the renamed column's rows silently
+        val qStale = stale.writeStream.format("memory")
+          .queryName("cdfevo_stale")
+          .option("checkpointLocation", s"$out/ckpt_stale")
+          .trigger(Trigger.AvailableNow()).start()
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qStale.awaitTermination()
+        }
+        assert(e.getMessage.contains("different schema era") ||
+          Option(e.getCause).exists(_.getMessage.contains("different schema era")),
+          s"stale stream must name the schema era, got: ${e.getMessage}")
+
+        // a RESTARTED consumer (fresh start-time schema + the SAME
+        // phase-1 checkpoint) resumes cleanly on the new era: only the
+        // post-rename slice is new to the seen-files log
+        val s2 = graft.streaming.StreamingChangeFeed
+          .readStream(spark, corpus, "documents")
+        val q2 = s2.writeStream.format("parquet")
+          .option("path", s"$out/sink")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination(60000)
+        // the sink now holds both eras' rows (per-era schemas NULL-pad
+        // under mergeSchema — the batch feed's documented union rule)
+        val resumed = spark.read.option("mergeSchema", "true")
+          .parquet(s"$out/sink")
+        assert(resumed.columns.contains("language") &&
+          resumed.filter($"language" === "e2").count() ==
+            base.filter($"doc_id" % 11 === 0).count(),
+          "restarted stream must serve exactly the new-era slice")
+      } finally {
+        graft.FsUtil.deleteRecursively(out)
+        prev match {
+          case Some(v) => spark.conf.set(MergeOps.ChangeFeedKey, v)
+          case None => spark.conf.unset(MergeOps.ChangeFeedKey)
+        }
+      }
+    }
+  }
+
   test("tags: named generation refs pin vacuum and resolve in VERSION AS OF") {
     import spark.implicits._
     withSandbox("sqltag") { (corpus, t, base) =>
@@ -348,7 +494,8 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
       val kept = spark.sql(s"VACUUM $t RETAIN 1 GENERATIONS").count()
       assert(kept == 2, s"expected 2 reclaimed (gens 0 and 2), got $kept")
       val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
-        .map(r => r.getInt(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+        .map(r => r.getInt(0) ->
+          (r.getAs[Boolean]("served"), r.getAs[Boolean]("pinned"))).toMap
       assert(hist.keySet == Set(1, 3), s"retained set wrong: ${hist.keySet}")
       assert(hist(1) == (false, true), "tagged generation must read pinned")
 
@@ -372,6 +519,46 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
       intercept[Exception](spark.sql(s"ALTER TABLE $t CREATE TAG again"))
       intercept[Exception](spark.sql(
         s"ALTER TABLE $t CREATE TAG nope AS OF VERSION 99"))
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves the ledger: boundary, between, after, before-first") {
+    import spark.implicits._
+    withSandbox("sqlts") { (corpus, t, base) =>
+      spark.sql(s"UPDATE $t SET lang = 'ts1' WHERE doc_id % 4 = 0")
+      val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+        .map(r => r.getInt(0) ->
+          r.getAs[java.sql.Timestamp]("committed_at").getTime).toMap
+      assert(hist.keySet == Set(0, 1) && hist(0) <= hist(1),
+        s"ledger precondition failed: $hist")
+      // render in the SESSION zone (UTC) — java.sql.Timestamp.toString
+      // speaks the JVM default zone, which need not match
+      def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+        .toString.replace('T', ' ')
+      def langs(ms: Long) = rows(spark.sql(
+        s"SELECT doc_id, lang FROM $t TIMESTAMP AS OF '${fmt(ms)}'"))
+      val v0 = rows(base.select($"doc_id", $"lang"))
+      val v1 = rows(base.select($"doc_id",
+        when($"doc_id" % 4 === 0, "ts1").otherwise($"lang").as("lang")))
+      // boundary: exactly the commit moment reads that generation
+      assert(langs(hist(0)) == v0, "AS OF commit(v0) must read v0")
+      assert(langs(hist(1)) == v1, "AS OF commit(v1) must read v1")
+      // between commits: newest at-or-before wins (v0); the sandbox's
+      // real writes are seconds apart so the midpoint is strictly between
+      if (hist(1) > hist(0) + 1)
+        assert(langs((hist(0) + hist(1)) / 2) == v0,
+          "between commits must resolve to the EARLIER generation")
+      // after the last commit: the tip serves (newest <= ts)
+      assert(langs(hist(1) + 3600L * 1000) == v1,
+        "after-last must read the tip")
+      // before the first retained commit: loud failure with the range
+      val e = intercept[Exception](langs(hist(0) - 3600L * 1000))
+      assert(e.getMessage.contains("before the first retained commit"),
+        s"wrong before-first error: ${e.getMessage}")
+      // garbage timestamps and non-constant expressions reject loudly
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM $t TIMESTAMP AS OF 'not a time'").collect())
     }
   }
 
