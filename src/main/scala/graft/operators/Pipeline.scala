@@ -1774,5 +1774,81 @@ object Pipeline {
         UNION ALL SELECT doc_id, h, 'at_v1' FROM v1
         UNION ALL SELECT doc_id, h, 'after_tip' FROM v1
         ORDER BY arm, doc_id"""))
+    ,
+
+    // ── p37: partition∘bucket layout — the lakehouse layout lever the ──
+    // flat CorpusLayout leaves to the StatsManifest: real 100 TB feeds
+    // are partitioned FIRST (ingest date / source stratum), bucketed
+    // second, so a stratum-filtered read prunes whole directories
+    // before any file listing and the key join still ships
+    // zero-Exchange off the bucket spec (both pinned on executed plans
+    // in PartitionedLayoutSpec). The lifecycle-in-query arc: materialize
+    // partitioned by `source`, apply ONE changeset that exercises all
+    // three CoW shapes — in-place update, CROSS-PARTITION key move (the
+    // re-dated-document case: both homes rewrite, nothing else), and
+    // tombstones — then read back a partition-pruned aggregate. The
+    // write bill is the touched (partition, bucket) PAIRS; untouched
+    // files hard-link forward (inode-pinned in the spec). Same
+    // private-sandbox design as p28–p36.
+    GQuery("p37_partitioned_layout",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.{CorpusLayout, PartitionedLayout}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p37")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          PartitionedLayout.materialize(s, corpus, "documents",
+            pcol = "source", buckets = 16)
+          val t = PartitionedLayout.tableName("documents", corpus)
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val changes = base
+            .filter(($"doc_id" % 6 === 0 || $"doc_id" % 23 === 0) &&
+              $"doc_id" % 17 =!= 0)
+            .select($"doc_id", $"text",
+              when($"doc_id" % 6 === 0, "pl").otherwise($"lang").as("lang"),
+              when($"doc_id" % 23 === 0, "src0").otherwise($"source")
+                .as("source"),
+              $"n_chars")
+            .withColumn(MergeOps.TombstoneCol, lit(false))
+            .unionByName(base.filter($"doc_id" % 17 === 0)
+              .select($"doc_id", lit(null).cast("string").as("text"),
+                lit(null).cast("string").as("lang"),
+                lit(null).cast("string").as("source"),
+                lit(null).cast("long").as("n_chars"))
+              .withColumn(MergeOps.TombstoneCol, lit(true)))
+          PartitionedLayout.applyToLayout(s, corpus, changes)
+          // partition-pruned read: the IN list reaches the scan as
+          // partitionFilters — directories outside it are never listed
+          s.table(t)
+            .filter($"source".isin("src0", "src1"))
+            .groupBy($"source", $"lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum($"n_chars".cast("long")).as("chars"))
+            .orderBy($"source", $"lang")
+            // materialize (lineage cut from the sandbox) so its files
+            // can be deleted before the frame is consumed
+            .localCheckpoint()
+        } finally {
+          PartitionedLayout.drop(s, corpus, "documents")
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0 THEN 'pl' ELSE lang END AS lang,
+                 CASE WHEN doc_id % 23 = 0 THEN 'src0' ELSE source END AS source,
+                 n_chars
+          FROM documents WHERE doc_id % 17 <> 0)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM v1 WHERE source IN ('src0', 'src1')
+        GROUP BY source, lang
+        ORDER BY source, lang"""))
   )
 }

@@ -44,7 +44,7 @@ object CorpusLayout {
   val keyed: Map[String, String] =
     Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
-  private def corpusKey(corpusDir: String): String =
+  private[sources] def corpusKey(corpusDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

@@ -1,0 +1,331 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition dimension COMPOSED with bucketing (SURVEY §2.H, round 14).
+  *
+  * Real 100 TB feeds are partitioned first (ingest date, source
+  * stratum) and keyed second: a query that filters the partition column
+  * must prune whole directories BEFORE any file listing or manifest
+  * work, and the key-equality join must still run zero-Exchange off the
+  * bucket spec. The flat [[CorpusLayout]] serves the second property
+  * and leaves the first to the StatsManifest; this layout serves both
+  * structurally — generation dirs gain `pcol=value/` partition subdirs,
+  * each holding that partition's bucket files, so partition pruning is
+  * directory arithmetic (Spark's catalog partition filters) and bucket
+  * co-location is unchanged (the BucketSpec is partition-independent).
+  *
+  * CoW applies rewrite only the touched (partition, bucket) PAIRS and
+  * hard-link every other file forward — the write bill is
+  * `Σ bytes(touched pairs)`, so a changeset confined to one ingest day
+  * costs that day's touched buckets, not the corpus and not even the
+  * day-spanning bucket set the flat layout would pay. A key whose
+  * partition VALUE changes (a re-dated document) touches both homes:
+  * the old pair rewrites without it, the new pair gains it.
+  *
+  * Scoped composition, stated not hidden: CoW only on this form — no
+  * MOR sidecar, column mapping, or z-cluster spec here yet (each
+  * composes on the flat layout; a partitioned table wanting them folds
+  * flat first). The generation chain, single-writer lease, commit-time
+  * stamps and changeset validation mirror [[graft.operators.MergeOps]].
+  *
+  * Partition values must be STRINGS that survive a directory name
+  * verbatim (`[A-Za-z0-9._-]+`): Spark escapes anything else in the
+  * partition path, and the touched-pair bookkeeping (which matches dir
+  * names back to values) refuses loudly rather than guessing the
+  * escaping rules.
+  */
+object PartitionedLayout {
+
+  /** Catalog table name for a corpus table's partitioned layout. */
+  def tableName(table: String, corpusDir: String): String =
+    s"graft_plt_${table}_${CorpusLayout.corpusKey(corpusDir).take(12)}"
+
+  /** Partition-column marker carried by every generation dir. */
+  private[graft] val PcolMarker = "_PCOL"
+
+  private val SafeValue = "[A-Za-z0-9._-]+".r
+
+  private def root(s: SparkSession, corpusDir: String): String =
+    CorpusLayout.layoutRoot(s, corpusDir)
+      .map(_ + "/partitioned")
+      .getOrElse(throw new IllegalStateException(
+        s"${CorpusLayout.ConfKey} is not set on this session — nowhere " +
+          "to materialize a partitioned layout"))
+
+  /** Generation dirs, oldest→newest (same chain shape as the flat
+    * layout, rooted under `partitioned/`). Pure directory listing.
+    */
+  def generations(s: SparkSession, corpusDir: String,
+                  table: String): Seq[(Int, String)] = {
+    val base = java.nio.file.Paths.get(root(s, corpusDir))
+    if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+    else {
+      val kids = java.nio.file.Files.list(base)
+      val prefix = s"${table}_v"
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.map(_.getFileName.toString).collect {
+          case n if n == table => 0 -> s"$base/$n"
+          case n if n.startsWith(prefix) && n.drop(prefix.length).nonEmpty &&
+            n.drop(prefix.length).forall(_.isDigit) =>
+            n.drop(prefix.length).toInt -> s"$base/$n"
+        }.toVector.sortBy(_._1)
+      } finally kids.close()
+    }
+  }
+
+  /** Build generation 0: one file per (partition, bucket) —
+    * `repartition(B, key)` gives each task exactly one bucket, and the
+    * partitioned writer splits that task's rows across its partition
+    * dirs, so the file count is `|partitions present in the bucket|`
+    * per task, never `tasks × B`.
+    */
+  def materialize(s: SparkSession, corpusDir: String, table: String,
+                  pcol: String, buckets: Int = 32): String = {
+    val key = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no layout key (CorpusLayout.keyed)"))
+    require(pcol != key, s"partition column must differ from the key '$key'")
+    val src = s.read.parquet(s"$corpusDir/$table.parquet")
+    require(src.columns.contains(pcol), s"no column '$pcol' in $table")
+    require(src.schema(pcol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"partition column '$pcol' must be STRING (directory-name values)")
+    checkValues(src, pcol)
+    val base = root(s, corpusDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val path = s"$base/$table"
+    val t = tableName(table, corpusDir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    src.repartition(buckets, col(key))
+      .write.format("parquet")
+      .option("path", path)
+      .partitionBy(pcol)
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(t)
+    CorpusLayout.writeBucketsMarker(path, buckets)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, PcolMarker), pcol.getBytes("UTF-8"))
+    CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", path)
+    t
+  }
+
+  /** The served frame (catalog read — partition pruning and the bucket
+    * spec both need the catalog table, not a raw path read).
+    */
+  def ifPresent(s: SparkSession, corpusDir: String,
+                table: String): Option[DataFrame] = {
+    val t = tableName(table, corpusDir)
+    if (s.catalog.tableExists(t)) Some(s.table(t)) else None
+  }
+
+  /** Apply a changeset (upserts + `tombstone` rows) copy-on-write:
+    * rewrite exactly the touched (partition, bucket) pairs, hard-link
+    * everything else. Same contract as
+    * [[graft.operators.MergeOps.applyToLayout]]: one row per key, NULL
+    * keys refuse, the whole chain mutation runs under the single-writer
+    * lease, and the changeset is snapshot-materialized once so
+    * validation and the write see the same rows. Upserts must carry a
+    * non-NULL partition value (it names the row's directory); tombstones
+    * need only the key — their home partition comes from the corpus
+    * lookup that also catches cross-partition moves.
+    */
+  def applyToLayout(s: SparkSession, corpusDir: String, changes0: DataFrame,
+                    table: String = "documents"): String = {
+    val key = CorpusLayout.keyed(table)
+    val t = tableName(table, corpusDir)
+    require(s.catalog.tableExists(t),
+      s"no partitioned layout for ($corpusDir, $table) — run " +
+        "PartitionedLayout.materialize first")
+    graft.operators.GenerationLease.withLease(
+        s, corpusDir, s"$table@partitioned") {
+      // resync: another writer may have advanced the chain since this
+      // session's catalog last looked — serve the filesystem's newest
+      // complete generation before deriving anything from it
+      val newest = generations(s, corpusDir, table).lastOption.map(_._2)
+      val (curLoc0, _) = graft.operators.MergeOps.tableLayout(s, t)
+      if (newest.exists(n => java.nio.file.Paths.get(n).normalize !=
+          java.nio.file.Paths.get(curLoc0).normalize)) {
+        drop(s, corpusDir, table)
+        repairServing(s, corpusDir, table)
+      }
+      val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
+      val pcol = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(curLoc, PcolMarker)), "UTF-8").trim
+      val tomb = graft.operators.MergeOps.TombstoneCol
+      require(changes0.columns.contains(tomb),
+        s"changeset must carry a '$tomb' boolean column")
+      val changes = changes0.localCheckpoint(true)
+      // one job validates keys AND partition values (the key gate
+      // mirrors applyToLayout's; the pcol gate is this layout's own:
+      // an upsert without a partition value has no home directory)
+      val bad = changes.groupBy(col(key))
+        .agg(count(lit(1)).as("__n"),
+          max(when(!col(tomb) && (col(pcol).isNull ||
+            !col(pcol).rlike("^[A-Za-z0-9._-]+$")), 1).otherwise(0))
+            .as("__badp"))
+        .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1)
+        .limit(5).collect()
+      require(bad.isEmpty,
+        s"changeset violates one-row-per-'$key', carries a NULL key, or " +
+          s"an upsert's '$pcol' is NULL / not directory-safe " +
+          s"([A-Za-z0-9._-]+): ${bad.mkString(", ")}")
+      val served = s.table(t)
+      val bucketOf = pmod(hash(col(key)), lit(buckets)).cast("int")
+      // touched pairs = the changeset rows' NEW homes ∪ the matched
+      // keys' OLD homes (one changeset-keyed semi-join — the corpus
+      // side scans only the keys' candidate buckets via the bucket
+      // pruning below at scale; here the join is broadcast-sized)
+      val newPairs = changes.filter(!col(tomb))
+        .select(col(pcol).as("__p"), bucketOf.as("__b"))
+      val oldPairs = served.join(changes.select(col(key)), Seq(key), "left_semi")
+        .select(col(pcol).as("__p"), bucketOf.as("__b"))
+      val touched = newPairs.union(oldPairs).distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val gens = generations(s, corpusDir, table)
+      val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
+      val staging = s"${t}_staging"
+      if (touched.isEmpty) {
+        // no-op changeset (empty, or tombstones for absent keys):
+        // link the whole generation forward — the chain still advances
+        // so the apply is externally observable (epoch, commit stamp)
+        s.sql(s"DROP TABLE IF EXISTS $staging")
+        linkUntouched(curLoc, vpath, Set.empty)
+        val ddl = org.apache.spark.sql.types.StructType(
+          served.schema.filterNot(_.name == pcol)).toDDL
+        s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
+          s"USING PARQUET PARTITIONED BY ($pcol) " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+          s"LOCATION '$vpath'")
+      } else {
+        // a changeset touching MOST pairs is a rewrite wearing CoW's
+        // clothes: past this bound the per-pair predicate tree and the
+        // link walk cost more than the full rewrite they avoid
+        val full = touched.size > 4096
+        val touchedCur = if (full) served else {
+          // read ONLY the touched pairs: the isin conjunct prunes
+          // partitions (directory arithmetic), the per-pair disjunction
+          // narrows to the pair's bucket within them
+          val touchedPs = touched.map(_._1).toSeq
+          val pairPred = touched.map { case (p, b) =>
+            col(pcol) === lit(p) && bucketOf === lit(b)
+          }.reduce(_ || _)
+          served.filter(col(pcol).isin(touchedPs: _*) && pairPred)
+        }
+        val merged = graft.operators.MergeOps.applyChanges(
+          touchedCur, changes, key)
+        s.sql(s"DROP TABLE IF EXISTS $staging")
+        merged.repartition(buckets, col(key))
+          .write.format("parquet")
+          .option("path", vpath)
+          .partitionBy(pcol)
+          .bucketBy(buckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(staging)
+        if (!full) linkUntouched(curLoc, vpath, touched)
+      }
+      CorpusLayout.writeBucketsMarker(vpath, buckets)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(vpath, PcolMarker), pcol.getBytes("UTF-8"))
+      // swing, then RECOVER: the staging table registered only the
+      // partitions the write produced; the linked dirs join the
+      // catalog's partition list here (pure metadata, no data scan)
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"ALTER TABLE $staging RENAME TO $t")
+      s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+      CorpusLayout.refreshRelationCache(s, t)
+      CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", vpath)
+      vpath
+    }
+  }
+
+  /** Hard-link every data file of `curLoc`'s partition subdirs whose
+    * (partition, bucket) pair is untouched into the same relative
+    * location under `vpath`.
+    */
+  private def linkUntouched(curLoc: String, vpath: String,
+                            touched: Set[(String, Int)]): Unit = {
+    val cur = java.nio.file.Paths.get(curLoc)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vpath))
+    val parts = java.nio.file.Files.list(cur)
+    try {
+      import scala.jdk.CollectionConverters._
+      parts.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+        .foreach { pdir =>
+          val dirName = pdir.getFileName.toString
+          val value = dirName.split("=", 2)(1)
+          require(SafeValue.pattern.matcher(value).matches(),
+            s"partition dir '$dirName' carries an escaped value — " +
+              "outside this layout's directory-safe contract")
+          val files = java.nio.file.Files.list(pdir)
+          try {
+            files.iterator().asScala
+              .filter(f => f.getFileName.toString.endsWith(".parquet"))
+              .foreach { f =>
+                val b = graft.operators.MergeOps
+                  .bucketIdOf(f.getFileName.toString)
+                  .getOrElse(throw new IllegalStateException(
+                    s"unbucketed data file in partitioned layout: $f"))
+                if (!touched.contains((value, b))) {
+                  val destDir = java.nio.file.Paths.get(vpath, dirName)
+                  java.nio.file.Files.createDirectories(destDir)
+                  graft.operators.MergeOps.linkOrCopy(
+                    f, destDir.resolve(f.getFileName))
+                }
+              }
+          } finally files.close()
+        }
+    } finally parts.close()
+  }
+
+  /** Non-directory-safe partition values refuse at materialize. */
+  private def checkValues(src: DataFrame, pcol: String): Unit = {
+    val bad = src.filter(col(pcol).isNull ||
+        !col(pcol).rlike("^[A-Za-z0-9._-]+$"))
+      .select(col(pcol)).distinct().limit(3).collect()
+    require(bad.isEmpty,
+      s"partition column '$pcol' holds NULL or non-directory-safe " +
+        s"values (${bad.mkString(", ")}) — this layout stores values " +
+        "as directory names verbatim")
+  }
+
+  /** Drop the catalog table (files stay; a fresh session re-creates the
+    * table from the newest generation with [[repairServing]]).
+    */
+  def drop(s: SparkSession, corpusDir: String, table: String): Unit =
+    s.sql(s"DROP TABLE IF EXISTS ${tableName(table, corpusDir)}")
+
+  /** Re-attach the newest complete generation in a fresh session —
+    * the flat layout's filesystem-as-truth discipline, one tier down.
+    */
+  def repairServing(s: SparkSession, corpusDir: String,
+                    table: String): Option[String] = {
+    val t = tableName(table, corpusDir)
+    if (s.catalog.tableExists(t)) return None
+    generations(s, corpusDir, table).reverse.collectFirst {
+      case (_, p) if java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p, CorpusLayout.BucketsMarker)) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p, PcolMarker)) => p
+    }.map { p =>
+      val buckets = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p, CorpusLayout.BucketsMarker)), "UTF-8")
+        .trim.toInt
+      val pcol = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p, PcolMarker)), "UTF-8").trim
+      val key = CorpusLayout.keyed(table)
+      val schema = s.read.parquet(p).schema
+      val ddl = org.apache.spark.sql.types.StructType(
+        schema.filterNot(_.name == pcol)).toDDL
+      s.sql(s"CREATE TABLE $t ($ddl, $pcol STRING) USING PARQUET " +
+        s"PARTITIONED BY ($pcol) " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$p'")
+      s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+      p
+    }
+  }
+}

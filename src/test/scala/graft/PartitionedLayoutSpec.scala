@@ -1,0 +1,250 @@
+package graft
+
+import graft.operators.MergeOps
+import graft.sources.{CorpusLayout, PartitionedLayout}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The partition∘bucket layout ([[graft.sources.PartitionedLayout]]):
+  * a partition column composed with key bucketing so that (1) a
+  * partition-filtered query prunes whole directories BEFORE file
+  * listing, (2) the key join still plans zero-Exchange off the bucket
+  * spec — both pinned on executed plans of ONE table — and (3) a CoW
+  * apply's write bill is the touched (partition, bucket) PAIRS:
+  * untouched files hard-link forward inode-identically, a
+  * cross-partition key move rewrites exactly its two homes.
+  */
+class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(scans)
+  }
+
+  /** (relative path → inode key) of every data file under a generation's
+    * partition dirs.
+    */
+  private def inodes(gen: String): Map[String, AnyRef] = {
+    val base = java.nio.file.Paths.get(gen)
+    val walk = java.nio.file.Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.getAttribute(p, "unix:fileKey"))
+        .toMap
+    } finally walk.close()
+  }
+
+  private def withSandbox(body: (String, String, DataFrame) => Unit): Unit = {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plt")
+    val corpus = tmp.toString + "/corpus"
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    base.write.parquet(s"$corpus/documents.parquet")
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    try {
+      PartitionedLayout.materialize(spark, corpus, "documents",
+        pcol = "source", buckets = 8)
+      body(corpus, PartitionedLayout.tableName("documents", corpus),
+        base.localCheckpoint())
+    } finally {
+      PartitionedLayout.drop(spark, corpus, "documents")
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
+  test("ONE plan pair: partition filter prunes directories, key join ships zero Exchange") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val sources = base.select($"source").distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(sources.length >= 2, "need >= 2 partitions for a prune pin")
+      val one = sources.head
+
+      // partition prune: the scan's numFiles must be the one
+      // partition's files, not the table's
+      val served = spark.table(t)
+      val total = inodes(PartitionedLayout
+        .generations(spark, corpus, "documents").last._2).size
+      val q1 = served.filter($"source" === one)
+      // collect() so THIS Dataset's executedPlan carries the metrics
+      // (count() plans a separate aggregate execution)
+      assert(q1.collect().length == base.filter($"source" === one).count())
+      val sc1 = scans(q1.queryExecution.executedPlan)
+      assert(sc1.nonEmpty, "no file scan in the pruned read")
+      val nf = sc1.map(_.metrics("numFiles").value).sum
+      assert(nf > 0 && nf < total,
+        s"partition filter did not prune directories: $nf of $total files")
+      assert(sc1.exists(_.partitionFilters.nonEmpty),
+        "no partitionFilters on the scan — the prune would be row-level")
+
+      // zero-Exchange bucket join on the SAME table (self-join by key:
+      // the degenerate spelling of any corpus⋈changeset probe)
+      val a = spark.table(t).select($"doc_id", $"n_chars")
+      val b = spark.table(t).select($"doc_id", $"lang")
+      val j = a.hint("merge").join(b, "doc_id")
+      assert(j.collect().length == base.count(), "self-join lost rows")
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"bucketed key join shuffled:\n$planStr")
+    }
+  }
+
+  test("CoW apply bill = touched (partition, bucket) pairs; values and moves exact") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val srcs = base.select($"source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val (sA, sB) = (srcs(0), srcs(1))
+      // one updated key in sA, one key MOVED sA→sB, one delete in sA —
+      // every other (partition, bucket) pair must ride forward untouched
+      val keys = base.filter($"source" === sA)
+        .orderBy($"doc_id").limit(3).collect().map(_.getLong(0))
+      val Seq(kUpd, kMove, kDel) = keys.toSeq
+      val gen0 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val before = inodes(gen0)
+
+      val changes = base.filter($"doc_id".isin(kUpd, kMove))
+        .select($"doc_id", $"text",
+          when($"doc_id" === kUpd, "upd").otherwise($"lang").as("lang"),
+          when($"doc_id" === kMove, sB).otherwise($"source").as("source"),
+          $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+        .unionByName(base.filter($"doc_id" === kDel)
+          .select($"doc_id", lit(null).cast("string").as("text"),
+            lit(null).cast("string").as("lang"),
+            lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("n_chars"))
+          .withColumn(MergeOps.TombstoneCol, lit(true)))
+      val vpath = PartitionedLayout.applyToLayout(spark, corpus, changes)
+      val after = inodes(vpath)
+
+      // value law: served ≡ the composed expectation, move included
+      val expect = base.filter($"doc_id" =!= kDel)
+        .select($"doc_id", $"text",
+          when($"doc_id" === kUpd, "upd").otherwise($"lang").as("lang"),
+          when($"doc_id" === kMove, sB).otherwise($"source").as("source"),
+          $"n_chars")
+      val served = spark.table(t)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      assert(rows(served) == rows(expect),
+        "partitioned apply diverged from the composed expectation")
+      assert(spark.table(t).filter($"doc_id" === kMove)
+        .select($"source").head().getString(0) == sB,
+        "moved key must serve from its NEW partition")
+
+      // bill law: the touched pairs are (sA, b(kUpd)) ∪ (sA, b(kMove))
+      // ∪ (sA, b(kDel)) ∪ (sB, b(kMove)) — at most 4 rewritten files;
+      // every other file is the SAME inode as generation 0
+      def bucketOf(k: Long) = {
+        val b = spark.range(1).select(
+          pmod(hash(lit(k)), lit(8)).cast("int")).head().getInt(0)
+        b
+      }
+      val touched = Set((sA, bucketOf(kUpd)), (sA, bucketOf(kMove)),
+        (sA, bucketOf(kDel)), (sB, bucketOf(kMove)))
+      val rewritten = after.filterNot { case (rel, ino) =>
+        before.get(rel).contains(ino) }
+      assert(rewritten.size <= touched.size,
+        s"apply rewrote ${rewritten.size} files for ${touched.size} " +
+          s"touched pairs: ${rewritten.keys.mkString(", ")}")
+      val linked = after.count { case (rel, ino) =>
+        before.get(rel).contains(ino) }
+      assert(linked == after.size - rewritten.size && linked > 0,
+        "untouched files must hard-link forward inode-identically")
+      // every rewritten file sits in a touched pair's directory+bucket
+      rewritten.keys.foreach { rel =>
+        val p = rel.split("/")(0).split("=", 2)(1)
+        val b = MergeOps.bucketIdOf(rel.split("/").last).get
+        assert(touched.contains((p, b)),
+          s"file outside the touched pairs rewrote: $rel")
+      }
+    }
+  }
+
+  test("guards: duplicate keys, NULL/unsafe partition values, absent-key tombstone no-op") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      def full(ids: DataFrame) = ids.join(base, "doc_id")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      // duplicate key
+      val dup = full(spark.range(1, 2).toDF("doc_id"))
+      intercept[IllegalArgumentException](PartitionedLayout.applyToLayout(
+        spark, corpus, dup.unionByName(dup)))
+      // upsert with a NULL partition value has no home directory
+      val nullp = full(spark.range(1, 2).toDF("doc_id"))
+        .withColumn("source", lit(null).cast("string"))
+      intercept[IllegalArgumentException](
+        PartitionedLayout.applyToLayout(spark, corpus, nullp))
+      // unsafe (escaped-in-path) partition value refuses
+      val unsafe = full(spark.range(1, 2).toDF("doc_id"))
+        .withColumn("source", lit("a b/c"))
+      intercept[IllegalArgumentException](
+        PartitionedLayout.applyToLayout(spark, corpus, unsafe))
+      // tombstones for absent keys: a complete no-op generation — the
+      // chain advances, contents identical, everything hard-linked
+      val gens0 = PartitionedLayout.generations(spark, corpus, "documents")
+      val ghost = spark.range(900000, 900002).toDF("doc_id")
+        .select($"doc_id", lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+        .withColumn(MergeOps.TombstoneCol, lit(true))
+      val before = inodes(gens0.last._2)
+      val vpath = PartitionedLayout.applyToLayout(spark, corpus, ghost)
+      assert(PartitionedLayout.generations(spark, corpus, "documents")
+        .size == gens0.size + 1, "no-op apply must still advance the chain")
+      val after = inodes(vpath)
+      assert(after == before.map { case (k, v) => k -> v },
+        "no-op generation must hard-link every file")
+      assert(rows(spark.table(t)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")) ==
+        rows(base.select($"doc_id", $"text", $"lang", $"source", $"n_chars")),
+        "no-op apply changed served contents")
+    }
+  }
+
+  test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      val changes = base.filter($"doc_id" === k)
+        .select($"doc_id", $"text", lit("rp").as("lang"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      PartitionedLayout.applyToLayout(spark, corpus, changes)
+      val want = rows(spark.table(t))
+      // simulate the fresh JVM: registration gone, files stay
+      PartitionedLayout.drop(spark, corpus, "documents")
+      assert(PartitionedLayout.ifPresent(spark, corpus, "documents").isEmpty)
+      val attached = PartitionedLayout.repairServing(spark, corpus, "documents")
+      assert(attached.exists(_.contains("documents_v1")),
+        s"repair must attach the newest generation, got $attached")
+      assert(rows(spark.table(t)) == want,
+        "repaired serving diverged from the pre-drop one")
+    }
+  }
+}
