@@ -330,6 +330,74 @@ object ScalingBench {
     spark.conf.unset(graft.sources.CorpusLayout.ConfKey)
     }
 
+    if (enabled("part_apply")) {
+    // ── partition∘bucket CoW (round 14): the same one-stratum trickle
+    // applied to the PARTITIONED layout (touched (partition, bucket)
+    // pairs rewrite) vs the FLAT layout (touched buckets rewrite —
+    // each one spanning every stratum). The rewritten-MB ratio is the
+    // claim: a changeset confined to one partition of P should bill
+    // ~1/P of the flat layout's bucket bytes, because the pair's file
+    // holds only that stratum's slice of the bucket.
+    import graft.sources.{CorpusLayout, PartitionedLayout}
+    val plBase = java.nio.file.Files.createTempDirectory("graft_scaling_pl").toString
+    spark.conf.set(CorpusLayout.ConfKey, plBase)
+    val plT0 = System.nanoTime()
+    PartitionedLayout.materialize(spark, sfDir, "documents",
+      pcol = "source", buckets = 32)
+    results :+= ("part_apply/layout_build" -> (System.nanoTime() - plT0) / 1e9)
+    // trickle confined to ONE stratum: 8 updates + 2 tombstones in src3
+    def oneStratum(src: DataFrame): DataFrame = {
+      val rows = src.filter($"source" === "src3").orderBy($"doc_id").limit(10)
+      rows.withColumn("tombstone", $"doc_id" % 5 === 0)
+        .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+          $"lang", $"source", ($"n_chars" + 8L).as("n_chars"), $"tombstone")
+    }
+    val plTrickle = oneStratum(docs).cache()
+    plTrickle.count()
+    arm("part_apply/pair_cow") {
+      PartitionedLayout.applyToLayout(spark, sfDir, plTrickle)
+    }
+    // rewritten vs linked split across the partition subdirs (relative
+    // path + inode compare — the partitioned spelling of cowSplitMb)
+    locally {
+      val gens = PartitionedLayout.generations(spark, sfDir, "documents")
+      val (last, prev) = (gens.last._2, gens(gens.size - 2)._2)
+      def files(g: String): Map[String, java.nio.file.Path] = {
+        val base = java.nio.file.Paths.get(g)
+        val walk = java.nio.file.Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => base.relativize(p).toString -> p).toMap
+        } finally walk.close()
+      }
+      val (prevF, lastF) = (files(prev), files(last))
+      val (linked, rewritten) = lastF.partition { case (rel, p) =>
+        prevF.get(rel).exists(o => java.nio.file.Files.isSameFile(o, p)) }
+      def mb(m: Map[String, java.nio.file.Path]) =
+        math.round(m.values.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      results :+= ("part_apply/pair_linked_mb" -> mb(linked))
+      results :+= ("part_apply/pair_rewritten_mb" -> mb(rewritten))
+      results :+= ("part_apply/pair_rewritten_files" -> rewritten.size.toDouble)
+    }
+    PartitionedLayout.drop(spark, sfDir, "documents")
+    // the SAME stratum trickle on the flat layout at the same B
+    CorpusLayout.materialize(spark, sfDir)
+    arm("part_apply/flat_cow") {
+      graft.operators.MergeOps.applyToLayout(spark, sfDir, plTrickle)
+    }
+    locally {
+      val (_, rewrittenMb) = cowSplitMb(sfDir)
+      results :+= ("part_apply/flat_rewritten_mb" -> rewrittenMb)
+    }
+    plTrickle.unpersist()
+    CorpusLayout.drop(spark, sfDir)
+    spark.conf.unset(CorpusLayout.ConfKey)
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(plBase))
+    }
+
     if (enabled("merge_sized")) {
     // ── CDC MERGE apply under the SIZING POLICY (round 12): §8's honest
     // limit closed and re-measured. With TargetBucketBytesKey set, B
