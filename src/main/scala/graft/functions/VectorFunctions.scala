@@ -209,6 +209,26 @@ object VectorFunctions {
        / (sqrt(list_sum(list_transform(range(1, 65), k -> $a[k] * $a[k])))
           * sqrt(list_sum(list_transform(range(1, 65), k -> $b[k] * $b[k]))))"""
 
+  /** Per-vector norm for [[cosineSimNormedSql]] — the SAME sequential
+    * sum-of-squares [[cosineSimSql]] inlines, hoisted into a CTE.
+    */
+  def normSql(v: String): String =
+    s"sqrt(list_sum(list_transform(range(1, 65), k -> $v[k] * $v[k])))"
+
+  /** Norm-FACTORED spelling of [[cosineSimSql]] for pair-quadratic
+    * oracles (d05's 200M pairs, s05/s18's 44M-pair LSH seed at sf1):
+    * `na`/`nb` name [[normSql]] columns precomputed once per VECTOR, so
+    * the per-pair work is one dot product instead of three transforms —
+    * the round-14 sf1 sweep spent 40+ DuckDB-minutes inside one such
+    * query before this. Bit-identical to the inline spelling by
+    * construction: the norm is the same float sequence evaluated once
+    * instead of per pair, and `dot / (na * nb)` is the same expression
+    * tree — no reassociation anywhere, so the 4-dp ROUND can never see
+    * a different value (§6's parity discipline).
+    */
+  def cosineSimNormedSql(a: String, b: String, na: String, nb: String): String =
+    s"list_sum(list_transform(range(1, 65), k -> $a[k] * $b[k])) / ($na * $nb)"
+
   /** Inner product via the codegen'd [[DotProduct]] expression. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

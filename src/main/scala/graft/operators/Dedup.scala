@@ -609,11 +609,15 @@ object Dedup {
           .select($"i", $"j", roundz($"cos", 4).as("cos"))
           .orderBy($"i", $"j")
       },
+      // norm-factored pair cosine (cosineSimNormedSql): bit-identical,
+      // 3× fewer per-pair transforms over the O(n²) join — at sf1 the
+      // inline spelling costs DuckDB ~40 min in this one query
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        en AS (SELECT vec_id, v, ${normSql("v")} AS nv FROM e),
         p AS (SELECT x.vec_id AS i, y.vec_id AS j,
-                     ${cosineSimSql("x.v", "y.v")} AS cos
-              FROM e x JOIN e y ON x.vec_id < y.vec_id)
+                     ${cosineSimNormedSql("x.v", "y.v", "x.nv", "y.nv")} AS cos
+              FROM en x JOIN en y ON x.vec_id < y.vec_id)
         SELECT i, j, (ROUND(cos, 4) + 0.0) AS cos FROM p WHERE cos >= 0.45 ORDER BY i, j""")),
 
     // ── d06: the scale path for embedding near-dup: sign-LSH bucket join ──
@@ -642,9 +646,10 @@ object Dedup {
                            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
                            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
                    FROM embeddings),
+        en AS (SELECT vec_id, v, bucket, ${normSql("v")} AS nv FROM e),
         p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.bucket AS bucket,
-                     ${cosineSimSql("x.v", "y.v")} AS cos
-              FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+                     ${cosineSimNormedSql("x.v", "y.v", "x.nv", "y.nv")} AS cos
+              FROM en x JOIN en y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT i, j, bucket, (ROUND(cos, 4) + 0.0) AS cos FROM p WHERE cos >= 0.4 ORDER BY i, j""")),
 
     // ── d07: inter-document duplicated-shingle coverage (the MassiveText- ──
@@ -986,9 +991,10 @@ object Dedup {
                           ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY (ROUND(${cosineSimSql("e.v", "cent.centroid")}, 4) + 0.0) DESC, c_label ASC) AS rn
                    FROM e, cent),
-        assigned AS (SELECT vec_id, v, c_label AS cell FROM scored WHERE rn = 1),
+        assigned AS (SELECT vec_id, v, ${normSql("v")} AS nv,
+                            c_label AS cell FROM scored WHERE rn = 1),
         pairs AS (SELECT x.cell AS cell, x.vec_id AS i, y.vec_id AS j,
-                         ${cosineSimSql("x.v", "y.v")} AS cos
+                         ${cosineSimNormedSql("x.v", "y.v", "x.nv", "y.nv")} AS cos
                   FROM assigned x JOIN assigned y
                     ON x.cell = y.cell AND x.vec_id < y.vec_id)
         SELECT cell, i, j, (ROUND(cos, 4) + 0.0) AS cos FROM pairs

@@ -256,18 +256,21 @@ object Similarity {
           .select($"src", $"rn", $"dst", $"cos")
           .orderBy($"src", $"rn")
       },
+      // norm-factored seed cosine (cosineSimNormedSql): bit-identical,
+      // 3× fewer per-pair transforms over the 44M-pair band join at sf1
       Some(s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           (${signBucketSql("embedding", 6)}) AS bucket
                    FROM embeddings),
-        probes AS (SELECT vec_id AS src, v AS xv,
+        e AS (SELECT vec_id, v, bucket, ${normSql("v")} AS nv FROM e0),
+        probes AS (SELECT vec_id AS src, v AS xv, nv AS nx,
                           unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
                                   xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
                    FROM e),
         scored AS (SELECT src, e.vec_id AS dst,
-                          (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) AS cos,
+                          (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) AS cos,
                           ROW_NUMBER() OVER (PARTITION BY src
-                            ORDER BY (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) DESC, e.vec_id ASC) AS rn
+                            ORDER BY (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) DESC, e.vec_id ASC) AS rn
                    FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id)
         SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
         ORDER BY src, rn""")),
@@ -1034,16 +1037,18 @@ object Similarity {
       // (44M seed pairs ≈ 44 GB, >70 GB of temp spill at 20k vectors);
       // with (src, dst, cos) projections the same sweep runs in memory.
       // Values are identical: the rank keys are the same rounded cos.
+      // norm-factored pair cosines — s05's discipline, both scoring CTEs
       Some(s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           (${signBucketSql("embedding", 6)}) AS bucket
                    FROM embeddings),
-        probes AS (SELECT vec_id AS src, v AS xv,
+        e AS (SELECT vec_id, v, bucket, ${normSql("v")} AS nv FROM e0),
+        probes AS (SELECT vec_id AS src, v AS xv, nv AS nx,
                           unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
                                   xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
                    FROM e),
         seed_cos AS (SELECT src, e.vec_id AS dst,
-                            (ROUND(${cosSql("xv", "e.v")}, 4) + 0.0) AS cos
+                            (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) AS cos
                      FROM probes JOIN e ON probes.probe = e.bucket
                                        AND probes.src <> e.vec_id),
         seed_scored AS (SELECT src, dst,
@@ -1058,7 +1063,7 @@ object Similarity {
                  WHERE g1.a <> g2.b
                  UNION SELECT src, dst FROM knn),
         cand_cos AS (SELECT cand.src, cand.dst,
-                            (ROUND(${cosSql("ex.v", "ey.v")}, 4) + 0.0) AS cos
+                            (ROUND(${cosineSimNormedSql("ex.v", "ey.v", "ex.nv", "ey.nv")}, 4) + 0.0) AS cos
                      FROM cand JOIN e ex ON cand.src = ex.vec_id
                                JOIN e ey ON cand.dst = ey.vec_id),
         ref AS (SELECT src, dst, cos,
