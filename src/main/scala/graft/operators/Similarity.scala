@@ -267,11 +267,13 @@ object Similarity {
                           unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
                                   xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
                    FROM e),
-        scored AS (SELECT src, e.vec_id AS dst,
-                          (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) AS cos,
+        seed_cos AS (SELECT src, e.vec_id AS dst,
+                            (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) AS cos
+                     FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id),
+        scored AS (SELECT src, dst, cos,
                           ROW_NUMBER() OVER (PARTITION BY src
-                            ORDER BY (ROUND(${cosineSimNormedSql("xv", "e.v", "nx", "e.nv")}, 4) + 0.0) DESC, e.vec_id ASC) AS rn
-                   FROM probes JOIN e ON probes.probe = e.bucket AND probes.src <> e.vec_id)
+                            ORDER BY cos DESC, dst ASC) AS rn
+                   FROM seed_cos)
         SELECT src, rn, dst, cos FROM scored WHERE rn <= 2
         ORDER BY src, rn""")),
 
@@ -1019,7 +1021,12 @@ object Similarity {
         // vector fetches as hash joins for the same reason as the seed:
         // an SMJ here would sort the CANDIDATE-sized stream with a
         // 64-double array attached (2-hop volume is hub-quadratic in the
-        // undirected top-2 graph, so this side is the big one)
+        // undirected top-2 graph, so this side is the big one). Measured
+        // at sf1: this shape benches 8.7 s / zero spill on the full
+        // board (docs/BENCH_SF1.json) vs 5.0 s / 978 MB spill before the
+        // round-14 seed fix; an explicit-broadcast spelling of the
+        // fetches re-spilled ~144 MB intermittently under BenchOne's
+        // cold harness, so the exchange-then-hash shape is the one kept.
         cand
           .join(e.select($"vec_id".as("src"), $"v".as("xv"))
             .hint("shuffle_hash"), "src")
