@@ -44,8 +44,9 @@ object BenchOne {
       val s0 = spilled.get()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      Thread.sleep(300) // listener delivery is async
-      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      val dt = System.nanoTime() - t0
+      Thread.sleep(300) // listener delivery is async (not part of timed run)
+      println(f"[benchone] $name run$i: ${dt / 1e9}%.2f s " +
         f"($n rows, spill ${(spilled.get() - s0) / 1e6}%.1f MB)")
       if (cold) {
         spark.catalog.clearCache()

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.GQuery._
+import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1664,6 +1665,28 @@ object EventOps {
                p.p_value
         FROM errors e ASOF LEFT JOIN purchases p
           ON e.user_id = p.user_id AND e.ts >= p.pts
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ── e41: the e05 stateful-sessionization machinery under the ──
+    // ORACLE gate: EventStreams.sessionize is the flatMapGroupsWithState
+    // state machine the streaming form checkpoints per micro-batch;
+    // Spark executes the same typed operator in batch (one shuffle on
+    // user_id, the state machine folds each user's sorted history once),
+    // so the driver's DuckDB gap-chain mirror pins the STATE-MACHINE
+    // semantics — not just the window-function twin e02 — closing §2.F's
+    // one spec-only row. StreamingSpec separately pins streaming ≡ this.
+    GQuery("e41_stateful_sessions",
+      (s, d) => {
+        import s.implicits._
+        EventStreams.sessionize(
+            ev(s, d).select($"event_id", $"ts", $"user_id", $"event_type",
+              $"value").as[EventStreams.Event])
+          .toDF()
+          .orderBy($"user_id", $"session_id")
+      },
+      Some(s"""
+        WITH $sessSql
+        SELECT user_id, session_id, n_events, start_us, end_us
+        FROM sess ORDER BY user_id, session_id"""))
   )
 }

@@ -494,17 +494,35 @@ object Relational {
         ORDER BY o_orderkey""")),
 
     // ── q24: HLL approximate distinct — sketch-based, constant memory ──
-    // at any scale (no SQL oracle: estimator is engine-specific).
+    // at any scale. The estimate itself is engine-specific (no engine-
+    // portable value), so the oracle-checkable spelling emits the EXACT
+    // distinct count plus a `within_bound` flag asserting the HLL
+    // estimate landed inside 3·rsd of it — DuckDB mirrors the exact
+    // count and `TRUE` for the flag, making the row hash-checkable. The
+    // exact count_distinct is the TEST arm only: the operator under
+    // test is the sketch, and at 100 TB you run the sketch alone (one
+    // map-combined pass, ~1.5 KB of state per group vs a full distinct
+    // shuffle for the exact arm).
     GQuery("q24_approx_distinct",
       (s, d) => {
         import s.implicits._
+        val rsd = 0.02
         t(s, d, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          .agg(approx_count_distinct($"l_partkey", rsd).as("approx_parts"),
+            count_distinct($"l_partkey").as("exact_parts"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag", $"exact_parts", $"n",
+            (abs($"approx_parts" - $"exact_parts").cast(DoubleType)
+              <= lit(3 * rsd) * $"exact_parts").as("within_bound"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
     // ── q25: set operations — INTERSECT / EXCEPT as shuffle-dedup set ──
     // algebra over nation keys.

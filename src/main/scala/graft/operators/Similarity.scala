@@ -111,6 +111,118 @@ object Similarity {
                    GROUP BY c_label, pos),
         cent AS (SELECT c_label, list(m ORDER BY pos) AS centroid FROM coords GROUP BY c_label)"""
 
+  /** One unrolled NN-descent round for s18's oracle: CTEs `und_r` /
+    * `cand_r` / `sc_r` / `g_r(src, dst, cos, rn)` / `u_r(rate)` refining
+    * `prev` (`knn` for round 1, `g_{r-1}` after). The rate CTE mirrors
+    * [[nnDescentRounds]]'s changed-edge fraction exactly — integer
+    * counts into one double division, no reassociation.
+    */
+  private def s18RoundSql(r: Int): String = {
+    val prev = if (r == 1) "knn" else s"g${r - 1}"
+    s"""und$r AS (SELECT src AS a, dst AS b FROM $prev
+                UNION SELECT dst, src FROM $prev),
+        cand$r AS (SELECT DISTINCT u1.a AS src, u2.b AS dst
+                 FROM und$r u1 JOIN und$r u2 ON u1.b = u2.a
+                 WHERE u1.a <> u2.b
+                 UNION SELECT src, dst FROM $prev),
+        sc$r AS (SELECT cand$r.src, cand$r.dst,
+                        (ROUND(${cosineSimNormedSql("ex.v", "ey.v", "ex.nv", "ey.nv")}, 4) + 0.0) AS cos
+                 FROM cand$r JOIN e ex ON cand$r.src = ex.vec_id
+                             JOIN e ey ON cand$r.dst = ey.vec_id),
+        g$r AS (SELECT src, dst, cos, rn FROM (
+                  SELECT src, dst, cos,
+                         ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY cos DESC, dst ASC) AS rn
+                  FROM sc$r) WHERE rn <= 2),
+        u$r AS (SELECT CAST(COUNT(*) FILTER (WHERE p.src IS NULL) AS DOUBLE)
+                         / COUNT(*) AS rate
+                FROM g$r LEFT JOIN $prev p
+                  ON g$r.src = p.src AND g$r.dst = p.dst)"""
+  }
+
+  /** s18's round cap and Dong et al.'s convergence threshold: a round
+    * that changes fewer than this fraction of graph edges ends the
+    * descent. Mirrored VERBATIM in the unrolled oracle — change both.
+    */
+  private[graft] val NnDescentMaxRounds = 3
+  private[graft] val NnDescentEps = 0.001
+
+  /** The s18 machinery, factored so PropertySpec can pin the per-round
+    * monotone-quality law on the same frames the query outputs: returns
+    * (seed edge graph (src, dst), per-round scored graphs (src, dst,
+    * cos, rn), rounds actually run). Each round localCheckpoints —
+    * round r+1's three consumers (undirected set, candidate union,
+    * convergence count) would otherwise re-run the whole descent prefix.
+    *
+    * Seed join shape (s05's r13 spill fix): shuffled-hash band join — no
+    * sort ever sees the wide probe rows. Refinement vector fetches are
+    * hash joins for the same reason: an SMJ would sort the CANDIDATE-
+    * sized stream with a 64-double array attached (2-hop volume is
+    * hub-quadratic in the undirected top-2 graph). Measured at sf1: this
+    * shape benches 8.7 s / zero spill on the full board
+    * (docs/BENCH_SF1.json) vs 5.0 s / 978 MB spill before the round-14
+    * seed fix; an explicit-broadcast spelling of the fetches re-spilled
+    * ~144 MB intermittently under BenchOne's cold harness, so the
+    * exchange-then-hash shape is the one kept.
+    *
+    * The convergence probe is one changed-edge count per round — a
+    * graph-sized (2 rows/src, 2 ids each) left join, never corpus work;
+    * its cost is what buys skipping whole refinement rounds at scale.
+    */
+  private[graft] def nnDescentRounds(s: SparkSession, d: String,
+      maxRounds: Int = NnDescentMaxRounds)
+      : (DataFrame, Seq[DataFrame], Int) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
+      signBucket($"embedding", 6).as("bucket"))
+    // s05's seed graph: 1-bit-probe LSH candidates, per-src top-2
+    val probes = e.select($"vec_id".as("src"), $"v".as("xv"),
+      explode(array(($"bucket" +:
+        (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
+    val wSeed = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket")
+          .hint("shuffle_hash"),
+        $"probe" === $"bucket" && $"src" =!= $"dst")
+      .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter($"rn" <= 2)
+      .select($"src", $"dst")
+      .localCheckpoint()
+    val wRef = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    var graph = knn
+    var perRound = Vector.empty[DataFrame]
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val und = graph.union(graph.select($"dst", $"src")).toDF("a", "b").distinct()
+      val hop2 = und.as("g1").join(und.as("g2"), $"g1.b" === $"g2.a")
+        .select($"g1.a".as("src"), $"g2.b".as("dst"))
+        .filter($"src" =!= $"dst")
+      val cand = hop2.union(graph).distinct()
+      val scored = cand
+        .join(e.select($"vec_id".as("src"), $"v".as("xv"))
+          .hint("shuffle_hash"), "src")
+        .join(e.select($"vec_id".as("dst"), $"v".as("yv"))
+          .hint("shuffle_hash"), "dst")
+        .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
+        .withColumn("rn", row_number().over(wRef))
+        .filter($"rn" <= 2)
+        .localCheckpoint()
+      val next = scored.select($"src", $"dst")
+      val stats = next
+        .join(graph.withColumn("__old", lit(1)), Seq("src", "dst"), "left")
+        .agg(count(when($"__old".isNull, 1)).as("changed"),
+          count(lit(1)).as("total")).head()
+      rounds += 1
+      converged =
+        stats.getLong(0).toDouble / stats.getLong(1) < NnDescentEps
+      graph = next
+      perRound = perRound :+ scored
+    }
+    (knn, perRound, rounds)
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ── s01: brute-force cosine top-k for one query vector (vec_id 0): ──
@@ -974,68 +1086,31 @@ object Similarity {
         FROM per, n1
         GROUP BY nprobe, n_corpus ORDER BY nprobe""")),
 
-    // ── s18: one NN-descent refinement round over s05's LSH-seeded k-NN ──
-    // graph — the standard way a cheap approximate graph converges toward
-    // the true one (Dong et al., WWW'11): a node's improved neighbors
-    // hide among its neighbors' neighbors. Candidates = current edges ∪
-    // 2-hop paths through the UNDIRECTED graph (reverse edges included:
-    // "x is my neighbor" is evidence in both directions), rescored
-    // exactly, per-src top-2. Every stage is an equality join on vec ids;
-    // candidate count is bounded by (2k)² per node regardless of corpus
-    // size — no pairwise stage, no broadcast of the corpus. At 100 TB the
-    // graph table is materialized like the signature store and each
-    // descent round is this same bounded self-join. PropertySpec pins the
-    // invariant that makes it NN-DESCENT: refinement never loses quality
-    // (per-src best cos is monotonically non-decreasing vs s05).
+    // ── s18: NN-descent over s05's LSH-seeded k-NN graph, iterated to ──
+    // CONVERGENCE (Dong et al., WWW'11): a node's improved neighbors hide
+    // among its neighbors' neighbors, so each round's candidates = current
+    // edges ∪ 2-hop paths through the UNDIRECTED graph (reverse edges
+    // included — "x is my neighbor" is evidence in both directions),
+    // rescored exactly, per-src top-2. Rounds repeat until the paper's
+    // stop rule fires — the fraction of edges CHANGED by a round drops
+    // under ε — or the bounded round cap (both in [[nnDescentRounds]]).
+    // Every stage is an equality join on vec ids; candidate count is
+    // bounded by (2k)² per node regardless of corpus size and SHRINKS as
+    // the graph stabilizes — no pairwise stage, no broadcast of the
+    // corpus. At 100 TB the graph table is materialized like the
+    // signature store and each descent round is this same bounded
+    // self-join. The output carries the data-dependent `rounds` the loop
+    // actually ran; the oracle unrolls the cap statically and picks the
+    // same round via the same rate rule, so the CONVERGENCE decision is
+    // itself oracle-gated. PropertySpec pins the invariant that makes it
+    // NN-DESCENT: per-src best cos is monotonically non-decreasing across
+    // EVERY round (not just vs the seed).
     GQuery("s18_nn_descent",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
-          signBucket($"embedding", 6).as("bucket"))
-        // s05's seed graph: 1-bit-probe LSH candidates, per-src top-2
-        val probes = e.select($"vec_id".as("src"), $"v".as("xv"),
-          explode(array(($"bucket" +:
-            (0 until 6).map(b => $"bucket".bitwiseXOR(lit(1 << b)))): _*)).as("probe"))
-        val wSeed = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
-        // localCheckpoint: the seed graph feeds BOTH the undirected edge
-        // set and the candidate union — without it Spark re-runs the LSH
-        // join + ranking window once per consumer (d08's discipline).
-        // shuffled-hash band join — s05's r13 spill fix (see the note
-        // there): no sort ever sees the wide probe rows
-        val knn = probes.join(e.select($"vec_id".as("dst"), $"v".as("yv"), $"bucket")
-              .hint("shuffle_hash"),
-            $"probe" === $"bucket" && $"src" =!= $"dst")
-          .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
-          .withColumn("rn", row_number().over(wSeed))
-          .filter($"rn" <= 2)
-          .select($"src", $"dst")
-          .localCheckpoint()
-        // undirected edge set, then 2-hop candidates ∪ the current edges
-        val und = knn.union(knn.select($"dst", $"src")).toDF("a", "b").distinct()
-        val hop2 = und.as("g1").join(und.as("g2"), $"g1.b" === $"g2.a")
-          .select($"g1.a".as("src"), $"g2.b".as("dst"))
-          .filter($"src" =!= $"dst")
-        val cand = hop2.union(knn).distinct()
-        val wRef = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
-        // vector fetches as hash joins for the same reason as the seed:
-        // an SMJ here would sort the CANDIDATE-sized stream with a
-        // 64-double array attached (2-hop volume is hub-quadratic in the
-        // undirected top-2 graph, so this side is the big one). Measured
-        // at sf1: this shape benches 8.7 s / zero spill on the full
-        // board (docs/BENCH_SF1.json) vs 5.0 s / 978 MB spill before the
-        // round-14 seed fix; an explicit-broadcast spelling of the
-        // fetches re-spilled ~144 MB intermittently under BenchOne's
-        // cold harness, so the exchange-then-hash shape is the one kept.
-        cand
-          .join(e.select($"vec_id".as("src"), $"v".as("xv"))
-            .hint("shuffle_hash"), "src")
-          .join(e.select($"vec_id".as("dst"), $"v".as("yv"))
-            .hint("shuffle_hash"), "dst")
-          .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
-          .withColumn("rn", row_number().over(wRef))
-          .filter($"rn" <= 2)
-          .select($"src", $"rn", $"dst", $"cos")
+        val (_, perRound, rounds) = nnDescentRounds(s, d)
+        perRound.last
+          .select($"src", $"rn", $"dst", $"cos", lit(rounds).as("rounds"))
           .orderBy($"src", $"rn")
       },
       // Oracle shape note (the sf1 lesson): the scoring CTEs project the
@@ -1063,21 +1138,15 @@ object Similarity {
                                  ORDER BY cos DESC, dst ASC) AS rn
                         FROM seed_cos),
         knn AS (SELECT src, dst FROM seed_scored WHERE rn <= 2),
-        und AS (SELECT src AS a, dst AS b FROM knn
-                UNION SELECT dst, src FROM knn),
-        cand AS (SELECT DISTINCT g1.a AS src, g2.b AS dst
-                 FROM und g1 JOIN und g2 ON g1.b = g2.a
-                 WHERE g1.a <> g2.b
-                 UNION SELECT src, dst FROM knn),
-        cand_cos AS (SELECT cand.src, cand.dst,
-                            (ROUND(${cosineSimNormedSql("ex.v", "ey.v", "ex.nv", "ey.nv")}, 4) + 0.0) AS cos
-                     FROM cand JOIN e ex ON cand.src = ex.vec_id
-                               JOIN e ey ON cand.dst = ey.vec_id),
-        ref AS (SELECT src, dst, cos,
-                       ROW_NUMBER() OVER (PARTITION BY src
-                         ORDER BY cos DESC, dst ASC) AS rn
-                FROM cand_cos)
-        SELECT src, rn, dst, cos FROM ref WHERE rn <= 2
+        ${(1 to NnDescentMaxRounds).map(s18RoundSql).mkString(",\n        ")},
+        pick AS (SELECT CASE ${(1 until NnDescentMaxRounds).map(r =>
+          s"WHEN (SELECT rate FROM u$r) < $NnDescentEps THEN $r")
+          .mkString(" ")} ELSE $NnDescentMaxRounds END AS k)
+        SELECT src, rn, dst, cos, (SELECT k FROM pick) AS rounds
+        FROM (${(1 to NnDescentMaxRounds).map(r =>
+          s"SELECT src, rn, dst, cos, $r AS kk FROM g$r")
+          .mkString("\n              UNION ALL ")})
+        WHERE kk = (SELECT k FROM pick)
         ORDER BY src, rn""")),
 
     // ── s19: hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of ──

@@ -84,6 +84,11 @@ private[plans] object LayoutSql {
     import org.apache.spark.sql.functions._
     val from = raw.schema(name).dataType
     if (from == to) col(name)
+    // NULL-literal assignments type as NullType; nothing casts TO NullType,
+    // so the round-trip probe below would fail analysis on valid DML
+    // (`SET c = NULL`). NULL round-trips to any type trivially.
+    else if (from == org.apache.spark.sql.types.NullType)
+      lit(null).cast(to).as(name)
     else {
       val casted = col(name).try_cast(to)
       when(col(name).isNotNull &&

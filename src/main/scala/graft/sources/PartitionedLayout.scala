@@ -24,10 +24,26 @@ import org.apache.spark.sql.functions._
   * partition VALUE changes (a re-dated document) touches both homes:
   * the old pair rewrites without it, the new pair gains it.
   *
-  * Scoped composition, stated not hidden: CoW only on this form — no
-  * MOR sidecar, column mapping, or z-cluster spec here yet (each
-  * composes on the flat layout; a partitioned table wanting them folds
-  * flat first). The generation chain, single-writer lease, commit-time
+  * Merge-on-read composes here too (round 15): with
+  * `spark.graft.merge.mode=mor` an apply hard-links EVERY base file
+  * forward (zero base bytes — the per-pair CoW floor disappears) and
+  * folds the changeset into per-partition `_dv/` sidecars under the
+  * touched partitions' dirs; untouched partitions carry their sidecars
+  * forward verbatim. Per-partition (not one root sidecar) because
+  * that's the 100 TB operating point: a one-day trickle writes one
+  * day's sidecar, maintenance touches one directory, and a
+  * partition-filtered read's delta scan prunes to the named partitions'
+  * sidecar files. The read composes `base ⊖ ∪tombstones ∪ deltas`
+  * (key-global anti-join is sound — keys are unique corpus-wide, so a
+  * base row lives only in its serving partition); [[ifPresent]] returns
+  * the composed frame and [[composedServing]] closes the bare SQL-name
+  * spelling exactly like the flat layout's rule. A CoW apply over a MOR
+  * tip folds the sidecars away with a full rewrite
+  * ([[graft.operators.MergeOps]]'s rule, one tier up).
+  *
+  * Still scoped out, stated not hidden: column mapping and z-cluster
+  * specs stay flat-only (a partitioned table wanting them folds flat
+  * first). The generation chain, single-writer lease, commit-time
   * stamps and changeset validation mirror [[graft.operators.MergeOps]].
   *
   * Partition values must be STRINGS that survive a directory name
@@ -76,6 +92,101 @@ object PartitionedLayout {
     }
   }
 
+  /** (partition value, dir path) of a generation's partition dirs. */
+  private def partDirs(gen: String): Seq[(String, java.nio.file.Path)] = {
+    val base = java.nio.file.Paths.get(gen)
+    if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+    else {
+      val kids = java.nio.file.Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+          .map(p => p.getFileName.toString.split("=", 2)(1) -> p)
+          .toVector.sortBy(_._1)
+      } finally kids.close()
+    }
+  }
+
+  /** Partition dirs carrying a merge-on-read `_dv` sidecar. */
+  private[graft] def dvParts(gen: String): Seq[(String, java.nio.file.Path)] =
+    partDirs(gen).filter { case (_, p) =>
+      java.nio.file.Files.isDirectory(
+        p.resolve(CorpusLayout.DvDir).resolve("tombstones")) }
+
+  private def readPcol(loc: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(loc, PcolMarker)), "UTF-8").trim
+
+  /** Re-entrancy guard: [[composedFrame]] resolves the catalog table
+    * with `s.table`, which re-runs the analyzer — the serving rule must
+    * no-op on that inner resolution or recurse forever.
+    */
+  private[graft] val composing: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Reverse-map `graft_plt_<table>_<hash12>` to (corpusDir, table) —
+    * same `<table>_<hash12>` suffix and `_CORPUS` marker discipline as
+    * the flat layout, so its reverse map is reused under the flat
+    * prefix.
+    */
+  private[graft] def corpusForTable(s: SparkSession, catalogTable: String)
+      : Option[(String, String)] =
+    if (!catalogTable.startsWith("graft_plt_")) None
+    else CorpusLayout.corpusForTable(s,
+      "graft_cl_" + catalogTable.stripPrefix("graft_plt_"))
+
+  /** The served COMPOSED frame: the catalog read (partition pruning and
+    * the bucket spec both live there) with every partition's `_dv`
+    * sidecar folded on top — `base ⊖ ∪tombstone-keys ∪ deltas`.
+    * Identity when no partition carries a sidecar. The tombstone side
+    * is cumulative-changeset-sized → broadcast anti-join (the corpus
+    * never re-shuffles); delta files store the base-file schema (no
+    * pcol — the directory names it), re-attached as a per-arm LITERAL
+    * so a partition filter constant-folds whole delta arms away, the
+    * sidecar-side mirror of the base scan's directory pruning.
+    */
+  private[graft] def composedFrame(s: SparkSession, t: String, loc: String,
+                                   pcol: String, key: String): DataFrame = {
+    val base = {
+      composing.set(true)
+      try s.table(t) finally composing.set(false)
+    }
+    val dv = dvParts(loc)
+    if (dv.isEmpty) base
+    else {
+      val tombs = dv.map { case (_, p) =>
+        s.read.parquet(p.resolve(CorpusLayout.DvDir)
+          .resolve("tombstones").toString) }
+        .reduce(_ unionByName _)
+      val deltas = dv.map { case (v, p) =>
+        s.read.parquet(p.resolve(CorpusLayout.DvDir)
+          .resolve("deltas").toString)
+          .withColumn(pcol, lit(v)) }
+        .reduce(_ unionByName _)
+      base.join(broadcast(tombs), Seq(key), "left_anti")
+        .unionByName(deltas.select(base.columns.map(col): _*))
+    }
+  }
+
+  /** The composed logical plan for a partitioned catalog name whose
+    * served generation carries MOR sidecars; None when the raw catalog
+    * read is already the truth. The partitioned arm of
+    * [[graft.plans.ComposedServingRule]] — a bare
+    * `SELECT * FROM graft_plt_…` over a MOR tip must never resurrect
+    * tombstoned base rows.
+    */
+  private[graft] def composedServing(s: SparkSession, catalogTable: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    for {
+      (corpusDir, table) <- corpusForTable(s, catalogTable)
+      if s.catalog.tableExists(catalogTable)
+      loc = graft.operators.MergeOps.tableLayout(s, catalogTable)._1
+      if dvParts(loc).nonEmpty
+    } yield composedFrame(s, catalogTable, loc, readPcol(loc),
+      CorpusLayout.keyed(table)).queryExecution.analyzed
+
   /** Build generation 0: one file per (partition, bucket) —
     * `repartition(B, key)` gives each task exactly one bucket, and the
     * partitioned writer splits that task's rows across its partition
@@ -99,6 +210,13 @@ object PartitionedLayout {
     val path = s"$base/$table"
     val t = tableName(table, corpusDir)
     s.sql(s"DROP TABLE IF EXISTS $t")
+    // A re-materialize starts a NEW chain: stale `<table>_vN` dirs from a
+    // previous chain would out-number the fresh generation 0, so the next
+    // apply's resync would "repair" the serving table back onto OLD data
+    // and silently discard this rebuild. Remove them before writing.
+    generations(s, corpusDir, table).collect { case (n, p) if n > 0 =>
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
+    }
     src.repartition(buckets, col(key))
       .write.format("parquet")
       .option("path", path)
@@ -157,21 +275,42 @@ object PartitionedLayout {
       val tomb = graft.operators.MergeOps.TombstoneCol
       require(changes0.columns.contains(tomb),
         s"changeset must carry a '$tomb' boolean column")
-      val changes = changes0.localCheckpoint(true)
+      // key-type guard (MergeOps.applyToLayoutFrom's discipline): bucketOf
+      // below hashes the key's BINARY representation, so an INT changeset
+      // key against a LONG corpus computes the WRONG pair homes — the
+      // touched-pair set (and the documented write bill) would drift even
+      // though content lands correctly. try_cast + round-trip rejects
+      // non-value-preserving keys loudly instead.
+      val keyType = s.table(t).schema(key).dataType
+      val srcType = changes0.schema(key).dataType
+      val changes1 = (if (srcType == keyType) changes0
+        else changes0.withColumn("__src_key", col(key))
+          .withColumn(key, col(key).try_cast(keyType)))
+        .localCheckpoint(true)
       // one job validates keys AND partition values (the key gate
       // mirrors applyToLayout's; the pcol gate is this layout's own:
       // an upsert without a partition value has no home directory)
-      val bad = changes.groupBy(col(key))
+      val rtBad =
+        if (srcType == keyType) lit(false)
+        else col("__src_key").isNotNull &&
+          !(col(key).try_cast(srcType) <=> col("__src_key"))
+      val bad = changes1.groupBy(col(key))
         .agg(count(lit(1)).as("__n"),
           max(when(!col(tomb) && (col(pcol).isNull ||
             !col(pcol).rlike("^[A-Za-z0-9._-]+$")), 1).otherwise(0))
-            .as("__badp"))
-        .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1)
+            .as("__badp"),
+          max(when(rtBad, 1).otherwise(0)).as("__lossy"))
+        .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1 ||
+          col("__lossy") === 1)
         .limit(5).collect()
       require(bad.isEmpty,
-        s"changeset violates one-row-per-'$key', carries a NULL key, or " +
-          s"an upsert's '$pcol' is NULL / not directory-safe " +
-          s"([A-Za-z0-9._-]+): ${bad.mkString(", ")}")
+        s"changeset violates one-row-per-'$key', carries a NULL key, an " +
+          s"upsert's '$pcol' is NULL / not directory-safe " +
+          s"([A-Za-z0-9._-]+), or its key (${srcType.sql}) does not " +
+          s"round-trip through the layout's key type (${keyType.sql}): " +
+          s"${bad.mkString(", ")}")
+      val changes = if (srcType == keyType) changes1
+        else changes1.drop("__src_key")
       val served = s.table(t)
       val bucketOf = pmod(hash(col(key)), lit(buckets)).cast("int")
       // touched pairs = the changeset rows' NEW homes ∪ the matched

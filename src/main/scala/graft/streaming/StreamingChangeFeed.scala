@@ -77,13 +77,17 @@ object StreamingChangeFeed {
         .add(MergeOps.SchemaFpCol, "string"))
       .parquet(glob)
       .filter(
-        when(col(MergeOps.SchemaFpCol).isNull ||
+        // an unstamped slice predates the era stamp (legacy chain) — it
+        // can only have been written under a schema the chain never
+        // evolved past, so treat stamp absence as the stream's start era
+        // rather than killing a valid pre-stamp feed
+        when(col(MergeOps.SchemaFpCol).isNotNull &&
             col(MergeOps.SchemaFpCol) =!= lit(expect),
           raise_error(concat(
             lit("change-feed slice speaks a different schema era than " +
               "this stream's start (DROP/RENAME evolution?) — restart " +
               "the consumer; slice: "),
-            coalesce(col(MergeOps.SchemaFpCol), lit("<unstamped>")),
+            col(MergeOps.SchemaFpCol),
             lit(" vs stream: "), lit(expect))).cast("boolean"))
           .otherwise(lit(true)))
       .drop(MergeOps.SchemaFpCol)

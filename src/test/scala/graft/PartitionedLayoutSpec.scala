@@ -228,6 +228,71 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("key-type guard: coercible keys re-hash to the TRUE pair homes; lossy keys refuse") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val r = base.orderBy($"doc_id").limit(1).head()
+      val (k, src0) = (r.getLong(0), r.getString(3))
+      // INT changeset key against the LONG corpus: murmur3 hashes the
+      // two widths differently, so an unguarded bucketOf would place the
+      // touched pair in the WRONG bucket — the fix casts first, so the
+      // bill is exactly the key's one true (partition, bucket) pair
+      val gen0 = PartitionedLayout.generations(spark, corpus, "documents").last._2
+      val before = inodes(gen0)
+      val changes = base.filter($"doc_id" === k)
+        .select($"doc_id".cast("int").as("doc_id"), $"text",
+          lit("kt").as("lang"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      val vpath = PartitionedLayout.applyToLayout(spark, corpus, changes)
+      val trueBucket = spark.range(1)
+        .select(pmod(hash(lit(k)), lit(8)).cast("int")).head().getInt(0)
+      val rewritten = inodes(vpath).filterNot { case (rel, ino) =>
+        before.get(rel).contains(ino) }
+      rewritten.keys.foreach { rel =>
+        val p = rel.split("/")(0).split("=", 2)(1)
+        val b = MergeOps.bucketIdOf(rel.split("/").last).get
+        assert((p, b) == ((src0, trueBucket)),
+          s"INT-keyed changeset rewrote a pair outside the key's true home: $rel")
+      }
+      assert(spark.table(t).filter($"doc_id" === k)
+        .head().getString(2) == "kt", "coerced-key upsert did not land")
+      // a non-round-tripping key (fractional double) must refuse loudly
+      val lossy = base.filter($"doc_id" === k)
+        .select(($"doc_id" + 0.5).as("doc_id"), $"text", $"lang",
+          $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      val e = intercept[IllegalArgumentException](
+        PartitionedLayout.applyToLayout(spark, corpus, lossy))
+      assert(e.getMessage.contains("round-trip"), e.getMessage)
+    }
+  }
+
+  test("re-materialize starts a NEW chain: stale generations cannot shadow the rebuild") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      def upd(lang: String) = base.filter($"doc_id" === k)
+        .select($"doc_id", $"text", lit(lang).as("lang"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      PartitionedLayout.applyToLayout(spark, corpus, upd("old"))
+      assert(PartitionedLayout.generations(spark, corpus, "documents")
+        .map(_._1) == Seq(0, 1))
+      // rebuild: the previous chain's _v1 must NOT survive to out-number
+      // generation 0 — before the fix the next apply's resync "repaired"
+      // the serving table back onto the STALE _v1, discarding the rebuild
+      PartitionedLayout.materialize(spark, corpus, "documents",
+        pcol = "source", buckets = 8)
+      assert(PartitionedLayout.generations(spark, corpus, "documents")
+        .map(_._1) == Seq(0), "stale generations survived re-materialize")
+      assert(spark.table(t).filter($"doc_id" === k).head().getString(2) !=
+        "old", "re-materialize still serves the previous chain's data")
+      val v = PartitionedLayout.applyToLayout(spark, corpus, upd("new"))
+      assert(v.contains("documents_v1"), s"apply went to $v")
+      assert(spark.table(t).filter($"doc_id" === k).head().getString(2) ==
+        "new", "apply after re-materialize lost the update")
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>

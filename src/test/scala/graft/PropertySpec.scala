@@ -117,6 +117,37 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       f"s05 recall collapsed: measured=$measured%.4f analytic=$bound%.4f")
   }
 
+  test("s18 NN-descent quality law: per-src best cos never decreases, round over round") {
+    import spark.implicits._
+    val (_, perRound, rounds) = graft.operators.Similarity.nnDescentRounds(spark, sf)
+    assert(rounds == perRound.size && rounds >= 1 &&
+      rounds <= graft.operators.Similarity.NnDescentMaxRounds,
+      s"descent ran $rounds rounds over ${perRound.size} graphs")
+    // round r's candidates ⊇ round r-1's edges and rescoring is exact,
+    // so the per-src champion may only improve — Dong et al.'s invariant,
+    // checked on EVERY consecutive pair, not just seed vs final.
+    perRound.sliding(2).filter(_.size == 2).foreach { case Seq(a, b) =>
+      val regressed = a.filter($"rn" === 1).select($"src", $"cos".as("ca"))
+        .join(b.filter($"rn" === 1).select($"src", $"cos".as("cb")), "src")
+        .filter($"cb" < $"ca").take(1)
+      assert(regressed.isEmpty,
+        s"a refinement round LOST quality: ${regressed.mkString(", ")}")
+    }
+    // recall@2 vs the brute-force truth must not fall below the seed's —
+    // the measured form of the same law (the lift is reported in SCALING).
+    val truth = bruteTopK(2)
+    def recall(g: Set[(Long, Long)]): Double = {
+      val truePairs = truth.toSeq.flatMap { case (i, nns) => nns.map(nn => (i, nn._1)) }
+      truePairs.count(g.contains).toDouble / truePairs.size
+    }
+    val seedRecall = recall(SparkEntry.queries("s05_knn_graph")(spark, sf)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val finalRecall = recall(perRound.last
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(finalRecall >= seedRecall,
+      f"descent lowered recall@2: seed=$seedRecall%.4f final=$finalRecall%.4f")
+  }
+
   test("s02-scheme ANN recall over all queries >= analytic bound") {
     // s02 itself serves one query; probe its scheme (4-bit own-bucket
     // candidates, top-5) over every vector as the query.

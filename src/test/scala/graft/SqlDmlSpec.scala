@@ -74,9 +74,20 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
       assert(MergeOps.generations(spark, corpus, "documents").size == 2,
         "UPDATE did not append a generation")
 
+      // UPDATE SET c = NULL: a NULL-literal RHS types as NullType, which
+      // nothing casts TO — storeAssign must short-circuit it instead of
+      // failing analysis on valid DML (NULL round-trips trivially)
+      spark.sql(s"UPDATE $t SET text = NULL WHERE doc_id % 91 = 0")
+      val afterNull = afterUpdate.select($"doc_id",
+        when($"doc_id" % 91 === 0, lit(null).cast("string"))
+          .otherwise($"text").as("text"),
+        $"lang", $"source", $"n_chars")
+      assert(rows(served(corpus)) == rows(afterNull),
+        "UPDATE SET NULL diverged from the composed edit")
+
       // DELETE: rows gone, nothing else touched
       spark.sql(s"DELETE FROM $t WHERE doc_id % 13 = 0")
-      val afterDelete = afterUpdate.filter($"doc_id" % 13 =!= 0)
+      val afterDelete = afterNull.filter($"doc_id" % 13 =!= 0)
       assert(rows(served(corpus)) == rows(afterDelete),
         "DELETE diverged from the composed edit")
 
@@ -96,7 +107,7 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
         "INSERT INTO diverged from the composed edit")
       assert(dataFiles(preGen) == preFiles,
         "INSERT INTO wrote files into the previously served generation dir")
-      assert(MergeOps.generations(spark, corpus, "documents").size == 4,
+      assert(MergeOps.generations(spark, corpus, "documents").size == 5,
         "INSERT INTO did not append a generation")
 
       // INSERT INTO an existing key rejects loudly and burns no generation
@@ -105,7 +116,7 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
           "WHERE doc_id % 50 = 0"))
       assert(e.getMessage.contains("MERGE"),
         s"existing-key INSERT error unhelpful: ${e.getMessage}")
-      assert(MergeOps.generations(spark, corpus, "documents").size == 4,
+      assert(MergeOps.generations(spark, corpus, "documents").size == 5,
         "rejected INSERT still burned a generation")
 
       // INSERT OVERWRITE: the table becomes exactly the query result
@@ -469,6 +480,45 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
           resumed.filter($"language" === "e2").count() ==
             base.filter($"doc_id" % 11 === 0).count(),
           "restarted stream must serve exactly the new-era slice")
+      } finally {
+        graft.FsUtil.deleteRecursively(out)
+        prev match {
+          case Some(v) => spark.conf.set(MergeOps.ChangeFeedKey, v)
+          case None => spark.conf.unset(MergeOps.ChangeFeedKey)
+        }
+      }
+    }
+  }
+
+  test("streaming CDF accepts legacy unstamped slices as the stream's start era") {
+    import spark.implicits._
+    withSandbox("cdfleg") { (corpus, t, base) =>
+      val prev = spark.conf.getOption(MergeOps.ChangeFeedKey)
+      spark.conf.set(MergeOps.ChangeFeedKey, "true")
+      val out = java.nio.file.Files.createTempDirectory("graft_cdfleg")
+      try {
+        import org.apache.spark.sql.streaming.Trigger
+        spark.sql(s"UPDATE $t SET lang = 'lg' WHERE doc_id % 9 = 0")
+        // simulate a chain written BEFORE the schema-era stamp existed:
+        // strip _schema_fp from the slice in place — the stream must
+        // treat stamp absence as its own start era, not a violation
+        val gen = MergeOps.generations(spark, corpus, "documents").last._2
+        val cdf = s"$gen/${MergeOps.CdfDir}"
+        val slice = spark.read.parquet(cdf)
+        assert(slice.columns.contains(MergeOps.SchemaFpCol),
+          "test precondition: slices are stamped today")
+        val stripped = slice.drop(MergeOps.SchemaFpCol).localCheckpoint(true)
+        graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(cdf))
+        stripped.coalesce(1).write.parquet(cdf)
+        val q = graft.streaming.StreamingChangeFeed
+          .readStream(spark, corpus, "documents")
+          .writeStream.format("memory").queryName("cdfleg_out")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+        assert(spark.table("cdfleg_out").count() ==
+          base.filter($"doc_id" % 9 === 0).count(),
+          "legacy unstamped slice must stream as the start era")
       } finally {
         graft.FsUtil.deleteRecursively(out)
         prev match {
