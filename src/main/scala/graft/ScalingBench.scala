@@ -398,6 +398,105 @@ object ScalingBench {
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(plBase))
     }
 
+    if (enabled("part_mor")) {
+    // ── partition∘bucket MERGE-ON-READ (round 15): §15's one-stratum
+    // trickle under mode=mor. Claims: (1) base bytes written are ZERO —
+    // every base file hard-links forward, so the write bill drops from
+    // touched-PAIR bytes to sidecar (changeset) bytes, independent of
+    // bucket or partition size; (2) the compose tax on a pruned read is
+    // bounded (anti-join of a changeset-sized broadcast + one delta
+    // arm), and OPTIMIZE folds it back to the clean read.
+    import graft.sources.{CorpusLayout, PartitionedLayout}
+    import graft.operators.MergeOps
+    val pmBase = java.nio.file.Files.createTempDirectory("graft_scaling_pm").toString
+    spark.conf.set(CorpusLayout.ConfKey, pmBase)
+    PartitionedLayout.materialize(spark, sfDir, "documents",
+      pcol = "source", buckets = 32)
+    val pmT = PartitionedLayout.tableName("documents", sfDir)
+    val pmTrickle = docs.filter($"source" === "src3")
+      .orderBy($"doc_id").limit(10)
+      .withColumn("tombstone", $"doc_id" % 5 === 0)
+      .select($"doc_id", concat(lit("recrawl "), $"text").as("text"),
+        $"lang", $"source", ($"n_chars" + 8L).as("n_chars"), $"tombstone")
+      .cache()
+    pmTrickle.count()
+    spark.conf.set(MergeOps.MergeModeKey, "mor")
+    arm("part_mor/mor_apply") {
+      PartitionedLayout.applyToLayout(spark, sfDir, pmTrickle)
+    }
+    spark.conf.unset(MergeOps.MergeModeKey)
+    locally {
+      val gens = PartitionedLayout.generations(spark, sfDir, "documents")
+      val (last, prev) = (gens.last._2, gens(gens.size - 2)._2)
+      def files(g: String): Map[String, java.nio.file.Path] = {
+        val base = java.nio.file.Paths.get(g)
+        val walk = java.nio.file.Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(q => java.nio.file.Files.isRegularFile(q) &&
+              q.getFileName.toString.endsWith(".parquet"))
+            .map(q => base.relativize(q).toString -> q).toMap
+        } finally walk.close()
+      }
+      val (prevF, lastF) = (files(prev), files(last))
+      val (side, baseF) = lastF.partition(_._1.contains("_dv/"))
+      val rewrittenBase = baseF.filterNot { case (rel, q) =>
+        prevF.get(rel).exists(o => java.nio.file.Files.isSameFile(o, q)) }
+      def mb(m: Map[String, java.nio.file.Path]) =
+        math.round(m.values.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
+      results :+= ("part_mor/base_rewritten_mb" -> mb(rewrittenBase))
+      results :+= ("part_mor/sidecar_mb" -> mb(side))
+      results :+= ("part_mor/sidecar_files" -> side.size.toDouble)
+    }
+    // compose tax on the pruned aggregate, then OPTIMIZE folds it away
+    def pmRead(): Unit = {
+      spark.table(pmT).filter($"source" === "src3")
+        .agg(count(lit(1)), sum($"n_chars")).collect()
+      ()
+    }
+    arm("part_mor/composed_pruned_read")(pmRead())
+    PartitionedLayout.compact(spark, sfDir, "documents")
+    arm("part_mor/folded_pruned_read")(pmRead())
+    pmTrickle.unpersist()
+    PartitionedLayout.drop(spark, sfDir, "documents")
+    spark.conf.unset(CorpusLayout.ConfKey)
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(pmBase))
+    }
+
+    if (enabled("nn_descent")) {
+    // ── s18 convergence (round 15): rounds-to-fixpoint and the recall
+    // lift the descent buys over the LSH seed, against a sampled
+    // brute-force truth (256 srcs × corpus — the sampled workload is
+    // how recall is audited at any scale; the full pairwise truth is
+    // the thing ANN exists to avoid).
+    import graft.functions.VectorFunctions.{asDouble, cosineSim}
+    import org.apache.spark.sql.expressions.Window
+    val (seedG, perRound, rounds) = graft.operators.Similarity
+      .nnDescentRounds(spark, sfDir)
+    results :+= ("nn_descent/rounds" -> rounds.toDouble)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val qs = e.orderBy($"vec_id").limit(256)
+      .select($"vec_id".as("src"), $"v".as("qv"))
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    val truth = e.join(broadcast(qs), $"vec_id" =!= $"src")
+      .select($"src", $"vec_id".as("dst"),
+        graft.GQuery.roundz(cosineSim($"v", $"qv"), 4).as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" <= 2).select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srcs = truth.map(_._1)
+    def recall(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = g.select($"src", $"dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => srcs.contains(p._1)).toSet
+      math.round(truth.count(got.contains).toDouble / truth.size * 10000) / 10000.0
+    }
+    results :+= ("nn_descent/recall_seed" -> recall(seedG))
+    results :+= ("nn_descent/recall_final" -> recall(perRound.last))
+    }
+
     if (enabled("merge_sized")) {
     // ── CDC MERGE apply under the SIZING POLICY (round 12): §8's honest
     // limit closed and re-measured. With TargetBucketBytesKey set, B

@@ -1849,6 +1849,145 @@ object Pipeline {
                CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM v1 WHERE source IN ('src0', 'src1')
         GROUP BY source, lang
-        ORDER BY source, lang"""))
+        ORDER BY source, lang""")),
+
+    // ── p38: partition∘bucket MERGE-ON-READ — the 100 TB operating ──
+    // point p37 scoped out: a date-partitioned corpus taking delta-sized
+    // trickles can't pay even the touched-PAIR CoW bill per apply, so
+    // `spark.graft.merge.mode=mor` hard-links every base file forward
+    // (zero base bytes) and folds each wave into per-partition `_dv`
+    // sidecars under the touched partitions only. Two waves exercise the
+    // cumulative sidecar algebra (wave 2 re-updates a subset of wave 1's
+    // keys through the fold) plus the cross-partition move and
+    // tombstones; the read-back goes through the bare CATALOG name —
+    // ComposedServingRule's partitioned arm composes base⊖tombs∪deltas
+    // with the partition filter still pruning base directories AND
+    // constant-folding untouched partitions' delta arms
+    // (PartitionedLayoutSpec pins all three on one executed plan).
+    GQuery("p38_partitioned_mor",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.{CorpusLayout, PartitionedLayout}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p38")
+        val corpus = tmp.toString + "/corpus"
+        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        val prevMode = s.conf.getOption(MergeOps.MergeModeKey)
+        s.conf.set(MergeOps.MergeModeKey, "mor")
+        try {
+          PartitionedLayout.materialize(s, corpus, "documents",
+            pcol = "source", buckets = 16)
+          val t = PartitionedLayout.tableName("documents", corpus)
+          val base = s.read.parquet(s"$corpus/documents.parquet")
+          def wave(langExpr: org.apache.spark.sql.Column,
+                   pick: org.apache.spark.sql.Column) = base
+            .filter(pick && $"doc_id" % 17 =!= 0)
+            .select($"doc_id", $"text", langExpr.as("lang"),
+              when($"doc_id" % 23 === 0, "src0").otherwise($"source")
+                .as("source"),
+              $"n_chars")
+            .withColumn(MergeOps.TombstoneCol, lit(false))
+          // wave 1: updates + cross-partition moves + tombstones
+          PartitionedLayout.applyToLayout(s, corpus,
+            wave(when($"doc_id" % 6 === 0, "m1").otherwise($"lang"),
+                $"doc_id" % 6 === 0 || $"doc_id" % 23 === 0)
+              .unionByName(base.filter($"doc_id" % 17 === 0)
+                .select($"doc_id", lit(null).cast("string").as("text"),
+                  lit(null).cast("string").as("lang"),
+                  lit(null).cast("string").as("source"),
+                  lit(null).cast("long").as("n_chars"))
+                .withColumn(MergeOps.TombstoneCol, lit(true))))
+          // wave 2: cumulative fold — re-update a subset of wave 1's keys
+          PartitionedLayout.applyToLayout(s, corpus,
+            wave(lit("m2"), $"doc_id" % 12 === 0))
+          s.table(t)
+            .filter($"source".isin("src0", "src1"))
+            .groupBy($"source", $"lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum($"n_chars".cast("long")).as("chars"))
+            .orderBy($"source", $"lang")
+            .localCheckpoint()
+        } finally {
+          PartitionedLayout.drop(s, corpus, "documents")
+          prevMode match {
+            case Some(v) => s.conf.set(MergeOps.MergeModeKey, v)
+            case None => s.conf.unset(MergeOps.MergeModeKey)
+          }
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 12 = 0 THEN 'm2'
+                      WHEN doc_id % 6 = 0 THEN 'm1' ELSE lang END AS lang,
+                 CASE WHEN doc_id % 23 = 0 THEN 'src0' ELSE source END AS source,
+                 n_chars
+          FROM documents WHERE doc_id % 17 <> 0)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM v WHERE source IN ('src0', 'src1')
+        GROUP BY source, lang
+        ORDER BY source, lang""")),
+
+    // ── p39: a table BORN in SQL — CREATE TABLE … IN CORPUS … AS ──
+    // (GraftSqlParser) closes the last Scala-only lifecycle verb: this
+    // query's entire arc is SQL statements — CTAS birth (key-validated
+    // at the gate, bucketed layout materialized and registered), SQL
+    // MERGE INTO the returned handle, then VERSION AS OF time travel
+    // reading both the birth generation and the merged tip. No Scala
+    // layout call anywhere; a SQL-first user can now run the whole
+    // lifecycle. SqlDmlSpec pins the loud rejections (unknown table,
+    // duplicate/NULL keys at birth, re-birth over an existing corpus
+    // file).
+    GQuery("p39_sql_create_table",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.CorpusLayout
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p39")
+        val corpus = tmp.toString + "/corpus"
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          val t = s.sql(
+            s"""CREATE TABLE documents IN CORPUS '$corpus' INTO 16 BUCKETS
+               |AS SELECT doc_id, text, lang, source,
+               |          CAST(n_chars AS BIGINT) AS n_chars
+               |FROM parquet.`$d/documents.parquet`
+               |""".stripMargin).head().getString(0)
+          s.sql(
+            s"""MERGE INTO $t t USING (
+               |  SELECT doc_id, 'ct' AS new_lang
+               |  FROM parquet.`$d/documents.parquet` WHERE doc_id % 6 = 0
+               |) s ON t.doc_id = s.doc_id
+               |WHEN MATCHED THEN UPDATE SET lang = s.new_lang
+               |""".stripMargin)
+          s.sql(
+            s"""SELECT 'v0' AS snap, lang, COUNT(*) AS n
+               |FROM $t VERSION AS OF 0 GROUP BY lang
+               |UNION ALL
+               |SELECT 'v1' AS snap, lang, COUNT(*) AS n
+               |FROM $t GROUP BY lang
+               |ORDER BY snap, lang
+               |""".stripMargin)
+            .localCheckpoint()
+        } finally {
+          CorpusLayout.drop(s, corpus)
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        SELECT 'v0' AS snap, lang, COUNT(*) AS n FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'v1' AS snap,
+               CASE WHEN doc_id % 6 = 0 THEN 'ct' ELSE lang END AS lang,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+        ORDER BY snap, lang"""))
   )
 }

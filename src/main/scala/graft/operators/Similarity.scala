@@ -170,8 +170,10 @@ object Similarity {
     * its cost is what buys skipping whole refinement rounds at scale.
     */
   private[graft] def nnDescentRounds(s: SparkSession, d: String,
-      maxRounds: Int = NnDescentMaxRounds)
+      maxRounds: Int = NnDescentMaxRounds, checkpoint: Boolean = true)
       : (DataFrame, Seq[DataFrame], Int) = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
@@ -188,7 +190,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wSeed))
       .filter($"rn" <= 2)
       .select($"src", $"dst")
-      .localCheckpoint()
+      .transform(ckpt)
     val wRef = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
     var graph = knn
     var perRound = Vector.empty[DataFrame]
@@ -208,7 +210,7 @@ object Similarity {
         .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
         .withColumn("rn", row_number().over(wRef))
         .filter($"rn" <= 2)
-        .localCheckpoint()
+        .transform(ckpt)
       val next = scored.select($"src", $"dst")
       val stats = next
         .join(graph.withColumn("__old", lit(1)), Seq("src", "dst"), "left")

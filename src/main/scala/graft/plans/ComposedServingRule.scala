@@ -47,5 +47,18 @@ class ComposedServingRule(session: SparkSession) extends Rule[LogicalPlan] {
       CorpusLayout.composedServing(session, name)
         .map(p => SubqueryAlias(name, p))
         .getOrElse(u)
+    // partitioned-layout arm: a `graft_plt_` table whose served
+    // generation carries per-partition MOR sidecars composes the same
+    // way. Its composed base IS the catalog read (partition pruning +
+    // bucket spec live there), resolved under the `composing` guard so
+    // this rule no-ops on that inner resolution instead of recursing.
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.size == 1 &&
+          u.multipartIdentifier.head.startsWith("graft_plt_") &&
+          !graft.sources.PartitionedLayout.composing.get() =>
+      val name = u.multipartIdentifier.head
+      graft.sources.PartitionedLayout.composedServing(session, name)
+        .map(p => SubqueryAlias(name, p))
+        .getOrElse(u)
   }
 }

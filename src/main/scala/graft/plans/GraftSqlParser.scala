@@ -47,6 +47,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateTagCommand(t, name, Option(g).map(_.toInt).getOrElse(-1))
     case DropTagRe(t, name) => DropTagCommand(t, name)
     case ShowTagsRe(t) => ShowTagsCommand(t)
+    case CreateCorpusRe(t, dir, n, pcol, q) =>
+      CreateCorpusTableCommand(t, dir, Option(n).map(_.toInt),
+        Option(pcol), Option(q))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -74,12 +77,15 @@ object GraftSqlParser {
   // fall through to the stock parser (and its stock errors)
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(graft_cl_\w+)\s*;?\s*""".r
+  // maintenance verbs cover BOTH layout tiers: the flat graft_cl_
+  // tables route to MergeOps/Fsck, partitioned graft_plt_ ones to
+  // PartitionedLayout's own vacuum/compact/checkTable
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(graft_cl_\w+)(\s+RETAIN\s+(\d+)\s+GENERATIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(graft_(?:cl|plt)_\w+)(\s+RETAIN\s+(\d+)\s+GENERATIONS)?\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(graft_cl_\w+)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(graft_(?:cl|plt)_\w+)\s*;?\s*""".r
   private val CheckTableRe =
-    """(?is)\s*CHECK\s+TABLE\s+(graft_cl_\w+)\s*;?\s*""".r
+    """(?is)\s*CHECK\s+TABLE\s+(graft_(?:cl|plt)_\w+)\s*;?\s*""".r
   // Iceberg's ref verbs: CREATE/DROP TAG are not in Spark's ALTER
   // grammar, so they must be claimed here; every OTHER ALTER on a
   // layout table falls through to the stock parser and the
@@ -90,6 +96,13 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(graft_cl_\w+)\s+DROP\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)\s*;?\s*""".r
   private val ShowTagsRe =
     """(?is)\s*SHOW\s+TAGS\s+(graft_cl_\w+)\s*;?\s*""".r
+  // table BIRTH from SQL (round 15): the one lifecycle verb that was
+  // Scala-only. The target is a LOGICAL keyed-table name (documents /
+  // embeddings) — the graft_cl_/graft_plt_ catalog handle is the
+  // command's RESULT, not its input, because the hash in those names
+  // cannot be written by hand
+  private val CreateCorpusRe =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+IN\s+CORPUS\s+'([^']+)'(?:\s+INTO\s+(\d+)\s+BUCKETS)?(?:\s+PARTITIONED\s+BY\s+(\w+))?(?:\s+AS\s+(.+?))?\s*;?\s*""".r
 
   private[graft] def resolve(spark: SparkSession, tableName: String,
                              verb: String): (String, String) = {
@@ -101,6 +114,21 @@ object GraftSqlParser {
           "back to its corpus under the session's layout base"))
     (corpusDir, logicalTable)
   }
+
+  /** Resolve either layout tier: (corpusDir, table, isPartitioned). */
+  private[graft] def resolveAny(spark: SparkSession, tableName: String,
+                                verb: String): (String, String, Boolean) =
+    if (tableName.startsWith("graft_plt_")) {
+      val (corpusDir, table) = graft.sources.PartitionedLayout
+        .corpusForTable(spark, tableName)
+        .getOrElse(throw new IllegalStateException(
+          s"$verb $tableName: no _CORPUS marker maps this partitioned " +
+            "layout table back to its corpus under the session's layout base"))
+      (corpusDir, table, true)
+    } else {
+      val (corpusDir, table) = resolve(spark, tableName, verb)
+      (corpusDir, table, false)
+    }
 }
 
 /** `DESCRIBE HISTORY <layout>` — the generation chain as rows. Pure
@@ -156,9 +184,11 @@ case class VacuumLayoutCommand(tableName: String, keepLast: Int)
     StructField("deleted_path", StringType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "VACUUM")
-    graft.operators.MergeOps.vacuum(spark, corpusDir, table, keepLast)
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "VACUUM")
+    (if (partitioned)
+       graft.sources.PartitionedLayout.vacuum(spark, corpusDir, table, keepLast)
+     else graft.operators.MergeOps.vacuum(spark, corpusDir, table, keepLast))
       .map(Row(_))
   }
 }
@@ -174,9 +204,12 @@ case class OptimizeLayoutCommand(tableName: String)
     StructField("new_generation", StringType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "OPTIMIZE")
-    Seq(Row(graft.operators.MergeOps.compactGenerations(spark, corpusDir, table)))
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "OPTIMIZE")
+    Seq(Row(
+      if (partitioned)
+        graft.sources.PartitionedLayout.compact(spark, corpusDir, table)
+      else graft.operators.MergeOps.compactGenerations(spark, corpusDir, table)))
   }
 }
 
@@ -244,9 +277,65 @@ case class CheckLayoutCommand(tableName: String)
     StructField("details", StringType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "CHECK TABLE")
-    graft.operators.Fsck.checkTable(spark, corpusDir, table)
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "CHECK TABLE")
+    (if (partitioned)
+       graft.sources.PartitionedLayout.checkTable(spark, corpusDir, table)
+     else graft.operators.Fsck.checkTable(spark, corpusDir, table))
       .map(f => Row(f.check, f.status, f.details))
+  }
+}
+
+/** `CREATE TABLE <table> IN CORPUS '<dir>' [INTO n BUCKETS]
+  * [PARTITIONED BY pcol] [AS <query>]` — table birth from SQL, closing
+  * the last Scala-only lifecycle verb: a SQL-first user could MERGE,
+  * UPDATE, time-travel, OPTIMIZE and VACUUM a served table but never
+  * CREATE one. With AS, the query result is key-validated (unique,
+  * non-NULL — the row-identity law every apply enforces, moved to
+  * birth) and written as the corpus file `<dir>/<table>.parquet` with
+  * errorifexists semantics (re-birthing over an existing corpus file
+  * must be an explicit delete, never an accident); then the flat
+  * [[graft.sources.CorpusLayout.materialize]] — or, with PARTITIONED
+  * BY, [[graft.sources.PartitionedLayout.materialize]] — builds and
+  * registers the served layout. Returns the catalog table name: the
+  * handle every other SQL verb speaks. The validation snapshot
+  * (localCheckpoint) is MergeOps' changeset discipline — the gate and
+  * the write must see the SAME rows even off a non-deterministic query.
+  */
+case class CreateCorpusTableCommand(table: String, corpusDir: String,
+                                    buckets: Option[Int],
+                                    pcol: Option[String],
+                                    query: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("created_table", StringType, nullable = false))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val key = CorpusLayout.keyed.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $table: not a keyed layout table — known tables: " +
+          CorpusLayout.keyed.keys.toSeq.sorted.mkString(", ")))
+    query.foreach { q =>
+      val df = spark.sql(q).localCheckpoint(true)
+      require(df.columns.contains(key),
+        s"CREATE TABLE $table AS: query result carries no key column '$key'")
+      val bad = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col(key).isNull || col("__n") > 1).limit(5).collect()
+      require(bad.isEmpty,
+        s"CREATE TABLE $table AS: key '$key' must be unique and non-NULL " +
+          s"(the layout's row-identity law, enforced at birth): " +
+          bad.mkString(", "))
+      df.write.mode("errorifexists").parquet(s"$corpusDir/$table.parquet")
+    }
+    val b = buckets.getOrElse(CorpusLayout.DefaultBuckets)
+    val t = pcol match {
+      case Some(pc) => graft.sources.PartitionedLayout
+        .materialize(spark, corpusDir, table, pc, b)
+      case None => CorpusLayout.materialize(spark, corpusDir,
+        buckets = b, tables = Seq(table)).head
+    }
+    Seq(Row(t))
   }
 }

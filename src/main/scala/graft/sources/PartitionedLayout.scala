@@ -207,6 +207,13 @@ object PartitionedLayout {
     checkValues(src, pcol)
     val base = root(s, corpusDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    // the reverse map (catalog name → corpus) reads the layout root's
+    // `_CORPUS` marker — the flat materialize writes it too; identical
+    // content, whichever layout got there first
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base).getParent
+        .resolve(CorpusLayout.CorpusMarker),
+      corpusDir.getBytes("UTF-8"))
     val path = s"$base/$table"
     val t = tableName(table, corpusDir)
     s.sql(s"DROP TABLE IF EXISTS $t")
@@ -236,7 +243,12 @@ object PartitionedLayout {
   def ifPresent(s: SparkSession, corpusDir: String,
                 table: String): Option[DataFrame] = {
     val t = tableName(table, corpusDir)
-    if (s.catalog.tableExists(t)) Some(s.table(t)) else None
+    if (!s.catalog.tableExists(t)) None
+    else {
+      // a MOR tip serves base⊖tombstones∪deltas; identity otherwise
+      val loc = graft.operators.MergeOps.tableLayout(s, t)._1
+      Some(composedFrame(s, t, loc, readPcol(loc), CorpusLayout.keyed(table)))
+    }
   }
 
   /** Apply a changeset (upserts + `tombstone` rows) copy-on-write:
@@ -259,16 +271,7 @@ object PartitionedLayout {
         "PartitionedLayout.materialize first")
     graft.operators.GenerationLease.withLease(
         s, corpusDir, s"$table@partitioned") {
-      // resync: another writer may have advanced the chain since this
-      // session's catalog last looked — serve the filesystem's newest
-      // complete generation before deriving anything from it
-      val newest = generations(s, corpusDir, table).lastOption.map(_._2)
-      val (curLoc0, _) = graft.operators.MergeOps.tableLayout(s, t)
-      if (newest.exists(n => java.nio.file.Paths.get(n).normalize !=
-          java.nio.file.Paths.get(curLoc0).normalize)) {
-        drop(s, corpusDir, table)
-        repairServing(s, corpusDir, table)
-      }
+      resync(s, corpusDir, table)
       val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
       val pcol = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(curLoc, PcolMarker)), "UTF-8").trim
@@ -311,7 +314,19 @@ object PartitionedLayout {
           s"${bad.mkString(", ")}")
       val changes = if (srcType == keyType) changes1
         else changes1.drop("__src_key")
-      val served = s.table(t)
+      val morMode = s.conf.getOption(graft.operators.MergeOps.MergeModeKey)
+        .getOrElse("cow") match {
+        case "mor" => true
+        case "cow" => false
+        case other => throw new IllegalArgumentException(
+          s"${graft.operators.MergeOps.MergeModeKey} must be 'cow' or " +
+            s"'mor', got '$other'")
+      }
+      // the served view COMPOSES the tip's sidecars: old-home lookup,
+      // CoW pair reads and full rewrites must all see base⊖tombs∪deltas,
+      // never raw base files
+      val tipDv = dvParts(curLoc).nonEmpty
+      val served = composedFrame(s, t, curLoc, pcol, key)
       val bucketOf = pmod(hash(col(key)), lit(buckets)).cast("int")
       // touched pairs = the changeset rows' NEW homes ∪ the matched
       // keys' OLD homes (one changeset-keyed semi-join — the corpus
@@ -326,23 +341,92 @@ object PartitionedLayout {
       val gens = generations(s, corpusDir, table)
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
       val staging = s"${t}_staging"
-      if (touched.isEmpty) {
-        // no-op changeset (empty, or tombstones for absent keys):
-        // link the whole generation forward — the chain still advances
-        // so the apply is externally observable (epoch, commit stamp)
+      // staging-create for paths whose files already exist on disk
+      // (no-op link-forward and the MOR swing — no Spark write job)
+      def stagingOverFiles(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $staging")
-        linkUntouched(curLoc, vpath, Set.empty)
         val ddl = org.apache.spark.sql.types.StructType(
           served.schema.filterNot(_.name == pcol)).toDDL
         s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
           s"USING PARQUET PARTITIONED BY ($pcol) " +
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
           s"LOCATION '$vpath'")
+      }
+      if (touched.isEmpty) {
+        // no-op changeset (empty, or tombstones for absent keys):
+        // link the whole generation forward — sidecars too, verbatim —
+        // the chain still advances so the apply is externally
+        // observable (epoch, commit stamp)
+        linkUntouched(curLoc, vpath, Set.empty)
+        linkSidecars(curLoc, vpath, skip = Set.empty)
+        stagingOverFiles()
+      } else if (morMode) {
+        // MERGE-ON-READ: zero base bytes — every base file hard-links
+        // forward, untouched partitions carry their sidecars verbatim,
+        // and the changeset folds into the TOUCHED partitions' `_dv`
+        // sidecars only (flat morSwingToPath's algebra, scoped per
+        // partition: a key's base row lives only in its serving
+        // partition, so its tombstone goes to the OLD home and its new
+        // version to the NEW home's deltas — a cross-partition move is
+        // one eviction + one upsert, two sidecar-sized writes)
+        linkUntouched(curLoc, vpath, Set.empty)
+        val touchedParts = touched.map(_._1)
+        linkSidecars(curLoc, vpath, skip = touchedParts)
+        val oldHomes = served
+          .join(changes.select(col(key)), Seq(key), "left_semi")
+          .select(col(key), col(pcol)).localCheckpoint(true)
+        val physCols = served.columns.filterNot(_ == pcol)
+        def emptyDf(sch: org.apache.spark.sql.types.StructType) =
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+        touchedParts.toSeq.sorted.foreach { p =>
+          val dvOld = java.nio.file.Paths
+            .get(curLoc, s"$pcol=$p", CorpusLayout.DvDir)
+          val prevTombs =
+            if (java.nio.file.Files.isDirectory(dvOld.resolve("tombstones")))
+              s.read.parquet(dvOld.resolve("tombstones").toString)
+            else emptyDf(org.apache.spark.sql.types.StructType(
+              Seq(served.schema(key))))
+          val prevDeltas =
+            if (java.nio.file.Files.isDirectory(dvOld.resolve("deltas")))
+              s.read.parquet(dvOld.resolve("deltas").toString)
+            else emptyDf(org.apache.spark.sql.types.StructType(
+              served.schema.filterNot(_.name == pcol)))
+          // tombstones' = tombstones ∪ keys whose OLD home is p (kills
+          // the base row; updates re-serve from the new home's deltas)
+          val oldKeysP = oldHomes.filter(col(pcol) === p).select(col(key))
+          val newTombs = prevTombs
+            .unionByName(oldKeysP).distinct()
+          // deltas' = applyChanges(deltas, changeset slice relevant to
+          // p): upserts whose NEW home is p land/replace; keys whose
+          // old home is p but whose new version lives elsewhere (or is
+          // a delete) evict their stale delta
+          val upsP = changes.filter(!col(tomb) && col(pcol) === p)
+            .select(physCols.map(col) :+ col(tomb): _*)
+          val evictP = oldKeysP
+            .join(upsP.select(col(key)), Seq(key), "left_anti")
+            .select(col(key) +: physCols.filterNot(_ == key).map(c =>
+              lit(null).cast(served.schema(c).dataType).as(c)): _*)
+            .withColumn(tomb, lit(true))
+          val changesP = upsP.unionByName(evictP)
+          val newDeltas = graft.operators.MergeOps.applyChanges(
+            prevDeltas, changesP, key)
+          val pdir = s"$vpath/$pcol=$p/${CorpusLayout.DvDir}"
+          newTombs.repartition(1)
+            .write.mode("overwrite").parquet(s"$pdir/tombstones")
+          newDeltas.repartition(1)
+            .write.mode("overwrite").parquet(s"$pdir/deltas")
+        }
+        stagingOverFiles()
       } else {
         // a changeset touching MOST pairs is a rewrite wearing CoW's
         // clothes: past this bound the per-pair predicate tree and the
-        // link walk cost more than the full rewrite they avoid
-        val full = touched.size > 4096
+        // link walk cost more than the full rewrite they avoid. A CoW
+        // apply over a MOR tip also rewrites fully: the pair fast path
+        // hard-links base files whose sidecar edits it would silently
+        // drop — the full rewrite's source is the COMPOSED frame, so
+        // the sidecars fold away (MergeOps' mixed-mode convergence rule)
+        val full = touched.size > 4096 || tipDv
         val touchedCur = if (full) served else {
           // read ONLY the touched pairs: the isin conjunct prunes
           // partitions (directory arithmetic), the per-pair disjunction
@@ -364,19 +448,205 @@ object PartitionedLayout {
           .mode("overwrite").saveAsTable(staging)
         if (!full) linkUntouched(curLoc, vpath, touched)
       }
-      CorpusLayout.writeBucketsMarker(vpath, buckets)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(vpath, PcolMarker), pcol.getBytes("UTF-8"))
-      // swing, then RECOVER: the staging table registered only the
-      // partitions the write produced; the linked dirs join the
-      // catalog's partition list here (pure metadata, no data scan)
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      s.sql(s"ALTER TABLE $staging RENAME TO $t")
-      s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
-      CorpusLayout.refreshRelationCache(s, t)
-      CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", vpath)
+      swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
     }
+  }
+
+  /** Serve the filesystem's newest complete generation before deriving
+    * anything from the catalog — another writer may have advanced the
+    * chain since this session last looked (or a fresh JVM never looked).
+    */
+  private def resync(s: SparkSession, corpusDir: String,
+                     table: String): Unit = {
+    val t = tableName(table, corpusDir)
+    if (!s.catalog.tableExists(t)) { repairServing(s, corpusDir, table); () }
+    else {
+      val newest = generations(s, corpusDir, table).lastOption.map(_._2)
+      val (curLoc0, _) = graft.operators.MergeOps.tableLayout(s, t)
+      if (newest.exists(n => java.nio.file.Paths.get(n).normalize !=
+          java.nio.file.Paths.get(curLoc0).normalize)) {
+        drop(s, corpusDir, table)
+        repairServing(s, corpusDir, table)
+      }
+    }
+  }
+
+  /** Markers + catalog swing + partition recovery + epoch bump — the
+    * shared tail of every chain-advancing verb. RECOVER because the
+    * staging table registered only the partitions a write produced; the
+    * hard-linked dirs join the catalog's partition list here (pure
+    * metadata, no data scan).
+    */
+  private def swingTo(s: SparkSession, corpusDir: String, table: String,
+                      vpath: String, buckets: Int, pcol: String): Unit = {
+    val t = tableName(table, corpusDir)
+    CorpusLayout.writeBucketsMarker(vpath, buckets)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vpath, PcolMarker), pcol.getBytes("UTF-8"))
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+    s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+    CorpusLayout.refreshRelationCache(s, t)
+    CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", vpath)
+  }
+
+  /** Reclaim drained generations: delete all but the newest `keepLast`,
+    * never the served one — the flat vacuum's lease + resync
+    * discipline, one tier down (no tag surface here: partitioned
+    * chains pin nothing yet, stated not hidden).
+    */
+  def vacuum(s: SparkSession, corpusDir: String,
+             table: String = "documents", keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    graft.operators.GenerationLease.withLease(
+        s, corpusDir, s"$table@partitioned") {
+      resync(s, corpusDir, table)
+      val t = tableName(table, corpusDir)
+      require(s.catalog.tableExists(t),
+        s"no partitioned layout for ($corpusDir, $table)")
+      val served = graft.operators.MergeOps.tableLayout(s, t)._1
+      val servedNorm = java.nio.file.Paths.get(served).normalize.toString
+      generations(s, corpusDir, table).dropRight(keepLast)
+        .filterNot { case (_, p) =>
+          java.nio.file.Paths.get(p).normalize.toString == servedNorm }
+        .map { case (_, p) =>
+          graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
+          p
+        }
+    }
+  }
+
+  /** Fold the chain's newest state into ONE fresh generation — the
+    * partitioned OPTIMIZE: rewrites the COMPOSED frame (MOR sidecars
+    * fold away, per-pair fragmentation heals back to one file per
+    * (partition, bucket)), advancing the chain so in-flight readers of
+    * the old tip stay valid until vacuum.
+    */
+  def compact(s: SparkSession, corpusDir: String,
+              table: String = "documents"): String = {
+    val key = CorpusLayout.keyed(table)
+    graft.operators.GenerationLease.withLease(
+        s, corpusDir, s"$table@partitioned") {
+      resync(s, corpusDir, table)
+      val t = tableName(table, corpusDir)
+      require(s.catalog.tableExists(t),
+        s"no partitioned layout for ($corpusDir, $table)")
+      val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
+      val pcol = readPcol(curLoc)
+      val composed = composedFrame(s, t, curLoc, pcol, key)
+      val gens = generations(s, corpusDir, table)
+      val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
+      s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+      composed.repartition(buckets, col(key))
+        .write.format("parquet")
+        .option("path", vpath)
+        .partitionBy(pcol)
+        .bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").saveAsTable(s"${t}_staging")
+      swingTo(s, corpusDir, table, vpath, buckets, pcol)
+      vpath
+    }
+  }
+
+  /** `CHECK TABLE` for the partitioned layout — Fsck's audit tier over
+    * partition dirs. Same honesty about sizes: metadata checks are
+    * directory listings; `bucket_placement` is the ONE distributed
+    * key-column scan (a misplaced row breaks zero-Exchange joins
+    * silently); `key_uniqueness` runs on the COMPOSED view (sidecar
+    * fold included — what readers actually see).
+    */
+  def checkTable(s: SparkSession, corpusDir: String,
+                 table: String = "documents")
+      : Seq[graft.operators.Fsck.Finding] = {
+    import graft.operators.Fsck.Finding
+    val t = tableName(table, corpusDir)
+    require(s.catalog.tableExists(t),
+      s"no partitioned layout for ($corpusDir, $table) — nothing to check")
+    val key = CorpusLayout.keyed(table)
+    val (loc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    def add(check: String, ok: Boolean, details: String,
+            failStatus: String = "FAIL"): Unit =
+      out += Finding(check, if (ok) "ok" else failStatus, details)
+
+    // markers: _BUCKETS + _PCOL, both readable
+    val hasB = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(loc, CorpusLayout.BucketsMarker))
+    val hasP = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(loc, PcolMarker))
+    add("markers", hasB && hasP && buckets > 0,
+      if (hasB && hasP && buckets > 0) s"_BUCKETS (B=$buckets) + $PcolMarker"
+      else s"missing/unreadable markers in $loc")
+    if (!hasP) return out.toSeq
+    val pcol = readPcol(loc)
+
+    // partition dirs: every value directory-safe (the escape contract)
+    val parts = partDirs(loc)
+    val badVals = parts.map(_._1)
+      .filterNot(v => SafeValue.pattern.matcher(v).matches())
+    add("partition_dirs", parts.nonEmpty && badVals.isEmpty,
+      if (parts.nonEmpty && badVals.isEmpty) s"${parts.size} partitions"
+      else if (parts.isEmpty) "no partition dirs under the generation"
+      else s"escaped/unsafe values: ${badVals.take(3).mkString(", ")}")
+
+    // file naming: every data file in every partition parses a bucket < B
+    val files = parts.flatMap { case (v, p) =>
+      Option(p.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(v -> _.getName)
+    }
+    val badNames = files.filter { case (_, n) =>
+      !graft.operators.MergeOps.bucketIdOf(n).exists(b => b >= 0 && b < buckets) }
+    add("file_naming", buckets > 0 && badNames.isEmpty,
+      if (badNames.isEmpty) s"${files.size} data files across ${parts.size} partitions"
+      else s"unparseable/out-of-range bucket ids: ${badNames.take(3).mkString(", ")}")
+
+    // bucket placement: one distributed key scan of the base files
+    val raw = s.read.parquet(loc)
+    val misplaced = raw
+      .select(col(key),
+        regexp_extract(input_file_name(), ".*_(\\d{5})\\.", 1).cast("int")
+          .as("__fb"))
+      .filter(col("__fb").isNotNull &&
+        pmod(hash(col(key)), lit(buckets)).cast("int") =!= col("__fb"))
+      .count()
+    add("bucket_placement", misplaced == 0,
+      if (misplaced == 0) "every row in pmod(hash(key), B)"
+      else s"$misplaced rows outside their hash bucket — bucket-co-located " +
+        "joins are WRONG for these keys")
+
+    // key uniqueness + non-null on the COMPOSED view
+    val servedC = composedFrame(s, t, loc, pcol, key)
+    val dupes = servedC.groupBy(col(key)).count()
+      .filter(col("count") > 1).count()
+    val nullKeys = servedC.filter(col(key).isNull).count()
+    add("key_uniqueness", dupes == 0 && nullKeys == 0,
+      if (dupes == 0 && nullKeys == 0) "one row per key, no NULL keys"
+      else s"$dupes duplicated keys, $nullKeys NULL keys")
+
+    // dv sidecars: readable per partition, usable tombstone keys,
+    // one delta row per key within its partition
+    val dv = dvParts(loc)
+    if (dv.nonEmpty) {
+      val issues = dv.flatMap { case (v, p) =>
+        scala.util.Try {
+          val tombs = s.read.parquet(
+            p.resolve(CorpusLayout.DvDir).resolve("tombstones").toString)
+          val deltas = s.read.parquet(
+            p.resolve(CorpusLayout.DvDir).resolve("deltas").toString)
+          val badT = tombs.filter(col(key).isNull).count()
+          val dupD = deltas.groupBy(col(key)).count()
+            .filter(col("count") > 1).count()
+          if (badT == 0 && dupD == 0) None
+          else Some(s"$v: $badT NULL tombstone keys, $dupD duplicate delta keys")
+        }.getOrElse(Some(s"$v: unreadable sidecar"))
+      }
+      add("dv_sidecars", issues.isEmpty,
+        if (issues.isEmpty) s"${dv.size} partition sidecars sound"
+        else issues.mkString("; "))
+    }
+    out.toSeq
   }
 
   /** Hard-link every data file of `curLoc`'s partition subdirs whose
@@ -419,6 +689,30 @@ object PartitionedLayout {
         }
     } finally parts.close()
   }
+
+  /** Hard-link each partition's `_dv` sidecar forward verbatim,
+    * except the partitions in `skip` (whose fold writes fresh
+    * sidecars) — the MOR carry step.
+    */
+  private def linkSidecars(curLoc: String, vpath: String,
+                           skip: Set[String]): Unit =
+    dvParts(curLoc).foreach { case (v, pdir) =>
+      if (!skip.contains(v)) {
+        val dstPart = java.nio.file.Paths.get(vpath,
+          pdir.getFileName.toString)
+        val src = pdir.resolve(CorpusLayout.DvDir)
+        val walk = java.nio.file.Files.walk(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.foreach { f =>
+            val dst = dstPart.resolve(pdir.relativize(f).toString)
+            if (java.nio.file.Files.isDirectory(f))
+              java.nio.file.Files.createDirectories(dst)
+            else graft.operators.MergeOps.linkOrCopy(f, dst)
+          }
+        } finally walk.close()
+      }
+    }
 
   /** Non-directory-safe partition values refuse at materialize. */
   private def checkValues(src: DataFrame, pcol: String): Unit = {

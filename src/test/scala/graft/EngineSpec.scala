@@ -390,8 +390,12 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(m11.contains("HashJoin") || m11.contains("SortMergeJoin"),
       s"m11: chunk equality join disappeared:\n$m11")
     // s18: seed graph + 2-hop expansion + rescoring are ALL equality
-    // joins on vec ids / buckets; no stage may go pairwise.
-    val s18 = planOf("s18_nn_descent")
+    // joins on vec ids / buckets; no stage may go pairwise. The query's
+    // own output plan reads a localCheckpoint (the loop's round-reuse
+    // discipline), so the pin inspects ONE un-checkpointed round.
+    val s18 = graft.operators.Similarity
+      .nnDescentRounds(spark, sf, maxRounds = 1, checkpoint = false)
+      ._2.last.queryExecution.executedPlan.toString
     assert(!s18.contains("CartesianProduct"),
       s"s18: NN-descent grew a cartesian:\n$s18")
     assert(s18.contains("HashJoin") || s18.contains("SortMergeJoin"),

@@ -32,11 +32,11 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
 
   test("oracleSql covers every query or is declared rows-only") {
     val missing = SparkEntry.allQueries.filter(q => q.oracle.isEmpty)
-    // rows-only queries are the deliberate exceptions (approx sketches etc.)
-    // — any new oracle-less query must be added here consciously.
-    val allowed = Set("q24_approx_distinct")
-    assert(missing.forall(q => allowed.contains(q.name)),
-      s"queries without an oracle beyond the allowlist: ${missing.map(_.name).filterNot(allowed).mkString(",")}")
+    // EVERY query carries an oracle since round 15 (q24, the last
+    // rows-only exception, now emits exact count + a within_bound flag
+    // DuckDB mirrors) — any new oracle-less query is a regression.
+    assert(missing.isEmpty,
+      s"queries without an oracle: ${missing.map(_.name).mkString(",")}")
   }
 }
 

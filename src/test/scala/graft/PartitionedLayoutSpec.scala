@@ -228,6 +228,122 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("merge-on-read composes: zero base bytes, per-partition sidecars, pruned+folded read, CoW folds the tip") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val srcs = base.select($"source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val (sA, sB) = (srcs(0), srcs(1))
+      val keys = base.filter($"source" === sA)
+        .orderBy($"doc_id").limit(3).collect().map(_.getLong(0))
+      val Seq(kUpd, kMove, kDel) = keys.toSeq
+      val gen0 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val before = inodes(gen0)
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try {
+        val changes = base.filter($"doc_id".isin(kUpd, kMove))
+          .select($"doc_id", $"text",
+            when($"doc_id" === kUpd, "mor").otherwise($"lang").as("lang"),
+            when($"doc_id" === kMove, sB).otherwise($"source").as("source"),
+            $"n_chars")
+          .withColumn(MergeOps.TombstoneCol, lit(false))
+          .unionByName(base.filter($"doc_id" === kDel)
+            .select($"doc_id", lit(null).cast("string").as("text"),
+              lit(null).cast("string").as("lang"),
+              lit(null).cast("string").as("source"),
+              lit(null).cast("long").as("n_chars"))
+            .withColumn(MergeOps.TombstoneCol, lit(true)))
+        val vpath = PartitionedLayout.applyToLayout(spark, corpus, changes)
+
+        // write bill: ZERO base bytes — every base file is the SAME
+        // inode; new files live only under touched partitions' _dv dirs
+        val after = inodes(vpath)
+        val (sidecar, baseFiles) = after.partition(_._1.contains("_dv/"))
+        assert(baseFiles.forall { case (rel, ino) =>
+          before.get(rel).contains(ino) },
+          "MOR apply rewrote a base file")
+        assert(baseFiles.keySet == before.keySet,
+          "MOR apply must carry every base file forward")
+        val sidecarParts = sidecar.keys.map(_.split("/")(0).split("=", 2)(1)).toSet
+        assert(sidecarParts == Set(sA, sB),
+          s"sidecars outside the touched partitions: $sidecarParts")
+
+        // value law through the composed read AND the bare SQL name
+        val expect = base.filter($"doc_id" =!= kDel)
+          .select($"doc_id", $"text",
+            when($"doc_id" === kUpd, "mor").otherwise($"lang").as("lang"),
+            when($"doc_id" === kMove, sB).otherwise($"source").as("source"),
+            $"n_chars")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val composed = PartitionedLayout.ifPresent(spark, corpus, "documents")
+          .get.select(cols.map(col): _*)
+        assert(rows(composed) == rows(expect.select(cols.map(col): _*)),
+          "composed MOR read diverged from the composed expectation")
+        assert(rows(spark.table(t).select(cols.map(col): _*)) ==
+          rows(expect.select(cols.map(col): _*)),
+          "bare catalog name served the raw base over a MOR tip")
+        assert(composed.filter($"doc_id" === kMove)
+          .select($"source").head().getString(0) == sB,
+          "moved key must serve from its NEW partition under MOR")
+
+        // ONE executed plan: partition prune on the base scan + the
+        // sidecar fold (anti-join) + delta-arm pruning, together
+        val q = spark.table(t).filter($"source" === sB).select(cols.map(col): _*)
+        val got = q.collect().length
+        assert(got == expect.filter($"source" === sB).count())
+        val sc = scans(q.queryExecution.executedPlan)
+        val baseScan = sc.filter(_.partitionFilters.nonEmpty)
+        assert(baseScan.nonEmpty, "no partition-pruned base scan in the composed read")
+        val totalBase = before.size
+        assert(baseScan.map(_.metrics("numFiles").value).sum < totalBase,
+          "partition filter did not prune the composed base scan")
+        assert(q.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          "no tombstone fold in the composed plan")
+        val deltaScans = sc.filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("_dv/deltas")))
+        assert(deltaScans.nonEmpty &&
+          deltaScans.forall(_.relation.location.rootPaths
+            .forall(_.toString.contains(s"source=$sB"))),
+          "untouched partitions' delta arms must constant-fold away " +
+            s"under the partition filter: ${deltaScans.flatMap(
+              _.relation.location.rootPaths)}")
+
+        // second MOR apply on sA only: sB's sidecar hard-links forward
+        val upd2 = base.filter($"doc_id" === kUpd)
+          .select($"doc_id", $"text", lit("mor2").as("lang"), $"source",
+            $"n_chars")
+          .withColumn(MergeOps.TombstoneCol, lit(false))
+        val v2 = PartitionedLayout.applyToLayout(spark, corpus, upd2)
+        val after2 = inodes(v2)
+        val sbDv = after.filter(_._1.startsWith(s"source=$sB/"))
+          .filter(_._1.contains("_dv/"))
+        assert(sbDv.forall { case (rel, ino) =>
+          after2.get(rel).contains(ino) },
+          "untouched partition's sidecar must hard-link forward")
+        assert(spark.table(t).filter($"doc_id" === kUpd)
+          .select($"lang").head().getString(0) == "mor2",
+          "second MOR apply did not fold cumulatively")
+
+        // CoW over the MOR tip folds the sidecars away, values intact
+        spark.conf.set(MergeOps.MergeModeKey, "cow")
+        val upd3 = base.filter($"doc_id" === kUpd)
+          .select($"doc_id", $"text", lit("cowfold").as("lang"), $"source",
+            $"n_chars")
+          .withColumn(MergeOps.TombstoneCol, lit(false))
+        val v3 = PartitionedLayout.applyToLayout(spark, corpus, upd3)
+        assert(PartitionedLayout.dvParts(v3).isEmpty,
+          "CoW over a MOR tip must fold the sidecars away")
+        val expect3 = expect.select(cols.map(col): _*)
+          .withColumn("lang", when($"doc_id" === kUpd, "cowfold")
+            .otherwise($"lang"))
+        assert(rows(spark.table(t).select(cols.map(col): _*)) ==
+          rows(expect3.select(cols.map(col): _*)),
+          "CoW fold over the MOR tip diverged")
+      } finally spark.conf.unset(MergeOps.MergeModeKey)
+    }
+  }
+
   test("key-type guard: coercible keys re-hash to the TRUE pair homes; lossy keys refuse") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
@@ -290,6 +406,71 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(v.contains("documents_v1"), s"apply went to $v")
       assert(spark.table(t).filter($"doc_id" === k).head().getString(2) ==
         "new", "apply after re-materialize lost the update")
+    }
+  }
+
+  test("maintenance verbs: VACUUM reclaims, OPTIMIZE folds the MOR tip, CHECK TABLE audits — over partition dirs") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      def upd(lang: String) = base.filter($"doc_id" === k)
+        .select($"doc_id", $"text", lit(lang).as("lang"), $"source", $"n_chars")
+        .withColumn(MergeOps.TombstoneCol, lit(false))
+      // build a chain: one CoW apply, two MOR applies
+      PartitionedLayout.applyToLayout(spark, corpus, upd("c1"))
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try {
+        PartitionedLayout.applyToLayout(spark, corpus, upd("m1"))
+        PartitionedLayout.applyToLayout(spark, corpus, upd("m2"))
+      } finally spark.conf.unset(MergeOps.MergeModeKey)
+      assert(PartitionedLayout.generations(spark, corpus, "documents")
+        .map(_._1) == Seq(0, 1, 2, 3))
+
+      // CHECK TABLE (SQL spelling) on the MOR tip: all rows ok,
+      // including the per-partition dv audit
+      val audit = spark.sql(s"CHECK TABLE $t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(audit.keySet.contains("dv_sidecars") &&
+        audit.values.forall(_ == "ok"),
+        s"healthy MOR tip audits dirty: ${audit.mkString(", ")}")
+
+      // OPTIMIZE folds the sidecars into one clean generation
+      val folded = spark.sql(s"OPTIMIZE $t").head().getString(0)
+      assert(folded.contains("documents_v4"), s"OPTIMIZE went to $folded")
+      assert(PartitionedLayout.dvParts(folded).isEmpty,
+        "OPTIMIZE must fold the MOR sidecars away")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"lang").head().getString(0) == "m2",
+        "OPTIMIZE lost the folded edits")
+
+      // VACUUM RETAIN 2: generations 0..2 reclaim, 3..4 stay
+      val deleted = spark.sql(s"VACUUM $t RETAIN 2 GENERATIONS")
+        .collect().map(_.getString(0)).toSeq
+      assert(deleted.size == 3 &&
+        PartitionedLayout.generations(spark, corpus, "documents")
+          .map(_._1) == Seq(3, 4),
+        s"vacuum deleted $deleted")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"lang").head().getString(0) == "m2",
+        "vacuum touched the served generation")
+
+      // a planted misplaced row is caught by name (audit honesty)
+      val gen = PartitionedLayout.generations(spark, corpus, "documents").last._2
+      val anyPart = new java.io.File(gen).listFiles()
+        .filter(f => f.isDirectory && f.getName.contains("=")).head
+      val victim = anyPart.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val wrongBucket = f"part_99999_${(MergeOps.bucketIdOf(victim.getName).get + 1) % 8}%05d.parquet"
+      java.nio.file.Files.copy(victim.toPath,
+        victim.toPath.resolveSibling(wrongBucket))
+      try {
+        val audit2 = spark.sql(s"CHECK TABLE $t").collect()
+          .map(r => (r.getString(0), r.getString(1))).toMap
+        assert(audit2("bucket_placement") == "FAIL" ||
+          audit2("key_uniqueness") == "FAIL",
+          s"planted misplaced file not caught: ${audit2.mkString(", ")}")
+      } finally java.nio.file.Files.delete(
+        victim.toPath.resolveSibling(wrongBucket))
     }
   }
 

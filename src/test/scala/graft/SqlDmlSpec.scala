@@ -490,6 +490,64 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE TABLE IN CORPUS: SQL-only birth on both layouts, loud rejections") {
+    import spark.implicits._
+    assert(spark.conf.getOption(CorpusLayout.ConfKey).isEmpty,
+      "test precondition: session must start without a layout conf")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctas")
+    val corpus = tmp.toString + "/corpus"
+    val corpus2 = tmp.toString + "/corpus2"
+    spark.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+    val src = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars".cast("long").as("n_chars"))
+    src.createOrReplaceTempView("ctas_src")
+    try {
+      // unknown (un-keyed) table name refuses with the known list
+      val e1 = intercept[Exception](spark.sql(
+        s"CREATE TABLE nosuch IN CORPUS '$corpus' AS SELECT * FROM ctas_src"))
+      assert(e1.getMessage.contains("keyed layout table"), e1.getMessage)
+      // duplicate keys refuse AT BIRTH, before anything lands on disk
+      val e2 = intercept[Exception](spark.sql(
+        s"CREATE TABLE documents IN CORPUS '$corpus' AS " +
+          "SELECT * FROM ctas_src UNION ALL SELECT * FROM ctas_src"))
+      assert(e2.getMessage.contains("row-identity"), e2.getMessage)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$corpus/documents.parquet")),
+        "rejected birth must leave no corpus file")
+      // flat birth: the returned handle speaks every SQL verb
+      val t = spark.sql(s"CREATE TABLE documents IN CORPUS '$corpus' " +
+        "INTO 8 BUCKETS AS SELECT * FROM ctas_src").head().getString(0)
+      assert(t.startsWith("graft_cl_documents_"), t)
+      assert(rows(served(corpus)) == rows(src),
+        "SQL-born table diverged from its CTAS query")
+      spark.sql(s"UPDATE $t SET lang = 'b1' WHERE doc_id % 9 = 0")
+      assert(served(corpus).filter($"lang" === "b1").count() ==
+        src.filter($"doc_id" % 9 === 0).count(),
+        "DML against the SQL-born handle mis-applied")
+      // re-birth over an existing corpus file refuses (errorifexists)
+      intercept[Exception](spark.sql(
+        s"CREATE TABLE documents IN CORPUS '$corpus' AS SELECT * FROM ctas_src"))
+      // partitioned birth: PARTITIONED BY routes to PartitionedLayout,
+      // and the maintenance surface (CHECK TABLE) audits it clean
+      val t2 = spark.sql(s"CREATE TABLE documents IN CORPUS '$corpus2' " +
+        "INTO 8 BUCKETS PARTITIONED BY source AS SELECT * FROM ctas_src")
+        .head().getString(0)
+      assert(t2.startsWith("graft_plt_documents_"), t2)
+      val audit = spark.sql(s"CHECK TABLE $t2").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(audit.nonEmpty && audit.forall(_._2 == "ok"),
+        s"SQL-born partitioned table audits dirty: ${audit.mkString(", ")}")
+    } finally {
+      spark.catalog.dropTempView("ctas_src")
+      graft.sources.PartitionedLayout.drop(spark, corpus2, "documents")
+      CorpusLayout.drop(spark, corpus)
+      CorpusLayout.drop(spark, corpus2)
+      spark.conf.unset(CorpusLayout.ConfKey)
+      graft.FsUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("streaming CDF accepts legacy unstamped slices as the stream's start era") {
     import spark.implicits._
     withSandbox("cdfleg") { (corpus, t, base) =>
