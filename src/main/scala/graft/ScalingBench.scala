@@ -446,7 +446,9 @@ object ScalingBench {
       def mb(m: Map[String, java.nio.file.Path]) =
         math.round(m.values.map(java.nio.file.Files.size(_)).sum / 1e4) / 100.0
       results :+= ("part_mor/base_rewritten_mb" -> mb(rewrittenBase))
-      results :+= ("part_mor/sidecar_mb" -> mb(side))
+      // sidecars are changeset-scale — KB, not MB, is the honest unit
+      results :+= ("part_mor/sidecar_kb" ->
+        math.round(side.values.map(java.nio.file.Files.size(_)).sum / 102.4) / 10.0)
       results :+= ("part_mor/sidecar_files" -> side.size.toDouble)
     }
     // compose tax on the pruned aggregate, then OPTIMIZE folds it away

@@ -76,7 +76,7 @@ object GraftSqlParser {
   // graft_cl_ prefix is part of the match so non-layout statements
   // fall through to the stock parser (and its stock errors)
   private val DescribeHistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+(graft_cl_\w+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(graft_(?:cl|plt)_\w+)\s*;?\s*""".r
   // maintenance verbs cover BOTH layout tiers: the flat graft_cl_
   // tables route to MergeOps/Fsck, partitioned graft_plt_ ones to
   // PartitionedLayout's own vacuum/compact/checkTable
@@ -154,8 +154,9 @@ case class DescribeHistoryCommand(tableName: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.MergeOps
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "DESCRIBE HISTORY")
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "DESCRIBE HISTORY")
+    if (partitioned) return runPartitioned(spark, corpusDir, table)
     val servedLoc = CorpusLayout.ifPresent(spark, corpusDir, table)
       .flatMap(_ => CorpusLayout.servedGeneration(spark, corpusDir, table))
       .map(p => java.nio.file.Paths.get(p).normalize.toString)
@@ -169,6 +170,34 @@ case class DescribeHistoryCommand(tableName: String)
         data.length, data.map(_.length).sum,
         servedLoc.contains(norm), pins.contains(norm),
         CorpusLayout.hasDv(p), CorpusLayout.readMapping(p).nonEmpty)
+    }
+  }
+
+  /** The partitioned chain's history: same row shape — files/bytes walk
+    * the partition subdirs, dv = any per-partition sidecar, pins/mapping
+    * have no partitioned surface (always false, stated not hidden).
+    */
+  private def runPartitioned(spark: SparkSession, corpusDir: String,
+                             table: String): Seq[Row] = {
+    import graft.sources.PartitionedLayout
+    val servedLoc = scala.util.Try(graft.operators.MergeOps.tableLayout(
+        spark, PartitionedLayout.tableName(table, corpusDir))._1)
+      .toOption.map(p => java.nio.file.Paths.get(p).normalize.toString)
+    PartitionedLayout.generations(spark, corpusDir, table).map { case (g, p) =>
+      val base = java.nio.file.Paths.get(p)
+      val walk = java.nio.file.Files.walk(base)
+      val data = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).toVector
+      } finally walk.close()
+      val norm = java.nio.file.Paths.get(p).normalize.toString
+      Row(g, p, new java.sql.Timestamp(CorpusLayout.commitTsOf(p)),
+        data.length, data.sum,
+        servedLoc.contains(norm), false,
+        PartitionedLayout.dvParts(p).nonEmpty, false)
     }
   }
 }

@@ -434,6 +434,14 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
         audit.values.forall(_ == "ok"),
         s"healthy MOR tip audits dirty: ${audit.mkString(", ")}")
 
+      // DESCRIBE HISTORY speaks the partitioned chain: the two MOR
+      // generations carry the dv flag, the tip is served
+      val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+      assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3) &&
+        hist.count(_.getBoolean(7)) == 2 &&
+        hist.filter(_.getBoolean(5)).map(_.getInt(0)).toSeq == Seq(3),
+        s"history rows: ${hist.mkString("; ")}")
+
       // OPTIMIZE folds the sidecars into one clean generation
       val folded = spark.sql(s"OPTIMIZE $t").head().getString(0)
       assert(folded.contains("documents_v4"), s"OPTIMIZE went to $folded")
