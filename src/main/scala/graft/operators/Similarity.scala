@@ -129,7 +129,7 @@ object Similarity {
                         (ROUND(${cosineSimNormedSql("ex.v", "ey.v", "ex.nv", "ey.nv")}, 4) + 0.0) AS cos
                  FROM cand$r JOIN e ex ON cand$r.src = ex.vec_id
                              JOIN e ey ON cand$r.dst = ey.vec_id),
-        g$r AS (SELECT src, dst, cos, rn FROM (
+        g$r AS MATERIALIZED (SELECT src, dst, cos, rn FROM (
                   SELECT src, dst, cos,
                          ROW_NUMBER() OVER (PARTITION BY src
                            ORDER BY cos DESC, dst ASC) AS rn
@@ -1121,7 +1121,13 @@ object Similarity {
       // (44M seed pairs ≈ 44 GB, >70 GB of temp spill at 20k vectors);
       // with (src, dst, cos) projections the same sweep runs in memory.
       // Values are identical: the rank keys are the same rounded cos.
-      // norm-factored pair cosines — s05's discipline, both scoring CTEs
+      // norm-factored pair cosines — s05's discipline, both scoring CTEs.
+      // Round-15 lesson, same family: the UNROLLED rounds reference knn
+      // and each g_r 3-4 times (und/cand/rate/pick), and DuckDB
+      // RE-EVALUATES a multi-referenced CTE unless MATERIALIZED — the
+      // 44M-pair seed recomputed per reference turned a <1-min compare
+      // into 40+. knn and g_r are AS MATERIALIZED (semantics-neutral;
+      // Spark never parses this SQL).
       Some(s"""
         WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           (${signBucketSql("embedding", 6)}) AS bucket
@@ -1139,7 +1145,7 @@ object Similarity {
                                ROW_NUMBER() OVER (PARTITION BY src
                                  ORDER BY cos DESC, dst ASC) AS rn
                         FROM seed_cos),
-        knn AS (SELECT src, dst FROM seed_scored WHERE rn <= 2),
+        knn AS MATERIALIZED (SELECT src, dst FROM seed_scored WHERE rn <= 2),
         ${(1 to NnDescentMaxRounds).map(s18RoundSql).mkString(",\n        ")},
         pick AS (SELECT CASE ${(1 until NnDescentMaxRounds).map(r =>
           s"WHEN (SELECT rate FROM u$r) < $NnDescentEps THEN $r")
