@@ -1856,13 +1856,17 @@ object Pipeline {
     // trickles can't pay even the touched-PAIR CoW bill per apply, so
     // `spark.graft.merge.mode=mor` hard-links every base file forward
     // (zero base bytes) and folds each wave into per-partition `_dv`
-    // sidecars under the touched partitions only. Two waves exercise the
-    // cumulative sidecar algebra (wave 2 re-updates a subset of wave 1's
-    // keys through the fold) plus the cross-partition move and
-    // tombstones; the read-back goes through the bare CATALOG name —
-    // ComposedServingRule's partitioned arm composes base⊖tombs∪deltas
-    // with the partition filter still pruning base directories AND
-    // constant-folding untouched partitions' delta arms
+    // sidecars under the touched partitions only. The changeset is
+    // PARTITION-CONFINED by design — two source strata plus the move
+    // target — because that is the trickle shape MOR exists for (the
+    // per-partition fold is priced per TOUCHED partition; a corpus-wide
+    // changeset is a CoW/OPTIMIZE job, not a MOR trickle). Two waves
+    // exercise the cumulative sidecar algebra (wave 2 re-updates a
+    // subset of wave 1's keys through the fold) plus the cross-partition
+    // move and tombstones; the read-back goes through the bare CATALOG
+    // name — ComposedServingRule's partitioned arm composes
+    // base⊖tombs∪deltas with the partition filter still pruning base
+    // directories AND constant-folding untouched partitions' delta arms
     // (PartitionedLayoutSpec pins all three on one executed plan).
     GQuery("p38_partitioned_mor",
       (s, d) => {
@@ -1881,19 +1885,21 @@ object Pipeline {
             pcol = "source", buckets = 16)
           val t = PartitionedLayout.tableName("documents", corpus)
           val base = s.read.parquet(s"$corpus/documents.parquet")
+          val stratum = $"source".isin("src1", "src2")
           def wave(langExpr: org.apache.spark.sql.Column,
                    pick: org.apache.spark.sql.Column) = base
-            .filter(pick && $"doc_id" % 17 =!= 0)
+            .filter(pick && stratum && $"doc_id" % 17 =!= 0)
             .select($"doc_id", $"text", langExpr.as("lang"),
               when($"doc_id" % 23 === 0, "src0").otherwise($"source")
                 .as("source"),
               $"n_chars")
             .withColumn(MergeOps.TombstoneCol, lit(false))
-          // wave 1: updates + cross-partition moves + tombstones
+          // wave 1: updates + cross-partition moves + tombstones (in src1)
           PartitionedLayout.applyToLayout(s, corpus,
             wave(when($"doc_id" % 6 === 0, "m1").otherwise($"lang"),
                 $"doc_id" % 6 === 0 || $"doc_id" % 23 === 0)
-              .unionByName(base.filter($"doc_id" % 17 === 0)
+              .unionByName(base
+                .filter($"doc_id" % 17 === 0 && $"source" === "src1")
                 .select($"doc_id", lit(null).cast("string").as("text"),
                   lit(null).cast("string").as("lang"),
                   lit(null).cast("string").as("source"),
@@ -1922,11 +1928,17 @@ object Pipeline {
       Some("""
         WITH v AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 12 = 0 THEN 'm2'
-                      WHEN doc_id % 6 = 0 THEN 'm1' ELSE lang END AS lang,
-                 CASE WHEN doc_id % 23 = 0 THEN 'src0' ELSE source END AS source,
+                 CASE WHEN source IN ('src1', 'src2') AND doc_id % 17 <> 0
+                           AND doc_id % 12 = 0 THEN 'm2'
+                      WHEN source IN ('src1', 'src2') AND doc_id % 17 <> 0
+                           AND doc_id % 6 = 0 THEN 'm1'
+                      ELSE lang END AS lang,
+                 CASE WHEN source IN ('src1', 'src2') AND doc_id % 17 <> 0
+                           AND doc_id % 23 = 0 THEN 'src0'
+                      ELSE source END AS source,
                  n_chars
-          FROM documents WHERE doc_id % 17 <> 0)
+          FROM documents
+          WHERE NOT (doc_id % 17 = 0 AND source = 'src1'))
         SELECT source, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM v WHERE source IN ('src0', 'src1')
