@@ -69,11 +69,18 @@ sbt --batch "runMain graft.ExplainAll docs/explains" > /dev/null
 
 echo "== commit =="
 # per-path adds: git add aborts the WHOLE command on one bad pathspec
-# (a driver artifact like COPYCHECK.json may not exist this round), and
-# the old single-command form silently staged nothing in that case
+# (a driver artifact like COPYCHECK.json may not exist this round, or —
+# round 15 — exists but is gitignored: adding an untracked ignored file
+# errors and set -e killed the commit step before docs/explains staged),
+# so skip missing AND ignored-untracked paths explicitly
 for f in BENCH_LOCAL.json BENCH_HISTORY.jsonl BENCH_BUDGET.json \
          BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json; do
-  [ -e "$f" ] && git add "$f"
+  if [ -e "$f" ]; then
+    if git ls-files --error-unmatch "$f" > /dev/null 2>&1 || \
+       ! git check-ignore -q "$f"; then
+      git add "$f"
+    fi
+  fi
 done
 git add docs/explains
 if ! git diff --cached --quiet; then
