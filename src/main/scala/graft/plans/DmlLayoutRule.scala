@@ -19,17 +19,33 @@ import org.apache.spark.sql.{Column, GraftPlanBridge}
   */
 private[plans] object LayoutSql {
 
+  /** Both layout flavors answer the same DML surface: flat bucketed
+    * (`graft_cl_`) and partition∘bucket (`graft_plt_`) catalog names
+    * lower onto their respective generation-chain applies — the verbs,
+    * validation and lease discipline are identical, only the apply's
+    * write bill differs (touched buckets vs touched (partition, bucket)
+    * pairs, or delta-sized sidecars under MOR).
+    */
+  def isPartitioned(tableName: String): Boolean =
+    tableName.startsWith("graft_plt_")
+
+  private def isLayoutName(n: String): Boolean =
+    n.startsWith("graft_cl_") || n.startsWith("graft_plt_")
+
   def layoutTarget(p: LogicalPlan): Option[String] = p.collectFirst {
     case lr: LogicalRelation
-        if lr.catalogTable.exists(_.identifier.table.startsWith("graft_cl_")) =>
+        if lr.catalogTable.exists(ct => isLayoutName(ct.identifier.table)) =>
       lr.catalogTable.get.identifier.table
-    case sa: SubqueryAlias if sa.alias.startsWith("graft_cl_") => sa.alias
+    case sa: SubqueryAlias if isLayoutName(sa.alias) => sa.alias
   }
 
-  /** (logical table, key column) for a `graft_cl_<table>_<k>` name. */
+  /** (logical table, key column) for a `graft_cl_|graft_plt_<table>_<k>`
+    * name.
+    */
   def tableKey(tableName: String, fail: String => Nothing): (String, String) = {
+    val stripped = tableName.stripPrefix("graft_cl_").stripPrefix("graft_plt_")
     val logicalTable = CorpusLayout.keyed.keys.toSeq.sorted.collectFirst {
-      case t if tableName.stripPrefix("graft_cl_").startsWith(t + "_") => t
+      case t if stripped.startsWith(t + "_") => t
     }.getOrElse(fail(s"cannot parse layout table name '$tableName'"))
     (logicalTable, CorpusLayout.keyed(logicalTable))
   }
@@ -37,16 +53,40 @@ private[plans] object LayoutSql {
   /** Resolve the corpus + served frame a lowered command edits. */
   def servedTarget(spark: SparkSession, tableName: String, logicalTable: String,
                    verb: String): (String, org.apache.spark.sql.DataFrame) = {
-    val (corpusDir, _) = CorpusLayout.corpusForTable(spark, tableName)
+    val corpusFor =
+      if (isPartitioned(tableName))
+        graft.sources.PartitionedLayout.corpusForTable(spark, tableName)
+      else CorpusLayout.corpusForTable(spark, tableName)
+    val (corpusDir, _) = corpusFor
       .getOrElse(throw new IllegalStateException(
         s"$verb $tableName: no _CORPUS marker maps this layout table back " +
           "to its corpus under the session's layout base " +
           "(CorpusLayout.materialize writes it)"))
-    val tgt = CorpusLayout.ifPresent(spark, corpusDir, logicalTable)
+    val tgt = (if (isPartitioned(tableName))
+        graft.sources.PartitionedLayout.ifPresent(spark, corpusDir, logicalTable)
+      else CorpusLayout.ifPresent(spark, corpusDir, logicalTable))
       .getOrElse(throw new IllegalStateException(
         s"$verb $tableName: the layout table is not served"))
     (corpusDir, tgt)
   }
+
+  /** Route a derived-changeset apply to the target's layout flavor —
+    * same callback contract both sides
+    * ([[graft.operators.MergeOps.applyToLayoutFrom]] /
+    * [[graft.sources.PartitionedLayout.applyToLayoutFrom]]).
+    */
+  def applyFrom(spark: SparkSession, tableName: String, corpusDir: String,
+                logicalTable: String, partial: Boolean = false,
+                preApply: (org.apache.spark.sql.DataFrame,
+                  org.apache.spark.sql.DataFrame) => Unit = null)
+               (mkChanges: org.apache.spark.sql.DataFrame =>
+                 org.apache.spark.sql.DataFrame): String =
+    if (isPartitioned(tableName))
+      graft.sources.PartitionedLayout.applyToLayoutFrom(spark, corpusDir,
+        logicalTable, partial = partial, preApply = preApply)(mkChanges)
+    else
+      graft.operators.MergeOps.applyToLayoutFrom(spark, corpusDir,
+        logicalTable, partial = partial, preApply = preApply)(mkChanges)
 
   /** Rewrite resolved target attribute references to plain name lookups:
     * the command re-reads the target as a FRESH served frame whose
@@ -188,10 +228,30 @@ object DmlLayoutRule extends Rule[LogicalPlan] {
     val verb = if (i.overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     val f = fail(verb) _
     val (logicalTable, keyCol) = LayoutSql.tableKey(tableName, f)
-    if (i.partitionSpec.nonEmpty) f(
-      "PARTITION is not supported — layout tables are bucketed, not partitioned")
+    // static PARTITION (pcol = 'v') names the inserted rows' partition
+    // on a partitioned layout; flat layouts have no partition dimension
+    val staticPart: Option[(String, String)] =
+      if (i.partitionSpec.isEmpty) None
+      else if (!LayoutSql.isPartitioned(tableName)) f(
+        "PARTITION is not supported — flat layout tables are bucketed, " +
+          "not partitioned")
+      else i.partitionSpec.toSeq match {
+        case Seq((c, Some(v))) => Some(c -> v)
+        case _ => f("PARTITION must statically pin exactly the one " +
+          "partition column: PARTITION (<pcol> = '<value>') — dynamic " +
+          "partition values come from the rows themselves (omit PARTITION)")
+      }
     if (i.ifPartitionNotExists) f("IF NOT EXISTS is not supported")
-    val tgtCols = i.table.output.map(_.name)
+    val tgtCols0 = i.table.output.map(_.name)
+    // a statically-pinned partition column is not a query-supplied
+    // column: positional inserts expect the remaining columns, and
+    // naming it in a column list rejects (its value is the PARTITION's)
+    val tgtCols = staticPart match {
+      case Some((c, _)) =>
+        if (!tgtCols0.contains(c)) f(s"unknown partition column '$c'")
+        tgtCols0.filterNot(_ == c)
+      case None => tgtCols0
+    }
     val qOut = i.query.output
     // (target column, query output position); unmapped target columns
     // insert as NULL
@@ -221,7 +281,7 @@ object DmlLayoutRule extends Rule[LogicalPlan] {
     if (!mapping.exists(_._1 == keyCol)) f(
       s"INSERT must supply the layout key '$keyCol'")
     InsertLayoutCommand(tableName, logicalTable, keyCol, i.query, mapping,
-      overwrite = i.overwrite)
+      overwrite = i.overwrite, staticPartition = staticPart)
   }
 }
 
@@ -248,7 +308,7 @@ case class UpdateLayoutCommand(
     // the WHERE scan and RHS evaluation read the frame the lease just
     // resynced — not a pre-lease snapshot a concurrent writer could
     // have moved past (check-then-act)
-    MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+    LayoutSql.applyFrom(spark, tableName, corpusDir, logicalTable,
         partial = true) { tgt =>
       val rows = spec.cond.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
       // resolve the RHS first so storeAssign sees the SOURCE types
@@ -281,7 +341,7 @@ case class DeleteLayoutCommand(
     val (corpusDir, _) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, "DELETE FROM")
     // WHERE scan under the lease — see UPDATE's note
-    MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+    LayoutSql.applyFrom(spark, tableName, corpusDir, logicalTable,
         partial = true) { tgt =>
       tgt.filter(Bridge.column(spec.cond))
         .select(col(keyCol), lit(true).as(MergeOps.TombstoneCol))
@@ -297,7 +357,9 @@ case class DeleteLayoutCommand(
 case class InsertLayoutCommand(
     tableName: String, logicalTable: String, keyCol: String,
     source: LogicalPlan, mapping: Seq[(String, Int)],
-    overwrite: Boolean) extends LeafRunnableCommand {
+    overwrite: Boolean,
+    staticPartition: Option[(String, String)] = None)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -307,6 +369,15 @@ case class InsertLayoutCommand(
     val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     val (corpusDir, _) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, verb)
+    // a static PARTITION pin must name the layout's actual partition
+    // column (only knowable here — the marker lives with the layout)
+    staticPartition.foreach { case (c, _) =>
+      val pcol = graft.sources.PartitionedLayout
+        .pcolOf(spark, corpusDir, logicalTable)
+      require(c == pcol,
+        s"$verb $tableName: PARTITION names '$c' but the layout " +
+          s"partitions by '$pcol'")
+    }
     val src = GraftPlanBridge.ofRows(spark, source)
     val qOut = source.output
     val byName = mapping.toMap
@@ -327,16 +398,25 @@ case class InsertLayoutCommand(
       raw.select(tgt.columns.toSeq.map { c =>
         if (byName.contains(c))
           LayoutSql.storeAssign(raw, c, tgt.schema(c).dataType, verb, tableName)
-        else lit(null).cast(tgt.schema(c).dataType).as(c)
+        else staticPartition match {
+          case Some((`c`, v)) => lit(v).cast(tgt.schema(c).dataType).as(c)
+          case _ => lit(null).cast(tgt.schema(c).dataType).as(c)
+        }
       } :+ lit(false).as(MergeOps.TombstoneCol): _*)
     }
     if (overwrite)
-      MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable) { tgt =>
+      LayoutSql.applyFrom(spark, tableName, corpusDir, logicalTable) { tgt =>
         // snapshot: the plan reads `inserts` twice (rows + anti-join
         // build) — a non-deterministic query must not diverge between
         // the kept keys and the tombstoned complement
         val inserts = insertsFor(tgt).localCheckpoint(true)
-        val gone = tgt.select(col(keyCol))
+        // a static PARTITION pin scopes the replacement: only THAT
+        // partition's gone keys tombstone (SQL's partition-overwrite
+        // semantics); unpinned OVERWRITE replaces the whole table
+        val scope = staticPartition
+          .map { case (c, v) => tgt.filter(col(c) === lit(v)) }
+          .getOrElse(tgt)
+        val gone = scope.select(col(keyCol))
           .join(inserts.select(col(keyCol)), Seq(keyCol), "left_anti")
           .select(col(keyCol) +: tgt.columns.toSeq.filterNot(_ == keyCol).map(c =>
             lit(null).cast(tgt.schema(c).dataType).as(c)) :+
@@ -350,7 +430,7 @@ case class InsertLayoutCommand(
       // bit-for-bit the keys applied (a non-deterministic query cannot
       // pass the probe yet insert different keys), and no concurrent
       // writer can commit between probe and apply (both hold the lease).
-      MergeOps.applyToLayoutFrom(spark, corpusDir, logicalTable,
+      LayoutSql.applyFrom(spark, tableName, corpusDir, logicalTable,
           preApply = (tgt, snap) => {
             val dup = tgt.select(col(keyCol))
               .join(snap.select(col(keyCol)), Seq(keyCol), "left_semi")

@@ -94,10 +94,8 @@ object MergeIntoLayoutRule extends Rule[LogicalPlan] {
     }
 
   private def rewrite(m: MergeIntoTable, tableName: String): LogicalPlan = {
-    val logicalTable = CorpusLayout.keyed.keys.toSeq.sorted.collectFirst {
-      case t if tableName.stripPrefix("graft_cl_").startsWith(t + "_") => t
-    }.getOrElse(fail(s"cannot parse layout table name '$tableName'"))
-    val keyCol = CorpusLayout.keyed(logicalTable)
+    val (logicalTable, keyCol) =
+      LayoutSql.tableKey(tableName, msg => fail(msg))
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     m.sourceTable.output.find(_.name.startsWith("__")).foreach(a =>
@@ -219,14 +217,8 @@ case class MergeIntoLayoutCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     import graft.operators.MergeOps
-    val (corpusDir, _) = CorpusLayout.corpusForTable(spark, tableName)
-      .getOrElse(throw new IllegalStateException(
-        s"MERGE INTO $tableName: no _CORPUS marker maps this layout " +
-          "table back to its corpus under the session's layout base " +
-          "(CorpusLayout.materialize writes it)"))
-    val tgt = CorpusLayout.ifPresent(spark, corpusDir, logicalTable)
-      .getOrElse(throw new IllegalStateException(
-        s"MERGE INTO $tableName: the layout table is not served"))
+    val (corpusDir, tgt) =
+      LayoutSql.servedTarget(spark, tableName, logicalTable, "MERGE INTO")
     val payload = tgt.columns.filterNot(_ == keyCol).toSeq
     val src = GraftPlanBridge.ofRows(spark, source)
       .withColumn("__k", Bridge.column(spec.sourceKey))
@@ -300,7 +292,10 @@ case class MergeIntoLayoutCommand(
             lit(true).as(MergeOps.TombstoneCol): _*)
         fromSource.unionByName(gone)
     }
-    MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable)
+    if (LayoutSql.isPartitioned(tableName))
+      graft.sources.PartitionedLayout.applyToLayout(
+        spark, corpusDir, changes, logicalTable)
+    else MergeOps.applyToLayout(spark, corpusDir, changes, logicalTable)
     Seq.empty
   }
 }

@@ -153,6 +153,16 @@ object PartitionedLayout {
       composing.set(true)
       try s.table(t) finally composing.set(false)
     }
+    composeDv(s, base, loc, pcol, key)
+  }
+
+  /** Fold generation `loc`'s per-partition `_dv` sidecars over `base` —
+    * the composition algebra shared by the serving read (base = catalog
+    * table) and [[readGeneration]] (base = that generation's partition
+    * dirs). Identity when no partition carries a sidecar.
+    */
+  private[graft] def composeDv(s: SparkSession, base: DataFrame, loc: String,
+                               pcol: String, key: String): DataFrame = {
     val dv = dvParts(loc)
     if (dv.isEmpty) base
     else {
@@ -263,7 +273,30 @@ object PartitionedLayout {
     * lookup that also catches cross-partition moves.
     */
   def applyToLayout(s: SparkSession, corpusDir: String, changes0: DataFrame,
-                    table: String = "documents"): String = {
+                    table: String = "documents"): String =
+    applyToLayoutFrom(s, corpusDir, table)(_ => changes0)
+
+  /** [[applyToLayout]] with the changeset DERIVED from the served
+    * composed frame INSIDE the single-writer lease (post-resync) — the
+    * flat layout's [[graft.operators.MergeOps.applyToLayoutFrom]]
+    * discipline, which the SQL DML lowerings require: an UPDATE/DELETE
+    * WHERE scan or INSERT existence probe evaluated outside the lease
+    * would check-then-act across a concurrent writer's commit.
+    * `partial = true` expands a sparse changeset (key + assigned
+    * columns) to full rows from the served frame — unassigned columns,
+    * the partition column included, fill from the OLD row via one
+    * changeset-key semi-join, so an `UPDATE SET lang = …` never states
+    * a partition value and never moves the row, while an explicit
+    * `SET <pcol> = …` is a cross-partition move billed at exactly its
+    * two (partition, bucket) homes. `preApply` runs after the snapshot
+    * and key validation with (served frame, snapshotted changeset) —
+    * rows it approves are bit-for-bit the rows applied.
+    */
+  def applyToLayoutFrom(s: SparkSession, corpusDir: String,
+                        table: String = "documents",
+                        partial: Boolean = false,
+                        preApply: (DataFrame, DataFrame) => Unit = null)
+                       (mkChanges: DataFrame => DataFrame): String = {
     val key = CorpusLayout.keyed(table)
     val t = tableName(table, corpusDir)
     require(s.catalog.tableExists(t),
@@ -273,8 +306,13 @@ object PartitionedLayout {
         s, corpusDir, s"$table@partitioned") {
       resync(s, corpusDir, table)
       val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
-      val pcol = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(curLoc, PcolMarker)), "UTF-8").trim
+      val pcol = readPcol(curLoc)
+      // the served view COMPOSES the tip's sidecars: the derivation
+      // callback, old-home lookup, CoW pair reads and full rewrites must
+      // all see base⊖tombs∪deltas, never raw base files
+      val tipDv = dvParts(curLoc).nonEmpty
+      val served = composedFrame(s, t, curLoc, pcol, key)
+      val changes0 = mkChanges(served)
       val tomb = graft.operators.MergeOps.TombstoneCol
       require(changes0.columns.contains(tomb),
         s"changeset must carry a '$tomb' boolean column")
@@ -292,16 +330,22 @@ object PartitionedLayout {
         .localCheckpoint(true)
       // one job validates keys AND partition values (the key gate
       // mirrors applyToLayout's; the pcol gate is this layout's own:
-      // an upsert without a partition value has no home directory)
+      // an upsert without a partition value has no home directory). A
+      // sparse partial changeset may not CARRY the pcol column — its
+      // values fill from the corpus below (directory-safe by induction),
+      // and the post-expansion gate covers the new-key case.
+      val hasPcol = changes1.columns.contains(pcol)
       val rtBad =
         if (srcType == keyType) lit(false)
         else col("__src_key").isNotNull &&
           !(col(key).try_cast(srcType) <=> col("__src_key"))
+      val pcolBad =
+        if (hasPcol) !col(tomb) && (col(pcol).isNull ||
+          !col(pcol).rlike("^[A-Za-z0-9._-]+$"))
+        else lit(false)
       val bad = changes1.groupBy(col(key))
         .agg(count(lit(1)).as("__n"),
-          max(when(!col(tomb) && (col(pcol).isNull ||
-            !col(pcol).rlike("^[A-Za-z0-9._-]+$")), 1).otherwise(0))
-            .as("__badp"),
+          max(when(pcolBad, 1).otherwise(0)).as("__badp"),
           max(when(rtBad, 1).otherwise(0)).as("__lossy"))
         .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1 ||
           col("__lossy") === 1)
@@ -312,8 +356,27 @@ object PartitionedLayout {
           s"([A-Za-z0-9._-]+), or its key (${srcType.sql}) does not " +
           s"round-trip through the layout's key type (${keyType.sql}): " +
           s"${bad.mkString(", ")}")
-      val changes = if (srcType == keyType) changes1
+      val changes2 = if (srcType == keyType) changes1
         else changes1.drop("__src_key")
+      // a sparse (UPDATE SET / DELETE) changeset expands to full rows
+      // HERE, before anything durable — unassigned columns (pcol
+      // included) fill from the served frame's old rows; re-snapshot so
+      // the expansion semi-join runs once, not per downstream consumer
+      val changes = if (partial)
+        graft.operators.MergeOps.expandPartial(served, changes2, key)
+          .localCheckpoint(true)
+        else changes2
+      if (partial && !hasPcol) {
+        // expansion fills pcol from the corpus; an upsert for a key the
+        // corpus does not hold fills nothing — no home directory, refuse
+        val orphans = changes.filter(!col(tomb) && col(pcol).isNull)
+          .select(col(key)).limit(5).collect()
+        require(orphans.isEmpty,
+          s"partial changeset upserts key(s) absent from the corpus with " +
+            s"no '$pcol' value — an insert must state its partition: " +
+            s"${orphans.map(_.get(0)).mkString(", ")}")
+      }
+      if (preApply != null) preApply(served, changes)
       val morMode = s.conf.getOption(graft.operators.MergeOps.MergeModeKey)
         .getOrElse("cow") match {
         case "mor" => true
@@ -322,11 +385,6 @@ object PartitionedLayout {
           s"${graft.operators.MergeOps.MergeModeKey} must be 'cow' or " +
             s"'mor', got '$other'")
       }
-      // the served view COMPOSES the tip's sidecars: old-home lookup,
-      // CoW pair reads and full rewrites must all see base⊖tombs∪deltas,
-      // never raw base files
-      val tipDv = dvParts(curLoc).nonEmpty
-      val served = composedFrame(s, t, curLoc, pcol, key)
       val bucketOf = pmod(hash(col(key)), lit(buckets)).cast("int")
       // touched pairs = the changeset rows' NEW homes ∪ the matched
       // keys' OLD homes (one changeset-keyed semi-join — the corpus
@@ -723,6 +781,40 @@ object PartitionedLayout {
       s"partition column '$pcol' holds NULL or non-directory-safe " +
         s"values (${bad.mkString(", ")}) — this layout stores values " +
         "as directory names verbatim")
+  }
+
+  /** The served generation's partition column name. */
+  private[graft] def pcolOf(s: SparkSession, corpusDir: String,
+                            table: String): String =
+    readPcol(graft.operators.MergeOps.tableLayout(
+      s, tableName(table, corpusDir))._1)
+
+  /** Read retained generation `n` as the frame it SERVED: each partition
+    * dir read with its value re-attached as a LITERAL (no partition-type
+    * inference — values are directory strings verbatim, and a filter on
+    * the partition column constant-folds whole arms away, the audit
+    * read's form of directory pruning), with that generation's `_dv`
+    * sidecars folded on top. Fails with the retained have-list for a
+    * vacuumed or unknown generation — the flat
+    * [[graft.operators.MergeOps.readGeneration]]'s contract, one tier
+    * down.
+    */
+  def readGeneration(s: SparkSession, corpusDir: String, table: String,
+                     n: Int): DataFrame = {
+    val gens = generations(s, corpusDir, table)
+    val p = gens.collectFirst { case (g, path) if g == n => path }
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation $n of ($corpusDir, $table) is not retained — have: " +
+          s"${gens.map(_._1).mkString(", ")}"))
+    val pcol = readPcol(p)
+    val parts = partDirs(p)
+    require(parts.nonEmpty,
+      s"generation $n at $p has no partition dirs — not a partitioned " +
+        "generation")
+    val base = parts.map { case (v, d) =>
+      s.read.parquet(d.toString).withColumn(pcol, lit(v)) }
+      .reduce(_ unionByName _)
+    composeDv(s, base, p, pcol, CorpusLayout.keyed(table))
   }
 
   /** Drop the catalog table (files stay; a fresh session re-creates the

@@ -482,6 +482,181 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL DML verbs drive the partitioned chain: UPDATE/DELETE/INSERT/MERGE + time travel") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val srcs = base.select($"source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val (sA, sB) = (srcs(0), srcs(1))
+      val cols = spark.table(t).columns.toSeq // pcol last (catalog order)
+
+      // UPDATE with WHERE: partial changeset (no pcol assignment — rows
+      // stay home)
+      spark.sql(s"UPDATE $t SET lang = 'up' WHERE doc_id % 7 = 0")
+      val gen1 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(gen1.contains("documents_v1"), s"UPDATE did not advance: $gen1")
+      assert(rows(spark.table(t)) == rows(base.withColumn("lang",
+          when($"doc_id" % 7 === 0, "up").otherwise($"lang"))
+        .select(cols.map(col): _*)),
+        "UPDATE values diverged")
+
+      // UPDATE SET <pcol>: a cross-partition move — the row re-homes,
+      // and the write bill is exactly its two (partition, bucket)
+      // homes (fresh inodes ≤ 2, everything else hard-links forward)
+      val mover = base.filter($"source" === sA)
+        .orderBy($"doc_id").limit(1).head().getLong(0)
+      val before = inodes(gen1)
+      spark.sql(s"UPDATE $t SET source = '$sB' WHERE doc_id = $mover")
+      val after = inodes(PartitionedLayout
+        .generations(spark, corpus, "documents").last._2)
+      val fresh = after.filterNot { case (rel, ino) =>
+        before.get(rel).contains(ino) }
+      assert(fresh.nonEmpty && fresh.size <= 2,
+        s"cross-partition move must rewrite exactly its two homes, " +
+          s"rewrote ${fresh.keys.mkString(", ")}")
+      val moved = spark.table(t).filter($"doc_id" === mover)
+        .select($"source").head().getString(0)
+      assert(moved == sB, s"cross-partition UPDATE left the row in $moved")
+
+      // DELETE
+      spark.sql(s"DELETE FROM $t WHERE doc_id % 13 = 0")
+      assert(spark.table(t).filter($"doc_id" % 13 === 0).count() == 0,
+        "DELETE left rows")
+
+      // INSERT INTO with a static PARTITION pin; duplicate key refuses
+      val maxId = base.agg(max($"doc_id")).head().getLong(0)
+      spark.sql(
+        s"""INSERT INTO $t PARTITION (source = '$sA')
+           |(doc_id, text, lang, n_chars)
+           |VALUES (${maxId + 1}, 'new doc', 'xx', CAST(7 AS BIGINT))
+           |""".stripMargin)
+      val ins = spark.table(t).filter($"doc_id" === maxId + 1)
+      assert(ins.count() == 1 &&
+        ins.select($"source").head().getString(0) == sA,
+        "PARTITION-pinned INSERT missed its home")
+      val dup = intercept[Exception] {
+        spark.sql(s"INSERT INTO $t PARTITION (source = '$sA') " +
+          s"(doc_id, text, lang, n_chars) VALUES (${maxId + 1}, 'x', 'y', 1)")
+      }
+      assert(dup.getMessage.contains("already present"),
+        s"duplicate INSERT must refuse loudly, got: ${dup.getMessage}")
+      // PARTITION naming a non-partition column refuses
+      val wrongCol = intercept[Exception] {
+        spark.sql(s"INSERT INTO $t PARTITION (lang = 'xx') " +
+          s"(doc_id, text, source, n_chars) VALUES (${maxId + 2}, 'x', '$sA', 1)")
+      }
+      assert(wrongCol.getMessage.contains("partitions by"),
+        s"wrong PARTITION column must refuse, got: ${wrongCol.getMessage}")
+
+      // INSERT OVERWRITE PARTITION: replaces THAT partition only
+      val keepB = spark.table(t).filter($"source" === sB).count()
+      spark.sql(
+        s"""INSERT OVERWRITE $t PARTITION (source = '$sA')
+           |(doc_id, text, lang, n_chars)
+           |SELECT doc_id, text, 'ow' AS lang, n_chars
+           |FROM $t WHERE source = '$sA' AND doc_id % 2 = 0
+           |""".stripMargin)
+      val pA = spark.table(t).filter($"source" === sA)
+      assert(pA.filter($"lang" =!= "ow").count() == 0 &&
+        pA.filter($"doc_id" % 2 =!= 0).count() == 0,
+        "partition OVERWRITE did not replace the pinned partition")
+      assert(spark.table(t).filter($"source" === sB).count() == keepB,
+        "partition OVERWRITE leaked into other partitions")
+
+      // MERGE INTO: update + insert through one statement
+      val eB = spark.table(t).filter($"source" === sB && $"doc_id" <= maxId)
+        .agg(max($"doc_id")).head().getLong(0)
+      spark.sql(
+        s"""MERGE INTO $t tgt USING (
+           |  SELECT $eB AS id, 'mg' AS v, '$sB' AS home
+           |  UNION ALL SELECT ${maxId + 5}, 'mg', '$sB'
+           |) s ON tgt.doc_id = s.id
+           |WHEN MATCHED THEN UPDATE SET lang = s.v
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, source)
+           |  VALUES (s.id, s.v, s.home)
+           |""".stripMargin)
+      val merged = spark.table(t)
+        .filter($"doc_id".isin(eB, maxId + 5))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(merged == Seq(s"[$eB,mg,$sB]", s"[${maxId + 5},mg,$sB]"),
+        s"MERGE INTO result diverged: $merged")
+
+      // time travel: VERSION AS OF 0 is the birth frame; a tag name
+      // fails loudly (partitioned chains retain no tags); TIMESTAMP
+      // before the first commit fails with the range
+      assert(rows(spark.sql(s"SELECT * FROM $t VERSION AS OF 0")) ==
+        rows(base.select(cols.map(col): _*)),
+        "VERSION AS OF 0 diverged from the birth frame")
+      val noTag = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 'release'").collect()
+      }
+      assert(noTag.getMessage.contains("neither an integer"),
+        s"tag VERSION must fail loudly, got: ${noTag.getMessage}")
+      val tooEarly = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+      }
+      assert(tooEarly.getMessage.contains("before the first retained"),
+        s"pre-history TIMESTAMP must fail loudly, got: ${tooEarly.getMessage}")
+    }
+  }
+
+  test("SQL DML over a MOR tip: sidecars fold in every read, time travel included") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val cols = spark.table(t).columns.toSeq
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try {
+        // UPDATE under MOR: zero base bytes (every base file links
+        // forward), the edit lives in per-partition sidecars
+        val before = inodes(PartitionedLayout
+          .generations(spark, corpus, "documents").last._2)
+        spark.sql(s"UPDATE $t SET lang = 'mu' WHERE doc_id % 5 = 0")
+        val gen1 = PartitionedLayout
+          .generations(spark, corpus, "documents").last._2
+        val after = inodes(gen1).filterNot(_._1.contains("_dv"))
+        assert(after.forall { case (rel, ino) => before.get(rel).contains(ino) },
+          "MOR UPDATE rewrote base files — every base byte must hard-link")
+        assert(PartitionedLayout.dvParts(gen1).nonEmpty,
+          "MOR UPDATE wrote no sidecar")
+        val want = base.withColumn("lang",
+            when($"doc_id" % 5 === 0, "mu").otherwise($"lang"))
+          .select(cols.map(col): _*)
+        assert(rows(spark.table(t)) == rows(want),
+          "MOR UPDATE read-back diverged")
+        // DELETE stacks on the same sidecars
+        spark.sql(s"DELETE FROM $t WHERE doc_id % 11 = 0")
+        assert(spark.table(t).filter($"doc_id" % 11 === 0).count() == 0,
+          "MOR DELETE left rows")
+        // VERSION AS OF composes each generation's OWN sidecars
+        assert(rows(spark.sql(s"SELECT * FROM $t VERSION AS OF 1")) ==
+          rows(want), "VERSION AS OF 1 must fold generation 1's sidecar")
+        assert(rows(spark.sql(s"SELECT * FROM $t VERSION AS OF 0")) ==
+          rows(base.select(cols.map(col): _*)),
+          "VERSION AS OF 0 must read the clean birth frame")
+      } finally spark.conf.unset(MergeOps.MergeModeKey)
+    }
+  }
+
+  test("partial apply refuses an upsert for an absent key with no partition value") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val maxId = base.agg(max($"doc_id")).head().getLong(0)
+      val err = intercept[IllegalArgumentException] {
+        PartitionedLayout.applyToLayoutFrom(spark, corpus, "documents",
+            partial = true) { _ =>
+          Seq((maxId + 1, "zz")).toDF("doc_id", "lang")
+            .withColumn(MergeOps.TombstoneCol, lit(false))
+        }
+      }
+      assert(err.getMessage.contains("no home directory") ||
+        err.getMessage.contains("must state its partition"),
+        s"orphan partial upsert must refuse loudly, got: ${err.getMessage}")
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
