@@ -2000,6 +2000,81 @@ object Pipeline {
                CASE WHEN doc_id % 6 = 0 THEN 'ct' ELSE lang END AS lang,
                COUNT(*) AS n
         FROM documents GROUP BY 1, 2
-        ORDER BY snap, lang"""))
+        ORDER BY snap, lang""")),
+
+    // ── p40: the partitioned lifecycle as SQL ALONE — birth to audit ──
+    // p37/p38 drove the partition∘bucket layout from Scala; this query
+    // is the SQL-first user's arc over the SAME machinery: CTAS birth
+    // (PARTITIONED BY routes materialize to PartitionedLayout), UPDATE
+    // with WHERE (partial changeset — unassigned columns, the partition
+    // column included, fill from the served frame), UPDATE SET <pcol>
+    // (cross-partition moves billed at exactly their two homes —
+    // PartitionedLayoutSpec pins the inode bill), DELETE, MERGE INTO,
+    // then a final read pairing the tip against VERSION AS OF 0 (the
+    // birth generation re-read through per-partition literal arms, so a
+    // partition filter would constant-fold dead arms away). Every verb
+    // advances the one generation chain under the single-writer lease;
+    // no Scala layout call anywhere.
+    GQuery("p40_partitioned_sql_dml",
+      (s, d) => {
+        import graft.sources.{CorpusLayout, PartitionedLayout}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p40")
+        val corpus = tmp.toString + "/corpus"
+        val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
+        if (prevConf.isEmpty)
+          s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
+        try {
+          val t = s.sql(
+            s"""CREATE TABLE documents IN CORPUS '$corpus' INTO 16 BUCKETS
+               |PARTITIONED BY source
+               |AS SELECT doc_id, text, lang, source,
+               |          CAST(n_chars AS BIGINT) AS n_chars
+               |FROM parquet.`$d/documents.parquet`
+               |""".stripMargin).head().getString(0)
+          s.sql(s"UPDATE $t SET lang = 'u7' WHERE doc_id % 7 = 0")
+          s.sql(s"UPDATE $t SET source = 'src0' WHERE doc_id % 23 = 0")
+          s.sql(s"DELETE FROM $t WHERE doc_id % 17 = 0")
+          s.sql(
+            s"""MERGE INTO $t t USING (
+               |  SELECT doc_id, 'mg' AS v
+               |  FROM parquet.`$d/documents.parquet` WHERE doc_id % 11 = 0
+               |) s ON t.doc_id = s.doc_id
+               |WHEN MATCHED THEN UPDATE SET lang = s.v
+               |""".stripMargin)
+          s.sql(
+            s"""SELECT 'v0' AS snap, source, lang, COUNT(*) AS n,
+               |       CAST(SUM(n_chars) AS BIGINT) AS chars
+               |FROM $t VERSION AS OF 0 GROUP BY source, lang
+               |UNION ALL
+               |SELECT 'tip' AS snap, source, lang, COUNT(*) AS n,
+               |       CAST(SUM(n_chars) AS BIGINT) AS chars
+               |FROM $t GROUP BY source, lang
+               |ORDER BY snap, source, lang
+               |""".stripMargin)
+            .localCheckpoint()
+        } finally {
+          PartitionedLayout.drop(s, corpus, "documents")
+          if (prevConf.isEmpty) s.conf.unset(CorpusLayout.ConfKey)
+          graft.FsUtil.deleteRecursively(tmp)
+        }
+      },
+      Some("""
+        WITH tip AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN 'mg'
+                      WHEN doc_id % 7 = 0 THEN 'u7'
+                      ELSE lang END AS lang,
+                 CASE WHEN doc_id % 23 = 0 THEN 'src0' ELSE source END AS source,
+                 n_chars
+          FROM documents
+          WHERE doc_id % 17 <> 0)
+        SELECT 'v0' AS snap, source, lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, lang
+        UNION ALL
+        SELECT 'tip' AS snap, source, lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM tip GROUP BY source, lang
+        ORDER BY snap, source, lang"""))
   )
 }
