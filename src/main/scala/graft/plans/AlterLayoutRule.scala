@@ -42,6 +42,12 @@ class AlterLayoutRule(session: SparkSession) extends Rule[LogicalPlan] {
           u.multipartIdentifier.head.startsWith("graft_cl_") &&
           CorpusLayout.corpusForTable(session, u.multipartIdentifier.head).isDefined =>
       Some(u.multipartIdentifier.head)
+    case u: UnresolvedTable
+        if u.multipartIdentifier.size == 1 &&
+          u.multipartIdentifier.head.startsWith("graft_plt_") &&
+          graft.sources.PartitionedLayout
+            .corpusForTable(session, u.multipartIdentifier.head).isDefined =>
+      Some(u.multipartIdentifier.head)
     case _ => None
   }
 
@@ -103,15 +109,25 @@ case class AlterLayoutCommand(tableName: String,
       m => throw new IllegalArgumentException(s"ALTER TABLE $tableName: $m"))
     val (corpusDir, tgt) =
       LayoutSql.servedTarget(spark, tableName, logicalTable, "ALTER TABLE")
+    val partitioned = LayoutSql.isPartitioned(tableName)
     action match {
       case AlterLayoutCommand.Rename(from, to) =>
-        MergeOps.renameColumn(spark, corpusDir, logicalTable, from, to)
+        if (partitioned) graft.sources.PartitionedLayout
+          .renameColumn(spark, corpusDir, logicalTable, from, to)
+        else MergeOps.renameColumn(spark, corpusDir, logicalTable, from, to)
       case AlterLayoutCommand.Drop(cols, ifExists) =>
         cols.foreach { c =>
-          if (!ifExists || tgt.columns.contains(c))
-            MergeOps.dropColumn(spark, corpusDir, logicalTable, c)
+          if (!ifExists || tgt.columns.contains(c)) {
+            if (partitioned) graft.sources.PartitionedLayout
+              .dropColumn(spark, corpusDir, logicalTable, c)
+            else MergeOps.dropColumn(spark, corpusDir, logicalTable, c)
+          }
         }
       case AlterLayoutCommand.Add(cols) =>
+        if (partitioned) f(
+          "ADD COLUMNS is not supported on a partitioned layout yet — " +
+            "fold flat first (the schema-anchor path is flat-only, " +
+            "stated not hidden)")
         MergeOps.addColumns(spark, corpusDir, logicalTable, cols)
     }
     Seq.empty

@@ -41,8 +41,15 @@ import org.apache.spark.sql.functions._
   * tip folds the sidecars away with a full rewrite
   * ([[graft.operators.MergeOps]]'s rule, one tier up).
   *
-  * Still scoped out, stated not hidden: column mapping and z-cluster
-  * specs stay flat-only (a partitioned table wanting them folds flat
+  * DROP/RENAME column mapping composes here too (round 15): a
+  * `_MAPPING` marker makes [[renameColumn]]/[[dropColumn]] METADATA-ONLY
+  * swings (every byte hard-links, partition dirs and sidecars alike);
+  * the serving read projects physical→logical AFTER the dv fold,
+  * changesets speak logical names and translate back at the swing, and
+  * a full rewrite REBASES (logical names become physical truth, marker
+  * clears). Neither the key nor the PARTITION column can move — the
+  * partition column names directories. Still scoped out, stated not
+  * hidden: z-cluster specs and ADD COLUMNS stay flat-only (fold flat
   * first). The generation chain, single-writer lease, commit-time
   * stamps and changeset validation mirror [[graft.operators.MergeOps]].
   *
@@ -153,7 +160,10 @@ object PartitionedLayout {
       composing.set(true)
       try s.table(t) finally composing.set(false)
     }
-    composeDv(s, base, loc, pcol, key)
+    // compose order mirrors the flat layout: base (physical) → deletion
+    // vectors (physical) → mapping projection (logical)
+    CorpusLayout.applyMapping(composeDv(s, base, loc, pcol, key),
+      CorpusLayout.readMapping(loc))
   }
 
   /** Fold generation `loc`'s per-partition `_dv` sidecars over `base` —
@@ -193,7 +203,7 @@ object PartitionedLayout {
       (corpusDir, table) <- corpusForTable(s, catalogTable)
       if s.catalog.tableExists(catalogTable)
       loc = graft.operators.MergeOps.tableLayout(s, catalogTable)._1
-      if dvParts(loc).nonEmpty
+      if dvParts(loc).nonEmpty || CorpusLayout.readMapping(loc).nonEmpty
     } yield composedFrame(s, catalogTable, loc, readPcol(loc),
       CorpusLayout.keyed(table)).queryExecution.analyzed
 
@@ -307,11 +317,21 @@ object PartitionedLayout {
       resync(s, corpusDir, table)
       val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
       val pcol = readPcol(curLoc)
-      // the served view COMPOSES the tip's sidecars: the derivation
-      // callback, old-home lookup, CoW pair reads and full rewrites must
-      // all see base⊖tombs∪deltas, never raw base files
+      // the served view COMPOSES the tip's sidecars and column mapping:
+      // the derivation callback, old-home lookup and full rewrites must
+      // all see the LOGICAL view of base⊖tombs∪deltas, never raw base
+      // files. The PHYSICAL composed frame (dv folded, names unmapped)
+      // stays available for the pair-scoped rewrite, whose files sit
+      // next to hard-linked ones and must keep the files' own names.
       val tipDv = dvParts(curLoc).nonEmpty
-      val served = composedFrame(s, t, curLoc, pcol, key)
+      val mapping = CorpusLayout.readMapping(curLoc)
+      val physServed = {
+        composing.set(true)
+        val base = try s.table(t) finally composing.set(false)
+        composeDv(s, base, curLoc, pcol, key)
+      }
+      val served = CorpusLayout.applyMapping(physServed, mapping)
+      val physSchema = CorpusLayout.physicalSchema(s, t)
       val changes0 = mkChanges(served)
       val tomb = graft.operators.MergeOps.TombstoneCol
       require(changes0.columns.contains(tomb),
@@ -400,11 +420,13 @@ object PartitionedLayout {
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
       val staging = s"${t}_staging"
       // staging-create for paths whose files already exist on disk
-      // (no-op link-forward and the MOR swing — no Spark write job)
+      // (no-op link-forward and the MOR swing — no Spark write job).
+      // The catalog schema is PHYSICAL: files keep their own column
+      // names under a mapping, and the serving read projects logical.
       def stagingOverFiles(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $staging")
         val ddl = org.apache.spark.sql.types.StructType(
-          served.schema.filterNot(_.name == pcol)).toDDL
+          physSchema.filterNot(_.name == pcol)).toDDL
         s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
           s"USING PARQUET PARTITIONED BY ($pcol) " +
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
@@ -417,6 +439,7 @@ object PartitionedLayout {
         // observable (epoch, commit stamp)
         linkUntouched(curLoc, vpath, Set.empty)
         linkSidecars(curLoc, vpath, skip = Set.empty)
+        if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
         stagingOverFiles()
       } else if (morMode) {
         // MERGE-ON-READ: zero base bytes — every base file hard-links
@@ -430,10 +453,15 @@ object PartitionedLayout {
         linkUntouched(curLoc, vpath, Set.empty)
         val touchedParts = touched.map(_._1)
         linkSidecars(curLoc, vpath, skip = touchedParts)
+        if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
         val oldHomes = served
           .join(changes.select(col(key)), Seq(key), "left_semi")
           .select(col(key), col(pcol)).localCheckpoint(true)
-        val physCols = served.columns.filterNot(_ == pcol)
+        // the sidecar lives in PHYSICAL space (it composes BEFORE the
+        // mapping projection on read) — the logical-named changeset
+        // translates back, dropped physical slots refilling as NULLs
+        val changesPhys = CorpusLayout.toPhysical(changes, mapping, physSchema)
+        val physCols = physSchema.fieldNames.toSeq.filterNot(_ == pcol)
         def emptyDf(sch: org.apache.spark.sql.types.StructType) =
           s.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
@@ -444,12 +472,12 @@ object PartitionedLayout {
             if (java.nio.file.Files.isDirectory(dvOld.resolve("tombstones")))
               s.read.parquet(dvOld.resolve("tombstones").toString)
             else emptyDf(org.apache.spark.sql.types.StructType(
-              Seq(served.schema(key))))
+              Seq(physSchema(key))))
           val prevDeltas =
             if (java.nio.file.Files.isDirectory(dvOld.resolve("deltas")))
               s.read.parquet(dvOld.resolve("deltas").toString)
             else emptyDf(org.apache.spark.sql.types.StructType(
-              served.schema.filterNot(_.name == pcol)))
+              physSchema.filterNot(_.name == pcol)))
           // tombstones' = tombstones ∪ keys whose OLD home is p (kills
           // the base row; updates re-serve from the new home's deltas)
           val oldKeysP = oldHomes.filter(col(pcol) === p).select(col(key))
@@ -459,12 +487,12 @@ object PartitionedLayout {
           // p): upserts whose NEW home is p land/replace; keys whose
           // old home is p but whose new version lives elsewhere (or is
           // a delete) evict their stale delta
-          val upsP = changes.filter(!col(tomb) && col(pcol) === p)
+          val upsP = changesPhys.filter(!col(tomb) && col(pcol) === p)
             .select(physCols.map(col) :+ col(tomb): _*)
           val evictP = oldKeysP
             .join(upsP.select(col(key)), Seq(key), "left_anti")
             .select(col(key) +: physCols.filterNot(_ == key).map(c =>
-              lit(null).cast(served.schema(c).dataType).as(c)): _*)
+              lit(null).cast(physSchema(c).dataType).as(c)): _*)
             .withColumn(tomb, lit(true))
           val changesP = upsP.unionByName(evictP)
           val newDeltas = graft.operators.MergeOps.applyChanges(
@@ -485,7 +513,15 @@ object PartitionedLayout {
         // drop — the full rewrite's source is the COMPOSED frame, so
         // the sidecars fold away (MergeOps' mixed-mode convergence rule)
         val full = touched.size > 4096 || tipDv
-        val touchedCur = if (full) served else {
+        // pair path runs in PHYSICAL space: rewritten files sit next to
+        // hard-linked ones, so both keep the files' own column names and
+        // the mapping marker carries forward. The full rewrite REBASES —
+        // its source is the LOGICAL view, so logical names become the
+        // new physical truth and no marker carries (the sidecar's fold
+        // discipline, one dimension over).
+        val merged = if (full)
+          graft.operators.MergeOps.applyChanges(served, changes, key)
+        else {
           // read ONLY the touched pairs: the isin conjunct prunes
           // partitions (directory arithmetic), the per-pair disjunction
           // narrows to the pair's bucket within them
@@ -493,10 +529,11 @@ object PartitionedLayout {
           val pairPred = touched.map { case (p, b) =>
             col(pcol) === lit(p) && bucketOf === lit(b)
           }.reduce(_ || _)
-          served.filter(col(pcol).isin(touchedPs: _*) && pairPred)
+          val touchedCur = physServed
+            .filter(col(pcol).isin(touchedPs: _*) && pairPred)
+          graft.operators.MergeOps.applyChanges(touchedCur,
+            CorpusLayout.toPhysical(changes, mapping, physSchema), key)
         }
-        val merged = graft.operators.MergeOps.applyChanges(
-          touchedCur, changes, key)
         s.sql(s"DROP TABLE IF EXISTS $staging")
         merged.repartition(buckets, col(key))
           .write.format("parquet")
@@ -504,8 +541,100 @@ object PartitionedLayout {
           .partitionBy(pcol)
           .bucketBy(buckets, key).sortBy(key)
           .mode("overwrite").saveAsTable(staging)
-        if (!full) linkUntouched(curLoc, vpath, touched)
+        if (!full) {
+          linkUntouched(curLoc, vpath, touched)
+          if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
+        }
       }
+      swingTo(s, corpusDir, table, vpath, buckets, pcol)
+      vpath
+    }
+  }
+
+  /** Rename a logical column — a metadata-only generation over the
+    * partition dirs (every byte hard-links, data files and sidecars
+    * alike; only the `_MAPPING` marker changes). The flat
+    * [[graft.operators.MergeOps.renameColumn]] discipline, one
+    * dimension over: neither the layout key (row identity, bucket
+    * placement) nor the PARTITION column (it names directories — a
+    * rename would orphan every `pcol=value/` path) can move.
+    */
+  def renameColumn(s: SparkSession, corpusDir: String, table: String,
+                   from: String, to: String): String = {
+    require(to.nonEmpty && !to.startsWith("_"),
+      s"invalid target column name '$to'")
+    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol) =>
+      require(from != keyCol, s"cannot rename the layout key '$keyCol'")
+      require(from != pcol,
+        s"cannot rename the partition column '$pcol' — it names the " +
+          "layout's directories")
+      require(logical.contains(from),
+        s"no column '$from' — logical columns are ${logical.mkString(", ")}")
+      require(!logical.contains(to), s"column '$to' already exists")
+      val p = m.collectFirst { case (ph, Some(l)) if l == from => ph }
+        .getOrElse(from)
+      if (p == to) m - p else m + (p -> Some(to))
+    }
+  }
+
+  /** Drop a logical column — metadata-only: linked files keep the
+    * bytes, the serving projection omits them, and new rows fill the
+    * physical slot with NULL. Key and partition column refuse.
+    */
+  def dropColumn(s: SparkSession, corpusDir: String, table: String,
+                 column: String): String =
+    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol) =>
+      require(column != keyCol, s"cannot drop the layout key '$keyCol'")
+      require(column != pcol,
+        s"cannot drop the partition column '$pcol' — it names the " +
+          "layout's directories")
+      require(logical.contains(column),
+        s"no column '$column' — logical columns are ${logical.mkString(", ")}")
+      val p = m.collectFirst { case (ph, Some(l)) if l == column => ph }
+        .getOrElse(column)
+      m + (p -> None)
+    }
+
+  /** The shared metadata-only swing: link the whole generation forward
+    * (partition dirs + sidecars), write the updated `_MAPPING`, re-point
+    * the catalog. `update` receives (current mapping, logical column
+    * names, key, pcol) and returns the new mapping.
+    */
+  private def metadataSwing(s: SparkSession, corpusDir: String,
+                            table: String)
+      (update: (Map[String, Option[String]], Seq[String], String, String)
+        => Map[String, Option[String]]): String = {
+    val key = CorpusLayout.keyed(table)
+    val t = tableName(table, corpusDir)
+    require(s.catalog.tableExists(t),
+      s"no partitioned layout for ($corpusDir, $table) — run " +
+        "PartitionedLayout.materialize first")
+    graft.operators.GenerationLease.withLease(
+        s, corpusDir, s"$table@partitioned") {
+      resync(s, corpusDir, table)
+      val (curLoc, buckets) = graft.operators.MergeOps.tableLayout(s, t)
+      val pcol = readPcol(curLoc)
+      val physSchema = CorpusLayout.physicalSchema(s, t)
+      val m0 = CorpusLayout.readMapping(curLoc)
+      val logical = physSchema.fieldNames.toSeq.flatMap(p => m0.get(p) match {
+        case None => Some(p)
+        case Some(Some(l)) => Some(l)
+        case Some(None) => None
+      })
+      val newMapping = update(m0, logical, key, pcol)
+      val gens = generations(s, corpusDir, table)
+      val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
+      linkUntouched(curLoc, vpath, Set.empty)
+      linkSidecars(curLoc, vpath, skip = Set.empty)
+      if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
+      val staging = s"${t}_staging"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      val ddl = org.apache.spark.sql.types.StructType(
+        physSchema.filterNot(_.name == pcol)).toDDL
+      s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
+        s"USING PARQUET PARTITIONED BY ($pcol) " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$vpath'")
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
     }
@@ -814,7 +943,10 @@ object PartitionedLayout {
     val base = parts.map { case (v, d) =>
       s.read.parquet(d.toString).withColumn(pcol, lit(v)) }
       .reduce(_ unionByName _)
-    composeDv(s, base, p, pcol, CorpusLayout.keyed(table))
+    // that generation's OWN sidecars and mapping — not the tip's
+    CorpusLayout.applyMapping(
+      composeDv(s, base, p, pcol, CorpusLayout.keyed(table)),
+      CorpusLayout.readMapping(p))
   }
 
   /** Drop the catalog table (files stay; a fresh session re-creates the

@@ -657,6 +657,97 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("column mapping composes over partition dirs: metadata-only swings, applies cross the boundary, rewrites rebase") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val cols = spark.table(t).columns.toSeq
+
+      // RENAME is metadata-only: every data byte hard-links forward
+      val gen0 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val before = inodes(gen0)
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language")
+      val gen1 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(gen1 != gen0, "RENAME must advance the chain")
+      val after = inodes(gen1)
+      assert(after == before.map { case (rel, ino) => rel -> ino },
+        "RENAME rewrote data files — the swing must be metadata-only")
+      // the served view speaks the LOGICAL name; values are untouched
+      assert(spark.table(t).columns.contains("language") &&
+        !spark.table(t).columns.contains("lang"),
+        "serving read did not project the rename")
+      assert(rows(spark.table(t).select($"doc_id", $"language")) ==
+        rows(base.select($"doc_id", $"lang".as("language"))),
+        "rename changed values")
+
+      // an UPDATE speaks the logical name; the touched files keep the
+      // PHYSICAL one (the mapping carries across the CoW apply)
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      spark.sql(s"UPDATE $t SET language = 're' WHERE doc_id = $k")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"language").head().getString(0) == "re",
+        "logical-named UPDATE lost its edit")
+      val gen2 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val rewritten = inodes(gen2).keys.filterNot(inodes(gen1).contains)
+      assert(rewritten.nonEmpty, "the UPDATE rewrote nothing")
+      val rawCols = spark.read.parquet(rewritten.map(r => s"$gen2/$r").toSeq: _*)
+        .columns.toSet
+      assert(rawCols.contains("lang") && !rawCols.contains("language"),
+        s"rewritten pair files must keep PHYSICAL names, got $rawCols")
+
+      // DROP is metadata-only too; the slot vanishes logically
+      spark.sql(s"ALTER TABLE $t DROP COLUMN n_chars")
+      assert(!spark.table(t).columns.contains("n_chars"),
+        "serving read still shows the dropped column")
+
+      // key / partition column cannot move
+      val keyErr = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN doc_id TO id") }
+      assert(keyErr.getMessage.contains("layout key"),
+        s"key rename must refuse, got: ${keyErr.getMessage}")
+      val pcolErr = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t DROP COLUMN source") }
+      assert(pcolErr.getMessage.contains("names the"),
+        s"pcol drop must refuse, got: ${pcolErr.getMessage}")
+      val addErr = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)") }
+      assert(addErr.getMessage.contains("fold flat"),
+        s"partitioned ADD must refuse loudly, got: ${addErr.getMessage}")
+
+      // time travel reads each generation through its OWN mapping:
+      // the birth generation still speaks the old names
+      val v0 = spark.sql(s"SELECT * FROM $t VERSION AS OF 0")
+      assert(v0.columns.contains("lang") && v0.columns.contains("n_chars"),
+        "VERSION AS OF 0 must show the pre-evolution schema")
+
+      // MOR apply across the mapping boundary: sidecar in physical
+      // space, composed read logical
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try spark.sql(s"UPDATE $t SET language = 'mm' WHERE doc_id = $k")
+      finally spark.conf.unset(MergeOps.MergeModeKey)
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"language").head().getString(0) == "mm",
+        "MOR UPDATE across the mapping boundary lost its edit")
+
+      // OPTIMIZE (full fold) REBASES: logical names become the physical
+      // truth, the marker clears, the dropped slot is gone for real
+      spark.sql(s"OPTIMIZE $t")
+      val genR = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(graft.sources.CorpusLayout.readMapping(genR).isEmpty,
+        "rebase must clear the mapping marker")
+      val rebasedCols = spark.read.parquet(genR).columns.toSet
+      assert(rebasedCols.contains("language") &&
+        !rebasedCols.contains("lang") && !rebasedCols.contains("n_chars"),
+        s"rebase must write logical names as physical truth, got $rebasedCols")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"language").head().getString(0) == "mm",
+        "rebase lost the MOR edit")
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
