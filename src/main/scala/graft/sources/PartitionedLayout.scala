@@ -48,10 +48,25 @@ import org.apache.spark.sql.functions._
   * changesets speak logical names and translate back at the swing, and
   * a full rewrite REBASES (logical names become physical truth, marker
   * clears). Neither the key nor the PARTITION column can move — the
-  * partition column names directories. Still scoped out, stated not
-  * hidden: z-cluster specs and ADD COLUMNS stay flat-only (fold flat
-  * first). The generation chain, single-writer lease, commit-time
-  * stamps and changeset validation mirror [[graft.operators.MergeOps]].
+  * partition column names directories.
+  *
+  * Z-clustering composes too (round 15): a `_CLUSTER` spec at
+  * [[materialize]] makes every generation write sort each (partition,
+  * bucket) pair by the Morton z-value and split files at the row
+  * bound — tight axis-aligned boxes WITHIN pairs, so parquet row-group
+  * stats prune selective filters on the spec columns while the
+  * partition filter prunes directories and key joins stay
+  * bucket-co-located: three orthogonal pruning dimensions on one
+  * layout. CoW rewrites RECOMPUTE `_zv` for merged pairs (pruning does
+  * not decay apply over apply); MOR and metadata swings carry the
+  * marker with the linked files; rebases translate the spec through
+  * the mapping. The spec must not name the partition column (constant
+  * within every directory already).
+  *
+  * Still scoped out, stated not hidden: ADD COLUMNS stays flat-only
+  * (the schema-anchor path — fold flat first). The generation chain,
+  * single-writer lease, commit-time stamps and changeset validation
+  * mirror [[graft.operators.MergeOps]].
   *
   * Partition values must be STRINGS that survive a directory name
   * verbatim (`[A-Za-z0-9._-]+`): Spark escapes anything else in the
@@ -214,11 +229,16 @@ object PartitionedLayout {
     * per task, never `tasks × B`.
     */
   def materialize(s: SparkSession, corpusDir: String, table: String,
-                  pcol: String, buckets: Int = 32): String = {
+                  pcol: String, buckets: Int = 32,
+                  clusterBy: Seq[String] = Nil, clusterBits: Int = 12,
+                  clusterRowsPerFile: Long = 8192): String = {
     val key = CorpusLayout.keyed.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' has no layout key (CorpusLayout.keyed)"))
     require(pcol != key, s"partition column must differ from the key '$key'")
+    require(!clusterBy.contains(pcol),
+      s"clusterBy must not include the partition column '$pcol' — it is " +
+        "constant within every partition directory already")
     val src = s.read.parquet(s"$corpusDir/$table.parquet")
     require(src.columns.contains(pcol), s"no column '$pcol' in $table")
     require(src.schema(pcol).dataType ==
@@ -244,17 +264,51 @@ object PartitionedLayout {
     generations(s, corpusDir, table).collect { case (n, p) if n > 0 =>
       graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
     }
-    src.repartition(buckets, col(key))
-      .write.format("parquet")
-      .option("path", path)
-      .partitionBy(pcol)
-      .bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").saveAsTable(t)
+    val spec = if (clusterBy.isEmpty) None else Some(
+      CorpusLayout.ClusterSpec(clusterBy, clusterBits, clusterRowsPerFile,
+        ZOrderLayout.columnBounds(src, clusterBy)))
+    clusteredWrite(s, src, spec, buckets, key, pcol, path, t,
+      carryMapping = Map.empty)
     CorpusLayout.writeBucketsMarker(path, buckets)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, PcolMarker), pcol.getBytes("UTF-8"))
     CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", path)
     t
+  }
+
+  /** The ONE clustered partitioned staging write every generation
+    * rewrite shares (materialize, CoW pair rewrites, full-rewrite
+    * rebase, compaction): recompute `_zv` when a cluster spec rides
+    * along (the changeset's rows arrive with it refilled as NULL), sort
+    * each (partition, bucket) pair by what its files will actually
+    * honor, split at the spec's row bound, and persist the `_CLUSTER`
+    * marker plus the mapping that hides the physical-only `_zv`.
+    * `tableOrStaging` is the catalog name the bucketed writer
+    * registers — `t` at materialize, `<t>_staging` on the chain.
+    */
+  private def clusteredWrite(s: SparkSession, df: DataFrame,
+                             spec: Option[CorpusLayout.ClusterSpec],
+                             buckets: Int, key: String, pcol: String,
+                             vpath: String, tableOrStaging: String,
+                             carryMapping: Map[String, Option[String]]): Unit = {
+    val out = spec.foldLeft(df.drop(CorpusLayout.ZCol))((d, sp) =>
+      d.withColumn(CorpusLayout.ZCol, CorpusLayout.zExpr(sp)))
+    s.sql(s"DROP TABLE IF EXISTS $tableOrStaging")
+    out.repartition(buckets, col(key))
+      .write.format("parquet")
+      .option("path", vpath)
+      .option("maxRecordsPerFile", spec.map(_.rowsPerFile).getOrElse(0L))
+      .partitionBy(pcol)
+      .bucketBy(buckets, key)
+      .sortBy(spec.map(_ => CorpusLayout.ZCol).getOrElse(key))
+      .mode("overwrite").saveAsTable(tableOrStaging)
+    spec.foreach { sp =>
+      CorpusLayout.writeClusterSpec(vpath, sp)
+      CorpusLayout.writeMapping(vpath,
+        carryMapping + (CorpusLayout.ZCol -> None)) // _zv is physical-only
+    }
+    if (spec.isEmpty && carryMapping.nonEmpty)
+      CorpusLayout.writeMapping(vpath, carryMapping)
   }
 
   /** The served frame (catalog read — partition pruning and the bucket
@@ -423,13 +477,16 @@ object PartitionedLayout {
       // (no-op link-forward and the MOR swing — no Spark write job).
       // The catalog schema is PHYSICAL: files keep their own column
       // names under a mapping, and the serving read projects logical.
+      // SORTED BY states what the linked files honor (z-clustered files
+      // sort by `_zv`, never the key) — read AFTER the marker carry.
       def stagingOverFiles(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $staging")
+        val sortCol = CorpusLayout.sortColFor(vpath).getOrElse(key)
         val ddl = org.apache.spark.sql.types.StructType(
           physSchema.filterNot(_.name == pcol)).toDDL
         s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
           s"USING PARQUET PARTITIONED BY ($pcol) " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+          s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
           s"LOCATION '$vpath'")
       }
       if (touched.isEmpty) {
@@ -439,6 +496,7 @@ object PartitionedLayout {
         // observable (epoch, commit stamp)
         linkUntouched(curLoc, vpath, Set.empty)
         linkSidecars(curLoc, vpath, skip = Set.empty)
+        carryClusterMarker(curLoc, vpath)
         if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
         stagingOverFiles()
       } else if (morMode) {
@@ -453,6 +511,7 @@ object PartitionedLayout {
         linkUntouched(curLoc, vpath, Set.empty)
         val touchedParts = touched.map(_._1)
         linkSidecars(curLoc, vpath, skip = touchedParts)
+        carryClusterMarker(curLoc, vpath)
         if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
         val oldHomes = served
           .join(changes.select(col(key)), Seq(key), "left_semi")
@@ -515,13 +574,21 @@ object PartitionedLayout {
         val full = touched.size > 4096 || tipDv
         // pair path runs in PHYSICAL space: rewritten files sit next to
         // hard-linked ones, so both keep the files' own column names and
-        // the mapping marker carries forward. The full rewrite REBASES —
-        // its source is the LOGICAL view, so logical names become the
-        // new physical truth and no marker carries (the sidecar's fold
-        // discipline, one dimension over).
-        val merged = if (full)
-          graft.operators.MergeOps.applyChanges(served, changes, key)
-        else {
+        // the mapping + cluster markers carry forward (the rewritten
+        // pairs RECOMPUTE `_zv` and re-sort/re-split — without that,
+        // each touched pair folds back into one key-sorted wide file
+        // and pruning quality decays apply over apply). The full
+        // rewrite REBASES — its source is the LOGICAL view, so logical
+        // names become the new physical truth; the cluster spec
+        // translates its columns through the mapping (dying if one was
+        // dropped) and only the `_zv`-hiding entry carries.
+        val spec0 = CorpusLayout.readClusterSpec(curLoc)
+        if (full) {
+          clusteredWrite(s,
+            graft.operators.MergeOps.applyChanges(served, changes, key),
+            spec0.flatMap(CorpusLayout.rebaseSpec(_, mapping)),
+            buckets, key, pcol, vpath, staging, carryMapping = Map.empty)
+        } else {
           // read ONLY the touched pairs: the isin conjunct prunes
           // partitions (directory arithmetic), the per-pair disjunction
           // narrows to the pair's bucket within them
@@ -531,19 +598,11 @@ object PartitionedLayout {
           }.reduce(_ || _)
           val touchedCur = physServed
             .filter(col(pcol).isin(touchedPs: _*) && pairPred)
-          graft.operators.MergeOps.applyChanges(touchedCur,
+          val merged = graft.operators.MergeOps.applyChanges(touchedCur,
             CorpusLayout.toPhysical(changes, mapping, physSchema), key)
-        }
-        s.sql(s"DROP TABLE IF EXISTS $staging")
-        merged.repartition(buckets, col(key))
-          .write.format("parquet")
-          .option("path", vpath)
-          .partitionBy(pcol)
-          .bucketBy(buckets, key).sortBy(key)
-          .mode("overwrite").saveAsTable(staging)
-        if (!full) {
+          clusteredWrite(s, merged, spec0, buckets, key, pcol, vpath,
+            staging, carryMapping = mapping)
           linkUntouched(curLoc, vpath, touched)
-          if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
         }
       }
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
@@ -626,14 +685,16 @@ object PartitionedLayout {
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
       linkUntouched(curLoc, vpath, Set.empty)
       linkSidecars(curLoc, vpath, skip = Set.empty)
+      carryClusterMarker(curLoc, vpath)
       if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
       val staging = s"${t}_staging"
       s.sql(s"DROP TABLE IF EXISTS $staging")
+      val sortCol = CorpusLayout.sortColFor(vpath).getOrElse(key)
       val ddl = org.apache.spark.sql.types.StructType(
         physSchema.filterNot(_.name == pcol)).toDDL
       s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
         s"USING PARQUET PARTITIONED BY ($pcol) " +
-        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
         s"LOCATION '$vpath'")
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
@@ -724,13 +785,14 @@ object PartitionedLayout {
       val composed = composedFrame(s, t, curLoc, pcol, key)
       val gens = generations(s, corpusDir, table)
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
-      s.sql(s"DROP TABLE IF EXISTS ${t}_staging")
-      composed.repartition(buckets, col(key))
-        .write.format("parquet")
-        .option("path", vpath)
-        .partitionBy(pcol)
-        .bucketBy(buckets, key).sortBy(key)
-        .mode("overwrite").saveAsTable(s"${t}_staging")
+      // a rebase: the composed LOGICAL view becomes the physical truth,
+      // the mapping clears, and a cluster spec translates its columns
+      // through the mapping (recomputed `_zv`, fresh tight boxes)
+      val spec = CorpusLayout.readClusterSpec(curLoc)
+        .flatMap(CorpusLayout.rebaseSpec(_,
+          CorpusLayout.readMapping(curLoc)))
+      clusteredWrite(s, composed, spec, buckets, key, pcol, vpath,
+        s"${t}_staging", carryMapping = Map.empty)
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
     }
@@ -834,6 +896,19 @@ object PartitionedLayout {
         else issues.mkString("; "))
     }
     out.toSeq
+  }
+
+  /** Carry the `_CLUSTER` marker across a generation that links its
+    * files forward (no-op, MOR and metadata swings) — the linked files
+    * still honor the spec's `_zv` sort.
+    */
+  private def carryClusterMarker(curLoc: String, vpath: String): Unit = {
+    val cl = java.nio.file.Paths.get(curLoc, CorpusLayout.ClusterMarker)
+    if (java.nio.file.Files.exists(cl)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vpath))
+      java.nio.file.Files.copy(cl,
+        java.nio.file.Paths.get(vpath, CorpusLayout.ClusterMarker))
+    }
   }
 
   /** Hard-link every data file of `curLoc`'s partition subdirs whose
@@ -974,12 +1049,13 @@ object PartitionedLayout {
       val pcol = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p, PcolMarker)), "UTF-8").trim
       val key = CorpusLayout.keyed(table)
+      val sortCol = CorpusLayout.sortColFor(p).getOrElse(key)
       val schema = s.read.parquet(p).schema
       val ddl = org.apache.spark.sql.types.StructType(
         schema.filterNot(_.name == pcol)).toDDL
       s.sql(s"CREATE TABLE $t ($ddl, $pcol STRING) USING PARQUET " +
         s"PARTITIONED BY ($pcol) " +
-        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
         s"LOCATION '$p'")
       s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
       p

@@ -748,6 +748,97 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("z-clustering composes: tight per-file boxes within pairs, maintained under DML, rebased by OPTIMIZE") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      // per-file [min, max] of n_chars across a generation's data files
+      def ranges(gen: String): Seq[(Long, Long)] =
+        spark.read.parquet(gen)
+          .select($"n_chars", input_file_name().as("__f"))
+          .groupBy($"__f").agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      def intersectFrac(rs: Seq[(Long, Long)], lo: Long, hi: Long): Double =
+        rs.count { case (l, h) => h >= lo && l <= hi }.toDouble / rs.size
+      val (bLo, bHi) = {
+        val q = base.stat.approxQuantile("n_chars", Array(0.4, 0.5), 0.01)
+        (q(0).toLong, q(1).toLong)
+      }
+      val gen0 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val f0 = intersectFrac(ranges(gen0), bLo, bHi)
+      // snapshot BEFORE the re-materialize — it rebuilds generation 0
+      // at the same path
+      val files0 = inodes(gen0).size
+
+      // re-materialize CLUSTERED: each (partition, bucket) pair's rows
+      // sort by the z-value and split at the row bound
+      PartitionedLayout.materialize(spark, corpus, "documents",
+        pcol = "source", buckets = 8,
+        clusterBy = Seq("n_chars"), clusterRowsPerFile = 2)
+      val gen0c = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(graft.sources.CorpusLayout.readClusterSpec(gen0c).nonEmpty,
+        "clustered materialize wrote no _CLUSTER marker")
+      val rs = ranges(gen0c)
+      assert(rs.size > files0,
+        s"row bound did not split pair files: ${rs.size} vs $files0")
+      val f1 = intersectFrac(rs, bLo, bHi)
+      assert(f1 < f0,
+        s"clustering did not tighten per-file boxes: $f1 vs unclustered $f0")
+      // `_zv` is physical-only: hidden from the served view
+      assert(!spark.table(t).columns.contains("_zv"),
+        "the z helper column leaked into the logical view")
+      assert(rows(spark.table(t)) ==
+        rows(base.select(spark.table(t).columns.map(col): _*)),
+        "clustered build changed values")
+
+      // SQL DML over the clustered chain: the rewritten pair RECOMPUTES
+      // _zv (marker + mapping carry), values stay exact
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      spark.sql(s"UPDATE $t SET lang = 'zc' WHERE doc_id = $k")
+      val gen1 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(graft.sources.CorpusLayout.readClusterSpec(gen1).nonEmpty,
+        "CoW apply dropped the _CLUSTER marker")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"lang").head().getString(0) == "zc",
+        "UPDATE over the clustered chain lost its edit")
+      assert(!spark.table(t).columns.contains("_zv"),
+        "_zv leaked after the apply")
+
+      // MOR carries the marker with the linked files
+      spark.conf.set(MergeOps.MergeModeKey, "mor")
+      try spark.sql(s"UPDATE $t SET lang = 'zm' WHERE doc_id = $k")
+      finally spark.conf.unset(MergeOps.MergeModeKey)
+      val gen2 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(graft.sources.CorpusLayout.readClusterSpec(gen2).nonEmpty,
+        "MOR apply dropped the _CLUSTER marker")
+
+      // OPTIMIZE rebases: sidecars fold, spec survives, boxes re-tighten
+      spark.sql(s"OPTIMIZE $t")
+      val genR = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      assert(graft.sources.CorpusLayout.readClusterSpec(genR).nonEmpty,
+        "rebase lost the cluster spec")
+      assert(PartitionedLayout.dvParts(genR).isEmpty,
+        "rebase left MOR sidecars")
+      val fR = intersectFrac(ranges(genR), bLo, bHi)
+      assert(fR < f0, s"rebase lost clustering quality: $fR vs $f0")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"lang").head().getString(0) == "zm",
+        "rebase lost the MOR edit")
+
+      // the spec must not name the partition column
+      val err = intercept[IllegalArgumentException] {
+        PartitionedLayout.materialize(spark, corpus, "documents",
+          pcol = "source", buckets = 8, clusterBy = Seq("source"))
+      }
+      assert(err.getMessage.contains("constant within"),
+        s"pcol cluster spec must refuse, got: ${err.getMessage}")
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
