@@ -1160,8 +1160,8 @@ object MergeOps {
   private def tagsDir(s: SparkSession, corpusDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(layoutRoot(s, corpusDir), "tags")
 
-  private def tagFile(s: SparkSession, corpusDir: String, table: String,
-                      name: String): java.nio.file.Path = {
+  private[graft] def tagFile(s: SparkSession, corpusDir: String, table: String,
+                             name: String): java.nio.file.Path = {
     require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
       s"invalid tag name '$name' — [A-Za-z][A-Za-z0-9_.-]*")
     tagsDir(s, corpusDir).resolve(s"${table}__$name")

@@ -91,11 +91,11 @@ object GraftSqlParser {
   // layout table falls through to the stock parser and the
   // AlterLayoutRule hint tier
   private val CreateTagRe =
-    """(?is)\s*ALTER\s+TABLE\s+(graft_cl_\w+)\s+CREATE\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(graft_(?:cl|plt)_\w+)\s+CREATE\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTagRe =
-    """(?is)\s*ALTER\s+TABLE\s+(graft_cl_\w+)\s+DROP\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(graft_(?:cl|plt)_\w+)\s+DROP\s+TAG\s+([A-Za-z][A-Za-z0-9_.-]*)\s*;?\s*""".r
   private val ShowTagsRe =
-    """(?is)\s*SHOW\s+TAGS\s+(graft_cl_\w+)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+TAGS\s+(graft_(?:cl|plt)_\w+)\s*;?\s*""".r
   // table BIRTH from SQL (round 15): the one lifecycle verb that was
   // Scala-only. The target is a LOGICAL keyed-table name (documents /
   // embeddings) — the graft_cl_/graft_plt_ catalog handle is the
@@ -174,8 +174,9 @@ case class DescribeHistoryCommand(tableName: String)
   }
 
   /** The partitioned chain's history: same row shape — files/bytes walk
-    * the partition subdirs, dv = any per-partition sidecar, pins/mapping
-    * have no partitioned surface (always false, stated not hidden).
+    * the partition subdirs, dv = any per-partition sidecar, pinned =
+    * tag-pinned (partitioned chains have their own tag namespace),
+    * mapped = a `_MAPPING` marker on the generation.
     */
   private def runPartitioned(spark: SparkSession, corpusDir: String,
                              table: String): Seq[Row] = {
@@ -183,6 +184,8 @@ case class DescribeHistoryCommand(tableName: String)
     val servedLoc = scala.util.Try(graft.operators.MergeOps.tableLayout(
         spark, PartitionedLayout.tableName(table, corpusDir))._1)
       .toOption.map(p => java.nio.file.Paths.get(p).normalize.toString)
+    val pinnedGens = PartitionedLayout.tags(spark, corpusDir, table)
+      .values.toSet
     PartitionedLayout.generations(spark, corpusDir, table).map { case (g, p) =>
       val base = java.nio.file.Paths.get(p)
       val walk = java.nio.file.Files.walk(base)
@@ -196,8 +199,9 @@ case class DescribeHistoryCommand(tableName: String)
       val norm = java.nio.file.Paths.get(p).normalize.toString
       Row(g, p, new java.sql.Timestamp(CorpusLayout.commitTsOf(p)),
         data.length, data.sum,
-        servedLoc.contains(norm), false,
-        PartitionedLayout.dvParts(p).nonEmpty, false)
+        servedLoc.contains(norm), pinnedGens.contains(g),
+        PartitionedLayout.dvParts(p).nonEmpty,
+        CorpusLayout.readMapping(p).nonEmpty)
     }
   }
 }
@@ -254,10 +258,13 @@ case class CreateTagCommand(tableName: String, tag: String,
     StructField("tagged_generation", StringType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "CREATE TAG")
-    Seq(Row(graft.operators.MergeOps.tagGeneration(
-      spark, corpusDir, table, tag, generation)))
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "CREATE TAG")
+    Seq(Row(
+      if (partitioned) graft.sources.PartitionedLayout.tagGeneration(
+        spark, corpusDir, table, tag, generation)
+      else graft.operators.MergeOps.tagGeneration(
+        spark, corpusDir, table, tag, generation)))
   }
 }
 
@@ -271,9 +278,12 @@ case class DropTagCommand(tableName: String, tag: String)
     StructField("existed", BooleanType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "DROP TAG")
-    Seq(Row(graft.operators.MergeOps.dropTag(spark, corpusDir, table, tag)))
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "DROP TAG")
+    Seq(Row(
+      if (partitioned)
+        graft.sources.PartitionedLayout.dropTag(spark, corpusDir, table, tag)
+      else graft.operators.MergeOps.dropTag(spark, corpusDir, table, tag)))
   }
 }
 
@@ -285,10 +295,12 @@ case class ShowTagsCommand(tableName: String) extends LeafRunnableCommand {
     StructField("generation", IntegerType, nullable = false))))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (corpusDir, table) =
-      GraftSqlParser.resolve(spark, tableName, "SHOW TAGS")
-    graft.operators.MergeOps.tags(spark, corpusDir, table).toSeq.sorted
-      .map { case (n, g) => Row(n, g) }
+    val (corpusDir, table, partitioned) =
+      GraftSqlParser.resolveAny(spark, tableName, "SHOW TAGS")
+    (if (partitioned)
+       graft.sources.PartitionedLayout.tags(spark, corpusDir, table)
+     else graft.operators.MergeOps.tags(spark, corpusDir, table))
+      .toSeq.sorted.map { case (n, g) => Row(n, g) }
   }
 }
 

@@ -103,9 +103,7 @@ class TimeTravelLayoutRule(session: SparkSession) extends Rule[LogicalPlan] {
             .queryExecution.analyzed
       }
     // partitioned arm: same ledger semantics over the partitioned
-    // chain's own generations (partitioned chains retain no tags —
-    // stated not hidden, the non-integer VERSION fails with an empty
-    // tag list)
+    // chain's own generations and tag namespace
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if u.multipartIdentifier.size == 1 &&
           u.multipartIdentifier.head.startsWith("graft_plt_") =>
@@ -116,7 +114,7 @@ class TimeTravelLayoutRule(session: SparkSession) extends Rule[LogicalPlan] {
           val n = resolveGeneration(name, ts, version,
             graft.sources.PartitionedLayout
               .generations(session, corpusDir, table),
-            Map.empty[String, Int])
+            graft.sources.PartitionedLayout.tags(session, corpusDir, table))
           graft.sources.PartitionedLayout
             .readGeneration(session, corpusDir, table, n)
             .queryExecution.analyzed

@@ -739,10 +739,51 @@ object PartitionedLayout {
     CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", vpath)
   }
 
+  /** The tag namespace key: partitioned chains share the flat tag
+    * store under a distinct table key, so `documents` flat tags and
+    * `documents@partitioned` tags can never collide.
+    */
+  private def tagKey(table: String): String = s"$table@partitioned"
+
+  /** Tag a retained generation (default: the served one) with `name` —
+    * [[graft.operators.MergeOps.tagGeneration]]'s contract over the
+    * partitioned chain: an existing tag refuses loudly (retagging is
+    * drop + create), tagged generations survive [[vacuum]], and
+    * `VERSION AS OF '<name>'` reads them.
+    */
+  def tagGeneration(s: SparkSession, corpusDir: String,
+                    table: String = "documents",
+                    name: String, generation: Int = -1): String =
+    graft.operators.GenerationLease.withLease(
+        s, corpusDir, tagKey(table)) {
+      resync(s, corpusDir, table)
+      val gens = generations(s, corpusDir, table)
+      val g = if (generation < 0) gens.last._1 else generation
+      val p = gens.toMap.getOrElse(g, throw new IllegalArgumentException(
+        s"generation $g of ($corpusDir, $table) is not retained — " +
+          s"have ${gens.map(_._1).mkString(", ")}"))
+      val f = graft.operators.MergeOps.tagFile(s, corpusDir, tagKey(table), name)
+      java.nio.file.Files.createDirectories(f.getParent)
+      require(!java.nio.file.Files.exists(f),
+        s"tag '$name' already exists for ${tagKey(table)} (generation " +
+          s"${tags(s, corpusDir, table).getOrElse(name, -1)}) — dropTag first")
+      java.nio.file.Files.write(f, s"$g\t$p".getBytes("UTF-8"))
+      p
+    }
+
+  /** Drop a tag; the pinned bytes reclaim at the next [[vacuum]]. */
+  def dropTag(s: SparkSession, corpusDir: String,
+              table: String = "documents", name: String): Boolean =
+    graft.operators.MergeOps.dropTag(s, corpusDir, tagKey(table), name)
+
+  /** Retained tags of the partitioned chain: name → generation. */
+  def tags(s: SparkSession, corpusDir: String,
+           table: String = "documents"): Map[String, Int] =
+    graft.operators.MergeOps.tags(s, corpusDir, tagKey(table))
+
   /** Reclaim drained generations: delete all but the newest `keepLast`,
-    * never the served one — the flat vacuum's lease + resync
-    * discipline, one tier down (no tag surface here: partitioned
-    * chains pin nothing yet, stated not hidden).
+    * never the served one and never a tagged one — the flat vacuum's
+    * lease + resync + pin discipline, one tier down.
     */
   def vacuum(s: SparkSession, corpusDir: String,
              table: String = "documents", keepLast: Int = 2): Seq[String] = {
@@ -755,9 +796,11 @@ object PartitionedLayout {
         s"no partitioned layout for ($corpusDir, $table)")
       val served = graft.operators.MergeOps.tableLayout(s, t)._1
       val servedNorm = java.nio.file.Paths.get(served).normalize.toString
+      val pinned = graft.operators.MergeOps.tagPins(s, corpusDir, tagKey(table))
       generations(s, corpusDir, table).dropRight(keepLast)
         .filterNot { case (_, p) =>
-          java.nio.file.Paths.get(p).normalize.toString == servedNorm }
+          val norm = java.nio.file.Paths.get(p).normalize.toString
+          norm == servedNorm || pinned.contains(norm) }
         .map { case (_, p) =>
           graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(p))
           p

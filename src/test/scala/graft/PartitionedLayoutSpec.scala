@@ -839,6 +839,57 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tags pin partitioned generations: CREATE TAG, VERSION AS OF 'name', vacuum respects the pin") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val cols = spark.table(t).columns.toSeq
+      spark.sql(s"UPDATE $t SET lang = 't1' WHERE doc_id % 3 = 0") // v1
+      spark.sql(s"UPDATE $t SET lang = 't2' WHERE doc_id % 4 = 0") // v2
+      spark.sql(s"UPDATE $t SET lang = 't3' WHERE doc_id % 5 = 0") // v3
+
+      val tagged = spark.sql(s"ALTER TABLE $t CREATE TAG birth AS OF VERSION 0")
+        .head().getString(0)
+      assert(tagged.endsWith("/documents"), s"tagged the wrong path: $tagged")
+      assert(spark.sql(s"SHOW TAGS $t").collect().map(r =>
+          (r.getString(0), r.getInt(1))).toSeq == Seq(("birth", 0)),
+        "SHOW TAGS diverged")
+      // the tag namespace is the partitioned chain's own: the FLAT
+      // chain of the same corpus has no such tag
+      assert(MergeOps.tags(spark, corpus, "documents").isEmpty,
+        "partitioned tag leaked into the flat namespace")
+
+      // VERSION AS OF 'birth' reads the tagged generation
+      assert(rows(spark.sql(s"SELECT * FROM $t VERSION AS OF 'birth'")) ==
+        rows(base.select(cols.map(col): _*)),
+        "tag time travel diverged from the birth frame")
+
+      // duplicate tag refuses loudly
+      val dup = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t CREATE TAG birth") }
+      assert(dup.getMessage.contains("already exists"),
+        s"duplicate tag must refuse, got: ${dup.getMessage}")
+
+      // vacuum keeps the pinned generation 0 but reclaims v1
+      val deleted = spark.sql(s"VACUUM $t RETAIN 2 GENERATIONS")
+        .collect().map(_.getString(0)).toSeq
+      assert(deleted.size == 1 && deleted.head.contains("documents_v1"),
+        s"vacuum must reclaim only v1 (v0 pinned, v2+v3 retained): $deleted")
+      assert(PartitionedLayout.generations(spark, corpus, "documents")
+        .map(_._1) == Seq(0, 2, 3), "wrong retained set")
+      // DESCRIBE HISTORY marks the pin
+      val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+        .map(r => r.getInt(0) -> r.getBoolean(6)).toMap
+      assert(hist(0) && !hist(2), s"pinned flags wrong: $hist")
+
+      // dropping the tag releases the pin: the next vacuum reclaims v0
+      assert(spark.sql(s"ALTER TABLE $t DROP TAG birth").head().getBoolean(0))
+      val deleted2 = spark.sql(s"VACUUM $t RETAIN 2 GENERATIONS")
+        .collect().map(_.getString(0)).toSeq
+      assert(deleted2.size == 1 && deleted2.head.endsWith("/documents"),
+        s"post-drop vacuum must reclaim the unpinned v0: $deleted2")
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
