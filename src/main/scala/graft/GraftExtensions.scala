@@ -108,11 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_changes: $what must be an integer literal, got $other")
         }
-        val (corpusDir, table) =
-          graft.plans.GraftSqlParser.resolve(s, name, "graft_changes")
-        graft.operators.MergeOps.changeFeed(s, corpusDir, table,
-            gen(exprs(1), "fromGen"),
-            exprs.lift(2).map(gen(_, "toGen")).getOrElse(-1))
+        val (corpusDir, table, partitioned) =
+          graft.plans.GraftSqlParser.resolveAny(s, name, "graft_changes")
+        val from = gen(exprs(1), "fromGen")
+        val to = exprs.lift(2).map(gen(_, "toGen")).getOrElse(-1)
+        (if (partitioned)
+           graft.sources.PartitionedLayout.changeFeed(s, corpusDir, table, from, to)
+         else graft.operators.MergeOps.changeFeed(s, corpusDir, table, from, to))
           .queryExecution.analyzed
       }))
 

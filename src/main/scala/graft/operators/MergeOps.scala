@@ -89,7 +89,7 @@ object MergeOps {
     */
   val PreImageKey = "spark.graft.merge.changeFeed.preImages"
 
-  private def changeFeedOn(s: SparkSession): Boolean =
+  private[graft] def changeFeedOn(s: SparkSession): Boolean =
     s.conf.getOption(ChangeFeedKey).exists(_.toBoolean)
 
   /** Test-only fault injection for the crash-recovery harness: set to
@@ -899,7 +899,7 @@ object MergeOps {
     * build side, the corpus never shuffles — then a changeset×changeset
     * stitch; replay-safe no-op tombstones (unmatched keys) drop out.
     */
-  private def writeChangeFeedSlice(s: SparkSession, target: DataFrame,
+  private[graft] def writeChangeFeedSlice(s: SparkSession, target: DataFrame,
                                    changes: DataFrame, keyCol: String,
                                    vpath: String): Unit = {
     val mk = target.select(col(keyCol))

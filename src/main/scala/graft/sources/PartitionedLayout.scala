@@ -605,9 +605,83 @@ object PartitionedLayout {
           linkUntouched(curLoc, vpath, touched)
         }
       }
+      // change data feed: persist THIS apply's effective changeset as a
+      // `_cdf/` sidecar at the generation ROOT (next to the partition
+      // dirs — underscore-invisible to every data scan). `served` still
+      // resolves: the old generation's files are kept on disk for
+      // in-flight readers, this read included. Slices speak the LOGICAL
+      // schema, the flat feed's contract.
+      if (graft.operators.MergeOps.changeFeedOn(s))
+        graft.operators.MergeOps.writeChangeFeedSlice(
+          s, served, changes, key, vpath)
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
     }
+  }
+
+  /** The change data feed across partitioned generations `(fromGen,
+    * toGen]` — [[graft.operators.MergeOps.changeFeed]]'s contract over
+    * this chain: per-generation `_cdf` slices at delta cost, a
+    * row-changing apply without one fails loudly, link-forward
+    * generations (no-op applies, metadata swings) contribute empty.
+    * SQL spelling: `SELECT * FROM graft_changes('<graft_plt_…>', from)`.
+    */
+  def changeFeed(s: SparkSession, corpusDir: String,
+                 table: String = "documents",
+                 fromGen: Int, toGen: Int = -1): DataFrame = {
+    import graft.operators.MergeOps
+    val gens = generations(s, corpusDir, table).toMap
+    val top = if (toGen < 0) gens.keys.max else toGen
+    require(fromGen >= 0 && fromGen < top,
+      s"changeFeed needs 0 <= fromGen < toGen, got ($fromGen, $top)")
+    // data-file names (partition subdirs + per-partition dv sidecars,
+    // never the _cdf slices themselves): a generation whose previous
+    // names all ride forward changed no rows — the conservative
+    // row-preserving test, one tier down
+    def dataNames(d: String): Set[String] = {
+      val base = java.nio.file.Paths.get(d)
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(base.relativize(_).toString)
+          .filterNot(_.startsWith(MergeOps.CdfDir + "/"))
+          .toSet
+      } finally walk.close()
+    }
+    (fromGen + 1 to top).flatMap { g =>
+      val p = gens.getOrElse(g, throw new IllegalArgumentException(
+        s"generation $g of ($corpusDir, $table) is not retained — " +
+          s"have ${gens.keys.toSeq.sorted.mkString(", ")}"))
+      val cdf = java.nio.file.Paths.get(p, MergeOps.CdfDir)
+      val files = Option(cdf.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (java.nio.file.Files.isDirectory(cdf) && files.isEmpty) None
+      else if (!java.nio.file.Files.isDirectory(cdf)) {
+        val preserved = gens.get(g - 1).exists { prev =>
+          val pn = dataNames(prev)
+          pn.nonEmpty && pn.subsetOf(dataNames(p))
+        }
+        if (preserved) None
+        else throw new IllegalStateException(
+          s"generation $g ($p) carries no change-feed sidecar — enable " +
+            s"${MergeOps.ChangeFeedKey} before applying")
+      } else Some(
+        s.read.option("mergeSchema", "true").parquet(cdf.toString)
+          .drop(MergeOps.SchemaFpCol)
+          .withColumn(MergeOps.CommitGenCol, lit(g)))
+    }.reduceLeftOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        val tgt = ifPresent(s, corpusDir, table)
+          .getOrElse(throw new IllegalStateException(
+            s"no partitioned layout for ($corpusDir, $table)"))
+        tgt.limit(0)
+          .withColumn(MergeOps.ChangeTypeCol, lit(null).cast("string"))
+          .withColumn(MergeOps.CommitGenCol, lit(null).cast("int"))
+      }
   }
 
   /** Rename a logical column — a metadata-only generation over the

@@ -890,6 +890,51 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("change data feed rides the partitioned chain: per-apply slices, empty metadata swings, loud gaps") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val maxId = base.agg(max($"doc_id")).head().getLong(0)
+      spark.conf.set(MergeOps.ChangeFeedKey, "true")
+      try {
+        spark.sql(s"UPDATE $t SET lang = 'cf' WHERE doc_id % 9 = 0")    // v1
+        spark.sql(s"DELETE FROM $t WHERE doc_id % 10 = 0")              // v2
+        spark.sql(s"INSERT INTO $t (doc_id, text, lang, n_chars, source) " +
+          s"VALUES (${maxId + 1}, 'cdoc', 'xx', 3, 'feedpart')")        // v3
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN text TO body")         // v4
+
+        val feed = spark.sql(s"SELECT * FROM graft_changes('$t', 0)")
+        val byGenType = feed.groupBy(col(MergeOps.CommitGenCol),
+            col(MergeOps.ChangeTypeCol)).count()
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val n9 = base.filter($"doc_id" % 9 === 0).count()
+        val n10 = base.filter($"doc_id" % 10 === 0).count()
+        assert(byGenType == Map(
+          (1, "update_postimage") -> n9,
+          (2, "delete") -> n10,
+          (3, "insert") -> 1L),
+          s"feed shape diverged: $byGenType (metadata swing v4 must " +
+            "contribute nothing)")
+        // the inserted row rides with its partition value in the slice
+        assert(feed.filter(col(MergeOps.ChangeTypeCol) === "insert")
+          .select($"source").head().getString(0) == "feedpart",
+          "insert slice lost the partition column")
+
+        // a row-changing apply with the feed OFF gaps the chain loudly
+        spark.conf.unset(MergeOps.ChangeFeedKey)
+        spark.sql(s"UPDATE $t SET lang = 'off' WHERE doc_id = ${maxId + 1}")
+        val gap = intercept[IllegalStateException] {
+          PartitionedLayout.changeFeed(spark, corpus, "documents", 0).count()
+        }
+        assert(gap.getMessage.contains("no change-feed sidecar"),
+          s"gapped feed must fail loudly, got: ${gap.getMessage}")
+        // a range that stops before the gap still serves
+        assert(PartitionedLayout.changeFeed(spark, corpus, "documents",
+          0, 4).count() == n9 + n10 + 1)
+      } finally spark.conf.unset(MergeOps.ChangeFeedKey)
+    }
+  }
+
   test("fresh-session repair: the catalog re-attaches the newest generation from disk") {
     import spark.implicits._
     withSandbox { (corpus, t, base) =>
