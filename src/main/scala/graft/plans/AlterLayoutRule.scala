@@ -124,11 +124,9 @@ case class AlterLayoutCommand(tableName: String,
           }
         }
       case AlterLayoutCommand.Add(cols) =>
-        if (partitioned) f(
-          "ADD COLUMNS is not supported on a partitioned layout yet — " +
-            "fold flat first (the schema-anchor path is flat-only, " +
-            "stated not hidden)")
-        MergeOps.addColumns(spark, corpusDir, logicalTable, cols)
+        if (partitioned) graft.sources.PartitionedLayout
+          .addColumns(spark, corpusDir, logicalTable, cols)
+        else MergeOps.addColumns(spark, corpusDir, logicalTable, cols)
     }
     Seq.empty
   }

@@ -199,9 +199,16 @@ object PartitionedLayout {
         s.read.parquet(p.resolve(CorpusLayout.DvDir)
           .resolve("deltas").toString)
           .withColumn(pcol, lit(v)) }
-        .reduce(_ unionByName _)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      // NULL-pad columns an older sidecar predates (an ADD COLUMNS
+      // swing links delta files verbatim — their rows read the new
+      // column as NULL, like any unrewritten base file)
+      val padded = deltas.select(base.columns.toSeq.map { c =>
+        if (deltas.columns.contains(c)) col(c)
+        else lit(null).cast(base.schema(c).dataType).as(c)
+      }: _*)
       base.join(broadcast(tombs), Seq(key), "left_anti")
-        .unionByName(deltas.select(base.columns.map(col): _*))
+        .unionByName(padded)
     }
   }
 
@@ -696,7 +703,7 @@ object PartitionedLayout {
                    from: String, to: String): String = {
     require(to.nonEmpty && !to.startsWith("_"),
       s"invalid target column name '$to'")
-    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol) =>
+    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol, _) =>
       require(from != keyCol, s"cannot rename the layout key '$keyCol'")
       require(from != pcol,
         s"cannot rename the partition column '$pcol' — it names the " +
@@ -716,7 +723,7 @@ object PartitionedLayout {
     */
   def dropColumn(s: SparkSession, corpusDir: String, table: String,
                  column: String): String =
-    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol) =>
+    metadataSwing(s, corpusDir, table) { (m, logical, keyCol, pcol, _) =>
       require(column != keyCol, s"cannot drop the layout key '$keyCol'")
       require(column != pcol,
         s"cannot drop the partition column '$pcol' — it names the " +
@@ -728,15 +735,45 @@ object PartitionedLayout {
       m + (p -> None)
     }
 
+  /** ADD COLUMNS as a metadata-only generation — the flat
+    * [[graft.operators.MergeOps.addColumns]] recipe over partition
+    * dirs: every existing byte hard-links, and the only new bytes are
+    * ONE zero-row "schema anchor" parquet file (bucket-0 named, footer
+    * only) in the first partition dir carrying the widened PHYSICAL
+    * schema. [[repairServing]] and [[readGeneration]] read with
+    * mergeSchema, so the anchor is the durable record of the ADD;
+    * untouched rows read the new columns as NULL (parquet NULL-fills a
+    * requested column a file lacks). Names must collide with no
+    * logical OR physical column (a dropped slot must not be shadowed),
+    * and never the partition column.
+    */
+  def addColumns(s: SparkSession, corpusDir: String, table: String,
+                 cols: Seq[(String, org.apache.spark.sql.types.DataType)]): String = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "duplicate column in ADD COLUMNS")
+    cols.foreach { case (n, _) =>
+      require(n.nonEmpty && !n.startsWith("_"), s"invalid column name '$n'") }
+    metadataSwing(s, corpusDir, table, widen = cols) {
+      (m, logical, _, pcol, physSchema) =>
+        val taken = (logical ++ physSchema.fieldNames :+ pcol).toSet
+        cols.foreach { case (n, _) =>
+          require(!taken.contains(n), s"column '$n' already exists") }
+        m
+    }
+  }
+
   /** The shared metadata-only swing: link the whole generation forward
-    * (partition dirs + sidecars), write the updated `_MAPPING`, re-point
-    * the catalog. `update` receives (current mapping, logical column
-    * names, key, pcol) and returns the new mapping.
+    * (partition dirs + sidecars), write the updated `_MAPPING` (and,
+    * when widening, the schema-anchor file), re-point the catalog.
+    * `update` receives (current mapping, logical column names, key,
+    * pcol, physical schema) and returns the new mapping.
     */
   private def metadataSwing(s: SparkSession, corpusDir: String,
-                            table: String)
-      (update: (Map[String, Option[String]], Seq[String], String, String)
-        => Map[String, Option[String]]): String = {
+                            table: String,
+                            widen: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty)
+      (update: (Map[String, Option[String]], Seq[String], String, String,
+        org.apache.spark.sql.types.StructType) => Map[String, Option[String]]): String = {
     val key = CorpusLayout.keyed(table)
     val t = tableName(table, corpusDir)
     require(s.catalog.tableExists(t),
@@ -754,18 +791,31 @@ object PartitionedLayout {
         case Some(Some(l)) => Some(l)
         case Some(None) => None
       })
-      val newMapping = update(m0, logical, key, pcol)
+      val newMapping = update(m0, logical, key, pcol, physSchema)
       val gens = generations(s, corpusDir, table)
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
       linkUntouched(curLoc, vpath, Set.empty)
       linkSidecars(curLoc, vpath, skip = Set.empty)
       carryClusterMarker(curLoc, vpath)
       if (newMapping.nonEmpty) CorpusLayout.writeMapping(vpath, newMapping)
+      // widen: the anchor lands bucket-0-named in the FIRST partition
+      // dir (zero rows satisfy every pair invariant trivially); the
+      // physical schema here excludes pcol — directory-named, never a
+      // file column
+      val widened = org.apache.spark.sql.types.StructType(
+        physSchema.filterNot(_.name == pcol) ++
+          widen.map { case (n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+      if (widen.nonEmpty) {
+        val firstPart = partDirs(vpath).headOption.getOrElse(
+          throw new IllegalStateException(
+            s"no partition dirs under $vpath to anchor the ADD"))._2
+        writeSchemaAnchor(s, firstPart.toString, widened)
+      }
       val staging = s"${t}_staging"
       s.sql(s"DROP TABLE IF EXISTS $staging")
       val sortCol = CorpusLayout.sortColFor(vpath).getOrElse(key)
-      val ddl = org.apache.spark.sql.types.StructType(
-        physSchema.filterNot(_.name == pcol)).toDDL
+      val ddl = widened.toDDL
       s.sql(s"CREATE TABLE $staging (${ddl}, $pcol STRING) " +
         s"USING PARQUET PARTITIONED BY ($pcol) " +
         s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
@@ -773,6 +823,27 @@ object PartitionedLayout {
       swingTo(s, corpusDir, table, vpath, buckets, pcol)
       vpath
     }
+  }
+
+  /** Write the zero-row schema-anchor parquet for [[addColumns]] into a
+    * partition dir, named as a bucket-0 file so bucket discipline holds.
+    */
+  private def writeSchemaAnchor(s: SparkSession, dir: String,
+                                schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stage = java.nio.file.Paths.get(dir, "_anchor_stage")
+    s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.parquet(stage.toString)
+    val src = Option(stage.toFile.listFiles())
+      .flatMap(_.find(f => f.isFile && f.getName.endsWith(".parquet")))
+      .map(_.toPath)
+      .getOrElse(throw new IllegalStateException(
+        "empty-frame write produced no schema-anchor file"))
+    val n = src.getFileName.toString
+    val bucketed = if (n.contains(".c000")) n.replace(".c000", "_00000.c000")
+      else n.stripSuffix(".parquet") + "_00000.parquet"
+    java.nio.file.Files.move(src, java.nio.file.Paths.get(dir, bucketed))
+    graft.FsUtil.deleteRecursively(stage)
   }
 
   /** Serve the filesystem's newest complete generation before deriving
@@ -1132,9 +1203,14 @@ object PartitionedLayout {
     require(parts.nonEmpty,
       s"generation $n at $p has no partition dirs — not a partitioned " +
         "generation")
+    // mergeSchema: a schema-evolved generation's added columns live
+    // only in the anchor's footer; plain inference could re-attach a
+    // pre-evolution shape. allowMissingColumns NULL-pads partitions
+    // whose dirs never saw the anchor.
     val base = parts.map { case (v, d) =>
-      s.read.parquet(d.toString).withColumn(pcol, lit(v)) }
-      .reduce(_ unionByName _)
+      s.read.option("mergeSchema", "true").parquet(d.toString)
+        .withColumn(pcol, lit(v)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // that generation's OWN sidecars and mapping — not the tip's
     CorpusLayout.applyMapping(
       composeDv(s, base, p, pcol, CorpusLayout.keyed(table)),
@@ -1167,7 +1243,9 @@ object PartitionedLayout {
         java.nio.file.Paths.get(p, PcolMarker)), "UTF-8").trim
       val key = CorpusLayout.keyed(table)
       val sortCol = CorpusLayout.sortColFor(p).getOrElse(key)
-      val schema = s.read.parquet(p).schema
+      // mergeSchema: an evolved generation's added columns live only in
+      // the anchor's footer — plain inference could lose them
+      val schema = s.read.option("mergeSchema", "true").parquet(p).schema
       val ddl = org.apache.spark.sql.types.StructType(
         schema.filterNot(_.name == pcol)).toDDL
       s.sql(s"CREATE TABLE $t ($ddl, $pcol STRING) USING PARQUET " +

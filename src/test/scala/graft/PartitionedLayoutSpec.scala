@@ -711,10 +711,6 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
         spark.sql(s"ALTER TABLE $t DROP COLUMN source") }
       assert(pcolErr.getMessage.contains("names the"),
         s"pcol drop must refuse, got: ${pcolErr.getMessage}")
-      val addErr = intercept[Exception] {
-        spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)") }
-      assert(addErr.getMessage.contains("fold flat"),
-        s"partitioned ADD must refuse loudly, got: ${addErr.getMessage}")
 
       // time travel reads each generation through its OWN mapping:
       // the birth generation still speaks the old names
@@ -932,6 +928,59 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkTestBase {
         assert(PartitionedLayout.changeFeed(spark, corpus, "documents",
           0, 4).count() == n9 + n10 + 1)
       } finally spark.conf.unset(MergeOps.ChangeFeedKey)
+    }
+  }
+
+  test("ADD COLUMNS over partition dirs: anchor-only bytes, NULL-filled rows, survives repair") {
+    import spark.implicits._
+    withSandbox { (corpus, t, base) =>
+      val gen0 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val before = inodes(gen0)
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)")
+      val gen1 = PartitionedLayout
+        .generations(spark, corpus, "documents").last._2
+      val after = inodes(gen1)
+      // every pre-existing byte hard-links; the ONLY new file is the
+      // zero-row schema anchor
+      val fresh = after.filterNot { case (rel, ino) =>
+        before.get(rel).contains(ino) }
+      assert(fresh.size == 1,
+        s"ADD must write exactly the anchor, wrote ${fresh.keys.mkString(", ")}")
+      assert(spark.table(t).columns.contains("score"),
+        "the added column is not served")
+      assert(spark.table(t).filter($"score".isNotNull).count() == 0,
+        "untouched rows must read the added column as NULL")
+      assert(spark.table(t).count() == base.count(), "the anchor added rows")
+
+      // DML can assign the new column
+      val k = base.orderBy($"doc_id").limit(1).head().getLong(0)
+      spark.sql(s"UPDATE $t SET score = 1.5 WHERE doc_id = $k")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"score").head().getDouble(0) == 1.5,
+        "UPDATE on the added column lost its value")
+
+      // the evolution survives a catalog drop + fresh-session repair
+      // (mergeSchema finds the anchor's footer)
+      PartitionedLayout.drop(spark, corpus, "documents")
+      PartitionedLayout.repairServing(spark, corpus, "documents")
+      assert(spark.table(t).columns.contains("score"),
+        "repairServing lost the evolved schema")
+      assert(spark.table(t).filter($"doc_id" === k)
+        .select($"score").head().getDouble(0) == 1.5,
+        "repair lost the assigned value")
+
+      // pre-evolution generations keep their shape
+      assert(!spark.sql(s"SELECT * FROM $t VERSION AS OF 0")
+        .columns.contains("score"),
+        "VERSION AS OF 0 must show the pre-ADD schema")
+
+      // a dropped physical slot must not be shadowed
+      spark.sql(s"ALTER TABLE $t DROP COLUMN lang")
+      val shadow = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (lang STRING)") }
+      assert(shadow.getMessage.contains("already exists"),
+        s"shadowing a dropped slot must refuse, got: ${shadow.getMessage}")
     }
   }
 
