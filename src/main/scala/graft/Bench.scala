@@ -164,13 +164,15 @@ object Bench {
     val layoutT0 = System.nanoTime()
     graft.sources.CorpusLayout.materialize(spark, sfDir)
     val layoutSec = (System.nanoTime() - layoutT0) / 1e9
-    queries.foreach { case (_, fn) =>
+    queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warm: $name")
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseSignatures()
       graft.operators.Relational.releaseCaches()
       graft.FsUtil.sweep()
     }
+    spark.sparkContext.setJobDescription(null)
     // min of 3 timed runs per query + an explicit GC boundary: a stray
     // full-GC pause otherwise lands inside some unlucky query and reports
     // a 20× outlier for code that runs in a second (min-of-2 still let
@@ -196,6 +198,9 @@ object Bench {
         // OUTSIDE the timed window
         graft.FsUtil.sweep()
       }
+      // guide §1.5: label the jobs so an event log / UI maps stages back
+      // to queries (thread-local, driver-side — no measured cost)
+      spark.sparkContext.setJobDescription(name)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -209,6 +214,7 @@ object Bench {
       // execution memory come from task metrics via the listener —
       // snapshotted around the run so each query's delta stands alone.
       try {
+        spark.sparkContext.setJobDescription(s"metrics: $name")
         taskMetrics.settle()
         val spill0 = taskMetrics.spilled.get()
         taskMetrics.peak.set(0L)

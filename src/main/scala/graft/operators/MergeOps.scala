@@ -260,14 +260,20 @@ object MergeOps {
     }
   }
 
-  /** (location dir, declared bucket count) of a catalog table — two
-    * metadata rows off DESCRIBE FORMATTED.
+  /** (location dir, declared bucket count) of a catalog table — straight
+    * off the session catalog's metadata. This used to run `DESCRIBE
+    * FORMATTED` + collect, i.e. a 1-task Spark JOB for two metadata
+    * fields, on every apply/serve/resync — and [[graft.sources
+    * .PartitionedLayout.composedServing]] calls it from inside an
+    * ANALYZER rule, so each resolution of a served table paid it too.
+    * Driver metadata must not be cluster work (guide §5).
     */
   private[graft] def tableLayout(s: SparkSession, t: String): (String, Int) = {
-    val rows = s.sql(s"DESCRIBE FORMATTED $t")
-      .filter(col("col_name").isin("Location", "Num Buckets"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    (rows("Location").stripPrefix("file:"), rows("Num Buckets").trim.toInt)
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"table $t carries no bucket spec"))
+    (meta.location.getPath, buckets)
   }
 
   private[graft] def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
@@ -704,9 +710,15 @@ object MergeOps {
     val changesPhys = CorpusLayout.toPhysical(changes, mapping, physSchema)
     if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
     val dvOf = (name: String) => s"$curLoc/${CorpusLayout.DvDir}/$name"
-    val prevTombs = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("tombstones"))
-      else emptyPhys(org.apache.spark.sql.types.StructType(Seq(physSchema(keyCol))))
-    val prevDeltas = if (CorpusLayout.hasDv(curLoc)) s.read.parquet(dvOf("deltas"))
+    // explicit read schemas: no footer-inference job per sidecar read
+    // (the shapes are pinned — tombstones carry the key alone, deltas
+    // the physical schema; older files NULL-fill under the wider read)
+    val tombSchema = org.apache.spark.sql.types.StructType(Seq(physSchema(keyCol)))
+    val prevTombs = if (CorpusLayout.hasDv(curLoc))
+      s.read.schema(tombSchema).parquet(dvOf("tombstones"))
+      else emptyPhys(tombSchema)
+    val prevDeltas = if (CorpusLayout.hasDv(curLoc))
+      s.read.schema(physSchema).parquet(dvOf("deltas"))
       else emptyPhys(physSchema)
     val newTombs = prevTombs.unionByName(changesPhys.select(col(keyCol))).distinct()
     val newDeltas = applyChanges(prevDeltas, changesPhys, keyCol)

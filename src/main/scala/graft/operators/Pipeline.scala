@@ -25,6 +25,21 @@ object Pipeline {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
+  /** Write the corpus documents into a query-local dir and hand back a
+    * SCHEMA-PINNED re-read (optimization r15): the bare
+    * `s.read.parquet(...)` each lifecycle query used to re-read its own
+    * staged corpus ran a footer-inference Spark job on every execution —
+    * the schema is the frame just written, so pin it and skip the job.
+    */
+  private def stageDocs(s: SparkSession, d: String, corpus: String): DataFrame = {
+    val src = docs(s, d)
+    src.write.parquet(s"$corpus/documents.parquet")
+    // seed the schema memo: the layout materialize that follows re-reads
+    // this very file and now re-plans without an inference job either
+    Tables.seedSchema(s"$corpus/documents.parquet", src.schema)
+    s.read.schema(src.schema).parquet(s"$corpus/documents.parquet")
+  }
+
   /** DuckDB mirror of hash64(prefix || doc_id) (see TextFunctions.hash64). */
   private def hashSql(prefix: String): String =
     s"CAST('0x' || substr(md5('$prefix' || doc_id), 1, 15) AS BIGINT)"
@@ -1254,13 +1269,13 @@ object Pipeline {
         import graft.sources.CorpusLayout
         val tmp = java.nio.file.Files.createTempDirectory("graft_p28")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
         try {
           CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val updates = base
             .filter($"doc_id" % 11 === 0 && $"doc_id" % 13 =!= 0)
             .select($"doc_id", lit("xx").as("lang"),
@@ -1322,14 +1337,14 @@ object Pipeline {
         import graft.sources.CorpusLayout
         val tmp = java.nio.file.Files.createTempDirectory("graft_p29")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
         try {
           CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
           val t = CorpusLayout.tableName("documents", corpus)
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           base.filter($"doc_id" % 7 === 0 && $"doc_id" % 13 =!= 0)
             .select($"doc_id", lit("zz").as("new_lang"), lit(2L).as("bump"),
               lit(null).cast("string").as("new_text"), lit(false).as("is_del"))
@@ -1398,7 +1413,7 @@ object Pipeline {
         import graft.sources.CorpusLayout
         val tmp = java.nio.file.Files.createTempDirectory("graft_p30")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
@@ -1406,7 +1421,7 @@ object Pipeline {
         s.conf.set(MergeOps.MergeModeKey, "mor")
         try {
           CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val updates = base
             .filter($"doc_id" % 9 === 0 && $"doc_id" % 13 =!= 0)
             .select($"doc_id", lit("mm").as("lang"),
@@ -1466,14 +1481,14 @@ object Pipeline {
         import graft.sources.CorpusLayout
         val tmp = java.nio.file.Files.createTempDirectory("graft_p31")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
         try {
           CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
           val t = CorpusLayout.tableName("documents", corpus)
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val changes = base
             .filter($"doc_id" % 6 === 0 && $"doc_id" % 17 =!= 0)
             .select($"doc_id", concat(lit("tt "), $"text").as("text"),
@@ -1715,14 +1730,14 @@ object Pipeline {
         import graft.sources.CorpusLayout
         val tmp = java.nio.file.Files.createTempDirectory("graft_p36")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
         try {
           CorpusLayout.materialize(s, corpus, tables = Seq("documents"))
           val t = CorpusLayout.tableName("documents", corpus)
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val changes = base
             .filter($"doc_id" % 6 === 0 && $"doc_id" % 17 =!= 0)
             .select($"doc_id", concat(lit("tt "), $"text").as("text"),
@@ -1796,7 +1811,7 @@ object Pipeline {
         import graft.sources.{CorpusLayout, PartitionedLayout}
         val tmp = java.nio.file.Files.createTempDirectory("graft_p37")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
@@ -1804,7 +1819,7 @@ object Pipeline {
           PartitionedLayout.materialize(s, corpus, "documents",
             pcol = "source", buckets = 16)
           val t = PartitionedLayout.tableName("documents", corpus)
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val changes = base
             .filter(($"doc_id" % 6 === 0 || $"doc_id" % 23 === 0) &&
               $"doc_id" % 17 =!= 0)
@@ -1874,7 +1889,7 @@ object Pipeline {
         import graft.sources.{CorpusLayout, PartitionedLayout}
         val tmp = java.nio.file.Files.createTempDirectory("graft_p38")
         val corpus = tmp.toString + "/corpus"
-        docs(s, d).write.parquet(s"$corpus/documents.parquet")
+        val staged = stageDocs(s, d, corpus)
         val prevConf = s.conf.getOption(CorpusLayout.ConfKey)
         if (prevConf.isEmpty)
           s.conf.set(CorpusLayout.ConfKey, tmp.toString + "/layout")
@@ -1884,7 +1899,7 @@ object Pipeline {
           PartitionedLayout.materialize(s, corpus, "documents",
             pcol = "source", buckets = 16)
           val t = PartitionedLayout.tableName("documents", corpus)
-          val base = s.read.parquet(s"$corpus/documents.parquet")
+          val base = staged
           val stratum = $"source".isin("src1", "src2")
           def wave(langExpr: org.apache.spark.sql.Column,
                    pick: org.apache.spark.sql.Column) = base

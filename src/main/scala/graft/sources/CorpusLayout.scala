@@ -292,8 +292,15 @@ object CorpusLayout {
                                          key: String): DataFrame =
     if (!hasDv(loc)) base
     else {
-      val tombs = s.read.parquet(s"$loc/$DvDir/tombstones")
-      val deltas = s.read.parquet(s"$loc/$DvDir/deltas")
+      // explicit read schemas (optimization r15): inferred-schema parquet
+      // reads run a footer job at PLAN time, and this composition sits in
+      // the serving/analyzer path — the shapes are known from the base
+      // frame (tombstones carry the key alone, deltas the base columns;
+      // an older sidecar NULL-fills under the wider schema)
+      val tombs = s.read.schema(org.apache.spark.sql.types.StructType(
+          Seq(base.schema(key))))
+        .parquet(s"$loc/$DvDir/tombstones")
+      val deltas = s.read.schema(base.schema).parquet(s"$loc/$DvDir/deltas")
       base.join(tombs, Seq(key), "left_anti").unionByName(deltas)
     }
 
@@ -698,7 +705,10 @@ object CorpusLayout {
       // file per bucket — without it the bucketBy writer emits up to
       // (read tasks × B) files, which defeats the one-file-per-bucket
       // CoW link arithmetic and explodes listings at corpus-sized B
-      val src = s.read.parquet(s"$corpusDir/$table.parquet")
+      // memoized-schema read: a staged corpus seeds the memo at write
+      // time, a warmed corpus dir was inferred once — either way the
+      // materialize re-plan runs no footer job (optimization r15)
+      val src = graft.Tables.readMemo(s, s"$corpusDir/$table.parquet")
       if (clusterBy.isEmpty)
         src.repartition(buckets, col(key))
           .write.format("parquet")

@@ -191,24 +191,31 @@ object PartitionedLayout {
     val dv = dvParts(loc)
     if (dv.isEmpty) base
     else {
+      // EXPLICIT schemas on the sidecar reads (optimization r15): an
+      // inferred-schema parquet read runs a footer-listing Spark job at
+      // PLAN time, and this composition runs inside the analyzer rule
+      // (composedServing) — every resolution of a MOR tip was paying
+      // 2·|dv partitions| schema jobs before any data moved. The schemas
+      // are known from the base frame: tombstones carry the key alone,
+      // deltas the base columns minus the directory-named pcol; a delta
+      // file that predates an ADD COLUMNS swing NULL-fills the missing
+      // column under the wider read schema — exactly the padding the
+      // union did by hand.
+      val tombSchema = org.apache.spark.sql.types.StructType(
+        Seq(base.schema(key)))
+      val deltaSchema = org.apache.spark.sql.types.StructType(
+        base.schema.filterNot(_.name == pcol))
       val tombs = dv.map { case (_, p) =>
-        s.read.parquet(p.resolve(CorpusLayout.DvDir)
+        s.read.schema(tombSchema).parquet(p.resolve(CorpusLayout.DvDir)
           .resolve("tombstones").toString) }
         .reduce(_ unionByName _)
       val deltas = dv.map { case (v, p) =>
-        s.read.parquet(p.resolve(CorpusLayout.DvDir)
+        s.read.schema(deltaSchema).parquet(p.resolve(CorpusLayout.DvDir)
           .resolve("deltas").toString)
           .withColumn(pcol, lit(v)) }
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-      // NULL-pad columns an older sidecar predates (an ADD COLUMNS
-      // swing links delta files verbatim — their rows read the new
-      // column as NULL, like any unrewritten base file)
-      val padded = deltas.select(base.columns.toSeq.map { c =>
-        if (deltas.columns.contains(c)) col(c)
-        else lit(null).cast(base.schema(c).dataType).as(c)
-      }: _*)
+        .reduce(_ unionByName _)
       base.join(broadcast(tombs), Seq(key), "left_anti")
-        .unionByName(padded)
+        .unionByName(deltas.select(base.columns.toSeq.map(col): _*))
     }
   }
 
@@ -246,7 +253,9 @@ object PartitionedLayout {
     require(!clusterBy.contains(pcol),
       s"clusterBy must not include the partition column '$pcol' — it is " +
         "constant within every partition directory already")
-    val src = s.read.parquet(s"$corpusDir/$table.parquet")
+    // memoized-schema read (see CorpusLayout.materialize) — no footer
+    // job per re-plan of the staged corpus
+    val src = graft.Tables.readMemo(s, s"$corpusDir/$table.parquet")
     require(src.columns.contains(pcol), s"no column '$pcol' in $table")
     require(src.schema(pcol).dataType ==
         org.apache.spark.sql.types.StringType,
@@ -470,11 +479,16 @@ object PartitionedLayout {
       // touched pairs = the changeset rows' NEW homes ∪ the matched
       // keys' OLD homes (one changeset-keyed semi-join — the corpus
       // side scans only the keys' candidate buckets via the bucket
-      // pruning below at scale; here the join is broadcast-sized)
+      // pruning below at scale; here the join is broadcast-sized).
+      // In MOR mode the matched keys' old homes are ALSO the sidecar
+      // fold's eviction input, so snapshot the semi-join once and let
+      // both consumers read the checkpoint instead of re-running it.
       val newPairs = changes.filter(!col(tomb))
         .select(col(pcol).as("__p"), bucketOf.as("__b"))
-      val oldPairs = served.join(changes.select(col(key)), Seq(key), "left_semi")
-        .select(col(pcol).as("__p"), bucketOf.as("__b"))
+      val oldHomes0 = served.join(changes.select(col(key)), Seq(key), "left_semi")
+        .select(col(key), col(pcol))
+      val oldHomes = if (morMode) oldHomes0.localCheckpoint(true) else oldHomes0
+      val oldPairs = oldHomes.select(col(pcol).as("__p"), bucketOf.as("__b"))
       val touched = newPairs.union(oldPairs).distinct().collect()
         .map(r => (r.getString(0), r.getInt(1))).toSet
       val gens = generations(s, corpusDir, table)
@@ -520,9 +534,6 @@ object PartitionedLayout {
         linkSidecars(curLoc, vpath, skip = touchedParts)
         carryClusterMarker(curLoc, vpath)
         if (mapping.nonEmpty) CorpusLayout.writeMapping(vpath, mapping)
-        val oldHomes = served
-          .join(changes.select(col(key)), Seq(key), "left_semi")
-          .select(col(key), col(pcol)).localCheckpoint(true)
         // the sidecar lives in PHYSICAL space (it composes BEFORE the
         // mapping projection on read) — the logical-named changeset
         // translates back, dropped physical slots refilling as NULLs
@@ -531,44 +542,107 @@ object PartitionedLayout {
         def emptyDf(sch: org.apache.spark.sql.types.StructType) =
           s.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
-        touchedParts.toSeq.sorted.foreach { p =>
-          val dvOld = java.nio.file.Paths
-            .get(curLoc, s"$pcol=$p", CorpusLayout.DvDir)
-          val prevTombs =
-            if (java.nio.file.Files.isDirectory(dvOld.resolve("tombstones")))
-              s.read.parquet(dvOld.resolve("tombstones").toString)
-            else emptyDf(org.apache.spark.sql.types.StructType(
-              Seq(physSchema(key))))
-          val prevDeltas =
-            if (java.nio.file.Files.isDirectory(dvOld.resolve("deltas")))
-              s.read.parquet(dvOld.resolve("deltas").toString)
-            else emptyDf(org.apache.spark.sql.types.StructType(
-              physSchema.filterNot(_.name == pcol)))
-          // tombstones' = tombstones ∪ keys whose OLD home is p (kills
-          // the base row; updates re-serve from the new home's deltas)
-          val oldKeysP = oldHomes.filter(col(pcol) === p).select(col(key))
-          val newTombs = prevTombs
-            .unionByName(oldKeysP).distinct()
-          // deltas' = applyChanges(deltas, changeset slice relevant to
-          // p): upserts whose NEW home is p land/replace; keys whose
-          // old home is p but whose new version lives elsewhere (or is
-          // a delete) evict their stale delta
-          val upsP = changesPhys.filter(!col(tomb) && col(pcol) === p)
-            .select(physCols.map(col) :+ col(tomb): _*)
-          val evictP = oldKeysP
-            .join(upsP.select(col(key)), Seq(key), "left_anti")
-            .select(col(key) +: physCols.filterNot(_ == key).map(c =>
-              lit(null).cast(physSchema(c).dataType).as(c)): _*)
-            .withColumn(tomb, lit(true))
-          val changesP = upsP.unionByName(evictP)
-          val newDeltas = graft.operators.MergeOps.applyChanges(
-            prevDeltas, changesP, key)
-          val pdir = s"$vpath/$pcol=$p/${CorpusLayout.DvDir}"
-          newTombs.repartition(1)
-            .write.mode("overwrite").parquet(s"$pdir/tombstones")
-          newDeltas.repartition(1)
-            .write.mode("overwrite").parquet(s"$pdir/deltas")
+        // BATCHED sidecar fold (optimization r15, guide §1.2/§5): the
+        // per-partition loop here used to launch TWO serial write jobs
+        // (plus its own sidecar reads and plan analysis) for every
+        // touched partition — a driver loop in the query path billing a
+        // P-partition trickle 2·P job rounds of fixed overhead. The fold
+        // is per-(partition, key) set algebra, so it runs ONCE across
+        // all touched partitions and ONE dynamic-partitioned write per
+        // side fans the rows back out; the driver then renames each
+        // `pcol=p/` staging dir into `pcol=p/_dv/{tombstones,deltas}`
+        // (inode moves, no data pass). Semantics per partition are
+        // applyChanges' algebra verbatim — every join below carries the
+        // partition column, so rows never mix across partitions.
+        val touchedSeq = touchedParts.toSeq.sorted
+        val tombSchema = org.apache.spark.sql.types.StructType(
+          Seq(physSchema(key)))
+        val deltaSchema = org.apache.spark.sql.types.StructType(
+          physSchema.filterNot(_.name == pcol))
+        // explicit read schema: no footer-inference job per sidecar, and
+        // an older (pre-ADD COLUMNS) delta file NULL-fills the missing
+        // columns under the wider schema — the padding the read needs
+        def unionPrev(side: String, sch: org.apache.spark.sql.types.StructType)
+            : DataFrame =
+          touchedSeq.flatMap { p =>
+            val d = java.nio.file.Paths
+              .get(curLoc, s"$pcol=$p", CorpusLayout.DvDir).resolve(side)
+            if (java.nio.file.Files.isDirectory(d))
+              Some(s.read.schema(sch).parquet(d.toString)
+                .withColumn("__p", lit(p)))
+            else None
+          }.reduceOption(_ unionByName _)
+            .getOrElse(emptyDf(sch).withColumn("__p", lit("")))
+        // tombstones' = tombstones ∪ keys whose OLD home is p (kills the
+        // base row; updates re-serve from the new home's deltas)
+        val newTombsAll = unionPrev("tombstones", tombSchema)
+          .select(col(key), col("__p"))
+          .unionByName(oldHomes.select(col(key), col(pcol).as("__p")))
+          .distinct()
+        // deltas' = applyChanges(deltas_p, changeset slice relevant to
+        // p): upserts whose NEW home is p land/replace; keys whose old
+        // home is p but whose new version lives elsewhere (or is a
+        // delete) evict their stale delta. (The explicit read schema
+        // already NULL-fills columns an older sidecar predates.)
+        val prevDeltas = unionPrev("deltas", deltaSchema)
+        val upsAll = changesPhys.filter(!col(tomb))
+          .filter(col(pcol).isin(touchedSeq: _*))
+          .select(physCols.map(col) :+ col(tomb) :+ col(pcol).as("__p"): _*)
+        val evictAll = oldHomes.select(col(key), col(pcol).as("__p"))
+          .join(upsAll.select(col(key), col("__p")), Seq(key, "__p"), "left_anti")
+          .select(col(key) +: physCols.filterNot(_ == key).map(c =>
+            lit(null).cast(physSchema(c).dataType).as(c)) :+ col("__p"): _*)
+          .withColumn(tomb, lit(true))
+        val changesAll = upsAll.unionByName(evictAll)
+        val newDeltasAll = prevDeltas
+          .join(changesAll.select(col(key), col("__p")), Seq(key, "__p"), "left_anti")
+          .unionByName(changesAll.filter(!col(tomb))
+            .select(physCols.map(col) :+ col("__p"): _*))
+        // one partitioned write per side: repartition by the partition
+        // value so each touched partition lands as one file, then rename
+        // each staging `pcol=p` dir into its sidecar home
+        def writeSide(df: DataFrame, side: String,
+                      sch: org.apache.spark.sql.types.StructType): Unit = {
+          val stage = java.nio.file.Paths.get(vpath, s"_dv_stage_$side")
+          df.withColumn(pcol, col("__p")).drop("__p")
+            .repartition(col(pcol))
+            .write.partitionBy(pcol).parquet(stage.toString)
+          var template: java.nio.file.Path = null
+          touchedSeq.foreach { p =>
+            val dst = java.nio.file.Paths
+              .get(vpath, s"$pcol=$p", CorpusLayout.DvDir).resolve(side)
+            java.nio.file.Files.createDirectories(dst.getParent)
+            val src = stage.resolve(s"$pcol=$p")
+            if (java.nio.file.Files.isDirectory(src))
+              java.nio.file.Files.move(src, dst)
+            else {
+              // a fold side with zero rows for p still needs a readable
+              // (schema-bearing) sidecar — both sides exist together, the
+              // read path's contract. One empty template per apply,
+              // hard-linked into each empty home.
+              if (template == null) {
+                val tdir = stage.resolve("_template")
+                emptyDf(sch).repartition(1).write.parquet(tdir.toString)
+                template = {
+                  val kids = java.nio.file.Files.list(tdir)
+                  try {
+                    import scala.jdk.CollectionConverters._
+                    kids.iterator().asScala.find(
+                      _.getFileName.toString.endsWith(".parquet")).getOrElse(
+                      throw new IllegalStateException(
+                        "empty-template write produced no parquet file"))
+                  } finally kids.close()
+                }
+              }
+              java.nio.file.Files.createDirectories(dst)
+              graft.operators.MergeOps.linkOrCopy(template,
+                dst.resolve(template.getFileName))
+            }
+          }
+          graft.FsUtil.deleteRecursively(stage)
         }
+        writeSide(newTombsAll, "tombstones", tombSchema)
+        writeSide(newDeltasAll, "deltas", deltaSchema)
         stagingOverFiles()
       } else {
         // a changeset touching MOST pairs is a rewrite wearing CoW's
