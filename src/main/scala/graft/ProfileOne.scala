@@ -7,7 +7,7 @@ package graft
   */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val runs = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,6 +39,7 @@ object ProfileOne {
             f"tasks=${i.numTasks} ${i.name.take(90).replace("\n", " ")}")
         }
       })
+    names.foreach { name =>
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, sfDir).count()
@@ -69,6 +70,9 @@ object ProfileOne {
       graft.operators.Dedup.releaseSignatures()
       graft.operators.Relational.releaseCaches()
       graft.FsUtil.sweep()
+      System.gc() // Bench's inter-query discipline — without it a multi-
+                  // query profile session reads GC pressure as query time
+    }
     }
     spark.stop()
   }

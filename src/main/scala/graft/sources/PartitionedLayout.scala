@@ -671,12 +671,19 @@ object PartitionedLayout {
             buckets, key, pcol, vpath, staging, carryMapping = Map.empty)
         } else {
           // read ONLY the touched pairs: the isin conjunct prunes
-          // partitions (directory arithmetic), the per-pair disjunction
-          // narrows to the pair's bucket within them
+          // partitions (directory arithmetic), the pair-membership test
+          // narrows to the pair's bucket within them. The membership is
+          // ONE InSet over `pcol#bucket` strings (optimization r15) —
+          // the per-pair `(pcol = p AND bucket = b)` disjunction this
+          // replaces planned a |touched|-term OR that re-instantiated
+          // the bucket hash per term, and a broad changeset (hundreds of
+          // touched pairs) paid seconds of optimizer time per apply on
+          // that tree. '#' cannot appear in a directory-safe partition
+          // value, so the concat key is collision-free.
           val touchedPs = touched.map(_._1).toSeq
-          val pairPred = touched.map { case (p, b) =>
-            col(pcol) === lit(p) && bucketOf === lit(b)
-          }.reduce(_ || _)
+          val pairKeys = touched.map { case (p, b) => s"$p#$b" }.toSeq
+          val pairPred = concat_ws("#", col(pcol), bucketOf.cast("string"))
+            .isin(pairKeys: _*)
           val touchedCur = physServed
             .filter(col(pcol).isin(touchedPs: _*) && pairPred)
           val merged = graft.operators.MergeOps.applyChanges(touchedCur,
@@ -1279,12 +1286,20 @@ object PartitionedLayout {
         "generation")
     // mergeSchema: a schema-evolved generation's added columns live
     // only in the anchor's footer; plain inference could re-attach a
-    // pre-evolution shape. allowMissingColumns NULL-pads partitions
-    // whose dirs never saw the anchor.
+    // pre-evolution shape. The union schema is inferred ONCE over the
+    // whole generation (optimization r15 — the per-dir mergeSchema
+    // reads used to run one footer-inference job per partition dir,
+    // ~20 serial jobs per VERSION AS OF read); each partition dir then
+    // reads under that explicit schema, which NULL-fills columns a
+    // pre-anchor dir lacks — exactly what allowMissingColumns did.
+    val genSchema = org.apache.spark.sql.types.StructType(
+      s.read.option("mergeSchema", "true")
+        .parquet(parts.map(_._2.toString): _*).schema
+        .filterNot(_.name == pcol))
     val base = parts.map { case (v, d) =>
-      s.read.option("mergeSchema", "true").parquet(d.toString)
+      s.read.schema(genSchema).parquet(d.toString)
         .withColumn(pcol, lit(v)) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .reduce(_ unionByName _)
     // that generation's OWN sidecars and mapping — not the tip's
     CorpusLayout.applyMapping(
       composeDv(s, base, p, pcol, CorpusLayout.keyed(table)),
