@@ -244,10 +244,12 @@ object Bench {
       val slowest = results.sortBy(-_._2).take(12).map(_._1).toSet
       results.filter { case (k, _) => byFamily(k) || slowest(k) }
     }
-    // "headline_queries", not "queries": the full map moved to
-    // BENCH_LOCAL.json in round 3, and a consumer still parsing a
-    // "queries" key would silently compute per-query stats from the
-    // ~12-entry subset. The renamed key makes stale parsers fail loudly.
+    // "queries" returned to the printed line in round 16: the driver's
+    // PERF comparison diffs per-query times from the ONE printed JSON
+    // line (r15's PERF came back with per_query empty / geomean null
+    // because the full map lived only in BENCH_LOCAL.json — a harness-
+    // contract gap, VERDICT r15 item 2). 236 floats ≈ 7 KB; the
+    // "headline_queries" subset stays too so older tooling keeps working.
     // Per-family subtotals (family = name prefix before the digits:
     // q/r/t/d/s/e/m/p): the unit scripts/check_bench.py budgets against —
     // family sums are stable where individual sub-second queries are
@@ -266,7 +268,7 @@ object Bench {
     // "cpus" = physical cores (what the load average is judged against in
     // check_bench), independent of the local[N] thread count
     val cores = Runtime.getRuntime.availableProcessors
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","load_avg":${fmt(loadAvg)},"load_start":${fmt(loadStart)},"cpus":$cores,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"headline_queries":${jsonMap(headline)},"all_queries_in":"BENCH_LOCAL.json","load_avg":${fmt(loadAvg)},"load_start":${fmt(loadStart)},"cpus":$cores,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sigstore_build":${fmt(storeSec)},"layout_build":${fmt(layoutSec)},"families":${jsonMap(families)},"queries":${jsonMap(results)},"shuffle_mb":${jsonMap(shuffleMb.toSeq.sortBy(_._1))},"spill_mb":${jsonMap(spillMb.toSeq.sortBy(_._1))},"peakmem_mb":${jsonMap(peakmemMb.toSeq.sortBy(_._1))},"load_avg":${fmt(loadAvg)},"load_start":${fmt(loadStart)},"cpus":$cores,"sf":"$sfDir"}"""
     println(line)
     // scoped debug runs (name-prefix args) must not clobber the committed

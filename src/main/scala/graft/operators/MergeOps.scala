@@ -448,16 +448,35 @@ object MergeOps {
       if (srcType == keyType) lit(false)
       else col("__src_key").isNotNull &&
         !(col(keyCol).try_cast(srcType) <=> col("__src_key"))
-    val badKeys = changes1.groupBy(col(keyCol))
+    // diagnostics + touched-bucket discovery in ONE job (optimization
+    // r16, guide §1.2): the validation aggregate and cowSwingToPath's
+    // touched-bucket distinct both reduce the SAME checkpointed
+    // changeset — each used to pay its own job round-trip per apply. The
+    // bucket expression depends only on the key, and partial expansion
+    // preserves the key multiset, so the set computed here equals the
+    // one the swing used to compute post-expansion.
+    val diagAndBuckets = changes1.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"),
         max(when(rtBad, 1).otherwise(0)).as("__lossy"))
       .filter(col(keyCol).isNull || col("__n") > lit(1L) || col("__lossy") === 1)
-      .limit(5).collect()
+      .limit(5)
+      .select(lit("diag").as("__tag"), col(keyCol).cast("string").as("__a"),
+        concat_ws("/", col("__n"), col("__lossy")).as("__b"))
+      .unionByName(changes1
+        .select(pmod(hash(col(keyCol)), lit(curBuckets)).cast("int").as("__bk"))
+        .distinct()
+        .select(lit("bucket").as("__tag"), col("__bk").cast("string").as("__a"),
+          lit("").as("__b")))
+      .collect()
+    val badKeys = diagAndBuckets.filter(_.getString(0) == "diag")
     require(badKeys.isEmpty,
       s"changeset violates one-row-per-'$keyCol' (SQL MERGE's multiple-" +
         s"match error), carries a NULL key, or its key (${srcType.sql}) " +
         s"does not round-trip through the layout's key type " +
-        s"(${keyType.sql}): ${badKeys.map(_.toString).mkString(", ")}")
+        s"(${keyType.sql}): ${badKeys.map(r => s"${r.getString(1)} " +
+          s"[n/lossy=${r.getString(2)}]").mkString(", ")}")
+    val touchedPre = diagAndBuckets.filter(_.getString(0) == "bucket")
+      .map(_.getString(1).toInt).toSet
     val changes2 = if (srcType == keyType) changes1
       else changes1.drop("__src_key")
     if (preApply != null) preApply(target, changes2)
@@ -501,7 +520,8 @@ object MergeOps {
       // `target` is the dv-composed effective frame) — this is also how
       // a mixed-mode chain converges back to a pure bucketed layout
       cowSwingToPath(s, t, target, curLoc, nBuckets, vpath, changes, keyCol,
-        cow && !CorpusLayout.hasDv(curLoc), evolveSchema, colMapping)
+        cow && !CorpusLayout.hasDv(curLoc), evolveSchema, colMapping,
+        touchedPre = Some(touchedPre))
     // change data feed: persist THIS apply's effective changeset as a
     // `_cdf/` sidecar in the new generation (see [[ChangeFeedKey]]).
     // `target` still resolves — the old generation's files are kept on
@@ -579,7 +599,8 @@ object MergeOps {
                                     changes: DataFrame, keyCol: String,
                                     cow: Boolean,
                                     evolve: Boolean = false,
-                                    mapping: Map[String, Option[String]] = Map.empty): Unit = {
+                                    mapping: Map[String, Option[String]] = Map.empty,
+                                    touchedPre: Option[Set[Int]] = None): Unit = {
     // Partition the CURRENT generation's files by whether their bucket
     // can contain a changeset key. Resolved before any write so the
     // listing is of the generation the catalog serves right now.
@@ -594,7 +615,11 @@ object MergeOps {
       } finally kids.close()
     }
     val fileBuckets = curFiles.map(f => f -> bucketIdOf(f))
-    val touched = if (cow) touchedBuckets(changes, keyCol, nBuckets) else Set.empty[Int]
+    // the corpus apply hands the bucket set in (computed inside its
+    // combined validation job — key-only, expansion-invariant); index
+    // applies (SignatureStore) still compute their own
+    val touched = if (cow) touchedPre.getOrElse(
+      touchedBuckets(changes, keyCol, nBuckets)) else Set.empty[Int]
     val untouchedFiles = fileBuckets.collect {
       case (f, Some(b)) if !touched.contains(b) => f
     }

@@ -176,8 +176,16 @@ object Similarity {
       if (checkpoint) df.localCheckpoint() else df
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
-      signBucket($"embedding", 6).as("bucket"))
+    // ONE vector fetch table for the whole descent (optimization r16):
+    // the seed join and every round's two id-equality fetches used to
+    // re-scan the embeddings parquet (plus re-derive v/bucket) — 1 + 2·R
+    // scans per query. Checkpoint (vec_id, v, bucket) once; every fetch
+    // reads the materialized blocks. Corpus-sized but THIN (the vectors
+    // ride exactly as before — the fetches always carried them); at
+    // 100 TB this is the materialized graph-store table the header
+    // describes, so the memo is the production shape, not a bench trick.
+    val e = ckpt(emb(s, d).select($"vec_id", asDouble($"embedding").as("v"),
+      signBucket($"embedding", 6).as("bucket")))
     // s05's seed graph: 1-bit-probe LSH candidates, per-src top-2
     val probes = e.select($"vec_id".as("src"), $"v".as("xv"),
       explode(array(($"bucket" +:
@@ -202,7 +210,16 @@ object Similarity {
         .select($"g1.a".as("src"), $"g2.b".as("dst"))
         .filter($"src" =!= $"dst")
       val cand = hop2.union(graph).distinct()
-      val scored = cand
+      // the changed-edge probe rides the refine checkpoint (optimization
+      // r16): marking "was this edge already in the graph" is a left
+      // join against the PREVIOUS round's tiny checkpointed graph, so
+      // folding it in here costs one thin column — and the convergence
+      // count becomes a plain aggregate over materialized blocks instead
+      // of its own join job per round. The rate law is unchanged:
+      // changed = top-2 edges absent from the previous graph, total =
+      // all top-2 edges (PropertySpec's monotone law and the oracle's
+      // unrolled rate CTE both still hold bit-for-bit).
+      val scored0 = cand
         .join(e.select($"vec_id".as("src"), $"v".as("xv"))
           .hint("shuffle_hash"), "src")
         .join(e.select($"vec_id".as("dst"), $"v".as("yv"))
@@ -210,12 +227,13 @@ object Similarity {
         .select($"src", $"dst", roundz(cosineSim($"xv", $"yv"), 4).as("cos"))
         .withColumn("rn", row_number().over(wRef))
         .filter($"rn" <= 2)
-        .transform(ckpt)
-      val next = scored.select($"src", $"dst")
-      val stats = next
         .join(graph.withColumn("__old", lit(1)), Seq("src", "dst"), "left")
+        .transform(ckpt)
+      val stats = scored0
         .agg(count(when($"__old".isNull, 1)).as("changed"),
           count(lit(1)).as("total")).head()
+      val scored = scored0.drop("__old")
+      val next = scored.select($"src", $"dst")
       rounds += 1
       converged =
         stats.getLong(0).toDouble / stats.getLong(1) < NnDescentEps

@@ -412,61 +412,13 @@ object PartitionedLayout {
       // touched-pair set (and the documented write bill) would drift even
       // though content lands correctly. try_cast + round-trip rejects
       // non-value-preserving keys loudly instead.
-      val keyType = s.table(t).schema(key).dataType
+      val keyType = served.schema(key).dataType
       val srcType = changes0.schema(key).dataType
       val changes1 = (if (srcType == keyType) changes0
         else changes0.withColumn("__src_key", col(key))
           .withColumn(key, col(key).try_cast(keyType)))
         .localCheckpoint(true)
-      // one job validates keys AND partition values (the key gate
-      // mirrors applyToLayout's; the pcol gate is this layout's own:
-      // an upsert without a partition value has no home directory). A
-      // sparse partial changeset may not CARRY the pcol column — its
-      // values fill from the corpus below (directory-safe by induction),
-      // and the post-expansion gate covers the new-key case.
       val hasPcol = changes1.columns.contains(pcol)
-      val rtBad =
-        if (srcType == keyType) lit(false)
-        else col("__src_key").isNotNull &&
-          !(col(key).try_cast(srcType) <=> col("__src_key"))
-      val pcolBad =
-        if (hasPcol) !col(tomb) && (col(pcol).isNull ||
-          !col(pcol).rlike("^[A-Za-z0-9._-]+$"))
-        else lit(false)
-      val bad = changes1.groupBy(col(key))
-        .agg(count(lit(1)).as("__n"),
-          max(when(pcolBad, 1).otherwise(0)).as("__badp"),
-          max(when(rtBad, 1).otherwise(0)).as("__lossy"))
-        .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1 ||
-          col("__lossy") === 1)
-        .limit(5).collect()
-      require(bad.isEmpty,
-        s"changeset violates one-row-per-'$key', carries a NULL key, an " +
-          s"upsert's '$pcol' is NULL / not directory-safe " +
-          s"([A-Za-z0-9._-]+), or its key (${srcType.sql}) does not " +
-          s"round-trip through the layout's key type (${keyType.sql}): " +
-          s"${bad.mkString(", ")}")
-      val changes2 = if (srcType == keyType) changes1
-        else changes1.drop("__src_key")
-      // a sparse (UPDATE SET / DELETE) changeset expands to full rows
-      // HERE, before anything durable — unassigned columns (pcol
-      // included) fill from the served frame's old rows; re-snapshot so
-      // the expansion semi-join runs once, not per downstream consumer
-      val changes = if (partial)
-        graft.operators.MergeOps.expandPartial(served, changes2, key)
-          .localCheckpoint(true)
-        else changes2
-      if (partial && !hasPcol) {
-        // expansion fills pcol from the corpus; an upsert for a key the
-        // corpus does not hold fills nothing — no home directory, refuse
-        val orphans = changes.filter(!col(tomb) && col(pcol).isNull)
-          .select(col(key)).limit(5).collect()
-        require(orphans.isEmpty,
-          s"partial changeset upserts key(s) absent from the corpus with " +
-            s"no '$pcol' value — an insert must state its partition: " +
-            s"${orphans.map(_.get(0)).mkString(", ")}")
-      }
-      if (preApply != null) preApply(served, changes)
       val morMode = s.conf.getOption(graft.operators.MergeOps.MergeModeKey)
         .getOrElse("cow") match {
         case "mor" => true
@@ -475,22 +427,130 @@ object PartitionedLayout {
           s"${graft.operators.MergeOps.MergeModeKey} must be 'cow' or " +
             s"'mor', got '$other'")
       }
+      // ONE corpus join per apply (optimization r16, guide §1.2/§5): the
+      // partial expansion's absent-column fill and the matched keys'
+      // old-home lookup (the touched-pair set's old side, and under MOR
+      // the sidecar fold's eviction arm) are the SAME changeset-keyed
+      // semi-join against the served frame — they used to run as two
+      // (three under MOR, which checkpointed oldHomes separately)
+      // corpus-scanning jobs per statement. Run it once, attach the
+      // matched key's old partition value as `__oldp`, and checkpoint
+      // the result when more than one downstream ACTION consumes it
+      // (partial rows feed the write; MOR's fold reads the old homes
+      // twice) — otherwise leave it lazy for the one diagnostics job
+      // below. Expansion semantics are expandPartial's verbatim: the
+      // served side is unique-keyed, so the left join preserves the
+      // changeset's key multiset, absent columns (pcol included) fill
+      // from the old row, and an unmatched key fills NULL.
+      val oldP = "__oldp"
+      val payload = served.columns.toSeq.filterNot(_ == key)
+      val absent =
+        if (partial) payload.filterNot(changes1.columns.contains)
+        else Seq.empty[String]
+      val old = served.join(changes1.select(col(key)), Seq(key), "left_semi")
+        .select(col(key) +: absent.filterNot(_ == pcol).map(col)
+          :+ col(pcol).as(oldP): _*)
+      // partial: the full expansion feeds the write, so checkpoint it
+      // once (it replaces expandPartial's separate checkpoint AND the
+      // old-home lookup's scan)
+      val changesFull = if (partial) {
+        val present = changes1.columns.toSeq
+          .filterNot(c => c == key || c == tomb)
+        changes1.join(old, Seq(key), "left")
+          .select(col(key) +:
+            (present.map(col) ++ absent.map(c =>
+              if (c == pcol) col(oldP).as(pcol) else col(c))) :+
+            col(oldP) :+ col(tomb): _*)
+          .localCheckpoint(true)
+      } else null
+      // the probe frame validation / touched pairs / MOR's eviction arm
+      // read: the full expansion when partial (already materialized); a
+      // THIN (key, pcol, tombstone, __oldp) join otherwise — ckpt1
+      // already holds the wide payload, re-materializing it bought
+      // nothing. Checkpoint the thin probe only under MOR, whose fold
+      // reads the old homes from two write actions.
+      val probe0 =
+        if (partial) changesFull
+        else changes1.select(col(key) +: col(tomb) +:
+            ((if (hasPcol) Seq(col(pcol)) else Seq.empty) ++
+             (if (srcType != keyType) Seq(col("__src_key"))
+              else Seq.empty)): _*)
+          .join(old, Seq(key), "left")
+      val probe =
+        if (!partial && morMode) probe0.localCheckpoint(true) else probe0
+      val changes = (if (partial) changesFull.drop(oldP) else changes1)
+        .drop("__src_key")
+      // combined diagnostics + touched-pair discovery, ONE job (r16):
+      // the validation aggregate (dup/NULL keys, lossy key casts, bad
+      // partition values — applyToLayout's key gate plus this layout's
+      // home-directory gate), the partial orphan probe and the touched
+      // (partition, bucket) distinct used to be three separate collects,
+      // each paying a full job round-trip per DML statement. The checks
+      // are unchanged, now evaluated on the post-expansion rows (the
+      // expansion preserves the key multiset and carries user-stated
+      // pcol values verbatim, so every gate sees the same facts — and
+      // validation now provably inspects the exact rows applied).
+      val rtBad =
+        if (srcType == keyType) lit(false)
+        else col("__src_key").isNotNull &&
+          !(col(key).try_cast(srcType) <=> col("__src_key"))
+      val pcolBad =
+        if (hasPcol) !col(tomb) && (col(pcol).isNull ||
+          !col(pcol).rlike("^[A-Za-z0-9._-]+$"))
+        else lit(false)
+      // expansion fills pcol from the corpus when the changeset lacks
+      // it; an upsert for a key the corpus does not hold fills nothing —
+      // no home directory, refuse (partial's orphan gate)
+      val orphanBad =
+        if (!hasPcol && partial) !col(tomb) && col(pcol).isNull
+        else lit(false)
       val bucketOf = pmod(hash(col(key)), lit(buckets)).cast("int")
+      val diagDf = probe.groupBy(col(key))
+        .agg(count(lit(1)).as("__n"),
+          max(when(pcolBad, 1).otherwise(0)).as("__badp"),
+          max(when(rtBad, 1).otherwise(0)).as("__lossy"),
+          max(when(orphanBad, 1).otherwise(0)).as("__orphan"))
+        .filter(col(key).isNull || col("__n") > 1 || col("__badp") === 1 ||
+          col("__lossy") === 1 || col("__orphan") === 1)
+        .limit(5)
+        .select(lit("diag").as("__tag"), col(key).cast("string").as("__a"),
+          concat_ws("/", col("__n"), col("__badp"), col("__lossy"),
+            col("__orphan")).as("__b"))
       // touched pairs = the changeset rows' NEW homes ∪ the matched
-      // keys' OLD homes (one changeset-keyed semi-join — the corpus
-      // side scans only the keys' candidate buckets via the bucket
-      // pruning below at scale; here the join is broadcast-sized).
-      // In MOR mode the matched keys' old homes are ALSO the sidecar
-      // fold's eviction input, so snapshot the semi-join once and let
-      // both consumers read the checkpoint instead of re-running it.
-      val newPairs = changes.filter(!col(tomb))
-        .select(col(pcol).as("__p"), bucketOf.as("__b"))
-      val oldHomes0 = served.join(changes.select(col(key)), Seq(key), "left_semi")
-        .select(col(key), col(pcol))
-      val oldHomes = if (morMode) oldHomes0.localCheckpoint(true) else oldHomes0
-      val oldPairs = oldHomes.select(col(pcol).as("__p"), bucketOf.as("__b"))
-      val touched = newPairs.union(oldPairs).distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSet
+      // keys' OLD homes — both read off the one expanded frame now, no
+      // second corpus scan
+      val pairsDf = probe.filter(!col(tomb))
+        .select(col(pcol).as("__a"), bucketOf.cast("string").as("__b"))
+        .union(probe.filter(col(oldP).isNotNull)
+          .select(col(oldP).as("__a"), bucketOf.cast("string").as("__b")))
+        .distinct()
+        .select(lit("pair").as("__tag"), col("__a"), col("__b"))
+      val diagRows = diagDf.unionByName(pairsDf).collect()
+      val offenders = diagRows.filter(_.getString(0) == "diag")
+      // an orphan-only offender (1 row, clean key/pcol flags) gets the
+      // partial-specific message; anything else the general gate's
+      val (orphanOnly, hardBad) = offenders.partition { r =>
+        r.getString(1) != null && r.getString(2) == "1/0/0/1"
+      }
+      require(hardBad.isEmpty,
+        s"changeset violates one-row-per-'$key', carries a NULL key, an " +
+          s"upsert's '$pcol' is NULL / not directory-safe " +
+          s"([A-Za-z0-9._-]+), or its key (${srcType.sql}) does not " +
+          s"round-trip through the layout's key type (${keyType.sql}): " +
+          s"${hardBad.map(r => s"${r.getString(1)} " +
+            s"[n/badp/lossy/orphan=${r.getString(2)}]").mkString(", ")}")
+      require(orphanOnly.isEmpty,
+        s"partial changeset upserts key(s) absent from the corpus with " +
+          s"no '$pcol' value — an insert must state its partition: " +
+          s"${orphanOnly.map(_.getString(1)).mkString(", ")}")
+      if (preApply != null) preApply(served, changes)
+      val touched = diagRows.filter(_.getString(0) == "pair")
+        .map(r => (r.getString(1), r.getString(2).toInt)).toSet
+      // the MOR fold's eviction arm: matched keys' old homes, a
+      // projection of the checkpointed probe (it used to be its own
+      // corpus semi-join + checkpoint)
+      lazy val oldHomes = probe.filter(col(oldP).isNotNull)
+        .select(col(key), col(oldP).as(pcol))
       val gens = generations(s, corpusDir, table)
       val vpath = s"${root(s, corpusDir)}/${table}_v${gens.map(_._1).max + 1}"
       val staging = s"${t}_staging"
@@ -946,11 +1006,10 @@ object PartitionedLayout {
     }
   }
 
-  /** Markers + catalog swing + partition recovery + epoch bump — the
-    * shared tail of every chain-advancing verb. RECOVER because the
-    * staging table registered only the partitions a write produced; the
-    * hard-linked dirs join the catalog's partition list here (pure
-    * metadata, no data scan).
+  /** Markers + catalog swing + partition registration + epoch bump — the
+    * shared tail of every chain-advancing verb. The staging table
+    * registered only the partitions a write produced; the hard-linked
+    * dirs join the catalog's partition list here.
     */
   private def swingTo(s: SparkSession, corpusDir: String, table: String,
                       vpath: String, buckets: Int, pcol: String): Unit = {
@@ -960,9 +1019,33 @@ object PartitionedLayout {
       java.nio.file.Paths.get(vpath, PcolMarker), pcol.getBytes("UTF-8"))
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
-    s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+    registerPartitions(s, t, vpath, pcol)
     CorpusLayout.refreshRelationCache(s, t)
     CorpusLayout.bumpEpoch(s, corpusDir, s"${table}_partitioned", vpath)
+  }
+
+  /** Register a generation's partition dirs on a freshly attached table.
+    * This used to be `ALTER TABLE … RECOVER PARTITIONS`, whose
+    * RepairTableCommand walks EVERY FILE under the table root to infer
+    * the partition list (at 100 TB a full-tree listing per statement;
+    * locally a ~50–60 ms Spark-side walk per swing plus the skipped-
+    * marker log spam the r15 driver tail recorded). The driver already
+    * knows the partition dirs — one directory listing of the generation
+    * root — so ADD PARTITION registers them as pure catalog metadata,
+    * zero file walking (optimization r16, guide §5/§6). Values are
+    * directory-safe by the layout's contract ([A-Za-z0-9._-]+), so
+    * quoting them into DDL needs no escaping; IF NOT EXISTS because the
+    * staging write already registered the partitions it wrote, at the
+    * same locations.
+    */
+  private def registerPartitions(s: SparkSession, t: String, vpath: String,
+                                 pcol: String): Unit = {
+    val parts = partDirs(vpath)
+    if (parts.nonEmpty) {
+      val specs = parts.map { case (v, p) =>
+        s"PARTITION ($pcol='$v') LOCATION '$p'" }.mkString(" ")
+      s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS $specs")
+    }
   }
 
   /** The tag namespace key: partitioned chains share the flat tag
@@ -1341,7 +1424,7 @@ object PartitionedLayout {
         s"PARTITIONED BY ($pcol) " +
         s"CLUSTERED BY ($key) SORTED BY ($sortCol) INTO $buckets BUCKETS " +
         s"LOCATION '$p'")
-      s.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+      registerPartitions(s, t, p, pcol)
       p
     }
   }
